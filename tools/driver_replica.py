@@ -1,0 +1,93 @@
+"""Driver-replica: exercises __spark_entry__.py exactly the way the round
+driver does — vanilla SparkSession (none of the engine's session confs),
+entry() smoke at sf0.001, then every queries() entry vs its oracle_sql()
+via DuckDB at sf0.01 with an order-insensitive compare.
+
+Usage: python tools/driver_replica.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from parity import canonical_rows  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main() -> int:
+    # Vanilla session — deliberately NOT usgs_lidar_spark.session.get_spark:
+    # proves the contract works on a driver-provided session.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("driver-replica")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    res = entrymod.entry(spark)
+    rows = res.count()
+    print(f"[smoke] entry() -> {rows} rows, schema={res.columns} ({time.time()-t0:.1f}s)")
+    assert rows > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF).toPandas()
+        except Exception as e:
+            print(f"[FAIL] {name}: spark error {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        ddf = con.execute(oracles[name]).fetchdf()
+        s_cols, s_rows = canonical_rows(sdf)
+        d_cols, d_rows = canonical_rows(ddf)
+        ok = s_cols == d_cols and s_rows == d_rows
+        status = "OK" if ok else "FAIL"
+        print(
+            f"[{status}] {name}: spark {len(s_rows)} rows vs duck {len(d_rows)} rows "
+            f"({time.time()-t0:.1f}s)"
+        )
+        if not ok:
+            failed.append(name)
+            if s_cols != d_cols:
+                print(f"   cols spark={s_cols} duck={d_cols}")
+            else:
+                for a, b in zip(s_rows, d_rows):
+                    if a != b:
+                        print(f"   first diff:\n   spark={a}\n   duck ={b}")
+                        break
+    print(f"\n{len(qs)} queries, {len(oracles)} oracled, {len(failed)} failed")
+    if failed:
+        print("FAILED:", failed)
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,526 @@
+"""The engine's named query surface, oracle-checked query by query.
+
+Every operator in SURVEY.md §2 is exercised by at least one entry here; each
+entry has a matching ANSI-SQL oracle that DuckDB runs on the same parquet
+(registered views: region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Conventions that keep the oracle hash stable (driver compares row count +
+schema + order-insensitive value hash, columns sorted by name):
+  * every computed column is aliased identically on both sides;
+  * double aggregates are ROUND()ed on both sides (sum order differs
+    between engines; rounding collapses last-ulp noise);
+  * integer-ish results are CAST explicitly (DuckDB's year()/floor()/SUM(int)
+    return BIGINT/DOUBLE/HUGEINT where Spark returns INT/LONG/LONG);
+  * anything nondeterministic under ties (top-k, row_number) carries a
+    unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from usgs_lidar_spark.catalog import load_table
+from usgs_lidar_spark.operators.voxel import voxel_downsample
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a named query; `oracle` is the DuckDB-equivalent SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dec_sum(col, digits: int = 2) -> F.Column:
+    """Order-independent SUM of a fixed-point decimal column.
+
+    Floating-point addition is not associative, so SUM(double) differs in
+    the last ulp depending on partitioning — fatal for hash-compared
+    results (observed live: ROUND(avg,4) flipping 13335.0988 vs .0987
+    between Spark and DuckDB at sf0.01). The synthetic money columns carry
+    exactly `digits` decimals, so summing scaled BIGINTs is exact and
+    partition-order-independent at any scale. SQL twin: DEC_SUM below.
+    """
+    scale = 10**digits
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * scale).cast("long")) / F.lit(float(scale))
+
+
+def dec_avg(col, digits: int = 2) -> F.Column:
+    """Order-independent AVG of a fixed-point decimal column. NOT rounded:
+    the integer-sum/division result is already bit-deterministic, and
+    ROUND on an exact decimal half is itself engine-dependent (Spark
+    HALF_UPs the decimal rendering, C engines round the binary double)."""
+    scale = 10**digits
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * scale).cast("long")) / (
+        F.lit(float(scale)) * F.count(F.lit(1))
+    )
+
+
+def DEC_SUM(expr: str, digits: int = 2) -> str:
+    scale = 10**digits
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale}.0"
+    )
+
+
+# =====================================================================
+# Flagship — the reference's end-to-end lifecycle re-grounded on the
+# synthetic star schema: scan -> noise filter (F1) -> projection (P1)
+# -> voxel-grid barycenter aggregation (A1+A2+M2) -> sort (O1).
+# Reference: fetch_data + subsample, /root/reference/scripts/
+# usgs_lidar.py:312-340, 400-439.
+# =====================================================================
+
+
+@query(
+    "flagship_voxel_subsample",
+    oracle="""
+    WITH pts AS (
+        SELECT l_extendedprice AS x, l_quantity AS y, l_discount AS z
+        FROM lineitem WHERE l_linenumber <> 7
+    ), mins AS (
+        SELECT min(x) AS mx, min(y) AS my, min(z) AS mz FROM pts
+    )
+    SELECT CAST(floor((x - mx) / 1000.0) AS BIGINT) AS ix,
+           CAST(floor((y - my) / 5.0)    AS BIGINT) AS iy,
+           CAST(floor((z - mz) / 0.02)   AS BIGINT) AS iz,
+           CAST(SUM(CAST(ROUND(x * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)) AS cx,
+           CAST(SUM(CAST(ROUND(y * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)) AS cy,
+           CAST(SUM(CAST(ROUND(z * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)) AS cz,
+           count(*) AS n_points
+    FROM pts, mins
+    GROUP BY 1, 2, 3
+    """,
+)
+def flagship_voxel_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noise-filter + voxel barycenter downsample (the reference flagship).
+
+    lineitem stands in for the point cloud: (x, y, z) =
+    (l_extendedprice, l_quantity, l_discount); `l_linenumber <> 7` mirrors
+    the LAS class-7 noise filter (/root/reference/pipeline.json:10-14).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.filter(F.col("l_linenumber") != 7).select(
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("y"),
+        F.col("l_discount").alias("z"),
+    )
+    return voxel_downsample(
+        pts, ["x", "y", "z"], [1000.0, 5.0, 0.02], exact_decimals=[2, 2, 2]
+    )
+
+
+# =====================================================================
+# Filters / predicates (SURVEY.md §2 F1, F2)
+# =====================================================================
+
+
+@query(
+    "f1_range_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_linenumber <> 7 AND NOT (l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def f1_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/inequality predicate — the `Classification![7:7]` noise filter
+    generalized (/root/reference/pipeline.json:10-14). Both predicates are
+    pushed to the parquet scan (PushedFilters in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_linenumber") != 7) & ~F.col("l_quantity").between(10, 40)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "f2_bbox_containment",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part
+    WHERE p_retailprice >= 1200.0 AND p_retailprice <= 1600.0
+      AND p_size >= 10 AND p_size <= 40
+    """,
+)
+def f2_bbox_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way AND of theta comparisons — the bbox containment predicate shape
+    of fetch_regions (/root/reference/scripts/usgs_lidar.py:297-303)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_retailprice") >= 1200.0)
+        & (F.col("p_retailprice") <= 1600.0)
+        & (F.col("p_size") >= 10)
+        & (F.col("p_size") <= 40)
+    ).select("p_partkey", "p_name", "p_size", "p_retailprice")
+
+
+# =====================================================================
+# Joins (SURVEY.md §2 J1, J2, J3)
+# =====================================================================
+
+
+@query(
+    "j1_broadcast_lookup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j1_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog equi-lookup as a BroadcastHashJoin — the reference's per-region
+    year lookup (/root/reference/scripts/usgs_lidar.py:326-329) generalized:
+    fact joined to two broadcast dimensions."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "j2_theta_containment_join",
+    oracle="""
+    SELECT s.s_suppkey, count(*) AS n_contained,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_contained_bal
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal >= s.s_acctbal - 500.0
+     AND c.c_acctbal <= s.s_acctbal + 500.0
+     AND c.c_nationkey = s.s_nationkey
+    GROUP BY s.s_suppkey
+    """,
+)
+def j2_theta_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join — the generalized polygon-bbox vs
+    catalog-bbox containment join (/root/reference/scripts/
+    usgs_lidar.py:291-303). The equi-key (nationkey) lets Spark use a real
+    hash join with the range as a post-join predicate instead of a pure
+    BroadcastNestedLoopJoin — the same trick (grid-cell equi-bucketing)
+    scales the spatial version."""
+    s = _t(spark, sf_dir, "supplier").alias("s")
+    c = _t(spark, sf_dir, "customer").alias("c")
+    cond = (
+        (F.col("c.c_acctbal") >= F.col("s.s_acctbal") - 500.0)
+        & (F.col("c.c_acctbal") <= F.col("s.s_acctbal") + 500.0)
+        & (F.col("c.c_nationkey") == F.col("s.s_nationkey"))
+    )
+    return (
+        s.join(c, cond)
+        .groupBy("s.s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_contained"),
+            dec_sum("c.c_acctbal").alias("sum_contained_bal"),
+        )
+    )
+
+
+@query(
+    "j3_star_join_agg",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           count(*) AS n_lineitems,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    """,
+)
+def j3_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-join family over the star schema (fact ⋈ two dims) with a
+    partial+final hash aggregate. orders/customer broadcast when under the
+    threshold; at 100 TB they'd shuffle-hash-join on the key with AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j3_left_join_null_label",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_big_orders,
+           coalesce(max(o.o_orderstatus), 'not_specified') AS status_label
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def j3_left_join_null_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + null labeling — the reference's null-year rewrite
+    `"nan" -> "Year: not_specified"` (/root/reference/scripts/
+    usgs_lidar.py:329-332) expressed as coalesce over join nulls (T5)."""
+    c = _t(spark, sf_dir, "customer").alias("c")
+    big = (
+        _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0).alias("o")
+    )
+    return (
+        c.join(big, F.col("o.o_custkey") == F.col("c.c_custkey"), "left")
+        .groupBy("c.c_custkey")
+        .agg(
+            F.count("o.o_orderkey").alias("n_big_orders"),
+            F.coalesce(F.max("o.o_orderstatus"), F.lit("not_specified")).alias(
+                "status_label"
+            ),
+        )
+    )
+
+
+@query(
+    "j3_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j3_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# =====================================================================
+# Aggregations / grouping (SURVEY.md §2 A1-A4, G1)
+# =====================================================================
+
+
+@query(
+    "a1_global_minmax",
+    oracle="""
+    SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def a1_global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max (the voxel anchor aggregate, /root/reference/scripts/
+    usgs_lidar.py:416). Min/max of stored values — exact, no rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "g1_group_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def g1_group_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-by-year keyed outputs — the reference's dict[year -> df]
+    (/root/reference/scripts/usgs_lidar.py:312-340) as a groupBy('year');
+    on disk the same key is write.partitionBy (see sources/writers.py)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# =====================================================================
+# Sorts / limits (SURVEY.md §2 O1, O3)
+# =====================================================================
+
+
+@query(
+    "o1_sort_nulls_last",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               max(o.o_orderdate) AS last_big_order
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_custkey, last_big_order,
+           CAST(row_number() OVER (ORDER BY last_big_order ASC NULLS LAST,
+                                   c_custkey) AS BIGINT) AS sort_rank
+    FROM per_cust
+    """,
+)
+def o1_sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nulls-last ascending sort — the reference's catalog year sort where
+    NaN years sort last (/root/reference/scripts/usgs_lidar.py:304, demo
+    cell 10). row_number() materializes the global order so the oracle's
+    order-insensitive hash still verifies the sort semantics."""
+    c = _t(spark, sf_dir, "customer").alias("c")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0).alias("o")
+    per_cust = (
+        c.join(big, F.col("o.o_custkey") == F.col("c.c_custkey"), "left")
+        .groupBy("c.c_custkey")
+        .agg(F.max("o.o_orderdate").alias("last_big_order"))
+    )
+    w = Window.orderBy(F.col("last_big_order").asc_nulls_last(), F.col("c_custkey"))
+    return per_cust.select(
+        "c_custkey",
+        "last_big_order",
+        F.row_number().over(w).cast("long").alias("sort_rank"),
+    )
+
+
+@query(
+    "o3_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 15
+    """,
+)
+def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = TakeOrderedAndProject: per-partition heap + driver merge of k
+    rows, never a global sort. Unique tie-break keys keep it deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(15)
+    )
+
+
+# =====================================================================
+# Set ops (SURVEY.md §2 U1, A4)
+# =====================================================================
+
+
+@query(
+    "u1_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice > 300000.0
+    """,
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two slices (the distributed form of the reference's
+    row-at-a-time append, /root/reference/scripts/usgs_lidar.py:263-271)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(*cols)
+        .unionByName(o.filter(F.col("o_totalprice") > 300000.0).select(*cols))
+    )
+
+
+@query(
+    "u1_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+    """,
+)
+def u1_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — customers with both a finished and a big order."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_totalprice") > 300000.0).select("o_custkey"))
+    )
+
+
+@query(
+    "u1_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+    """,
+)
+def u1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — `subtract` is Spark's set-difference with
+    SQL EXCEPT semantics (distinct rows of left not present in right)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .subtract(o.filter(F.col("o_totalprice") > 300000.0).select("o_custkey"))
+    )
