@@ -30,9 +30,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer division, NOT `/1000` + cast: epoch nanos (~1.7e18) exceed
+        # a double's 2^53 exact-integer range, so float division corrupts
+        # the low microsecond digit (observed off-by-one vs DuckDB).
         df = df.withColumn(
-            "ts",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
         )
     return df
 

@@ -524,3 +524,489 @@ def u1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .subtract(o.filter(F.col("o_totalprice") > 300000.0).select("o_custkey"))
     )
+
+
+# =====================================================================
+# String / regex functions (SURVEY.md §2 T1-T5)
+# =====================================================================
+
+
+@query(
+    "t1_regex_year_extract",
+    oracle="""
+    WITH named AS (
+        SELECT o_orderkey,
+               'SURVEY_' || strftime(o_orderdate, '%Y') || '_A' AS filename
+        FROM orders
+    )
+    SELECT o_orderkey, filename,
+           CAST(nullif(regexp_extract(filename, '20[0-9][0-9]+', 0), '')
+                AS INTEGER) AS survey_year
+    FROM named
+    """,
+)
+def t1_regex_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the reference's year regex `20[0-9][0-9]+` over filename-shaped
+    strings (/root/reference/scripts/usgs_lidar.py:224-242) — matches 2000/
+    2001, NULL for 19xx (the reference returns None on no-match)."""
+    from usgs_lidar_spark.functions.strings import extract_year
+
+    o = _t(spark, sf_dir, "orders")
+    named = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("SURVEY_"), F.date_format("o_orderdate", "yyyy"), F.lit("_A")
+        ).alias("filename"),
+    )
+    return named.select(
+        "o_orderkey", "filename", extract_year("filename").alias("survey_year")
+    )
+
+
+@query(
+    "t2_strip_chars",
+    oracle="""
+    SELECT c_custkey,
+           translate(c_name, '#', '') AS stripped,
+           CAST(coalesce(nullif(regexp_replace(c_name, '^Customer#0*', ''), ''), '0')
+                AS BIGINT) AS parsed_key
+    FROM customer
+    """,
+)
+def t2_strip_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: character strip (`location.replace('/','')`,
+    /root/reference/scripts/usgs_lidar.py:234) via translate, plus a
+    regexp_replace parse that must round-trip the customer key."""
+    from usgs_lidar_spark.functions.strings import strip_chars
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        strip_chars("c_name", "#").alias("stripped"),
+        F.coalesce(
+            F.nullif(F.regexp_replace("c_name", "^Customer#0*", ""), F.lit("")),
+            F.lit("0"),
+        )
+        .cast("long")
+        .alias("parsed_key"),
+    )
+
+
+@query(
+    "t3_t4_serialization",
+    oracle="""
+    SELECT s_suppkey,
+           printf('POINT(%.2f %.2f)', s_acctbal, CAST(s_suppkey AS DOUBLE)) AS wkt,
+           printf('([%.2f, %.2f],[%d, %d])',
+                  least(s_acctbal, 0.0), greatest(s_acctbal, 0.0),
+                  s_nationkey, s_nationkey + 1) AS bounds
+    FROM supplier
+    """,
+)
+def t3_t4_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4: WKT / bounds string serialization
+    (/root/reference/scripts/usgs_lidar.py:73-82) via format_string.
+    Inputs are exact 2-decimal values so %.2f never hits a rounding edge."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.format_string(
+            "POINT(%.2f %.2f)", F.col("s_acctbal"), F.col("s_suppkey").cast("double")
+        ).alias("wkt"),
+        F.format_string(
+            "([%.2f, %.2f],[%d, %d])",
+            F.least(F.col("s_acctbal"), F.lit(0.0)),
+            F.greatest(F.col("s_acctbal"), F.lit(0.0)),
+            F.col("s_nationkey"),
+            F.col("s_nationkey") + 1,
+        ).alias("bounds"),
+    )
+
+
+# =====================================================================
+# Math / geo functions (SURVEY.md §2 M1, M2)
+# =====================================================================
+
+
+@query(
+    "m1_mercator_reproject",
+    oracle="""
+    WITH geo AS (
+        SELECT c_custkey,
+               CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.25 AS lon,
+               CAST(c_custkey % 170 AS DOUBLE) - 84.5 AS lat
+        FROM customer
+    )
+    SELECT c_custkey,
+           ROUND(6378137.0 * radians(lon), 2) AS merc_x,
+           ROUND(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 2) AS merc_y,
+           ROUND(degrees((6378137.0 * radians(lon)) / 6378137.0), 6) AS lon_rt,
+           ROUND(degrees(2 * atan(exp((6378137.0 * ln(tan(pi()/4 + radians(lat)/2)))
+                 / 6378137.0)) - pi()/2), 6) AS lat_rt
+    FROM geo
+    """,
+)
+def m1_mercator_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: closed-form Web-Mercator reprojection (EPSG:4326<->3857) as pure
+    column math — the engine's replacement for the reference's pyproj
+    `convert_epsg` (/root/reference/scripts/usgs_lidar.py:441-463) and the
+    PDAL reprojection stage (pipeline.json:15-20). Forward + roundtrip,
+    rounded (cm / micro-degree) to absorb libm-vs-JVM trig ulps."""
+    from usgs_lidar_spark.functions import mercator as M
+
+    c = _t(spark, sf_dir, "customer")
+    geo = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 360).cast("double") - 180.0 + 0.25).alias("lon"),
+        ((F.col("c_custkey") % 170).cast("double") - 84.5).alias("lat"),
+    )
+    x = M.lon_to_x("lon")
+    y = M.lat_to_y("lat")
+    return geo.select(
+        "c_custkey",
+        F.round(x, 2).alias("merc_x"),
+        F.round(y, 2).alias("merc_y"),
+        F.round(M.x_to_lon(x), 6).alias("lon_rt"),
+        F.round(M.y_to_lat(y), 6).alias("lat_rt"),
+    )
+
+
+@query(
+    "m2_grid_keys",
+    oracle="""
+    WITH mn AS (SELECT min(l_extendedprice) AS mp FROM lineitem)
+    SELECT CAST(floor((l_extendedprice - mp) / 5000.0) AS BIGINT) AS price_bucket,
+           count(*) AS n
+    FROM lineitem, mn
+    GROUP BY 1
+    """,
+)
+def m2_grid_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: grid-key arithmetic `floor((col - min)/res)`
+    (/root/reference/scripts/usgs_lidar.py:416) — histogram form; the global
+    min is broadcast, not collected."""
+    li = _t(spark, sf_dir, "lineitem")
+    mn = li.agg(F.min("l_extendedprice").alias("mp"))
+    return (
+        li.crossJoin(F.broadcast(mn))
+        .groupBy(
+            F.floor((F.col("l_extendedprice") - F.col("mp")) / 5000.0)
+            .cast("long")
+            .alias("price_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# JSON functions (SURVEY.md §2 X1)
+# =====================================================================
+
+
+@query(
+    "x1_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS k_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def x1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: JSON field extraction from the crawled payload
+    (/root/reference/scripts/usgs_lidar.py:260-271) — get_json_object over
+    the events.props JSON column, then aggregation on the extracted field.
+    Also exercises the TIMESTAMP(NANOS) parquet read path end-to-end."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy(
+        "event_type", (k % 10).alias("k_mod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k.cast("long")).alias("k_sum"),
+    )
+
+
+# =====================================================================
+# Window functions (SURVEY.md §2 W1)
+# =====================================================================
+
+
+@query(
+    "w1_row_number",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+               AS order_seq
+    FROM orders
+    """,
+)
+def w1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ranking window — per-customer order sequence (unique tie-break
+    key keeps it deterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@query(
+    "w1_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_orderstatus) OVER w AS next_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def w1_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: lag/lead analytics — pure value passthrough (no arithmetic, so
+    doubles compare exactly)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_orderstatus").over(w).alias("next_status"),
+    )
+
+
+@query(
+    "w1_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS running_total
+    FROM orders
+    """,
+)
+def w1_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: running-sum frame. Summed as scaled BIGINTs — window aggregates
+    use different accumulation structures per engine (segment trees vs
+    streaming), so double sums would drift in the last ulp."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_total"),
+    )
+
+
+@query(
+    "w1_rank_dense_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(rank()       OVER w AS BIGINT) AS qty_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS qty_dense_rank
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+)
+def w1_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: rank/dense_rank — tie-tolerant ranking (same rank for equal
+    quantities, so no tie-break needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.rank().over(w).cast("long").alias("qty_rank"),
+        F.dense_rank().over(w).cast("long").alias("qty_dense_rank"),
+    )
+
+
+# =====================================================================
+# Event-time windows (SURVEY.md §2 R1) — batch-equivalent forms of the
+# Structured Streaming operators in usgs_lidar_spark/streaming/.
+# =====================================================================
+
+
+@query(
+    "r1_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes',
+                                date_trunc('microseconds', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def r1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: tumbling event-time window (10 min) — the batch-equivalent of
+    `groupBy(window(ts, '10 minutes'))`; the streaming variant with
+    watermarking lives in streaming/events.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("value_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "r1_sliding_window",
+    oracle="""
+    WITH e AS (SELECT date_trunc('microseconds', ts) AS ts, value FROM events),
+    assigned AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, value FROM e
+        UNION ALL
+        SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes')
+            AS win_start, value FROM e
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS value_sum
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def r1_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: sliding window (10 min width, 5 min slide) — each event lands in
+    two overlapping windows; the oracle reproduces that with two
+    offset-aligned time_buckets."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("value_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "r1_session_window",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS value_sum
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def r1_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: session window (5 min inactivity gap) — Spark's session_window
+    vs the classic gaps-and-islands SQL. A new session starts when the gap
+    is >= the timeout (Spark sessions span [ts, ts+gap))."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+# =====================================================================
+# As-of join (extension; SURVEY.md §2 J3 "as-of")
+# =====================================================================
+
+
+@query(
+    "asof_purchase_before_click",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, date_trunc('microseconds', ts) AS ts,
+               user_id, event_type, value
+        FROM events
+    ), c AS (SELECT * FROM e WHERE event_type = 'click'),
+       p AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+           p.value AS asof_value
+    FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the user's most recent purchase at or
+    before it. Union + running last() — one shuffle, no range explosion
+    (see operators/asof.py for the 100 TB design rationale)."""
+    from usgs_lidar_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        partition_keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["value"],
+        tie_break="event_id",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+        F.col("asof_value"),
+    )
