@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Timing is end-to-end per query: plan construction + execution + a count()
+to force full materialization (results are not collected to the driver —
+the engine's own rule). A warmup flagship run amortizes session/JIT setup
+out of the per-query numbers, mirroring how a long-lived cluster behaves.
+
+Baseline context (BASELINE.md): the reference subsamples 401K points in
+<=34 s single-process and converts rows at 8.2K rows/s; the flagship query
+here does the equivalent voxel aggregation over ~600K rows and must land
+in seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from usgs_lidar_spark.plans.queries import QUERIES  # noqa: E402
+from usgs_lidar_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries: the reference-lifecycle flagship plus one
+#: representative per operator family (join, window, event-time, dedup,
+#: similarity, text, UDF-spatial).
+HEADLINE = [
+    "flagship_voxel_subsample",
+    "j3_star_join_agg",
+    "j2_theta_containment_join",
+    "w1_running_sum",
+    "r1_session_window",
+    "asof_purchase_before_click",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+    "f3_point_in_polygon",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="usgs-lidar-spark-bench")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # Warmup: session/codegen/readers (not part of per-query timings).
+    QUERIES["flagship_voxel_subsample"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Operator unit tests: voxel golden semantics, as-of edge cases, spatial
+predicates, multimodal plumbing, dedup building blocks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from usgs_lidar_spark.multimodal import fake_decode_image, to_media_table, decode_image
+from usgs_lidar_spark.operators.asof import asof_join
+from usgs_lidar_spark.operators.dedup import char_shingles, simhash64
+from usgs_lidar_spark.operators.spatial import (
+    bbox_contains,
+    filter_within_polygon,
+    polygon_bbox,
+)
+from usgs_lidar_spark.operators.voxel import voxel_downsample
+
+
+def test_voxel_downsample_golden(spark):
+    """Reference semantics: keys = floor((p - min)/res); barycenter = mean
+    (scripts/usgs_lidar.py:416-427). 4 points, res=2 -> 2 voxels."""
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.0,), (3.0,)], ["x"]
+    )
+    out = {r["ix"]: r.asDict() for r in voxel_downsample(df, ["x"], [2.0]).collect()}
+    assert out[0]["n_points"] == 2 and out[0]["cx"] == 0.5
+    assert out[1]["n_points"] == 2 and out[1]["cx"] == 2.5
+
+
+def test_bbox_containment_not_intersection(spark):
+    """The reference's F2 is containment (region covers query), not overlap
+    (scripts/usgs_lidar.py:297-303): an overlapping-but-not-containing
+    region must NOT qualify."""
+    cat = spark.createDataFrame(
+        [("covers", 0.0, 100.0, 0.0, 100.0), ("overlaps", 5.0, 15.0, 5.0, 15.0)],
+        ["name", "xmin", "xmax", "ymin", "ymax"],
+    )
+    got = [
+        r["name"]
+        for r in cat.filter(
+            bbox_contains(qminx=10.0, qmaxx=20.0, qminy=10.0, qmaxy=20.0)
+        ).collect()
+    ]
+    assert got == ["covers"]
+
+
+def test_point_in_polygon_concave(spark):
+    """The ray-casting UDF handles concave polygons (beyond the convex
+    oracle): a C-shape whose notch must be excluded."""
+    poly = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 7), (8, 7), (8, 3), (0, 3)]
+    pts = spark.createDataFrame(
+        [(1.0, 1.0, "in_lower"), (1.0, 5.0, "in_notch"), (9.0, 5.0, "in_right"),
+         (1.0, 9.0, "in_upper"), (20.0, 5.0, "outside")],
+        ["x", "y", "tag"],
+    )
+    got = {r["tag"] for r in filter_within_polygon(pts, poly).collect()}
+    assert got == {"in_lower", "in_right", "in_upper"}
+
+
+def test_asof_left_join_no_match(spark):
+    left = spark.createDataFrame([(1, 5, "a"), (1, 1, "b")], ["uid", "t", "tag"])
+    right = spark.createDataFrame([(1, 3, 9.0)], ["uid", "t", "v"])
+    out = asof_join(
+        left, right, ["uid"], "t", ["v"], tie_break="v", how="left"
+    ).collect()
+    by_tag = {r["tag"]: r.asDict() for r in out}
+    assert by_tag["a"]["asof_v"] == 9.0  # 3 <= 5 matched
+    assert by_tag["b"]["asof_t"] is None  # nothing at or before 1
+    # inner drops the unmatched row
+    inner = asof_join(left, right, ["uid"], "t", ["v"], tie_break="v").collect()
+    assert len(inner) == 1
+
+
+def test_asof_equal_ts_inclusive(spark):
+    """<= semantics: a right row at exactly the left timestamp matches."""
+    left = spark.createDataFrame([(1, 5)], ["uid", "t"])
+    right = spark.createDataFrame([(1, 5, 7.0)], ["uid", "t", "v"])
+    out = asof_join(left, right, ["uid"], "t", ["v"], tie_break="v").collect()
+    assert out[0]["asof_v"] == 7.0
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], ["doc_id", "text"])
+    media = to_media_table(docs, "doc_id", "text")
+    assert dict(media.dtypes)["content"] == "binary"
+    decoded = {r["media_id"]: r.asDict() for r in fake_decode_image(media).collect()}
+    assert decoded[1]["width"] == 5 % 640 + 1 and decoded[1]["channels"] == 3
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+
+
+def test_char_shingles_short_doc(spark):
+    """Docs shorter than k yield zero shingles (matches the oracle SQL)."""
+    docs = spark.createDataFrame([(1, "abc"), (2, "abcdefghij")], ["doc_id", "text"])
+    sh = char_shingles(docs, "text", "doc_id", k=8)
+    got = sh.groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in got} == {2: 3}
+
+
+def test_simhash_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"), (2, "the quick brown fox jumps over it")],
+        ["doc_id", "text"],
+    )
+    fps = [r["simhash"] for r in simhash64(docs, "text", "doc_id").collect()]
+    assert fps[0] == fps[1] >= 0

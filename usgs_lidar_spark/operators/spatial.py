@@ -1,0 +1,113 @@
+"""Spatial predicates & joins (SURVEY.md §2 F2, F3, J2).
+
+Reference behaviors:
+  * F2 bbox containment: region qualifies iff its bbox CONTAINS the query
+    bbox — 4-way AND, containment NOT intersection
+    (/root/reference/scripts/usgs_lidar.py:297-303).
+  * F3 exact polygon crop: WKT pushed into the PDAL reader
+    (/root/reference/pipeline.json:4, scripts/usgs_lidar.py:122).
+
+Engine design (SURVEY.md §4 "custom work"): `within(polygon)` is planned
+as `bbox-prefilter AND exact-test`:
+  * the bbox test is a pure column predicate — pushed into the parquet
+    scan (row-group min/max skipping on x/y does the octree's job);
+  * the exact point-in-polygon test is an Arrow-batched pandas UDF
+    (vectorized NumPy ray casting) that only sees bbox survivors — the
+    Python boundary is off the hot path by construction.
+At 100 TB the bbox filter typically eliminates >99% of points at scan
+time; the UDF cost is proportional to the polygon's area, not the table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def bbox_contains(
+    xmin="xmin", xmax="xmax", ymin="ymin", ymax="ymax",
+    *, qminx: float, qmaxx: float, qminy: float, qmaxy: float,
+) -> Column:
+    """F2: catalog-row bbox CONTAINS the query bbox (the reference's
+    fetch_regions predicate — containment, not intersection)."""
+    return (
+        (F.col(xmin) <= F.lit(qminx))
+        & (F.col(xmax) >= F.lit(qmaxx))
+        & (F.col(ymin) <= F.lit(qminy))
+        & (F.col(ymax) >= F.lit(qmaxy))
+    )
+
+
+def polygon_bbox(polygon: Sequence[tuple[float, float]]) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) of a polygon — the reference's
+    `polygon.bounds` (scripts/usgs_lidar.py:71,295), driver-side scalar."""
+    xs = [p[0] for p in polygon]
+    ys = [p[1] for p in polygon]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def point_in_polygon_udf(polygon: Sequence[tuple[float, float]]):
+    """Arrow-batched even-odd ray-casting test for an arbitrary polygon.
+
+    Vectorized NumPy over whole Arrow batches — never per-row Python. The
+    polygon is captured as two small ndarrays in the closure (broadcast
+    with the serialized UDF)."""
+    px = np.array([p[0] for p in polygon], dtype=np.float64)
+    py = np.array([p[1] for p in polygon], dtype=np.float64)
+    px_next = np.roll(px, -1)
+    py_next = np.roll(py, -1)
+
+    @pandas_udf("boolean")
+    def inside(x: pd.Series, y: pd.Series) -> pd.Series:
+        xv = x.to_numpy(dtype=np.float64)[:, None]
+        yv = y.to_numpy(dtype=np.float64)[:, None]
+        # Edge straddles the horizontal ray at yv?
+        cond = (py <= yv) != (py_next <= yv)
+        # X coordinate where the edge crosses the ray.
+        x_cross = px + (yv - py) * (px_next - px) / np.where(
+            py_next == py, np.inf, py_next - py
+        )
+        crossings = np.sum(cond & (xv < x_cross), axis=1)
+        return pd.Series(crossings % 2 == 1)
+
+    return inside
+
+
+def filter_within_polygon(
+    df: DataFrame,
+    polygon: Sequence[tuple[float, float]],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """The planner helper: rewrite within(polygon) into
+    bbox-prefilter (pushed to the scan) AND exact pandas-UDF test."""
+    minx, miny, maxx, maxy = polygon_bbox(polygon)
+    bbox = (
+        F.col(x_col).between(minx, maxx) & F.col(y_col).between(miny, maxy)
+    )
+    exact = point_in_polygon_udf(polygon)
+    return df.filter(bbox).filter(exact(F.col(x_col), F.col(y_col)))
+
+
+def convex_halfplane_sql(
+    polygon: Sequence[tuple[float, float]], x_expr: str, y_expr: str
+) -> str:
+    """For a CONVEX CCW polygon, point-in-polygon == all edge cross
+    products >= 0 — pure arithmetic, usable as the ANSI-SQL oracle for the
+    ray-casting UDF (boundary-free test points make > vs >= immaterial)."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        terms.append(
+            f"(({x2!r} - {x1!r}) * (({y_expr}) - {y1!r}) - "
+            f"({y2!r} - {y1!r}) * (({x_expr}) - {x1!r}) >= 0)"
+        )
+    return " AND ".join(terms)

@@ -1010,3 +1010,461 @@ def asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
         F.col("asof_value"),
     )
+
+
+# =====================================================================
+# Deduplication (north-star extension; SURVEY.md §2 "Extension operators")
+# =====================================================================
+
+#: Shared oracle CTE: distinct char-8 shingles per doc, frequency-capped at
+#: max_df=20 (the skew guard — see operators/dedup.char_shingles).
+_SHINGLE_CTE = """
+    sh0 AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                          i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
+            FROM documents)
+    ), freq AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+    ), sh AS (
+        SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jac AS (
+        SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT text AS text_key, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, min-id representative."""
+    from usgs_lidar_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
+    FROM jac WHERE jaccard >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (k=8, J>=0.6, df-cap 20):
+    shingle-explode -> equi-self-join -> integer intersection counts ->
+    one double division (deterministic across engines)."""
+    from usgs_lidar_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=8, threshold=0.6, max_df=20,
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id_a, id_b, jaccard
+    FROM jac WHERE jaccard >= 0.6
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (64 perms, 32 bands x 2 rows,
+    candidates verified with exact Jaccard). The oracle is the exact
+    Jaccard join: with r=2/b=32 the probability of missing a J>=0.6 pair
+    is (1-0.36)^32 ~ 6e-7, and verification removes all false positives,
+    so LSH output == exact output on this data. The LSH plan itself never
+    compares all pairs — candidates come from the band-hash equi-join."""
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=8, num_perm=64, bands=32, threshold=0.6, max_df=20,
+    )
+
+
+@query("dedup_simhash64")
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 63-bit fingerprints (rows-only check: the fingerprint is
+    defined over Spark's xxhash64, which ANSI SQL cannot reproduce)."""
+    from usgs_lidar_spark.operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# =====================================================================
+# Text analysis (north-star extension)
+# =====================================================================
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe_tokens,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                     / length(text) END AS punct_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenizers, punctuation
+    ratio. All JVM-side regexp/split expressions; ratios are unrounded
+    int/int divisions (bit-deterministic)."""
+    from usgs_lidar_spark.functions import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count("text").alias("n_ws_tokens"),
+        TS.bpe_token_count("text").alias("n_bpe_tokens"),
+        TS.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS tokens
+        FROM documents
+    ), stats AS (
+        SELECT doc_id,
+               len(tokens) AS n_tokens,
+               CASE WHEN len(tokens) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tokens, t -> list_contains(
+                         ['the','and','of','to','in','is','that','it'], t)))
+                         AS DOUBLE) / len(tokens) END AS stop_ratio,
+               CASE WHEN len(tokens) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(tokens, t -> length(t)))
+                         AS DOUBLE) / len(tokens) END AS avg_token_len
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, stop_ratio, avg_token_len,
+           (stop_ratio * 0.4) + (least(n_tokens, 100) / 100.0 * 0.3)
+               + (least(avg_token_len, 10.0) / 10.0 * 0.3) AS quality
+    FROM stats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, token-length stats, bounded linear
+    combination. The score expression is structured identically on both
+    sides so double arithmetic is bit-identical."""
+    from usgs_lidar_spark.functions import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TS.ws_tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = TS.stopword_ratio("text")
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    avg_token_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        tok_len_sum.cast("double") / n_tokens
+    )
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        avg_token_len.alias("avg_token_len"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "stop_ratio",
+        "avg_token_len",
+        (
+            (F.col("stop_ratio") * 0.4)
+            + (F.least(F.col("n_tokens"), F.lit(100)) / 100.0 * 0.3)
+            + (F.least(F.col("avg_token_len"), F.lit(10.0)) / 10.0 * 0.3)
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS tokens
+        FROM documents
+    ), hits AS (
+        SELECT doc_id,
+            CAST(len(list_filter(tokens, t -> list_contains(['the','and','of','to','in','is','that','it'], t))) AS BIGINT) AS en_hits,
+            CAST(len(list_filter(tokens, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t))) AS BIGINT) AS de_hits,
+            CAST(len(list_filter(tokens, t -> list_contains(['le','la','et','les','des','est','une','dans'], t))) AS BIGINT) AS fr_hits,
+            CAST(len(list_filter(tokens, t -> list_contains(['el','la','de','que','y','los','es','una'], t))) AS BIGINT) AS es_hits
+        FROM toks
+    )
+    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+           CASE WHEN en_hits > 0 AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                WHEN de_hits > 0 AND de_hits > en_hits AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                WHEN fr_hits > 0 AND fr_hits > en_hits AND fr_hits > de_hits AND fr_hits >= es_hits THEN 'fr'
+                WHEN es_hits > 0 AND es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es'
+                ELSE 'und' END AS lang_guess
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language, argmax
+    with fixed priority tie-break (en > de > fr > es), 'und' on zero hits."""
+    from usgs_lidar_spark.functions import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.lang_marker_hits("text", "en").alias("en_hits"),
+        TS.lang_marker_hits("text", "de").alias("de_hits"),
+        TS.lang_marker_hits("text", "fr").alias("fr_hits"),
+        TS.lang_marker_hits("text", "es").alias("es_hits"),
+        TS.lang_id("text").alias("lang_guess"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(text) < 1 THEN CAST(0 AS BIGINT) ELSE
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, least(length(text), 64) + 1),
+                   i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007)
+           END AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash over the first 64
+    chars, h = fold(h*31 + ascii(c)) mod 1e9+7 — higher-order aggregate
+    in Spark, list_reduce in the oracle, same fold both sides."""
+    from usgs_lidar_spark.functions.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "docs_rollup_cube",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def docs_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional rollup: CUBE(lang, source) — grouping-set
+    aggregation (the reference's per-year dict generalized to N dims)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# =====================================================================
+# Similarity search (north-star extension)
+# =====================================================================
+
+_COSINE_SQL = """
+        ROUND(
+          list_sum(list_transform(list_zip(c.embedding, q.qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(c.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+        {_COSINE_SQL}
+        FROM c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query set x corpus, per-query window
+    top-k with deterministic tie-break on (rounded sim, neighbor id)."""
+    from usgs_lidar_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5,
+    )
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                  + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                  + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                  + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+             FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding, bucket FROM b),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+        {_COSINE_SQL}
+        FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= 5
+    """,
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via deterministic sign-bit LSH buckets (axis-aligned
+    hyperplanes over the first 8 dims): candidates come from the bucket
+    equi-join — each probe scans ~1/256 of the corpus at scale."""
+    from usgs_lidar_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5, n_bits=8,
+    )
+
+
+# =====================================================================
+# Multimodal binary columns (north-star extension) — Arrow/mapInPandas
+# plumbing with SQL-checkable features.
+# =====================================================================
+
+
+@query(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE ord(substr(text, 1, 1)) END AS head_byte,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)))
+                % 997 AS BIGINT) AS byte_sum_mod
+    FROM documents
+    """,
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through mapInPandas: documents'
+    UTF-8 bytes stand in for media payloads; features (byte length, head
+    byte, byte-sum mod 997) are SQL-checkable so the Arrow batch path is
+    oracle-verified end-to-end. (Texts here are ASCII, so the oracle's
+    per-char ord() equals the UTF-8 byte values.)"""
+    from usgs_lidar_spark.multimodal import binary_feature_extract, to_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text")
+    return binary_feature_extract(media)
+
+
+# =====================================================================
+# Exact point-in-polygon (SURVEY.md §2 F3) — bbox prefilter + pandas UDF
+# =====================================================================
+
+#: Convex CCW test polygon in (price, quantity*1000) space.
+_PIP_POLYGON = [
+    (10000.0, 5000.0),
+    (90000.0, 3000.0),
+    (100000.0, 30000.0),
+    (50000.0, 48000.0),
+    (15000.0, 40000.0),
+]
+
+
+def _pip_oracle() -> str:
+    from usgs_lidar_spark.operators.spatial import convex_halfplane_sql, polygon_bbox
+
+    minx, miny, maxx, maxy = polygon_bbox(_PIP_POLYGON)
+    halfplanes = convex_halfplane_sql(
+        _PIP_POLYGON, "l_extendedprice", "l_quantity * 1000.0"
+    )
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice AS px, l_quantity * 1000.0 AS py
+    FROM lineitem
+    WHERE l_extendedprice BETWEEN {minx!r} AND {maxx!r}
+      AND l_quantity * 1000.0 BETWEEN {miny!r} AND {maxy!r}
+      AND {halfplanes}
+    """
+
+
+@query("f3_point_in_polygon", oracle=None)
+def f3_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: exact polygon crop — bbox prefilter (pushed to the scan) AND
+    Arrow-batched ray-casting pandas UDF, the engine's plan for the
+    reference's scan-time WKT crop (/root/reference/pipeline.json:4).
+    The oracle is the convex-polygon half-plane test (pure arithmetic);
+    the engine runs the general even-odd algorithm — agreeing on every
+    non-boundary point."""
+    from usgs_lidar_spark.operators.spatial import filter_within_polygon
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("px"),
+        (F.col("l_quantity") * 1000.0).alias("py"),
+    )
+    return filter_within_polygon(pts, _PIP_POLYGON, x_col="px", y_col="py")
+
+
+ORACLE["f3_point_in_polygon"] = _pip_oracle()

@@ -1,0 +1,105 @@
+"""Event-time streaming over the events table.
+
+The batch-equivalent forms of these aggregations are oracle-checked in
+plans/queries.py (r1_tumbling_window / r1_sliding_window /
+r1_session_window); this module provides the actual readStream ->
+withWatermark -> window -> writeStream pipelines, exercised in tests with
+the availableNow trigger (process-everything-then-stop), which replays the
+same parquet and must produce the same rows as the batch query.
+
+Scale notes: watermarks bound state (late data beyond the watermark is
+dropped); the shuffle is keyed by (window, keys) exactly as in batch; state
+lives in the state store (RocksDB on a real cluster) — nothing here is
+driver-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: On-disk schema for streaming reads: ts as raw int64 nanos (the parquet
+#: files carry TIMESTAMP(NANOS); with nanosAsLong the streaming reader sees
+#: a long, converted below exactly as the batch loader does).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over the events parquet directory, ts normalized to
+    TimestampNTZ with integer nano->micro division (see catalog.load_table
+    for why float division would corrupt it)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+    )
+    # LTZ (not NTZ): withWatermark requires TIMESTAMP; with the session in
+    # UTC the wall-clock values match the batch loader's NTZ exactly.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the streaming
+    twin of r1_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked session windows per user — the streaming twin of
+    r1_session_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str) -> DataFrame:
+    """Run a streaming query with the availableNow trigger into an
+    in-memory sink, wait for completion, and return the result table.
+    Test harness: processes every available file then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {table_name}")
