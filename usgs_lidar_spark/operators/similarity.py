@@ -43,6 +43,10 @@ def cosine_topk_bruteforce(
     joined = corpus.crossJoin(F.broadcast(q)).filter(
         F.col(query_id_col) != F.col(id_col)
     )
+    # cosine() inlined as dot/(norm*norm) — Catalyst evaluates the three
+    # aggregates per pair either way (no common-subexpr reuse across the
+    # row), but keeping the division-then-round shape identical to the
+    # oracle SQL is what matters for parity.
     sim = F.round(cosine(vec_col, "__qvec"), round_digits)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()

@@ -84,15 +84,26 @@ def filter_within_polygon(
     polygon: Sequence[tuple[float, float]],
     x_col: str = "x",
     y_col: str = "y",
+    repartition: bool = True,
 ) -> DataFrame:
     """The planner helper: rewrite within(polygon) into
-    bbox-prefilter (pushed to the scan) AND exact pandas-UDF test."""
+    bbox-prefilter (pushed to the scan) AND exact pandas-UDF test.
+
+    `repartition`: spread bbox survivors across all cores before the UDF —
+    a single parquet file often splits into few input partitions, which
+    would serialize the (already off-hot-path) Python stage onto a handful
+    of workers. One narrow-input shuffle buys full-width UDF parallelism."""
     minx, miny, maxx, maxy = polygon_bbox(polygon)
     bbox = (
         F.col(x_col).between(minx, maxx) & F.col(y_col).between(miny, maxy)
     )
+    survivors = df.filter(bbox)
+    if repartition:
+        survivors = survivors.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     exact = point_in_polygon_udf(polygon)
-    return df.filter(bbox).filter(exact(F.col(x_col), F.col(y_col)))
+    return survivors.filter(exact(F.col(x_col), F.col(y_col)))
 
 
 def convex_halfplane_sql(

@@ -1468,3 +1468,142 @@ def f3_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["f3_point_in_polygon"] = _pip_oracle()
+
+
+# =====================================================================
+# Terrain derivatives (SURVEY.md §2 Z1/Z2 — declared in the reference's
+# README but never implemented there; defined here over the voxel grid)
+# =====================================================================
+
+#: 2D grid CTE shared by the Z1/Z2 oracles: price/quantity voxels with an
+#: exact-decimal discount barycenter.
+_GRID_CTE = """
+    mins AS (SELECT min(l_extendedprice) AS mp, min(l_quantity) AS mq
+             FROM lineitem),
+    cells AS (
+        SELECT CAST(floor((l_extendedprice - mp) / 5000.0) AS BIGINT) AS ix,
+               CAST(floor((l_quantity - mq) / 5.0) AS BIGINT) AS iy,
+               CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                   / (100.0 * count(*)) AS cz
+        FROM lineitem, mins GROUP BY 1, 2
+    ),
+    offs AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+                                 (SELECT unnest([-1, 0, 1]) AS dy) b),
+    long AS (SELECT c.ix + o.dx AS tix, c.iy + o.dy AS tiy,
+                    -o.dx AS dx, -o.dy AS dy, c.cz AS v
+             FROM cells c, offs o),
+    piv AS (
+        SELECT tix AS ix, tiy AS iy,
+               {pivots}
+        FROM long GROUP BY 1, 2
+    ),
+    realc AS (SELECT * FROM piv WHERE v_00 IS NOT NULL)
+"""
+
+
+def _slot_name(dx: int, dy: int) -> str:
+    return (
+        "v_"
+        + ("m" if dx < 0 else "p" if dx > 0 else "0")
+        + ("m" if dy < 0 else "p" if dy > 0 else "0")
+    )
+
+
+def _grid_cte() -> str:
+    pivots = ",\n               ".join(
+        f"MAX(CASE WHEN dx = {dx} AND dy = {dy} THEN v END) AS {_slot_name(dx, dy)}"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    return _GRID_CTE.format(pivots=pivots)
+
+
+def _idw_oracle() -> str:
+    # Same float literals and addition order as operators/terrain.idw_regrid.
+    num_terms, den_terms = [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            s = _slot_name(dx, dy)
+            w = 1.0 / (1.0 + dx * dx + dy * dy)
+            num_terms.append(
+                f"(CASE WHEN {s} IS NOT NULL THEN {s} * {w!r} ELSE 0.0 END)"
+            )
+            den_terms.append(
+                f"(CASE WHEN {s} IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+            )
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+    WITH {_grid_cte()}
+    SELECT ix, iy, (0.0 + {num}) / (0.0 + {den}) AS idw_value
+    FROM realc
+    """
+
+
+def _twi_oracle() -> str:
+    higher = " + ".join(
+        f"(CASE WHEN {_slot_name(dx, dy)} > v_00 THEN 1 ELSE 0 END)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    return f"""
+    WITH {_grid_cte()}
+    SELECT ix, iy,
+           sqrt(((v_p0 - v_m0) / 2.0) * ((v_p0 - v_m0) / 2.0)
+              + ((v_0p - v_0m) / 2.0) * ((v_0p - v_0m) / 2.0)) AS tan_beta,
+           CAST(1 + ({higher}) AS DOUBLE) * 1.0 AS contrib,
+           ln((CAST(1 + ({higher}) AS DOUBLE) * 1.0)
+              / greatest(sqrt(((v_p0 - v_m0) / 2.0) * ((v_p0 - v_m0) / 2.0)
+                            + ((v_0p - v_0m) / 2.0) * ((v_0p - v_0m) / 2.0)),
+                         1e-06)) AS twi
+    FROM realc
+    WHERE v_m0 IS NOT NULL AND v_p0 IS NOT NULL
+      AND v_0m IS NOT NULL AND v_0p IS NOT NULL
+    """
+
+
+def _price_qty_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    mins = li.agg(
+        F.min("l_extendedprice").alias("mp"), F.min("l_quantity").alias("mq")
+    )
+    return (
+        li.crossJoin(F.broadcast(mins))
+        .groupBy(
+            F.floor((F.col("l_extendedprice") - F.col("mp")) / 5000.0)
+            .cast("long")
+            .alias("ix"),
+            F.floor((F.col("l_quantity") - F.col("mq")) / 5.0)
+            .cast("long")
+            .alias("iy"),
+        )
+        .agg(dec_avg("l_discount").alias("cz"))
+    )
+
+
+@query("z2_idw_regrid", oracle=None)
+def z2_idw_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z2: IDW interpolation-to-grid (the reference's README.md:45-54
+    promise) — 3x3 inverse-distance smoothing of the voxel barycenter
+    grid via the neighbor-offer explode (no non-equi join; see
+    operators/terrain.py)."""
+    from usgs_lidar_spark.operators.terrain import idw_regrid
+
+    return idw_regrid(_price_qty_grid(spark, sf_dir))
+
+
+ORACLE["z2_idw_regrid"] = _idw_oracle()
+
+
+@query("z1_twi_grid", oracle=None)
+def z1_twi_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1: Topographic Wetness Index ln(a / tan beta) (the reference's
+    README.md:43-44 promise) — central-difference slope + one-hop
+    contributing-area proxy over the voxel grid."""
+    from usgs_lidar_spark.operators.terrain import twi_grid
+
+    return twi_grid(_price_qty_grid(spark, sf_dir))
+
+
+ORACLE["z1_twi_grid"] = _twi_oracle()
