@@ -106,3 +106,41 @@ def test_simhash_deterministic(spark):
     )
     fps = [r["simhash"] for r in simhash64(docs, "text", "doc_id").collect()]
     assert fps[0] == fps[1] >= 0
+
+
+def test_salted_count_distinct_exact(spark):
+    """Salted distinct-count must equal the direct computation."""
+    from usgs_lidar_spark.operators.skew import salted_count_distinct
+    from usgs_lidar_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    direct = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_count_distinct(e, ["event_type"], "user_id", 8).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_sum_exact(spark):
+    from usgs_lidar_spark.operators.skew import salted_sum
+    from usgs_lidar_spark.catalog import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    direct = {
+        r["o_orderstatus"]: r["s"]
+        for r in o.groupBy("o_orderstatus").agg(F.sum(cents).alias("s")).collect()
+    }
+    salted = {
+        r["o_orderstatus"]: r["total"]
+        for r in salted_sum(
+            o, ["o_orderstatus"], cents, "total", "o_orderkey", 8
+        ).collect()
+    }
+    assert salted == direct

@@ -1607,3 +1607,88 @@ def z1_twi_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["z1_twi_grid"] = _twi_oracle()
+
+
+# =====================================================================
+# Additional aggregation surface: vocabulary stats, ROLLUP, percentiles
+# =====================================================================
+
+
+@query(
+    "text_vocab_by_lang",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(DISTINCT token) AS vocab_size,
+           count(*) AS total_tokens
+    FROM tok GROUP BY lang
+    """,
+)
+def text_vocab_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics per language tag: explode tokens -> exact
+    distinct counts. (approx_count_distinct is the scale path but HLL
+    sketches differ across engines, so the oracled form is exact.)"""
+    from usgs_lidar_spark.functions.textstats import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.trim("text") != "")
+        .select("doc_id", "lang", F.explode(ws_tokens("text")).alias("token"))
+    )
+    return tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("token").alias("vocab_size"),
+        F.count(F.lit(1)).alias("total_tokens"),
+    )
+
+
+@query(
+    "g1_rollup_year_status",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+    FROM orders
+    GROUP BY ROLLUP (order_year, o_orderstatus)
+    """,
+)
+def g1_rollup_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP(year, status): per-status, per-year, and grand
+    totals in one pass (grouping sets)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup(
+        F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "a5_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a5_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the standard
+    linear-interpolation quantile, so values match bit-for-bit on the
+    quarter-step quantity column). percentile_approx is the 100 TB path;
+    its sketch is engine-specific, so the oracled form is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
