@@ -102,3 +102,20 @@ def test_fingerprint_matches_python(spark):
     for ch in text[:64]:
         h = (h * 31 + ord(ch)) % 1_000_000_007
     assert got == h
+
+
+def test_general_projection_gated(spark):
+    """General-EPSG reprojection is pyproj-gated: clear error without it,
+    working Arrow UDF with it."""
+    from usgs_lidar_spark.functions.projection import have_pyproj, reproject_udf
+
+    if not have_pyproj():
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            reproject_udf(4326, 32615)
+    else:
+        udf = reproject_udf(4326, 3857)
+        df = spark.createDataFrame([(0.0, 0.0)], ["lon", "lat"])
+        out = df.select(udf("lon", "lat").alias("p")).collect()[0]["p"]
+        assert abs(out["x"]) < 1e-6

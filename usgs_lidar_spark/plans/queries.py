@@ -1692,3 +1692,24 @@ def a5_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# =====================================================================
+# Sketch path (rows-only): the 100 TB forms of distinct-count and
+# quantiles. Sketch internals are engine-specific, so these get the
+# driver's weaker rows-only check; their exact twins (text_vocab_by_lang,
+# a5_percentiles) are fully oracled.
+# =====================================================================
+
+
+@query("sketch_approx_stats")
+def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) + percentile_approx
+    (KLL-style) per event type — constant-memory per group at any scale,
+    which is what replaces the exact forms at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
