@@ -48,3 +48,38 @@ def test_streaming_session_window_runs(spark, tmp_path):
     result = run_available_now(session_counts(stream), "t_sessions")
     batch_sessions = QUERIES["r1_session_window"](spark, SF_SMALL).count()
     assert result.count() == batch_sessions
+
+
+def test_stateful_tracker_matches_batch(spark, tmp_path):
+    """applyInPandasWithState per-user totals after one availableNow pass
+    must equal the batch groupBy (exact cents arithmetic both sides)."""
+    import shutil
+    from pyspark.sql import functions as F
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.streaming.stateful import track_user_activity
+
+    events_dir = tmp_path / "events_stream3"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", events_dir / "part-0.parquet")
+    stream = read_events_stream(spark, str(events_dir))
+
+    q = (
+        track_user_activity(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM t_stateful").collect()
+    }
+
+    batch = load_table(spark, SF_SMALL, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("s"),
+    )
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert got == want
