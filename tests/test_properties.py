@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): operator invariants on random
+inputs — the test dimension the reference lacks entirely (SURVEY.md §5).
+
+Kept to few examples per property: each example round-trips through a
+Spark job, so the budget goes to input diversity, not repetition.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from usgs_lidar_spark.functions import mercator as M
+from usgs_lidar_spark.operators.asof import asof_join
+from usgs_lidar_spark.operators.voxel import voxel_downsample
+
+SET = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=60
+    ),
+    res=st.floats(min_value=0.1, max_value=1e4, allow_nan=False),
+)
+@settings(**SET)
+def test_voxel_partition_of_input(spark, xs, res):
+    """Voxelization is a partition: counts sum to the input size, every
+    barycenter lies inside its voxel's bounds, keys are non-negative."""
+    df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    out = voxel_downsample(df, ["x"], [res], round_digits=None).collect()
+    assert sum(r["n_points"] for r in out) == len(xs)
+    xmin = min(xs)
+    for r in out:
+        assert r["ix"] >= 0
+        lo, hi = xmin + r["ix"] * res, xmin + (r["ix"] + 1) * res
+        # barycenter of members lies in [lo, hi] (closed upper edge for fp slack)
+        assert lo - 1e-6 <= r["cx"] <= hi + 1e-6
+
+
+@given(
+    lons=st.lists(
+        st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    lats=st.lists(
+        st.floats(min_value=-84.9, max_value=84.9, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**SET)
+def test_mercator_roundtrip_property(spark, lons, lats):
+    n = min(len(lons), len(lats))
+    df = spark.createDataFrame(
+        pd.DataFrame({"lon": lons[:n], "lat": lats[:n]})
+    )
+    out = df.select(
+        "lon",
+        "lat",
+        M.x_to_lon(M.lon_to_x("lon")).alias("lon2"),
+        M.y_to_lat(M.lat_to_y("lat")).alias("lat2"),
+    ).collect()
+    for r in out:
+        assert math.isclose(r["lon"], r["lon2"], abs_tol=1e-9)
+        assert math.isclose(r["lat"], r["lat2"], abs_tol=1e-9)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(**SET)
+def test_asof_matches_bruteforce(spark, left, right):
+    """asof_join == the brute-force definition: max right.ts <= left.ts
+    per key (value of the max-ts row, ties broken by larger tie-break)."""
+    ldf = spark.createDataFrame(
+        pd.DataFrame(left, columns=["k", "t"]).assign(
+            rid=range(len(left))
+        )
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame(right, columns=["k", "t", "v"]).drop_duplicates(),
+        schema="k long, t long, v long",
+    )
+    got = {
+        r["rid"]: r["asof_t"]
+        for r in asof_join(
+            ldf, rdf, ["k"], "t", ["v"], tie_break="v", how="left"
+        ).collect()
+    }
+    rows = rdf.collect()
+    for lk, lt, rid in [(a, b, i) for i, (a, b) in enumerate(left)]:
+        cand = [r["t"] for r in rows if r["k"] == lk and r["t"] <= lt]
+        want = max(cand) if cand else None
+        assert got[rid] == want, (lk, lt, cand)

