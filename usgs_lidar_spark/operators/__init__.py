@@ -1,4 +1,27 @@
-"""Engine operators: voxel aggregation, spatial predicates/joins, dedup,
-similarity search, as-of joins. Each module documents the reference
-behavior it re-expresses (file:line into /root/reference) and the Spark
-physical plan it is designed to produce at 100 TB."""
+"""Engine operators: voxel aggregation, spatial predicates/joins, as-of
+joins, dedup, similarity search, terrain derivatives, skew utilities.
+Each module documents the reference behavior it re-expresses (file:line
+into /root/reference) and the Spark physical plan it produces at scale."""
+
+from usgs_lidar_spark.operators.asof import asof_join  # noqa: F401
+from usgs_lidar_spark.operators.dedup import (  # noqa: F401
+    char_shingles,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from usgs_lidar_spark.operators.similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from usgs_lidar_spark.operators.skew import salted_count_distinct, salted_sum  # noqa: F401
+from usgs_lidar_spark.operators.spatial import (  # noqa: F401
+    bbox_contains,
+    filter_within_polygon,
+    point_in_polygon_udf,
+    polygon_bbox,
+)
+from usgs_lidar_spark.operators.terrain import idw_regrid, neighbor_pivot, twi_grid  # noqa: F401
+from usgs_lidar_spark.operators.voxel import voxel_downsample, voxel_keys  # noqa: F401

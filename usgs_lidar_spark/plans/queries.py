@@ -1915,3 +1915,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.45)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+@query(
+    "correlated_above_nation_avg",
+    oracle="""
+    WITH nav AS (
+        SELECT c_nationkey,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*)) AS nation_avg
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, nav.nation_avg
+    FROM customer c JOIN nav ON c.c_nationkey = nav.c_nationkey
+    WHERE c.c_acctbal > nav.nation_avg
+    """,
+)
+def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (customers above their own nation's mean
+    balance) — decorrelated into a grouped aggregate + equi-join, the
+    rewrite Catalyst itself applies to correlated scalar subqueries."""
+    c = _t(spark, sf_dir, "customer")
+    nav = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        dec_avg("c_acctbal").alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nav), c.c_nationkey == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+    )
+
+
+@query(
+    "date_trunc_month_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           o_orderpriority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def date_trunc_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar truncation (date_trunc to month) + grouped counts — the
+    date-function surface beyond year()."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
