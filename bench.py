@@ -37,6 +37,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: similarity, text, UDF-spatial).
 HEADLINE = [
     "flagship_voxel_subsample",
+    "q1_pricing_summary",
     "j3_star_join_agg",
     "j2_theta_containment_join",
     "w1_running_sum",

@@ -28,10 +28,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def main() -> int:
     # Vanilla session — deliberately NOT usgs_lidar_spark.session.get_spark:
-    # proves the contract works on a driver-provided session.
+    # proves the contract works on a driver-provided session. REPLICA_CORES /
+    # REPLICA_SHUFFLE override parallelism for determinism shake-outs
+    # (results must be identical under any partitioning).
+    import os
+
+    cores = os.environ.get("REPLICA_CORES", "8")
+    shuffle = os.environ.get("REPLICA_SHUFFLE", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
         .appName("driver-replica")
         .getOrCreate()

@@ -37,17 +37,25 @@ def cosine_topk_bruteforce(
     """Exact top-k by cosine: broadcast queries x corpus, per-query window
     top-k. Ranking uses (rounded cosine DESC, corpus id ASC) so ties at
     the k boundary are deterministic across engines."""
+    # Norms precomputed per side (once per vector, not once per pair) —
+    # the arithmetic is identical to inline cosine (same expressions over
+    # the same doubles), so oracle parity is unaffected while the HOF work
+    # per pair drops to the dot product alone.
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cn = corpus.withColumn("__cnorm", norm(vec_col))
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
     )
-    joined = corpus.crossJoin(F.broadcast(q)).filter(
+    joined = cn.crossJoin(F.broadcast(q)).filter(
         F.col(query_id_col) != F.col(id_col)
     )
-    # cosine() inlined as dot/(norm*norm) — Catalyst evaluates the three
-    # aggregates per pair either way (no common-subexpr reuse across the
-    # row), but keeping the division-then-round shape identical to the
-    # oracle SQL is what matters for parity.
-    sim = F.round(cosine(vec_col, "__qvec"), round_digits)
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
+    sim = F.round(raw, round_digits)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
@@ -74,16 +82,24 @@ def cosine_topk_lsh(
     cosine within the bucket. The bucket equi-join replaces the cross
     product; at 2^n_bits buckets each probe scans ~1/2^n_bits of the
     corpus."""
-    cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits))
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits)).withColumn(
+        "__cnorm", norm(vec_col)
+    )
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         sign_lsh_bucket(vec_col, n_bits).alias("__bucket"),
+        norm(vec_col).alias("__qnorm"),
     )
     joined = cb.join(F.broadcast(qb), "__bucket").filter(
         F.col(query_id_col) != F.col(id_col)
     )
-    sim = F.round(cosine(vec_col, "__qvec"), round_digits)
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
+    sim = F.round(raw, round_digits)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
