@@ -1966,3 +1966,168 @@ def date_trunc_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "o_orderpriority",
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# =====================================================================
+# Remaining relational surface: full outer join, conditional aggregation,
+# HAVING, pivot, array functions
+# =====================================================================
+
+
+@query(
+    "j3_full_outer",
+    oracle="""
+    WITH big_cust AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0
+    ), big_ord AS (
+        SELECT o_custkey, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 400000.0 GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal, o.n_big
+    FROM big_cust c FULL OUTER JOIN big_ord o ON c.c_custkey = o.o_custkey
+    """,
+)
+def j3_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — both-sides-preserved merge of two filtered sets
+    (rich customers vs customers with big orders), nulls on either side."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_big",
+    )
+
+
+@query(
+    "a6_conditional_agg",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE) / 100.0 AS returned_revenue,
+           count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+           count(*) AS n_total
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q14 shape): CASE inside SUM/COUNT —
+    one pass computing a filtered metric alongside the total."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    is_r = F.col("l_returnflag") == "R"
+    return li.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        (F.sum(F.when(is_r, cents).otherwise(F.lit(0))) / F.lit(100.0)).alias(
+            "returned_revenue"
+        ),
+        F.count(F.when(is_r, F.lit(1))).alias("n_returned"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "having_large_volume",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) > 250000000
+    """,
+)
+def having_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING clause (TPC-H Q18 shape): post-aggregation predicate on the
+    exact integer sum (threshold 2.5M in currency units)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("__cents"),
+        )
+        .filter(F.col("__cents") > 250000000)
+        .select(
+            "o_custkey",
+            "n_orders",
+            (F.col("__cents") / F.lit(100.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-status counts spread to columns per market segment
+    (Spark's pivot with explicit values compiles to the same conditional
+    aggregation as the oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+
+
+@query(
+    "array_ops_tokens",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           len(list_distinct(tokens)) AS n_distinct_tokens,
+           array_to_string(list_sort(list_distinct(tokens))[1:3], ',')
+               AS first3_sorted,
+           CASE WHEN len(tokens) > 0
+                THEN list_sort(tokens)[len(tokens)] ELSE NULL END AS max_token
+    FROM toks
+    """,
+)
+def array_ops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: distinct/sort/slice/join over token arrays
+    (array_distinct, sort_array, slice, array_join, array_max)."""
+    from usgs_lidar_spark.functions.textstats import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    distinct_sorted = F.sort_array(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.array_join(F.slice(distinct_sorted, 1, 3), ",").alias("first3_sorted"),
+        F.array_max(toks).alias("max_token"),
+    )
