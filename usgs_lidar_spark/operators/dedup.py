@@ -65,18 +65,22 @@ def char_shingles(
         f"ELSE transform(sequence(1, length({text_col}) - {k - 1}), "
         f"i -> substring({text_col}, i, {k})) END"
     )
-    sh = df.select(
+    exploded = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle")
-    ).distinct()
-    if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle", "left_semi")
-    return sh
+    )
+    if max_df is None:
+        return exploded.distinct()
+    # One shuffle instead of three (distinct + df-count + semi-join):
+    # group by shingle, collect the distinct doc set, drop oversized sets,
+    # re-explode. collect_set both dedups and counts; the per-shingle set
+    # is bounded by max_df's rejection threshold only after collection,
+    # but even the hottest shingle's set is |docs| ids — small state.
+    return (
+        exploded.groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("__ids"))
+        .filter(F.size("__ids") <= max_df)
+        .select(F.explode("__ids").alias("doc_id"), "shingle")
+    )
 
 
 def ngram_jaccard_pairs(
