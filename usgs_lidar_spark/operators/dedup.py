@@ -44,6 +44,7 @@ def char_shingles(
     id_col: str,
     k: int = 8,
     max_df: int | None = None,
+    fused_small_corpus: bool = False,
 ) -> DataFrame:
     """Distinct character k-shingles per document: (id, shingle).
 
@@ -56,7 +57,27 @@ def char_shingles(
     dominate it (observed: 5.6e8 joined rows at sf0.1 uncapped vs ~2.7e7
     capped at 20). Near-duplicates still share their rare shingles, so
     capping is the standard near-dup practice — and it bounds the worst
-    key's skew at 100 TB."""
+    key's skew at 100 TB.
+
+    The capped path is two bounded-state steps:
+      1. distinct (doc_id, shingle) — HashAggregate keyed by the pair,
+         spillable, no per-key collection;
+      2. document frequency as a window COUNT over shingle, then filter.
+         WindowExec buffers each shingle's group in a spillable row array
+         (ExternalAppendOnlyUnsafeRowArray): a stop-shingle appearing in
+         1e8 docs spills its group to DISK and is then discarded — slow
+         for that one key but never an executor OOM, unlike a
+         collect_set whose 1e8-id set must fit an aggregation buffer
+         BEFORE the cap filter can reject it. One computation of the
+         explode+distinct subtree (a count+semi-join formulation would
+         recompute it for each side of the join).
+
+    ``fused_small_corpus=True`` restores the single-shuffle
+    collect_set-then-filter form. It is ONLY safe when the hottest
+    shingle's document set fits in one aggregation buffer (small corpora /
+    unit tests): the set materializes BEFORE the cap filter rejects it, so
+    a hot shingle at crawl scale would OOM the executor. Off by default.
+    """
     # Explicit empty-array guard: Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0] (not empty), which would fabricate shingles for
     # docs shorter than k — the oracle's range(1, 1) is empty.
@@ -70,16 +91,19 @@ def char_shingles(
     )
     if max_df is None:
         return exploded.distinct()
-    # One shuffle instead of three (distinct + df-count + semi-join):
-    # group by shingle, collect the distinct doc set, drop oversized sets,
-    # re-explode. collect_set both dedups and counts; the per-shingle set
-    # is bounded by max_df's rejection threshold only after collection,
-    # but even the hottest shingle's set is |docs| ids — small state.
+    if fused_small_corpus:
+        return (
+            exploded.groupBy("shingle")
+            .agg(F.collect_set("doc_id").alias("__ids"))
+            .filter(F.size("__ids") <= max_df)
+            .select(F.explode("__ids").alias("doc_id"), "shingle")
+        )
+    pairs = exploded.distinct()
+    w = Window.partitionBy("shingle")
     return (
-        exploded.groupBy("shingle")
-        .agg(F.collect_set("doc_id").alias("__ids"))
-        .filter(F.size("__ids") <= max_df)
-        .select(F.explode("__ids").alias("doc_id"), "shingle")
+        pairs.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_df)
+        .select("doc_id", "shingle")
     )
 
 
@@ -113,9 +137,12 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # sz_a/sz_b are one-row-per-document tables — data-dependent size, so
+    # no forced broadcast: plain equi-joins that AQE broadcasts only when
+    # the side is actually small at runtime.
     jac = (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -208,14 +235,16 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .distinct()
     )
-    # Verify ONLY the candidate pairs (broadcast them into the shingle
+    # Verify ONLY the candidate pairs (semi-join them into the shingle
     # join) — the whole point of LSH is to never touch the all-pairs
     # space, so the verification step must not either. (First cut ran the
     # full exact-Jaccard join here: 163 s at sf0.1 vs ~15 s restricted.)
+    # The candidate set is data-dependent (millions-to-billions of pairs
+    # on a crawl-scale corpus), so it is NOT force-broadcast: these are
+    # plain shuffle equi-joins and AQE broadcasts a side only when its
+    # runtime size is actually small.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.withColumnRenamed("doc_id", "id_a").join(
-        F.broadcast(candidates), "id_a"
-    )
+    a_sh = sh.withColumnRenamed("doc_id", "id_a").join(candidates, "id_a")
     b_sh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = a_sh.join(b_sh, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_inter")
@@ -223,8 +252,8 @@ def minhash_lsh_pairs(
     sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
