@@ -52,11 +52,14 @@ def voxel_downsample(
     resolutions: Sequence[float],
     round_digits: int | None = 4,
     exact_decimals: Sequence[int] | None = None,
+    value_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Barycenter decimation: one output row per occupied voxel.
 
     Output columns: ``i<axis>`` (voxel key, long), ``c<axis>`` (barycenter,
-    double), ``n_points`` (long).
+    double), ``c<value>`` (mean of each ``value_cols`` entry — columns
+    averaged within the voxel without participating in the grid key, e.g.
+    elevation over an (x, y) grid), ``n_points`` (long).
 
     ``exact_decimals``: when the source values are fixed-point decimals
     (d digits), the barycenter is computed as an integer sum of scaled
@@ -84,5 +87,10 @@ def voxel_downsample(
             if round_digits is not None:
                 c = F.round(c, round_digits)
         aggs.append(c.alias(f"c{a}"))
+    for v in value_cols:
+        c = F.avg(v)
+        if round_digits is not None:
+            c = F.round(c, round_digits)
+        aggs.append(c.alias(f"c{v}"))
     aggs.append(F.count(F.lit(1)).alias("n_points"))
     return keyed.groupBy(*[f"i{a}" for a in axes]).agg(*aggs)
