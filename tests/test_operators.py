@@ -108,6 +108,81 @@ def test_simhash_deterministic(spark):
     assert fps[0] == fps[1] >= 0
 
 
+def test_exact_dedup_hashed_matches_text_key(spark):
+    """Hash-first dedup (shuffles hashes, never text) must agree with the
+    text-key form on (keep_id, n_copies), with no detected collisions."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.dedup import exact_dedup, exact_dedup_hashed
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    by_text = sorted(
+        (r["keep_id"], r["n_copies"])
+        for r in exact_dedup(d, "text", "doc_id").collect()
+    )
+    hashed = exact_dedup_hashed(d, "text", "doc_id").collect()
+    assert sorted((r["keep_id"], r["n_copies"]) for r in hashed) == by_text
+    assert all(r["n_variants"] == 1 for r in hashed)
+
+
+def test_simhash_near_dup_blocked_equals_bruteforce(spark):
+    """Pigeonhole block join must find EXACTLY the brute-force
+    Hamming<=max_hamming pairs (max_hamming < n_blocks guarantees no
+    false negatives; popcount verify removes false positives)."""
+    from usgs_lidar_spark.operators.dedup import simhash64, simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank"
+    rows = [
+        (1, base),
+        (2, base),                       # identical -> hamming 0
+        (3, base.replace("lazy", "hazy")),  # near-dup
+        (4, "completely different content about spark shuffle planning"),
+        (5, base.replace("river", "water")),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            docs, "text", "doc_id", k=8, max_hamming=3, n_blocks=4
+        ).collect()
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "text", "doc_id").collect()}
+    ids = sorted(fps)
+    brute = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    )
+    assert got == brute
+    assert (1, 2, 0) in got  # identical docs collide at distance 0
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=4, n_blocks=4)
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark):
+    """Hamming<=1 probing must retrieve a superset of single-probe's
+    candidate space, so per-query recall vs brute force can only go up."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+        cosine_topk_lsh_multiprobe,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(cosine_topk_bruteforce(emb, q, k=5))
+    single = pairs(cosine_topk_lsh(emb, q, k=5, n_bits=8))
+    multi = pairs(cosine_topk_lsh_multiprobe(emb, q, k=5, n_bits=8))
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
+
+
 def test_salted_count_distinct_exact(spark):
     """Salted distinct-count must equal the direct computation."""
     from usgs_lidar_spark.operators.skew import salted_count_distinct

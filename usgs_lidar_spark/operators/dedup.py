@@ -38,6 +38,34 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_hashed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scale form of exact dedup: the shuffle carries (hash64, hash64, id)
+    — 24 bytes per row — and the document text NEVER moves. This is the
+    form `exact_dedup`'s docstring prescribes for 100 TB, where shuffling
+    full documents as group keys is the dominant cost.
+
+    Verification without moving text: a second, independently-seeded
+    xxhash64 is aggregated as count_distinct per bucket (`n_variants`).
+    Two distinct texts colliding on the primary hash would need to also
+    collide on the secondary to go unnoticed (~2^-128 per pair) —
+    `n_variants > 1` flags a detected primary-hash collision for the
+    caller. The driver oracle pins `n_variants == 1` on every group by
+    emitting a literal 1 against a GROUP BY text.
+
+    Output: one row per distinct text — (keep_id, n_copies, n_variants).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.xxhash64(F.col(text_col)).alias("__h1"),
+        F.xxhash64(F.col(text_col), F.lit(1)).alias("__h2"),
+    )
+    return hashed.groupBy("__h1").agg(
+        F.min("__id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("__h2").alias("n_variants"),
+    ).drop("__h1")
+
+
 def char_shingles(
     df: DataFrame,
     text_col: str,
@@ -285,3 +313,70 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFram
             F.lit(0).cast("long")
         )
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: all (id_a, id_b, hamming) with
+    Hamming(simhash_a, simhash_b) <= max_hamming — WITHOUT an all-pairs
+    comparison.
+
+    Pigeonhole bucketing (the rotated-prefix scheme promised by the module
+    docstring, in its contiguous-block form — Manku et al., WWW'07): split
+    the 63-bit fingerprint into ``n_blocks`` contiguous blocks. A pair
+    differing in at most ``max_hamming < n_blocks`` bits must agree
+    EXACTLY on at least one block, so the equi-self-join on
+    (block_index, block_value) finds every qualifying pair; popcount of
+    the XOR then verifies, removing false positives. Shuffle is keyed by
+    block values — at 100 TB each fingerprint contributes ``n_blocks``
+    16-bit-ish rows, and only same-block candidates ever meet.
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks})"
+        )
+    fps = simhash64(df, text_col, id_col, k)
+    width = (63 + n_blocks - 1) // n_blocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                .alias("val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    longf = fps.select(
+        "doc_id", "simhash", F.explode(blocks).alias("bv")
+    ).select("doc_id", "simhash", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+    l, r = longf.alias("l"), longf.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.simhash").alias("__fa"),
+            F.col("r.simhash").alias("__fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -109,3 +109,61 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
     )
+
+
+def cosine_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_bits: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query probes its own bucket PLUS
+    every 1-bit-flip neighbor bucket (all buckets within Hamming
+    distance 1 — the recall fix for near-boundary vectors that
+    single-probe ``cosine_topk_lsh`` trades away).
+
+    Cost model at scale: the corpus side is untouched (one bucket per
+    vector, same equi-join); only the query side multiplies by
+    (n_bits + 1) probe rows, so each query scans ~(n_bits+1)/2^n_bits of
+    the corpus — at n_bits=8 that is ~3.5% instead of single-probe's
+    ~0.4%, for Hamming-1-complete recall. Probe buckets are pairwise
+    distinct, so a corpus vector meets a query at most once — no
+    dedup step. Wider probing (Hamming 2) is the same rewrite with
+    flip-pair probes.
+    """
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits)).withColumn(
+        "__cnorm", norm(vec_col)
+    )
+    home = sign_lsh_bucket(vec_col, n_bits)
+    probes = F.array(
+        home,
+        *[home.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(n_bits)],
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probes).alias("__bucket"),
+        norm(vec_col).alias("__qnorm"),
+    )
+    joined = cb.join(F.broadcast(qb), "__bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
+    sim = F.round(raw, round_digits)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )

@@ -2131,3 +2131,108 @@ def array_ops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(distinct_sorted, 1, 3), ",").alias("first3_sorted"),
         F.array_max(toks).alias("max_token"),
     )
+
+
+# =====================================================================
+# Round-2 additions: hash-first exact dedup, SimHash Hamming join,
+# multi-probe ANN, salted skew aggregation.
+# =====================================================================
+
+
+@query(
+    "dedup_exact_hashed",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+           CAST(1 AS BIGINT) AS n_variants
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-first exact dedup: the shuffle carries (hash, hash, id), never
+    the text. The oracle groups by the text itself and emits a literal
+    n_variants=1 — so a primary-hash collision (which would merge two
+    texts and raise Spark's count_distinct(h2) above 1) hash-mismatches."""
+    from usgs_lidar_spark.operators.dedup import exact_dedup_hashed
+
+    return exact_dedup_hashed(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query("dedup_simhash_near")
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs via pigeonhole block bucketing
+    (rows-only check: fingerprints are defined over Spark's xxhash64,
+    which ANSI SQL cannot reproduce; the blocked-join == brute-force
+    equivalence is pinned by tests/test_operators.py instead)."""
+    from usgs_lidar_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=8, max_hamming=3, n_blocks=4,
+    )
+
+
+@query(
+    "sim_topk_lsh_multiprobe",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                  + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                  + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                  + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+             FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding, bucket FROM b),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+        {_COSINE_SQL}
+        FROM c JOIN q ON bit_count(xor(c.bucket, q.bucket)) <= 1
+                     AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= 5
+    """,
+)
+def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: each query probes its sign-LSH bucket plus all
+    1-bit-flip neighbors (Hamming<=1 complete). The oracle joins on
+    bit_count(xor(bucket_a, bucket_b)) <= 1 — exactly the probe set."""
+    from usgs_lidar_spark.operators.similarity import cosine_topk_lsh_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh_multiprobe(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5, n_bits=8,
+    )
+
+
+@query(
+    "skew_salted_count_distinct",
+    oracle="""
+    SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct
+    FROM documents GROUP BY lang
+    """,
+)
+def skew_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact COUNT(DISTINCT source) per lang: the distinct set
+    of a hot key is hash-spread over 16 salt buckets, each bucket counts
+    its disjoint slice, and the per-key sum of bucket counts is exact
+    (operators/skew.py salted_count_distinct). The oracle is the plain
+    COUNT(DISTINCT) — salting must not change the answer."""
+    from usgs_lidar_spark.operators.skew import salted_count_distinct
+
+    return salted_count_distinct(
+        _t(spark, sf_dir, "documents"), ["lang"], "source", salt_buckets=16
+    )
