@@ -183,6 +183,36 @@ def test_multiprobe_recall_superset_of_single_probe(spark):
     assert len(multi) >= len(single)
 
 
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation: a 3-chain collapses to its min id even
+    though 1 and 3 share no edge; isolated vertices keep themselves."""
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in collapse_clusters(docs, pairs).collect()}
+    assert [out[i]["cluster_id"] for i in range(1, 7)] == [1, 1, 1, 4, 5, 5]
+    assert out[1]["cluster_size"] == 3 and out[1]["is_kept"]
+    assert not out[2]["is_kept"]
+    assert out[4]["cluster_size"] == 1 and out[4]["is_kept"]
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A 12-vertex path needs ~diameter rounds — pins the loop + the
+    convergence early-exit (max_iter default must cover it)."""
+    from usgs_lidar_spark.operators.graph import connected_components
+
+    n = 12
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    out = connected_components(verts, edges).collect()
+    assert all(r["cluster_id"] == 0 for r in out) and len(out) == n
+
+
 def test_salted_count_distinct_exact(spark):
     """Salted distinct-count must equal the direct computation."""
     from usgs_lidar_spark.operators.skew import salted_count_distinct

@@ -2219,6 +2219,44 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_collapse",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY cluster_id)
+    SELECT cc.doc_id, cc.cluster_id, csize.cluster_size,
+           cc.doc_id = cc.cluster_id AS is_kept
+    FROM cc JOIN csize USING (cluster_id)
+    """,
+)
+def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster collapse over the MinHash near-dup pair graph: connected
+    components by iterative min-label propagation (operators/graph.py),
+    every document labeled with its cluster representative and size.
+    The oracle computes the same components with a recursive CTE
+    (transitive closure + min reachable id) — feasible because the
+    sf0.01 pair graph is small; the Spark side is the scale path."""
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=8, num_perm=64, bands=32,
+        threshold=0.6, max_df=20,
+    )
+    return collapse_clusters(d, pairs, id_col="doc_id")
+
+
+@query(
     "skew_salted_count_distinct",
     oracle="""
     SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct
