@@ -183,6 +183,77 @@ def test_multiprobe_recall_superset_of_single_probe(spark):
     assert len(multi) >= len(single)
 
 
+def test_ivf_assign_no_shuffle_and_correct(spark):
+    """Cell assignment is a pure expression (plan has no Exchange before
+    the scan's project) and picks the max-cosine centroid."""
+    import io
+    import contextlib
+
+    from usgs_lidar_spark.operators.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(10, [1.0, 0.0]), (20, [0.0, 1.0])]
+    out = {r["vec_id"]: r["__cid"] for r in ivf_assign(df, cents).collect()}
+    assert out == {1: 10, 2: 20, 3: 10}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf_assign(df, cents).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_ivf_topk_probes_beat_single_cell(spark):
+    """IVF with n_probe=k_cells degenerates to exact brute force — pins
+    the probe/join mechanics against the exact baseline."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = ivf_topk(emb, q, cents, k=5, n_probe=4)
+    exact = cosine_topk_bruteforce(emb, q, k=5)
+    got = sorted(tuple(r) for r in full.collect())
+    want = sorted(tuple(r) for r in exact.collect())
+    assert got == want
+
+
+def test_kmeans_refine_reduces_inertia(spark):
+    """Lloyd iterations must not worsen the quantizer: mean best-cell
+    cosine similarity is non-decreasing after refinement."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        _centroid_sims,
+        kmeans_refine,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def mean_best_sim(cents):
+        best = F.array_max(_centroid_sims("embedding", cents, 6))["sim"]
+        return emb.agg(F.avg(best)).collect()[0][0]
+
+    cents0 = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    before = mean_best_sim(cents0)
+    cents1 = kmeans_refine(emb, cents0, dim=len(cents0[0][1]), n_iter=2)
+    after = mean_best_sim(cents1)
+    assert after >= before - 1e-9
+    assert len(cents1) == len(cents0)
+
+
 def test_connected_components_chain_and_singleton(spark):
     """Min-label propagation: a 3-chain collapses to its min id even
     though 1 and 3 share no edge; isolated vertices keep themselves."""

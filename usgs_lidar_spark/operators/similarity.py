@@ -1,8 +1,9 @@
 """Similarity search over embedding columns (ArrayType(FloatType)).
 
 North-star extension (SURVEY.md §2 "Extension operators"): brute-force
-cosine top-k as the exact baseline, and a deterministic LSH-bucketed
-variant as the scale path.
+cosine top-k as the exact baseline; deterministic sign-LSH (single- and
+multi-probe) and IVF (inverted-file, coarse-quantizer cells) as the
+scale paths.
 
 Scale design (100 TB of vectors):
   * brute force is a broadcast of the (small) query set against the corpus
@@ -10,7 +11,14 @@ Scale design (100 TB of vectors):
     (which is a partial TopK per partition + tiny final merge);
   * the LSH variant buckets both sides by sign-bit hash so each query only
     scans its bucket — the equi-join on bucket id replaces the cross
-    product; recall is traded via multi-probe (not implemented here);
+    product; `cosine_topk_lsh_multiprobe` recovers near-boundary recall
+    by probing all Hamming-1 neighbor buckets;
+  * the IVF variant assigns each corpus vector to its nearest coarse
+    centroid with a PURE EXPRESSION (centroids are k driver-held vectors
+    unrolled into literal arrays — no join, no shuffle, assignment rides
+    the scan); queries probe their n_probe nearest cells, and the cell
+    equi-join replaces the cross product. `kmeans_refine` improves the
+    centroids with Lloyd iterations (per-dimension JVM-side AVGs);
   * dot products run as zip_with/aggregate higher-order expressions —
     JVM-side, no Python. For max throughput a Pandas-UDF matmul over
     mapInPandas batches would vectorize further; built-ins keep this
@@ -167,3 +175,129 @@ def cosine_topk_lsh_multiprobe(
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
     )
+
+
+def _centroid_sims(
+    vec_col: str, centroids: list[tuple[int, list[float]]], round_digits: int
+):
+    """Array of (sim, -cid) structs, one per centroid — per-row expression,
+    no join. Sim is the rounded cosine (rounding pins cross-engine
+    comparability, matching every other sim operator here); -cid makes a
+    struct MAX pick the LOWEST centroid id on ties."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    entries = []
+    for cid, cvec in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        raw = F.when(
+            (norm(vec_col) == 0) | (norm(lit) == 0), F.lit(0.0)
+        ).otherwise(dot(vec_col, lit) / (norm(vec_col) * norm(lit)))
+        entries.append(
+            F.struct(
+                F.round(raw, round_digits).alias("sim"),
+                F.lit(-cid).cast("long").alias("negcid"),
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Attach `__cid`: the nearest (max rounded cosine, min id on ties)
+    coarse centroid. Centroids are a driver-side list — the coarse
+    quantizer is k vectors (k ~ sqrt(corpus) cells in practice, kilobytes
+    to megabytes) — unrolled into literal expressions, so assignment is
+    embarrassingly parallel: it runs inside the scan stage with NO
+    join and NO shuffle, at any corpus size."""
+    best = F.array_max(_centroid_sims(vec_col, centroids, round_digits))
+    return corpus.withColumn("__cid", -best["negcid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their nearest-centroid cell;
+    each query probes its `n_probe` nearest cells and ranks exact cosine
+    within them. The cell equi-join replaces the cross product — each
+    query touches ~n_probe/k of the corpus. Deterministic end to end:
+    cell assignment and probe order break ties on centroid id, the final
+    rank on (rounded sim DESC, corpus id ASC)."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cb = ivf_assign(corpus, centroids, vec_col, round_digits).withColumn(
+        "__cnorm", norm(vec_col)
+    )
+    # Query side: sort the centroid-sim structs descending, take n_probe,
+    # explode into one probe row per cell. Probe cells are pairwise
+    # distinct, so a corpus vector meets a query at most once.
+    sims = _centroid_sims(vec_col, centroids, round_digits)
+    probes = F.slice(F.sort_array(sims, asc=False), 1, n_probe)
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+        F.explode(probes).alias("__p"),
+    ).select(
+        query_id_col, "__qvec", "__qnorm", (-F.col("__p.negcid")).alias("__cid")
+    )
+    joined = cb.join(F.broadcast(qb), "__cid").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("sim", F.round(raw, round_digits))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_iter: int = 2,
+    round_digits: int = 4,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the coarse quantizer: assign (expression-only,
+    see ivf_assign) then recompute each centroid as the per-dimension mean
+    of its cell — `dim` JVM-side AVG aggregates, one shuffle per
+    iteration, shuffle volume bounded by k*dim not corpus size. Empty
+    cells keep their previous centroid. Returns the refined driver-side
+    centroid list (it is the INDEX, not data — k*dim floats)."""
+    if dim is None:
+        dim = len(centroids[0][1])
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, centroids, vec_col, round_digits)
+        means = assigned.groupBy("__cid").agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+                    f"d{i}"
+                )
+                for i in range(dim)
+            ]
+        )
+        got = {
+            int(r["__cid"]): [float(r[f"d{i}"]) for i in range(dim)]
+            for r in means.collect()
+        }
+        centroids = [(cid, got.get(cid, old)) for cid, old in centroids]
+    return centroids

@@ -2218,6 +2218,75 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cos4(a: str, b: str) -> str:
+    """DuckDB rounded-cosine expression between two list operands."""
+    return f"""ROUND(
+          list_sum(list_transform(list_zip({a}, {b}),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform({a},
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform({b},
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)"""
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim WHERE vec_id < 5) WHERE rn <= 2
+    ), sims AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos4("a.embedding", "p.qv")} AS sim
+        FROM assigned a JOIN probes p
+          ON a.cid = p.cid AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= 5
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: 8 coarse cells seeded from the first corpus vectors
+    (a deterministic quantizer the oracle can reproduce), corpus assigned
+    to cells by a literal-expression argmax (no shuffle), queries probe
+    their 2 nearest cells. The oracle replays assignment + probing with
+    window argmax over the same rounded cosines."""
+    from usgs_lidar_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries_df, cents, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5, n_probe=2,
+    )
+
+
 @query(
     "dedup_cluster_collapse",
     oracle=f"""
