@@ -44,7 +44,9 @@ HEADLINE = [
     "r1_session_window",
     "asof_purchase_before_click",
     "dedup_minhash_lsh",
+    "dedup_cluster_collapse",
     "sim_topk_bruteforce",
+    "sim_topk_ivf",
     "text_quality_score",
     "f3_point_in_polygon",
 ]
