@@ -37,6 +37,13 @@ def _ensure_confs(spark: SparkSession) -> None:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_confs(spark)
+    # Make registry completeness externally observable: a stale driver
+    # checkout / capped verify run is detectable from this line in the log.
+    print(
+        f"[usgs_lidar_spark] queries_registered={len(_q.QUERIES)} "
+        f"oracles_registered={len(_q.ORACLE)}",
+        file=sys.stderr,
+    )
     return _q.QUERIES["flagship_voxel_subsample"](spark, "/root/testdata/sf0.001")
 
 

@@ -9,6 +9,13 @@ to force full materialization (results are not collected to the driver —
 the engine's own rule). A warmup flagship run amortizes session/JIT setup
 out of the per-query numbers, mirroring how a long-lived cluster behaves.
 
+Bench hygiene (round 3): each query runs N_RUNS (>=3) times and the
+reported number is the per-query MEDIAN — a single run on a shared box
+produced ±40% swings on sub-second queries with unchanged plans
+(j3_star_join_agg r01→r02), which is attribution noise, not signal. The
+JSON also carries per-query min/max spread under "spread" so a noisy run
+is visible in the artifact itself.
+
 Baseline context (BASELINE.md): the reference subsamples 401K points in
 <=34 s single-process and converts rows at 8.2K rows/s; the flagship query
 here does the equivalent voxel aggregation over ~600K rows and must land
@@ -31,6 +38,7 @@ from usgs_lidar_spark.plans.queries import QUERIES  # noqa: E402
 from usgs_lidar_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 #: Headline queries: the reference-lifecycle flagship plus one
 #: representative per operator family (join, window, event-time, dedup,
@@ -63,13 +71,28 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        n = QUERIES[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    # Interleaved rounds (run 1 of every query, then run 2, ...) rather
+    # than back-to-back repeats: a transient load spike on a shared box
+    # lands on ONE round of many queries instead of all runs of one query,
+    # so per-query medians stay attributable.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(N_RUNS):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            runs[name].append(dt)
+            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in runs.items()}
+    spread = {
+        name: [round(min(xs), 3), round(max(xs), 3)] for name, xs in runs.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -78,6 +101,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -124,6 +124,39 @@ def test_exact_dedup_hashed_matches_text_key(spark):
     assert all(r["n_variants"] == 1 for r in hashed)
 
 
+def test_exact_dedup_hashed_second_family_independent(spark):
+    """The verification hash must be an independent family, not a function
+    of the primary. Spark folds multi-arg xxhash64 sequentially (each
+    argument's hash seeds the next), so the former xxhash64(text, lit(1))
+    was XXH64(1, seed=__h1) — any primary collision silently collided on
+    it too and n_variants could never fire. Salt-first xxhash64(lit(1),
+    text) hashes the TEXT under a different effective seed.
+
+    (a) pins the salt-first argument order in the analyzed plan;
+    (b) injects primary collisions by narrowing __h1 to 4 bits and asserts
+        n_variants actually counts the distinct texts per bucket.
+    """
+    from usgs_lidar_spark.operators.dedup import exact_dedup_hashed
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(64)],
+        ["doc_id", "text"],
+    )
+    out = exact_dedup_hashed(docs, "text", "doc_id")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "xxhash64(1, text" in plan, plan  # salt FIRST, text second
+    assert "xxhash64(text, 1" not in plan, plan  # the dependent-fold form
+
+    # 64 distinct texts into <=16 4-bit buckets: pigeonhole guarantees
+    # shared primary buckets, and every collision must be flagged.
+    forced = exact_dedup_hashed(docs, "text", "doc_id", primary_bits=4).collect()
+    assert sum(r["n_copies"] for r in forced) == 64
+    assert any(r["n_variants"] > 1 for r in forced)
+    # distinct texts never hash-collide on the secondary at this scale:
+    # every bucket's variant count equals its occupant count.
+    assert all(r["n_variants"] == r["n_copies"] for r in forced)
+
+
 def test_simhash_near_dup_blocked_equals_bruteforce(spark):
     """Pigeonhole block join must find EXACTLY the brute-force
     Hamming<=max_hamming pairs (max_hamming < n_blocks guarantees no
@@ -157,6 +190,36 @@ def test_simhash_near_dup_blocked_equals_bruteforce(spark):
     assert (1, 2, 0) in got  # identical docs collide at distance 0
     with pytest.raises(ValueError):
         simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=4, n_blocks=4)
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """max_bucket caps (block, value) bucket occupancy before the
+    self-join. A generous cap changes nothing (capped == uncapped); a
+    cap of 1 empties every shared bucket, so no pairs survive — the
+    degenerate-hot-bucket quadratic is bounded by construction."""
+    from usgs_lidar_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("lazy", "hazy")),
+        (4, "completely different content about spark shuffle planning"),
+        (5, base.replace("river", "water")),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairs(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(
+                docs, "text", "doc_id", k=8, max_hamming=3, n_blocks=4, **kw
+            ).collect()
+        )
+
+    uncapped = pairs()
+    assert pairs(max_bucket=100) == uncapped and uncapped  # generous cap: no-op
+    assert pairs(max_bucket=1) == []  # shared buckets all dropped
 
 
 def test_multiprobe_recall_superset_of_single_probe(spark):
@@ -228,6 +291,61 @@ def test_ivf_topk_probes_beat_single_cell(spark):
     assert got == want
 
 
+def test_ivf_broadcast_path_matches_expr_path(spark):
+    """The plan-size-O(1) broadcast quantizer must be bit-identical to the
+    literal-unrolled expression path: same cell assignments on a 70-cell
+    quantizer (above the auto threshold, so `auto` == broadcast there) and
+    same ivf_topk output on real embeddings. Also pins that the broadcast
+    path adds no Exchange of the corpus (assignment still rides the scan;
+    the only extra node is the one-row BroadcastNestedLoopJoin)."""
+    import contextlib
+    import io
+
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        _EXPR_PATH_MAX_K,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.limit(70).collect()
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    ]
+    assert len(cents) > _EXPR_PATH_MAX_K  # auto must take the broadcast path
+
+    by_expr = {
+        r["vec_id"]: r["__cid"]
+        for r in ivf_assign(emb, cents, method="expr").collect()
+    }
+    by_bcast = {
+        r["vec_id"]: r["__cid"]
+        for r in ivf_assign(emb, cents, method="auto").collect()
+    }
+    assert by_expr == by_bcast
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf_assign(emb, cents, method="broadcast").explain("formatted")
+    plan = buf.getvalue()
+    # The ONE-ROW quantizer broadcast is expected (BroadcastExchange); what
+    # must never appear is a shuffle of the corpus itself.
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_e = sorted(
+        tuple(r) for r in ivf_topk(emb, q, cents, k=5, n_probe=3, method="expr").collect()
+    )
+    got_b = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, q, cents, k=5, n_probe=3, method="broadcast").collect()
+    )
+    assert got_e == got_b and got_e
+
+
 def test_kmeans_refine_reduces_inertia(spark):
     """Lloyd iterations must not worsen the quantizer: mean best-cell
     cosine similarity is non-decreasing after refinement."""
@@ -282,6 +400,62 @@ def test_connected_components_deep_chain_converges(spark):
     )
     out = connected_components(verts, edges).collect()
     assert all(r["cluster_id"] == 0 for r in out) and len(out) == n
+
+
+def test_connected_components_star_beats_minlabel_on_path(spark):
+    """High-diameter input: a 15-vertex path. In 5 rounds min-label can
+    only propagate ~5 hops (must hit max_iter and warn, per the
+    convergence contract); the alternating large/small-star contraction
+    converges within the same budget and labels every vertex 0."""
+    import pytest
+    import warnings as _w
+
+    from usgs_lidar_spark.operators.graph import (
+        ConvergenceWarning,
+        connected_components,
+    )
+
+    n = 15
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+
+    with pytest.warns(ConvergenceWarning):
+        partial = connected_components(verts, edges, max_iter=5).collect()
+    assert any(r["cluster_id"] != 0 for r in partial)  # genuinely partial
+
+    with pytest.raises(RuntimeError):
+        connected_components(
+            verts, edges, max_iter=5, on_unconverged="raise"
+        )
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # star must NOT warn: it converges
+        out = connected_components(
+            verts, edges, max_iter=5, algorithm="star"
+        ).collect()
+    assert len(out) == n and all(r["cluster_id"] == 0 for r in out)
+
+
+def test_connected_components_star_matches_minlabel_on_clusters(spark):
+    """Both algorithms agree on a multi-component graph with singletons."""
+    from usgs_lidar_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 10)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 7)], ["src", "dst"]
+    )
+    a = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(verts, edges).collect()
+    }
+    b = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(verts, edges, algorithm="star").collect()
+    }
+    assert a == b
+    assert b == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9}
 
 
 def test_salted_count_distinct_exact(spark):

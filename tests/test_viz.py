@@ -92,6 +92,22 @@ def test_dem_raster_grid(spark):
     assert transform["pixel_size"] == 3.0
 
 
+def test_dem_raster_world_georeferencing(spark):
+    """The transform origin must carry WORLD coordinates: voxel keys are
+    anchored at the global data min, so a grid over x in [100, 106],
+    y in [50, 60] has top-left corner (100, 50 + (iy_max+1)*res)."""
+    rows = [(100.0, 50.0, 1.0), (106.0, 60.0, 2.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    grid, t = dem_raster(df, resolution=3.0)
+    assert t["pixel_size"] == 3.0
+    assert t["x_origin"] == 100.0  # min_x + ix0(=0)*res
+    # iy_max = floor((60-50)/3) = 3 -> y_origin = 50 + 4*3 = 62
+    assert t["y_origin"] == 62.0
+    # world x of the rightmost occupied cell's left edge:
+    # ix = floor((106-100)/3) = 2 -> 100 + 2*3 = 106 <= 106 < 109
+    assert grid.shape == (4, 3)
+
+
 def test_dem_raster_row_order_top_is_max_y(spark):
     import numpy as np  # noqa: F401
 

@@ -38,7 +38,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def exact_dedup_hashed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dedup_hashed(
+    df: DataFrame, text_col: str, id_col: str, primary_bits: int | None = None
+) -> DataFrame:
     """Scale form of exact dedup: the shuffle carries (hash64, hash64, id)
     — 24 bytes per row — and the document text NEVER moves. This is the
     form `exact_dedup`'s docstring prescribes for 100 TB, where shuffling
@@ -53,11 +55,27 @@ def exact_dedup_hashed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     emitting a literal 1 against a GROUP BY text.
 
     Output: one row per distinct text — (keep_id, n_copies, n_variants).
+
+    ``primary_bits`` artificially narrows the primary hash to its low N
+    bits (collision injection for tests — a genuine 64-bit xxhash64
+    collision cannot be manufactured): with it set, distinct texts DO land
+    in shared primary buckets and the test asserts ``n_variants`` counts
+    them. Production callers leave it None.
     """
+    # Second family must be INDEPENDENT of the first. Spark folds multi-arg
+    # xxhash64 left-to-right (each argument's hash seeds the next), so
+    # xxhash64(text, lit(1)) == xxh(1, seed=xxh(text, 42)) — a deterministic
+    # function of __h1, under which any primary collision also collides and
+    # n_variants could never exceed 1. Salt FIRST instead:
+    # xxhash64(lit(1), text) == xxh(text, seed=xxh(1, 42)) — the same text
+    # hashed under a different constant seed, a genuinely independent draw.
+    h1 = F.xxhash64(F.col(text_col))
+    if primary_bits is not None:
+        h1 = h1.bitwiseAND(F.lit((1 << primary_bits) - 1).cast("long"))
     hashed = df.select(
         F.col(id_col).alias("__id"),
-        F.xxhash64(F.col(text_col)).alias("__h1"),
-        F.xxhash64(F.col(text_col), F.lit(1)).alias("__h2"),
+        h1.alias("__h1"),
+        F.xxhash64(F.lit(1), F.col(text_col)).alias("__h2"),
     )
     return hashed.groupBy("__h1").agg(
         F.min("__id").alias("keep_id"),
@@ -322,6 +340,7 @@ def simhash_near_dup_pairs(
     k: int = 8,
     max_hamming: int = 3,
     n_blocks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: all (id_a, id_b, hamming) with
     Hamming(simhash_a, simhash_b) <= max_hamming — WITHOUT an all-pairs
@@ -336,6 +355,18 @@ def simhash_near_dup_pairs(
     the XOR then verifies, removing false positives. Shuffle is keyed by
     block values — at 100 TB each fingerprint contributes ``n_blocks``
     16-bit-ish rows, and only same-block candidates ever meet.
+
+    ``max_bucket``: frequency cap on a (block, value) bucket — the analog
+    of ``char_shingles``'s ``max_df``. With the default 4 blocks the block
+    values are ~16-bit, so a 10^9-doc corpus puts ~15 K docs in an AVERAGE
+    bucket (~10^8 candidate pairs per hot bucket before popcount verify) —
+    a degenerate block value (e.g. all-zeros from short boilerplate docs)
+    goes quadratic. The cap drops buckets with more than ``max_bucket``
+    occupants via a spillable window COUNT before the self-join, bounding
+    the worst key at max_bucket^2 pairs. Recall caveat: a pair whose ONLY
+    agreeing block is capped is missed — same contract as max_df; raise
+    ``n_blocks`` (narrower values, more blocks) to shrink buckets instead
+    of capping when exact recall at max_hamming is required.
     """
     if max_hamming >= n_blocks:
         raise ValueError(
@@ -358,6 +389,13 @@ def simhash_near_dup_pairs(
     longf = fps.select(
         "doc_id", "simhash", F.explode(blocks).alias("bv")
     ).select("doc_id", "simhash", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+    if max_bucket is not None:
+        w = Window.partitionBy("blk", "val")
+        longf = (
+            longf.withColumn("__occ", F.count(F.lit(1)).over(w))
+            .filter(F.col("__occ") <= max_bucket)
+            .drop("__occ")
+        )
     l, r = longf.alias("l"), longf.alias("r")
     cand = (
         l.join(

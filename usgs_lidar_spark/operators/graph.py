@@ -22,38 +22,31 @@ Spark design — iterative min-label propagation:
 
 The alternating large-star/small-star algorithm (Kiveris et al.,
 "Connected Components in MapReduce and Beyond") drops round count to
-O(log n) for high-diameter graphs; min-label propagation is chosen here
+O(log^2 n) for high-diameter graphs; min-label propagation is the default
 because dedup graphs are shallow and each round is a single cheap
-shuffle.
+shuffle. ``algorithm="star"`` switches to the alternating form for
+high-diameter inputs (long chain-shaped near-dup drift, web link graphs).
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    vertices: DataFrame,
-    edges: DataFrame,
-    id_col: str = "id",
-    src_col: str = "src",
-    dst_col: str = "dst",
-    max_iter: int = 20,
-) -> DataFrame:
-    """Label every vertex with the minimum vertex id reachable through
-    `edges` (undirected). Output: (id, cluster_id).
+class ConvergenceWarning(UserWarning):
+    """Raised/warned when an iterative operator hits max_iter unconverged —
+    its output labels may be only partially propagated."""
 
-    Vertices absent from the edge list keep themselves as cluster_id
-    (singleton clusters), so the output has exactly one row per vertex.
-    """
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    )
-    fwd = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    rev = edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-    bidir = fwd.union(rev).distinct().localCheckpoint()
 
+def _minlabel_rounds(
+    labels: DataFrame, bidir: DataFrame, max_iter: int
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation until no label changes. Returns
+    (labels, converged)."""
+    converged = False
     for _ in range(max_iter):
         msgs = bidir.join(labels, bidir["u"] == labels["id"]).select(
             F.col("v").alias("id"), "label"
@@ -69,7 +62,136 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    return labels, converged
+
+
+def _star_rounds(
+    vertices: DataFrame, bidir: DataFrame, max_iter: int
+) -> tuple[DataFrame, bool]:
+    """Alternating large-star/small-star contraction (Kiveris et al. 2014).
+
+    State is the parent-pointer forest as an edge list (u, v) meaning
+    "u's neighborhood", kept symmetric-free: each round rewrites edges so
+    every vertex points closer to its component minimum.
+
+      * large-star: for each u, connect every STRICTLY LARGER neighbor v
+        to m = min(neighborhood(u) ∪ {u});
+      * small-star: for each u, connect every neighbor v <= u (and u) to m.
+
+    Both are one groupBy over the current edge list (shuffle keyed by u)
+    emitting rewritten edges; components contract to stars around their
+    minimum in O(log^2 n) rounds regardless of diameter — the scale path
+    for chain-shaped graphs where min-label needs diameter rounds.
+    Convergence: the edge multiset stops changing (checked via a count of
+    changed edges — scalar-only to the driver, like min-label).
+    """
+    from pyspark.sql import Window
+
+    # Self-loops carry no information; drop up front.
+    edges = bidir.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: every neighbor v > u attaches to
+        #      m = min(N(u) ∪ {u}). Neighborhood min is a WINDOW MIN over
+        #      the symmetric edge list — spillable per-key state, never a
+        #      collect_set of a hub's full (possibly 1e8-wide) neighborhood.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        wu = Window.partitionBy("u")
+        m_large = F.least(F.min("v").over(wu), F.col("u"))
+        large = (
+            sym.withColumn("m", m_large)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star: orient every edge to key = max endpoint; all
+        #      kept neighbors are < u, and N ∪ {u} attaches to m = min(N).
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        wo = Window.partitionBy("u")
+        m_small = F.min("v").over(wo)
+        attach = oriented.withColumn("m", m_small)
+        small = (
+            attach.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(attach.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        delta = small.exceptAll(edges).count() + edges.exceptAll(small).count()
+        edges = small
+        if delta == 0:
+            converged = True
+            break
+    # Forest -> labels: after convergence every non-root points directly at
+    # its component min (star shape); roots are vertices never appearing as
+    # a child. One final min-agg collapses any residual two-level chains.
+    child_min = edges.groupBy("u").agg(F.min("v").alias("label"))
+    labels = (
+        vertices.join(child_min, vertices["id"] == child_min["u"], "left")
+        .select(
+            "id", F.coalesce(F.col("label"), F.col("id")).alias("label")
+        )
+    )
+    return labels.localCheckpoint(), converged
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+    algorithm: str = "minlabel",
+    on_unconverged: str = "warn",
+) -> DataFrame:
+    """Label every vertex with the minimum vertex id reachable through
+    `edges` (undirected). Output: (id, cluster_id).
+
+    Vertices absent from the edge list keep themselves as cluster_id
+    (singleton clusters), so the output has exactly one row per vertex.
+
+    ``algorithm``: "minlabel" (default; rounds = component diameter —
+    right for shallow dedup graphs) or "star" (alternating large/small
+    star, O(log^2 n) rounds — right for high-diameter graphs).
+
+    ``on_unconverged``: "warn" (default) or "raise" — hitting ``max_iter``
+    with labels still changing means the output is PARTIALLY propagated
+    (wrong cluster ids on the unfinished components), which previously
+    returned silently.
+    """
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    fwd = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    rev = edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    bidir = fwd.union(rev).distinct().localCheckpoint()
+
+    if algorithm == "minlabel":
+        labels, converged = _minlabel_rounds(labels, bidir, max_iter)
+    elif algorithm == "star":
+        labels, converged = _star_rounds(
+            vertices.select(F.col(id_col).alias("id")), bidir, max_iter
+        )
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+
+    if not converged:
+        msg = (
+            f"connected_components({algorithm}) hit max_iter={max_iter} "
+            f"before converging — labels may be partially propagated"
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, ConvergenceWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -14,11 +14,12 @@ Scale design (100 TB of vectors):
     product; `cosine_topk_lsh_multiprobe` recovers near-boundary recall
     by probing all Hamming-1 neighbor buckets;
   * the IVF variant assigns each corpus vector to its nearest coarse
-    centroid with a PURE EXPRESSION (centroids are k driver-held vectors
-    unrolled into literal arrays — no join, no shuffle, assignment rides
-    the scan); queries probe their n_probe nearest cells, and the cell
-    equi-join replaces the cross product. `kmeans_refine` improves the
-    centroids with Lloyd iterations (per-dimension JVM-side AVGs);
+    centroid with no shuffle of the corpus: small quantizers (k <= 64)
+    unroll into literal expressions, large ones ride a one-row broadcast
+    as DATA so the plan stays O(1) in k (see `_with_centroid_sims`);
+    queries probe their n_probe nearest cells, and the cell equi-join
+    replaces the cross product. `kmeans_refine` improves the centroids
+    with Lloyd iterations (per-dimension JVM-side AVGs);
   * dot products run as zip_with/aggregate higher-order expressions —
     JVM-side, no Python. For max throughput a Pandas-UDF matmul over
     mapInPandas batches would vectorize further; built-ins keep this
@@ -177,21 +178,43 @@ def cosine_topk_lsh_multiprobe(
     )
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side centroid norm: a compile-time constant. Inlining it as a
+    scalar literal kills the per-row ``norm(lit_array)`` recomputation the
+    expression path originally paid (k extra HOF folds per row)."""
+    return float(sum(float(x) * float(x) for x in vec)) ** 0.5
+
+
+# Above this many cells the literal-unrolled expression path stops being
+# viable — the Catalyst tree is O(k*dim) nodes and plan compilation/codegen
+# fall over long before the data does — so `auto` switches to the broadcast
+# path, whose plan size is O(1) in k (the quantizer rides along as DATA in
+# a one-row broadcast, not as expression nodes).
+_EXPR_PATH_MAX_K = 64
+
+
 def _centroid_sims(
     vec_col: str, centroids: list[tuple[int, list[float]]], round_digits: int
 ):
     """Array of (sim, -cid) structs, one per centroid — per-row expression,
     no join. Sim is the rounded cosine (rounding pins cross-engine
     comparability, matching every other sim operator here); -cid makes a
-    struct MAX pick the LOWEST centroid id on ties."""
+    struct MAX pick the LOWEST centroid id on ties. Centroid norms are
+    precomputed driver-side (`_py_norm`) and inlined as scalar literals —
+    only `dot(vec, lit)` and the row vector's own norm run per row."""
     from usgs_lidar_spark.functions.vectors import dot, norm
 
+    vnorm = norm(vec_col)
     entries = []
     for cid, cvec in centroids:
         lit = F.array(*[F.lit(float(x)) for x in cvec])
-        raw = F.when(
-            (norm(vec_col) == 0) | (norm(lit) == 0), F.lit(0.0)
-        ).otherwise(dot(vec_col, lit) / (norm(vec_col) * norm(lit)))
+        cnorm = _py_norm(cvec)
+        if cnorm == 0.0:
+            raw = F.lit(0.0)
+        else:
+            raw = F.when(vnorm == 0, F.lit(0.0)).otherwise(
+                dot(vec_col, lit) / (vnorm * F.lit(cnorm))
+            )
         entries.append(
             F.struct(
                 F.round(raw, round_digits).alias("sim"),
@@ -201,20 +224,86 @@ def _centroid_sims(
     return F.array(*entries)
 
 
+def _with_centroid_sims(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    round_digits: int,
+    method: str = "auto",
+) -> tuple[DataFrame, F.Column]:
+    """Attach a per-row array<struct<sim, negcid>> of centroid cosines.
+
+    Two physically different, semantically identical strategies:
+
+    * ``expr`` — `_centroid_sims` literal unrolling. Zero join, zero extra
+      columns; right for a small quantizer (k <= ~64) where k*dim literal
+      nodes are cheap.
+    * ``broadcast`` — the quantizer becomes a ONE-ROW DataFrame holding
+      array<struct<cid, cvec, cnorm>>; a broadcast nested-loop join against
+      that single row attaches it as a plan-size-O(1) column, and a
+      `transform` HOF computes the sims. This is the scale path for
+      k ~ sqrt(corpus) (10^3..10^6 cells): the centroid table moves as
+      broadcast DATA (k*dim doubles, once per executor), never as
+      expression nodes, and assignment still runs inside the scan stage
+      with no shuffle of the corpus.
+
+    ``auto`` picks expr for len(centroids) <= 64 else broadcast. Returns
+    (df', sims_column); df' may carry a temp `__cents` column the caller
+    should drop.
+    """
+    if method == "auto":
+        method = "expr" if len(centroids) <= _EXPR_PATH_MAX_K else "broadcast"
+    if method == "expr":
+        return df, _centroid_sims(vec_col, centroids, round_digits)
+    if method != "broadcast":
+        raise ValueError(f"unknown centroid-sims method: {method!r}")
+
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    spark = df.sparkSession
+    cents_row = [
+        {"cid": int(cid), "cvec": [float(x) for x in cvec], "cnorm": _py_norm(cvec)}
+        for cid, cvec in centroids
+    ]
+    one = spark.createDataFrame(
+        [(cents_row,)],
+        "__cents array<struct<cid: bigint, cvec: array<double>, cnorm: double>>",
+    )
+    out = df.crossJoin(F.broadcast(one))
+    vnorm = norm(vec_col)
+    sims = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.round(
+                F.when((vnorm == 0) | (c["cnorm"] == 0), F.lit(0.0)).otherwise(
+                    dot(vec_col, c["cvec"]) / (vnorm * c["cnorm"])
+                ),
+                round_digits,
+            ).alias("sim"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+    return out, sims
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     round_digits: int = 4,
+    method: str = "auto",
 ) -> DataFrame:
     """Attach `__cid`: the nearest (max rounded cosine, min id on ties)
     coarse centroid. Centroids are a driver-side list — the coarse
     quantizer is k vectors (k ~ sqrt(corpus) cells in practice, kilobytes
-    to megabytes) — unrolled into literal expressions, so assignment is
-    embarrassingly parallel: it runs inside the scan stage with NO
-    join and NO shuffle, at any corpus size."""
-    best = F.array_max(_centroid_sims(vec_col, centroids, round_digits))
-    return corpus.withColumn("__cid", -best["negcid"])
+    to megabytes). Assignment is embarrassingly parallel under BOTH
+    strategies (`_with_centroid_sims`): it runs inside the scan stage with
+    no shuffle of the corpus at any size; `method='broadcast'` keeps the
+    PLAN O(1) in k as well, which is what survives a real quantizer."""
+    df, sims = _with_centroid_sims(corpus, centroids, vec_col, round_digits, method)
+    best = F.array_max(sims)
+    out = df.withColumn("__cid", -best["negcid"])
+    return out.drop("__cents") if "__cents" in out.columns else out
 
 
 def ivf_topk(
@@ -227,24 +316,29 @@ def ivf_topk(
     k: int = 5,
     n_probe: int = 2,
     round_digits: int = 4,
+    method: str = "auto",
 ) -> DataFrame:
     """IVF ANN top-k: corpus vectors live in their nearest-centroid cell;
     each query probes its `n_probe` nearest cells and ranks exact cosine
     within them. The cell equi-join replaces the cross product — each
     query touches ~n_probe/k of the corpus. Deterministic end to end:
     cell assignment and probe order break ties on centroid id, the final
-    rank on (rounded sim DESC, corpus id ASC)."""
+    rank on (rounded sim DESC, corpus id ASC). ``method`` picks the
+    quantizer strategy on both sides (see `_with_centroid_sims`): at real
+    quantizer sizes the broadcast path keeps the plan O(1) in k."""
     from usgs_lidar_spark.functions.vectors import dot, norm
 
-    cb = ivf_assign(corpus, centroids, vec_col, round_digits).withColumn(
+    cb = ivf_assign(corpus, centroids, vec_col, round_digits, method).withColumn(
         "__cnorm", norm(vec_col)
     )
     # Query side: sort the centroid-sim structs descending, take n_probe,
     # explode into one probe row per cell. Probe cells are pairwise
     # distinct, so a corpus vector meets a query at most once.
-    sims = _centroid_sims(vec_col, centroids, round_digits)
+    qdf, sims = _with_centroid_sims(
+        queries, centroids, vec_col, round_digits, method
+    )
     probes = F.slice(F.sort_array(sims, asc=False), 1, n_probe)
-    qb = queries.select(
+    qb = qdf.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         norm(vec_col).alias("__qnorm"),
@@ -276,6 +370,7 @@ def kmeans_refine(
     dim: int | None = None,
     n_iter: int = 2,
     round_digits: int = 4,
+    method: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd refinement of the coarse quantizer: assign (expression-only,
     see ivf_assign) then recompute each centroid as the per-dimension mean
@@ -286,7 +381,7 @@ def kmeans_refine(
     if dim is None:
         dim = len(centroids[0][1])
     for _ in range(n_iter):
-        assigned = ivf_assign(corpus, centroids, vec_col, round_digits)
+        assigned = ivf_assign(corpus, centroids, vec_col, round_digits, method)
         means = assigned.groupBy("__cid").agg(
             *[
                 F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(

@@ -15,6 +15,7 @@ still use every query path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from usgs_lidar_spark.operators.voxel import voxel_downsample
 
@@ -144,7 +145,10 @@ def dem_raster(
 
     Returns ``(grid, transform)`` where ``transform`` is the GeoTIFF-style
     dict ``{x_origin, y_origin, pixel_size}`` with (x_origin, y_origin)
-    the top-left cell corner.
+    the top-left cell corner IN WORLD COORDINATES: voxel keys are anchored
+    at the per-axis global data min (voxel_keys), so the key->world map is
+    ``min + key*resolution`` — a ``save_dem`` GeoTIFF is genuinely
+    georeferenced, matching the reference's data/dem.tif artifact.
     """
     import numpy as np
 
@@ -154,17 +158,25 @@ def dem_raster(
     cells = vox.select(
         f"i{x_col}", f"i{y_col}", f"c{z_col}"
     )
-    n = cells.count()
-    if n > max_cells:
+    # Single collect with a +1 sentinel row enforces max_cells — a separate
+    # count() action would run the whole distributed aggregation twice.
+    pdf = cells.limit(max_cells + 1).toPandas()
+    if len(pdf) > max_cells:
         raise ValueError(
-            f"DEM raster would have {n} occupied cells (> max_cells={max_cells}); "
+            f"DEM raster would exceed max_cells={max_cells} occupied cells; "
             f"raise `resolution` to decimate further"
         )
-    pdf = cells.toPandas()
     if len(pdf) == 0:
         return np.full((0, 0), np.nan), {
             "x_origin": 0.0, "y_origin": 0.0, "pixel_size": resolution,
         }
+    # World anchor of the voxel grid: the same global per-axis mins the key
+    # computation used. A scalar two-column agg — one cheap scan, driver
+    # sees two doubles.
+    mins = points.agg(
+        F.min(x_col).alias("mx"), F.min(y_col).alias("my")
+    ).collect()[0]
+    min_x, min_y = float(mins["mx"]), float(mins["my"])
     ix = pdf[f"i{x_col}"].to_numpy()
     iy = pdf[f"i{y_col}"].to_numpy()
     z = pdf[f"c{z_col}"].to_numpy(dtype=float)
@@ -172,12 +184,9 @@ def dem_raster(
     w, h = int(ix.max()) - ix0 + 1, int(iy.max()) - iy0 + 1
     grid = np.full((h, w), np.nan)
     grid[(iy.max() - iy).astype(int), (ix - ix0).astype(int)] = z
-    # Voxel keys are anchored at the global min (voxel_keys), so cell
-    # (ix0, iy_max) maps back to world coordinates only relatively; the
-    # origin here is in voxel-grid units scaled by resolution.
     transform = {
-        "x_origin": ix0 * resolution,
-        "y_origin": (int(iy.max()) + 1) * resolution,
+        "x_origin": min_x + ix0 * resolution,
+        "y_origin": min_y + (int(iy.max()) + 1) * resolution,
         "pixel_size": resolution,
     }
     return grid, transform
