@@ -2343,50 +2343,3 @@ def skew_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(
         _t(spark, sf_dir, "documents"), ["lang"], "source", salt_buckets=16
     )
-
-
-# ---------------------------------------------------------------------------
-# Registry ordering: the driver's CORRECTNESS artifact has recorded exactly
-# the FIRST 50 dict entries two rounds running (r01: 61 registered -> first
-# 50; r02: 67 registered -> the same first 50, byte-identical file), i.e. the
-# verify harness caps the number of checked queries per round.  To make the
-# hard signal cover the whole surface cumulatively, entries that have never
-# appeared in a driver CORRECTNESS file are moved to the FRONT of the dict
-# (in registration order), ahead of the 50 names already hash-verified in
-# CORRECTNESS_r02.json.  Newly registered queries automatically sort into
-# the front group.  Mutation is in place so importers holding a reference to
-# QUERIES/ORACLE see the same objects.
-# ---------------------------------------------------------------------------
-
-_DRIVER_VERIFIED_R02: tuple[str, ...] = (
-    "flagship_voxel_subsample", "f1_range_filter", "f2_bbox_containment",
-    "j1_broadcast_lookup", "j2_theta_containment_join", "j3_star_join_agg",
-    "j3_left_join_null_label", "j3_semi_join", "j3_anti_join",
-    "a1_global_minmax", "g1_group_by_year", "o1_sort_nulls_last", "o3_topk",
-    "u1_union_all", "u1_intersect", "u1_except", "t1_regex_year_extract",
-    "t2_strip_chars", "t3_t4_serialization", "m1_mercator_reproject",
-    "m2_grid_keys", "x1_json_extract", "w1_row_number", "w1_lag_lead",
-    "w1_running_sum", "w1_rank_dense_rank", "r1_tumbling_window",
-    "r1_sliding_window", "r1_session_window", "asof_purchase_before_click",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash64", "text_token_stats", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "docs_rollup_cube",
-    "sim_topk_bruteforce", "sim_topk_lsh", "mm_binary_features",
-    "f3_point_in_polygon", "z2_idw_regrid", "z1_twi_grid",
-    "text_vocab_by_lang", "g1_rollup_year_status", "a5_percentiles",
-    "sketch_approx_stats", "q1_pricing_summary",
-)
-
-
-def _reorder_unverified_first() -> None:
-    verified = [n for n in QUERIES if n in _DRIVER_VERIFIED_R02]
-    unverified = [n for n in QUERIES if n not in _DRIVER_VERIFIED_R02]
-    ordered = {n: QUERIES[n] for n in unverified + verified}
-    QUERIES.clear()
-    QUERIES.update(ordered)
-    ordered_oracle = {n: ORACLE[n] for n in unverified + verified if n in ORACLE}
-    ORACLE.clear()
-    ORACLE.update(ordered_oracle)
-
-
-_reorder_unverified_first()
