@@ -71,6 +71,12 @@ def exact_dedup_hashed(
     # hashed under a different constant seed, a genuinely independent draw.
     h1 = F.xxhash64(F.col(text_col))
     if primary_bits is not None:
+        # Test-only collision-injection knob; the mask must stay a valid
+        # positive LongType literal (bits >= 64 would overflow to -1/UB).
+        if not 0 < primary_bits < 64:
+            raise ValueError(
+                f"primary_bits must be in (0, 64), got {primary_bits}"
+            )
         h1 = h1.bitwiseAND(F.lit((1 << primary_bits) - 1).cast("long"))
     hashed = df.select(
         F.col(id_col).alias("__id"),

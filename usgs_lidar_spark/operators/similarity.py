@@ -248,31 +248,35 @@ def _with_centroid_sims(
       with no shuffle of the corpus.
 
     ``auto`` picks expr for len(centroids) <= 64 else broadcast. Returns
-    (df', sims_column); df' may carry a temp `__cents` column the caller
-    should drop.
+    (df', sims_column, tmp_col): tmp_col is the name of the temp centroid
+    column attached to df' (uniquified against df's columns so a caller's
+    own `__cents` is never shadowed or dropped), or None on the expr path.
     """
     if method == "auto":
         method = "expr" if len(centroids) <= _EXPR_PATH_MAX_K else "broadcast"
     if method == "expr":
-        return df, _centroid_sims(vec_col, centroids, round_digits)
+        return df, _centroid_sims(vec_col, centroids, round_digits), None
     if method != "broadcast":
         raise ValueError(f"unknown centroid-sims method: {method!r}")
 
     from usgs_lidar_spark.functions.vectors import dot, norm
 
     spark = df.sparkSession
+    tmp = "__cents"
+    while tmp in df.columns:
+        tmp += "_"
     cents_row = [
         {"cid": int(cid), "cvec": [float(x) for x in cvec], "cnorm": _py_norm(cvec)}
         for cid, cvec in centroids
     ]
     one = spark.createDataFrame(
         [(cents_row,)],
-        "__cents array<struct<cid: bigint, cvec: array<double>, cnorm: double>>",
+        f"{tmp} array<struct<cid: bigint, cvec: array<double>, cnorm: double>>",
     )
     out = df.crossJoin(F.broadcast(one))
     vnorm = norm(vec_col)
     sims = F.transform(
-        F.col("__cents"),
+        F.col(tmp),
         lambda c: F.struct(
             F.round(
                 F.when((vnorm == 0) | (c["cnorm"] == 0), F.lit(0.0)).otherwise(
@@ -283,7 +287,7 @@ def _with_centroid_sims(
             (-c["cid"]).alias("negcid"),
         ),
     )
-    return out, sims
+    return out, sims, tmp
 
 
 def ivf_assign(
@@ -300,10 +304,12 @@ def ivf_assign(
     strategies (`_with_centroid_sims`): it runs inside the scan stage with
     no shuffle of the corpus at any size; `method='broadcast'` keeps the
     PLAN O(1) in k as well, which is what survives a real quantizer."""
-    df, sims = _with_centroid_sims(corpus, centroids, vec_col, round_digits, method)
+    df, sims, tmp = _with_centroid_sims(
+        corpus, centroids, vec_col, round_digits, method
+    )
     best = F.array_max(sims)
     out = df.withColumn("__cid", -best["negcid"])
-    return out.drop("__cents") if "__cents" in out.columns else out
+    return out.drop(tmp) if tmp is not None else out
 
 
 def ivf_topk(
@@ -334,9 +340,9 @@ def ivf_topk(
     # Query side: sort the centroid-sim structs descending, take n_probe,
     # explode into one probe row per cell. Probe cells are pairwise
     # distinct, so a corpus vector meets a query at most once.
-    qdf, sims = _with_centroid_sims(
+    qdf, sims, _qtmp = _with_centroid_sims(
         queries, centroids, vec_col, round_digits, method
-    )
+    )  # _qtmp (if any) is discarded by the narrowing select below
     probes = F.slice(F.sort_array(sims, asc=False), 1, n_probe)
     qb = qdf.select(
         F.col(query_id_col),

@@ -162,9 +162,12 @@ def dem_raster(
     # count() action would run the whole distributed aggregation twice.
     pdf = cells.limit(max_cells + 1).toPandas()
     if len(pdf) > max_cells:
+        # Failure branch only: a count() here costs one extra aggregation
+        # but restores the informative message the sentinel row elides.
+        n_occupied = cells.count()
         raise ValueError(
-            f"DEM raster would exceed max_cells={max_cells} occupied cells; "
-            f"raise `resolution` to decimate further"
+            f"DEM raster has {n_occupied} occupied cells, exceeding "
+            f"max_cells={max_cells}; raise `resolution` to decimate further"
         )
     if len(pdf) == 0:
         return np.full((0, 0), np.nan), {
