@@ -402,3 +402,42 @@ def kmeans_refine(
         }
         centroids = [(cid, got.get(cid, old)) for cid, old in centroids]
     return centroids
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact result.
+
+    Both inputs are top-k outputs — (query_id, neighbor_id, ...) with at
+    most k rows per query — so this is bounded-size metric plumbing, not a
+    data-scale operator: the hit join carries n_queries*k rows per side and
+    shuffles on (query, neighbor). Queries whose approximate set misses
+    every true neighbor still appear, with recall 0.0 (left join from the
+    exact side's per-query counts).
+
+    Output: (query_id, n_hit, n_exact, recall) — recall = n_hit/n_exact,
+    exact in binary for k <= 2^52 so it is safe for hash comparison.
+    """
+    ex_ids = exact.select(query_id_col, neighbor_col)
+    n_exact = ex_ids.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    hits = (
+        approx.select(query_id_col, neighbor_col)
+        .join(ex_ids, [query_id_col, neighbor_col], "inner")
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return n_exact.join(hits, query_id_col, "left").select(
+        query_id_col,
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.col("n_exact"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact")
+        ).alias("recall"),
+    )

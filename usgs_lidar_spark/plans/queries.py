@@ -2343,3 +2343,141 @@ def skew_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(
         _t(spark, sf_dir, "documents"), ["lang"], "source", salt_buckets=16
     )
+
+
+# =====================================================================
+# ANN accuracy metric (round-4 item): recall@k of the approximate
+# similarity paths against the exact brute-force baseline. An accuracy
+# regression in probe logic (multiprobe neighbor set, IVF probe count)
+# now reaches the hard oracle signal, not just plan/unit tests.
+# =====================================================================
+
+_LSH_BUCKET_SQL = """CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                  + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                  + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                  + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS BIGINT)"""
+
+
+@query(
+    "sim_recall_at_k",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_LSH_BUCKET_SQL} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv, bucket
+        FROM base WHERE vec_id < 5
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_cos4("c.embedding", "q.qv")} DESC, c.vec_id)
+                       AS rank
+            FROM base c, q WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ), mp AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_cos4("c.embedding", "q.qv")} DESC, c.vec_id)
+                       AS rank
+            FROM base c JOIN q ON bit_count(xor(c.bucket, q.bucket)) <= 1
+                              AND c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim WHERE vec_id < 5) WHERE rn <= 2
+    ), ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY {_cos4("a.embedding", "p.qv")} DESC, a.vec_id)
+                       AS rank
+            FROM assigned a JOIN probes p
+              ON a.cid = p.cid AND a.vec_id <> p.query_id
+        ) WHERE rank <= 5
+    ), nex AS (
+        SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id
+    ), mph AS (
+        SELECT e.query_id, count(*) AS n_hit
+        FROM exact e JOIN mp m
+          ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+        GROUP BY e.query_id
+    ), ivfh AS (
+        SELECT e.query_id, count(*) AS n_hit
+        FROM exact e JOIN ivf i
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT 'lsh_multiprobe' AS method, nex.query_id,
+           CAST(COALESCE(mph.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(nex.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(mph.n_hit, 0) AS DOUBLE) / nex.n_exact AS recall
+    FROM nex LEFT JOIN mph USING (query_id)
+    UNION ALL
+    SELECT 'ivf' AS method, nex.query_id,
+           CAST(COALESCE(ivfh.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(nex.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(ivfh.n_hit, 0) AS DOUBLE) / nex.n_exact AS recall
+    FROM nex LEFT JOIN ivfh USING (query_id)
+    """,
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the two approximate similarity paths against the exact
+    brute-force baseline, per query and method (operators/similarity.py
+    recall_at_k). Same corpus/query/quantizer construction as
+    sim_topk_lsh_multiprobe and sim_topk_ivf; the oracle replays all three
+    searches and the hit-set intersection in SQL. The division n_hit/5 is
+    exact in binary, so recall is hash-safe."""
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh_multiprobe,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5,
+    )
+    mp = cosine_topk_lsh_multiprobe(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5, n_bits=8,
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    ivf = ivf_topk(
+        emb, queries_df, cents, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5, n_probe=2,
+    )
+    r_mp = recall_at_k(mp, exact).withColumn("method", F.lit("lsh_multiprobe"))
+    r_ivf = recall_at_k(ivf, exact).withColumn("method", F.lit("ivf"))
+    return r_mp.unionByName(r_ivf).select(
+        "method", "query_id", "n_hit", "n_exact", "recall"
+    )
