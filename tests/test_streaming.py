@@ -83,3 +83,111 @@ def test_stateful_tracker_matches_batch(spark, tmp_path):
     )
     want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_late_data_dropped_by_watermark(spark, tmp_path):
+    """Watermark EVICTION semantics, not just availableNow == batch: a row
+    arriving in a later micro-batch with event time below the watermark
+    must be dropped from the aggregation state, and the already-finalized
+    window must not change.
+
+    Three parquet files replayed as three micro-batches (maxFilesPerTrigger=1,
+    mtime-ordered). Spark's watermark contract is that a drop is GUARANTEED
+    only once the window's state has been evicted — a late row landing in
+    the same micro-batch that advances the watermark past its window is
+    still merged (update runs before eviction). So: file A advances the
+    watermark to 11:00 - 30min = 10:30; batch 2 (file B) runs with that
+    watermark and EVICTS + emits the sub-10:30 windows; batch 3 (file C)
+    then delivers a 10:06 event — 24 minutes below the watermark, window
+    already evicted. Assertions: (a) the engine's own
+    numRowsDroppedByWatermark counter records exactly that drop; (b) the
+    finalized [10:00,10:10) window keeps the file-A-only count while a
+    batch query over ALL files counts the late row — proving the stream
+    genuinely dropped late data rather than the data never existing."""
+    import json
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    def nanos(s: str) -> int:
+        return int(pd.Timestamp(s).value)
+
+    def write(path, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(path, index=False)
+
+    events_dir = tmp_path / "late_events"
+    events_dir.mkdir()
+    # File A (micro-batch 1): one event in [10:00,10:10), one in
+    # [10:10,10:20), and one at 11:00 that pushes the watermark to 10:30.
+    write(
+        events_dir / "a.parquet",
+        [
+            (1, nanos("2024-01-01 10:05:00"), 1, "click", 1.0, "{}"),
+            (2, nanos("2024-01-01 10:15:00"), 1, "click", 1.0, "{}"),
+            (3, nanos("2024-01-01 11:00:00"), 1, "click", 1.0, "{}"),
+        ],
+    )
+    # File B (micro-batch 2): an on-time event. This batch runs with
+    # watermark 10:30, so both sub-10:30 windows are evicted from state and
+    # emitted to the append-mode sink here.
+    write(
+        events_dir / "b.parquet",
+        [(4, nanos("2024-01-01 11:05:00"), 1, "click", 1.0, "{}")],
+    )
+    # File C (micro-batch 3): a LATE event at 10:06 — below the watermark
+    # AND its window's state is already evicted → guaranteed drop.
+    write(
+        events_dir / "c.parquet",
+        [(5, nanos("2024-01-01 10:06:00"), 1, "click", 1.0, "{}")],
+    )
+    now = os.path.getmtime(events_dir / "c.parquet")
+    os.utime(events_dir / "a.parquet", (now - 200, now - 200))  # A strictly first
+    os.utime(events_dir / "b.parquet", (now - 100, now - 100))  # then B
+
+    stream = read_events_stream(spark, str(events_dir), max_files_per_trigger=1)
+    q = (
+        tumbling_counts(stream)  # 10-minute windows, 30-minute watermark
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")  # emits a window only once it finalizes
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    progresses = [
+        json.loads(p.json) if hasattr(p, "json") else json.loads(p)
+        for p in q.recentProgress
+    ]
+    assert len(progresses) >= 3, "expected one micro-batch per file"
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1, progresses
+
+    finalized = {
+        r["win_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    # The late row did NOT resurrect or amend the finalized 10:00 window...
+    assert finalized["2024-01-01 10:00:00"] == 1
+    assert finalized["2024-01-01 10:10:00"] == 1
+    # ...even though a batch query over the same directory sees 2 rows there
+    # (the late event exists in the data; only the STREAM dropped it).
+    batch = (
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .parquet(str(events_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .count()
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s"), "count")
+    )
+    batch_counts = {r["s"]: r["count"] for r in batch.collect()}
+    assert batch_counts["2024-01-01 10:00:00"] == 2

@@ -34,15 +34,24 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the events parquet directory, ts normalized to
     TimestampNTZ with integer nano->micro division (see catalog.load_table
-    for why float division would corrupt it)."""
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
-    )
+    for why float division would corrupt it).
+
+    ``max_files_per_trigger`` bounds each micro-batch to N source files
+    (oldest modification time first). Production use: throttle a large
+    backfill so state/watermark advance incrementally instead of one giant
+    batch; tests use it to replay files in separate micro-batches and
+    exercise watermark progression between them."""
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(events_dir)
     # LTZ (not NTZ): withWatermark requires TIMESTAMP; with the session in
     # UTC the wall-clock values match the batch loader's NTZ exactly.
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
