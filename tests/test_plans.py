@@ -58,3 +58,122 @@ def test_no_cartesian_products(spark):
 def test_topk_uses_take_ordered(spark):
     plan = _plan(spark, "o3_topk")
     assert "TakeOrderedAndProject" in plan  # heap top-k, not a global sort
+
+
+# --- Plan-digest regression guard -----------------------------------------
+#
+# Shape digests for every bench headliner: counts of the node types that
+# determine scale behavior (shuffles, broadcast exchanges, join strategies,
+# Python eval placement). A regression that introduces a new Exchange, a
+# BroadcastNestedLoopJoin where a hash join belongs, or a row-at-a-time
+# BatchEvalPython shows up here as a digest diff instead of as an
+# unattributable bench delta on a noisy shared box.
+#
+# The digests count NODE NAMES, not pretty-printed plan text, so they are
+# robust to formatting changes; a Spark version bump that genuinely changes
+# planning will fail loudly and the pins get re-reviewed (that is the
+# point — the new plan must be re-audited, not silently accepted).
+
+_DIGEST_NODES = (
+    "BroadcastExchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "TakeOrderedAndProject",
+    "SortAggregate",
+)
+
+
+def plan_digest(plan: str) -> dict[str, int]:
+    """Count scale-relevant physical nodes. ``shuffle_exchange`` counts only
+    shuffle exchanges (hash/range/single/round-robin partitioning), never
+    BroadcastExchange."""
+    import re
+
+    d = {
+        "shuffle_exchange": len(
+            re.findall(r"\bExchange (hash|range|Single|round)", plan)
+        )
+    }
+    for node in _DIGEST_NODES:
+        c = plan.count(node)
+        if c:
+            d[node] = c
+    return d
+
+
+#: Reviewed-and-pinned digests (Spark 4.1, sf0.001). Each was audited once:
+#: the BroadcastNestedLoopJoin entries are intended 1-row bounds/query
+#: broadcasts, not accidents; dedup_minhash_lsh's 17 shuffles are the banded
+#: LSH pipeline (shingle agg + 4 band self-join legs + verify).
+HEADLINE_DIGESTS = {
+    "flagship_voxel_subsample": {
+        "shuffle_exchange": 2,
+        "BroadcastExchange": 1,
+        "BroadcastNestedLoopJoin": 1,  # 1-row dataset-bounds broadcast
+    },
+    "q1_pricing_summary": {"shuffle_exchange": 1},
+    "j3_star_join_agg": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
+    },
+    "j2_theta_containment_join": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    "w1_running_sum": {"shuffle_exchange": 1},
+    "r1_session_window": {"shuffle_exchange": 1},
+    "asof_purchase_before_click": {"shuffle_exchange": 1},
+    "dedup_minhash_lsh": {
+        "shuffle_exchange": 17,
+        "BroadcastExchange": 5,
+        "BroadcastHashJoin": 5,
+    },
+    # Iterative CC: digest covers the returned (final-join) stage; the
+    # per-iteration plans are pinned behaviorally in test_operators.
+    "dedup_cluster_collapse": {"shuffle_exchange": 2, "SortMergeJoin": 1},
+    "sim_topk_bruteforce": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 1,
+        "BroadcastNestedLoopJoin": 1,  # 1-row query-set broadcast
+    },
+    "sim_topk_ivf": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    "text_quality_score": {"shuffle_exchange": 0},
+    "f3_point_in_polygon": {"shuffle_exchange": 0, "ArrowEvalPython": 1},
+}
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_DIGESTS))
+def test_headliner_plan_digest(spark, name):
+    # The cache manager substitutes InMemoryTableScan into any plan whose
+    # subtree matches a cached DataFrame from an earlier test, which would
+    # make digests order-dependent; start each digest from an empty cache.
+    spark.catalog.clearCache()
+    got = plan_digest(_plan(spark, name))
+    want = HEADLINE_DIGESTS[name]
+    assert got == want, (
+        f"{name}: plan shape drifted.\n  pinned: {want}\n  actual: {got}\n"
+        "If the new plan is intentional, re-audit it (explain('formatted')) "
+        "and update HEADLINE_DIGESTS."
+    )
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_DIGESTS))
+def test_headliner_no_row_python_or_cartesian(spark, name):
+    """Hard floors independent of the pins: no row-at-a-time Python eval and
+    no unbroadcast cartesian product in any headliner, ever."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
