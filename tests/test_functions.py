@@ -3,7 +3,9 @@ reference string semantics, text stats edge cases."""
 
 from __future__ import annotations
 
+import json
 import math
+from pathlib import Path
 
 import pytest
 
@@ -105,17 +107,156 @@ def test_fingerprint_matches_python(spark):
 
 
 def test_general_projection_gated(spark):
-    """General-EPSG reprojection is pyproj-gated: clear error without it,
-    working Arrow UDF with it."""
+    """Exotic-EPSG reprojection is pyproj-gated: clear error without it,
+    working Arrow UDF with it. (UTM/3857/4326 pairs no longer hit this
+    path at all — see the tmerc tests below.)"""
     from usgs_lidar_spark.functions.projection import have_pyproj, reproject_udf
 
     if not have_pyproj():
         import pytest as _pytest
 
         with _pytest.raises(NotImplementedError):
-            reproject_udf(4326, 32615)
+            reproject_udf(4326, 2193)  # NZTM — genuinely outside the expr set
     else:
         udf = reproject_udf(4326, 3857)
         df = spark.createDataFrame([(0.0, 0.0)], ["lon", "lat"])
         out = df.select(udf("lon", "lat").alias("p")).collect()[0]["p"]
         assert abs(out["x"]) < 1e-6
+
+
+# --- Transverse Mercator (UTM) expression path -----------------------------
+
+TMERC_GOLDEN = Path(__file__).parent / "fixtures" / "tmerc_golden.json"
+
+
+def _golden_cases():
+    return json.loads(TMERC_GOLDEN.read_text())["cases"]
+
+
+def test_tmerc_matches_independent_snyder_fixtures(spark):
+    """Krüger-series expressions vs committed fixtures generated offline by
+    an INDEPENDENT formulation (Snyder T/C/A/M). Snyder truncates ~1 mm
+    inside a zone, so 5 mm tolerance; a wrong series coefficient would
+    miss by meters."""
+    from usgs_lidar_spark.functions import tmerc
+
+    by_epsg: dict[int, list] = {}
+    for c in _golden_cases():
+        by_epsg.setdefault(c["epsg"], []).append(c)
+    for epsg, cases in by_epsg.items():
+        df = spark.createDataFrame(
+            [(c["lon"], c["lat"], c["easting"], c["northing"]) for c in cases],
+            "lon double, lat double, easting double, northing double",
+        )
+        E, N = tmerc.utm_forward("lon", "lat", epsg)
+        for r in df.select(
+            (E - F.col("easting")).alias("de"), (N - F.col("northing")).alias("dn")
+        ).collect():
+            assert abs(r["de"]) < 5e-3 and abs(r["dn"]) < 5e-3, (epsg, r)
+
+
+def test_tmerc_roundtrip_micrometer(spark):
+    """forward∘inverse is identity to ~µm across the zone, including the
+    south-zone false northing."""
+    from usgs_lidar_spark.functions import tmerc
+
+    pts = [
+        (lon, lat)
+        for lon in (12.0, 13.5, 15.0, 16.5, 18.0)
+        for lat in (-84.0, -45.0, -0.5, 0.0, 20.25, 60.0, 84.0)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for epsg in (32633, 32733):
+        E, N = tmerc.utm_forward("lon", "lat", epsg)
+        lon_rt, lat_rt = tmerc.utm_inverse(E, N, epsg)
+        for r in df.select(
+            (F.col("lon") - lon_rt).alias("dlon"),
+            (F.col("lat") - lat_rt).alias("dlat"),
+        ).collect():
+            # 1e-10 deg ~ 1e-5 m.
+            assert abs(r["dlon"]) < 1e-10 and abs(r["dlat"]) < 1e-10, (epsg, r)
+
+
+def test_tmerc_central_meridian_is_meridian_arc(spark):
+    """At lon = lon0 the northing must equal k0 * meridian arc length — an
+    independent closed-form series (Snyder eq. 3-21) that shares no code
+    with the Krüger path. Also pins E = 500000 exactly there."""
+    from usgs_lidar_spark.functions import tmerc
+
+    a, f = tmerc.A_WGS84, 1 / 298.257223563
+    e2 = f * (2 - f)
+
+    def meridian_arc(lat_deg: float) -> float:
+        phi = math.radians(lat_deg)
+        return a * (
+            (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+            - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * phi)
+            + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+            - (35 * e2**3 / 3072) * math.sin(6 * phi)
+        )
+
+    lats = [-80.0, -33.33, 0.0, 12.5, 45.0, 71.25, 84.0]
+    df = spark.createDataFrame([(lat,) for lat in lats], "lat double")
+    E, N = tmerc.tmerc_forward(F.lit(15.0), F.col("lat"), 15.0)
+    rows = df.select("lat", E.alias("E"), N.alias("N")).collect()
+    for r in rows:
+        assert r["E"] == 500000.0, r
+        assert abs(r["N"] - 0.9996 * meridian_arc(r["lat"])) < 1e-3, r
+
+
+def test_tmerc_stays_in_codegen(spark):
+    """D1 discipline: the whole UTM forward+inverse pipeline is built-in
+    expressions — no Python eval node may appear in the plan."""
+    from usgs_lidar_spark.functions import tmerc
+
+    df = spark.range(100).select(
+        (F.col("id") % 6 + 12).cast("double").alias("lon"),
+        (F.col("id") % 160 - 80).cast("double").alias("lat"),
+    )
+    E, N = tmerc.utm_forward("lon", "lat", 32633)
+    lon_rt, lat_rt = tmerc.utm_inverse(E, N, 32633)
+    plan = df.select(E, N, lon_rt, lat_rt)._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_reproject_cols_dispatch(spark):
+    """The dispatcher covers every {4326, 3857, UTM} pair as expressions and
+    refuses anything else with a pointer to the pyproj UDF."""
+    from usgs_lidar_spark.functions.projection import reproject_cols
+
+    df = spark.createDataFrame([(15.5, 47.25)], "lon double, lat double")
+    # 4326 -> UTM -> 3857 -> 4326 composition closes to the start point.
+    e, n = reproject_cols("lon", "lat", 4326, 32633)
+    mx, my = reproject_cols(e, n, 32633, 3857)
+    lon2, lat2 = reproject_cols(mx, my, 3857, 4326)
+    r = df.select(
+        (F.col("lon") - lon2).alias("dlon"), (F.col("lat") - lat2).alias("dlat")
+    ).collect()[0]
+    assert abs(r["dlon"]) < 1e-9 and abs(r["dlat"]) < 1e-9
+
+    with pytest.raises(NotImplementedError, match="reproject_udf"):
+        reproject_cols("lon", "lat", 4326, 2193)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "usgs_lidar_spark.functions.projection", fromlist=["have_pyproj"]
+    ).have_pyproj(),
+    reason="pyproj not installed in this container",
+)
+def test_tmerc_fixtures_against_pyproj(spark):
+    """With pyproj present, both the golden fixtures and the expression
+    path must agree with pyproj to 5 mm (fixture) / 1e-4 m (expressions)."""
+    import pyproj
+
+    from usgs_lidar_spark.functions import tmerc
+
+    for c in _golden_cases():
+        tr = pyproj.Transformer.from_crs(4326, c["epsg"], always_xy=True)
+        px, py = tr.transform(c["lon"], c["lat"])
+        assert abs(px - c["easting"]) < 5e-3 and abs(py - c["northing"]) < 5e-3, c
+        df = spark.createDataFrame([(c["lon"], c["lat"])], "lon double, lat double")
+        E, N = tmerc.utm_forward("lon", "lat", c["epsg"])
+        r = df.select(E.alias("E"), N.alias("N")).collect()[0]
+        assert abs(r["E"] - px) < 1e-4 and abs(r["N"] - py) < 1e-4, c

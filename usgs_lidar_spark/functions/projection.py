@@ -1,18 +1,70 @@
-"""General EPSG reprojection (beyond the closed-form Web-Mercator pair).
+"""General EPSG reprojection dispatcher.
 
-SURVEY.md §2 M1: arbitrary EPSG pairs need a geodesy library; that is the
-one other place (besides exact point-in-polygon) the engine permits a
-pandas UDF. pyproj is not installed in this container, so the UDF is
-import-gated: `reproject_udf` raises a clear error without pyproj, and the
-closed-form 3857<->4326 path (functions/mercator.py) handles the pair the
-reference actually uses with zero Python.
+SURVEY.md §2 M1: the engine covers the CRS families the reference
+actually touches (/root/reference/scripts/usgs_lidar.py:441-463 —
+4326/3857/UTM via pyproj `to_crs`) with ZERO Python:
+
+* EPSG:4326 <-> EPSG:3857 — closed form (functions/mercator.py);
+* EPSG:4326 <-> EPSG:326xx/327xx (WGS84 UTM) — Krüger-series transverse
+  Mercator as built-in expressions (functions/tmerc.py);
+* EPSG:3857 <-> UTM — composition through 4326, still expression-only.
+
+``reproject_cols`` dispatches among those pairs and returns plain
+Columns, so the common reprojections whole-stage-codegen like any other
+arithmetic. Only CRSs outside these families fall back to the
+import-gated pyproj pandas UDF (`reproject_udf`) — the one other place
+(besides exact point-in-polygon) the engine permits a UDF.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
+from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
+
+from usgs_lidar_spark.functions import mercator, tmerc
+
+
+def _is_utm(epsg: int) -> bool:
+    return 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760
+
+
+def reproject_cols(
+    x: Column | str, y: Column | str, src_epsg: int, dst_epsg: int
+) -> tuple[Column, Column]:
+    """(x', y') Columns reprojecting ``(x, y)`` from src to dst EPSG using
+    built-in expressions only. x/y are lon/lat degrees for 4326, meters
+    otherwise. Raises NotImplementedError for pairs that genuinely need a
+    geodesy library — use `reproject_udf` (pyproj) for those."""
+    if src_epsg == dst_epsg:
+        from pyspark.sql import functions as F
+
+        return (
+            F.col(x) if isinstance(x, str) else x,
+            F.col(y) if isinstance(y, str) else y,
+        )
+    if src_epsg == 4326:
+        if dst_epsg == 3857:
+            return mercator.lon_to_x(x), mercator.lat_to_y(y)
+        if _is_utm(dst_epsg):
+            return tmerc.utm_forward(x, y, dst_epsg)
+    if dst_epsg == 4326:
+        if src_epsg == 3857:
+            return mercator.x_to_lon(x), mercator.y_to_lat(y)
+        if _is_utm(src_epsg):
+            return tmerc.utm_inverse(x, y, src_epsg)
+    if src_epsg == 3857 and _is_utm(dst_epsg):
+        lon, lat = mercator.x_to_lon(x), mercator.y_to_lat(y)
+        return tmerc.utm_forward(lon, lat, dst_epsg)
+    if _is_utm(src_epsg) and dst_epsg == 3857:
+        lon, lat = tmerc.utm_inverse(x, y, src_epsg)
+        return mercator.lon_to_x(lon), mercator.lat_to_y(lat)
+    raise NotImplementedError(
+        f"no expression path for EPSG:{src_epsg}->EPSG:{dst_epsg}; supported "
+        "expression pairs are {4326, 3857, UTM 326xx/327xx}. Use "
+        "reproject_udf (requires pyproj) for other CRSs."
+    )
 
 
 def have_pyproj() -> bool:

@@ -1,0 +1,163 @@
+"""Ellipsoidal transverse Mercator (UTM) as pure column math — no UDF.
+
+Reference parity: the reference reprojects via pyproj `to_crs`
+(/root/reference/scripts/usgs_lidar.py:441-463) and a PDAL reprojection
+stage (pipeline.json:15-20), both of which cover UTM output CRSs. This
+module re-expresses the ellipsoidal transverse Mercator projection with
+the Krüger/Karney series (public: Karney, "Transverse Mercator with an
+accuracy of a few nanometers", J. Geod. 85(8), 2011; the same
+alpha/beta series JHS 154 and proj's `tmerc` use) so UTM forward AND
+inverse compile entirely to built-in JVM expressions:
+
+    conformal latitude -> (xi', eta') -> trig/hyperbolic series -> E, N
+
+Accuracy: series truncated at n^4 (n = third flattening ~1.68e-3 for
+WGS84); truncation error is sub-micrometer within a UTM zone — far below
+the double-precision noise floor of the expression pipeline. Tests pin
+this against an independent numpy implementation of Snyder's T/C/A/M
+formulation and against the closed-form meridian-arc series.
+
+Scale note: like functions/mercator.py, every transform here stays inside
+whole-stage codegen — reprojecting 100 TB of points is a map-only stage
+with zero Python workers and zero shuffles. pyproj (functions/
+projection.py) remains only for exotic CRSs outside {4326, 3857, UTM}.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: WGS84 defining constants.
+A_WGS84 = 6378137.0
+F_WGS84 = 1.0 / 298.257223563
+
+#: Third flattening n = f / (2 - f) and rectifying radius
+#: A = a/(1+n) * (1 + n^2/4 + n^4/64).
+_N = F_WGS84 / (2.0 - F_WGS84)
+_A_BAR = A_WGS84 / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0)
+
+#: 2*sqrt(n)/(1+n) — the conformal-latitude constant (Karney eq. 9).
+_CON = 2.0 * math.sqrt(_N) / (1.0 + _N)
+
+#: Forward series coefficients alpha_j (Karney eq. 35 / JHS 154).
+_ALPHA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 5.0 * _N**3 / 16.0 + 41.0 * _N**4 / 180.0,
+    13.0 * _N**2 / 48.0 - 3.0 * _N**3 / 5.0 + 557.0 * _N**4 / 1440.0,
+    61.0 * _N**3 / 240.0 - 103.0 * _N**4 / 140.0,
+    49561.0 * _N**4 / 161280.0,
+)
+
+#: Inverse series coefficients beta_j (Karney eq. 36).
+_BETA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 37.0 * _N**3 / 96.0 - _N**4 / 360.0,
+    _N**2 / 48.0 + _N**3 / 15.0 - 437.0 * _N**4 / 1440.0,
+    17.0 * _N**3 / 480.0 - 37.0 * _N**4 / 840.0,
+    4397.0 * _N**4 / 161280.0,
+)
+
+#: Conformal->geodetic latitude series delta_j (inverse of the conformal
+#: latitude expansion, same truncation order).
+_DELTA = (
+    2.0 * _N - 2.0 * _N**2 / 3.0 - 2.0 * _N**3 + 116.0 * _N**4 / 45.0,
+    7.0 * _N**2 / 3.0 - 8.0 * _N**3 / 5.0 - 227.0 * _N**4 / 45.0,
+    56.0 * _N**3 / 15.0 - 136.0 * _N**4 / 35.0,
+    4279.0 * _N**4 / 630.0,
+)
+
+#: UTM conventions.
+UTM_K0 = 0.9996
+UTM_FALSE_EASTING = 500000.0
+UTM_FALSE_NORTHING_SOUTH = 10000000.0
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def utm_zone_params(epsg: int) -> tuple[float, float, float, float]:
+    """(lon0_deg, k0, false_easting, false_northing) for EPSG:326xx/327xx.
+
+    32601-32660 are WGS84 / UTM zones 1N-60N; 32701-32760 the south zones.
+    Central meridian of zone z is 6*z - 183 degrees.
+    """
+    if 32601 <= epsg <= 32660:
+        zone, fn = epsg - 32600, 0.0
+    elif 32701 <= epsg <= 32760:
+        zone, fn = epsg - 32700, UTM_FALSE_NORTHING_SOUTH
+    else:
+        raise ValueError(f"EPSG:{epsg} is not a WGS84 UTM code (326xx/327xx)")
+    return float(6 * zone - 183), UTM_K0, UTM_FALSE_EASTING, fn
+
+
+def tmerc_forward(
+    lon: Column | str,
+    lat: Column | str,
+    lon0_deg: float,
+    k0: float = UTM_K0,
+    false_easting: float = UTM_FALSE_EASTING,
+    false_northing: float = 0.0,
+) -> tuple[Column, Column]:
+    """(easting, northing) columns for geodetic lon/lat in degrees.
+
+    Pure built-in expressions (sin/cos/atan2 + Spark's JVM-side
+    sinh/cosh/atanh) — stays in whole-stage codegen.
+    """
+    lat_r = F.radians(_col(lat))
+    dlam = F.radians(_col(lon) - F.lit(lon0_deg))
+    sphi = F.sin(lat_r)
+    # Conformal latitude via tau' = sinh(atanh(sin phi) - con*atanh(con*sin phi)).
+    t = F.sinh(F.atanh(sphi) - F.lit(_CON) * F.atanh(F.lit(_CON) * sphi))
+    xi_p = F.atan2(t, F.cos(dlam))
+    eta_p = F.atanh(F.sin(dlam) / F.sqrt(F.lit(1.0) + t * t))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        tj = F.lit(2.0 * j)
+        xi = xi + F.lit(a) * F.sin(tj * xi_p) * F.cosh(tj * eta_p)
+        eta = eta + F.lit(a) * F.cos(tj * xi_p) * F.sinh(tj * eta_p)
+    scale = F.lit(k0 * _A_BAR)
+    return (
+        F.lit(false_easting) + scale * eta,
+        F.lit(false_northing) + scale * xi,
+    )
+
+
+def tmerc_inverse(
+    easting: Column | str,
+    northing: Column | str,
+    lon0_deg: float,
+    k0: float = UTM_K0,
+    false_easting: float = UTM_FALSE_EASTING,
+    false_northing: float = 0.0,
+) -> tuple[Column, Column]:
+    """(lon_deg, lat_deg) columns for projected easting/northing meters."""
+    scale = F.lit(k0 * _A_BAR)
+    xi = (_col(northing) - F.lit(false_northing)) / scale
+    eta = (_col(easting) - F.lit(false_easting)) / scale
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_BETA, start=1):
+        tj = F.lit(2.0 * j)
+        xi_p = xi_p - F.lit(b) * F.sin(tj * xi) * F.cosh(tj * eta)
+        eta_p = eta_p - F.lit(b) * F.cos(tj * xi) * F.sinh(tj * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    lat = chi
+    for j, d in enumerate(_DELTA, start=1):
+        lat = lat + F.lit(d) * F.sin(F.lit(2.0 * j) * chi)
+    lon = F.lit(lon0_deg) + F.degrees(F.atan2(F.sinh(eta_p), F.cos(xi_p)))
+    return lon, F.degrees(lat)
+
+
+def utm_forward(lon: Column | str, lat: Column | str, epsg: int) -> tuple[Column, Column]:
+    """(easting, northing) for a WGS84 UTM EPSG code (326xx/327xx)."""
+    lon0, k0, fe, fn = utm_zone_params(epsg)
+    return tmerc_forward(lon, lat, lon0, k0, fe, fn)
+
+
+def utm_inverse(
+    easting: Column | str, northing: Column | str, epsg: int
+) -> tuple[Column, Column]:
+    """(lon_deg, lat_deg) for a WGS84 UTM EPSG code (326xx/327xx)."""
+    lon0, k0, fe, fn = utm_zone_params(epsg)
+    return tmerc_inverse(easting, northing, lon0, k0, fe, fn)

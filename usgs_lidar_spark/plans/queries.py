@@ -698,6 +698,94 @@ def m2_grid_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tmerc_oracle_sql() -> str:
+    """DuckDB replay of the Krüger forward series (functions/tmerc.py),
+    with hyperbolics spelled via exp/ln (DuckDB has none built in). The
+    numeric coefficients are repr()'d from the very constants the Spark
+    expressions use, so the two sides compute the same series; cm rounding
+    absorbs libm-vs-JVM ulps."""
+    from usgs_lidar_spark.functions import tmerc as _TM
+
+    con = repr(_TM._CON)
+    a1, a2, a3, a4 = (repr(c) for c in _TM._ALPHA)
+    k0a = repr(_TM.UTM_K0 * _TM._A_BAR)
+
+    def atanh(u: str) -> str:
+        return f"0.5 * ln((1.0 + ({u})) / (1.0 - ({u})))"
+
+    def sinh(v: str) -> str:
+        return f"(exp({v}) - exp(-({v}))) / 2.0"
+
+    def cosh(v: str) -> str:
+        return f"(exp({v}) + exp(-({v}))) / 2.0"
+
+    return f"""
+    WITH geo AS (
+        SELECT c_custkey,
+               12.0 + CAST(c_custkey % 600 AS DOUBLE) / 100.0 AS lon,
+               CAST(c_custkey % 1680 AS DOUBLE) / 10.0 - 84.0 AS lat
+        FROM customer
+    ), s1 AS (
+        SELECT c_custkey, sin(radians(lat)) AS sphi,
+               radians(lon - 15.0) AS dlam
+        FROM geo
+    ), s2 AS (
+        SELECT c_custkey, dlam,
+               {atanh("sphi")} - {con} * {atanh(f"{con} * sphi")} AS q
+        FROM s1
+    ), s3 AS (
+        SELECT c_custkey, dlam, {sinh("q")} AS t FROM s2
+    ), s4 AS (
+        SELECT c_custkey, atan2(t, cos(dlam)) AS xip,
+               sin(dlam) / sqrt(1.0 + t * t) AS w
+        FROM s3
+    ), s5 AS (
+        SELECT c_custkey, xip, {atanh("w")} AS etap FROM s4
+    ), s6 AS (
+        SELECT c_custkey,
+               xip + {a1} * sin(2.0 * xip) * {cosh("2.0 * etap")}
+                   + {a2} * sin(4.0 * xip) * {cosh("4.0 * etap")}
+                   + {a3} * sin(6.0 * xip) * {cosh("6.0 * etap")}
+                   + {a4} * sin(8.0 * xip) * {cosh("8.0 * etap")} AS xi,
+               etap + {a1} * cos(2.0 * xip) * {sinh("2.0 * etap")}
+                    + {a2} * cos(4.0 * xip) * {sinh("4.0 * etap")}
+                    + {a3} * cos(6.0 * xip) * {sinh("6.0 * etap")}
+                    + {a4} * cos(8.0 * xip) * {sinh("8.0 * etap")} AS eta
+        FROM s5
+    )
+    SELECT c_custkey,
+           ROUND(500000.0 + {k0a} * eta, 2) AS easting,
+           ROUND({k0a} * xi, 2) AS northing
+    FROM s6
+    """
+
+
+@query("m3_utm_reproject", oracle=_tmerc_oracle_sql())
+def m3_utm_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: ellipsoidal transverse Mercator (EPSG:4326 -> 32633) as pure
+    column math — the UTM leg of the reference's pyproj `to_crs`
+    (/root/reference/scripts/usgs_lidar.py:441-463) without any UDF.
+    Synthetic lon/lat spans the full zone-33 band (12..18°E, ±84° lat);
+    rounded to cm on both sides. Inverse is pinned at µm by
+    tests/test_functions.py::test_tmerc_roundtrip_micrometer."""
+    from usgs_lidar_spark.functions import tmerc
+
+    c = _t(spark, sf_dir, "customer")
+    geo = c.select(
+        "c_custkey",
+        (F.lit(12.0) + (F.col("c_custkey") % 600).cast("double") / 100.0).alias(
+            "lon"
+        ),
+        ((F.col("c_custkey") % 1680).cast("double") / 10.0 - 84.0).alias("lat"),
+    )
+    E, N = tmerc.utm_forward("lon", "lat", 32633)
+    return geo.select(
+        "c_custkey",
+        F.round(E, 2).alias("easting"),
+        F.round(N, 2).alias("northing"),
+    )
+
+
 # =====================================================================
 # JSON functions (SURVEY.md §2 X1)
 # =====================================================================
