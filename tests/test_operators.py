@@ -82,13 +82,101 @@ def test_asof_equal_ts_inclusive(spark):
 
 
 def test_multimodal_plumbing(spark):
+    from usgs_lidar_spark.multimodal import have_pil
+
     docs = spark.createDataFrame([(1, "hello"), (2, "")], ["doc_id", "text"])
     media = to_media_table(docs, "doc_id", "text")
     assert dict(media.dtypes)["content"] == "binary"
     decoded = {r["media_id"]: r.asDict() for r in fake_decode_image(media).collect()}
     assert decoded[1]["width"] == 5 % 640 + 1 and decoded[1]["channels"] == 3
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+    if not have_pil():
+        with pytest.raises(NotImplementedError):
+            decode_image(media)
+
+
+def _make_png(width: int, height: int) -> bytes:
+    """A fully valid RGBA PNG built with stdlib only (zlib + struct):
+    signature, IHDR, one zlib-compressed IDAT of filter-0 scanlines, IEND.
+    Decodable by any real decoder, so the PIL-gated test reuses it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(4 * width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _media_from_bytes(spark, payloads):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, b) for i, b in enumerate(payloads)], ["media_id", "content"]
+    ).select(
+        F.col("media_id").cast("long"),
+        F.lit("image").alias("media_type"),
+        "content",
+        F.length("content").cast("long").alias("n_bytes"),
+    )
+
+
+def test_probe_image_dims_real_headers(spark):
+    """Header probe parses genuine PNG/JPEG/GIF/BMP byte layouts — no
+    imaging library involved — and flags garbage as (-1,-1,-1)."""
+    import struct
+
+    from usgs_lidar_spark.multimodal import probe_image_dims
+
+    png = _make_png(97, 53)
+    # JPEG: SOI, APP0 (skippable), SOF0 carrying 8-bit 130x240, 3 comps.
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 240, 130) + b"\x03" + bytes(9)
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(4)
+    bmp = (
+        b"BM" + bytes(16)
+        + struct.pack("<ii", 64, -48)  # top-down rows: negative height
+        + bytes(2) + struct.pack("<H", 24) + bytes(8)
+    )
+    media = _media_from_bytes(spark, [png, jpeg, gif, bmp, b"not an image"])
+    got = {r["media_id"]: r.asDict() for r in probe_image_dims(media).collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["channels"]) == (97, 53, 4)
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (130, 240, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (320, 200, 3)
+    assert (got[3]["width"], got[3]["height"], got[3]["channels"]) == (64, 48, 3)
+    assert (got[4]["width"], got[4]["height"], got[4]["channels"]) == (-1, -1, -1)
+
+
+def test_decode_image_pil_gated(spark):
+    """With PIL present, decode_image agrees with the header probe on a
+    real PNG; without it, the gate (exercised above) is the behavior."""
+    from usgs_lidar_spark.multimodal import have_pil, probe_image_dims
+
+    if not have_pil():
+        pytest.skip("PIL not installed in this container")
+    media = _media_from_bytes(spark, [_make_png(31, 17), b"junk"])
+    decoded = {r["media_id"]: r.asDict() for r in decode_image(media).collect()}
+    probed = {r["media_id"]: r.asDict() for r in probe_image_dims(media).collect()}
+    assert decoded[0] == probed[0]
+    assert (decoded[0]["width"], decoded[0]["height"], decoded[0]["channels"]) == (
+        31, 17, 4,
+    )
+    assert decoded[1]["width"] == -1
 
 
 def test_char_shingles_short_doc(spark):
