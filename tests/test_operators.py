@@ -518,8 +518,13 @@ def test_connected_components_deep_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
     )
-    out = connected_components(verts, edges).collect()
+    stats: dict = {}
+    out = connected_components(verts, edges, stats=stats).collect()
     assert all(r["cluster_id"] == 0 for r in out) and len(out) == n
+    # Diagnostics out-param: a 12-path needs ~diameter rounds under
+    # min-label; converged must be reported.
+    assert stats["converged"] and stats["algorithm"] == "minlabel"
+    assert 6 <= stats["rounds"] <= 13
 
 
 def test_connected_components_star_beats_minlabel_on_path(spark):

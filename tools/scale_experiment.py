@@ -1,0 +1,218 @@
+"""Scale experiment for the two heaviest extension operators (SCALE.md):
+dedup_cluster_collapse (MinHash pairs -> connected components) and
+sim_topk_ivf, at 1x (sf0.1) vs 10x (sf1-equivalent, synthesized by
+replication into /tmp — driver testdata is read-only).
+
+Replication is similarity-preserving-per-replica, similarity-breaking
+across replicas:
+  * documents: replica k rotates each doc's token list by 7k positions —
+    vocabulary and length unchanged, but 8-char shingles differ, so
+    near-dup structure (and therefore pair-graph density per node) stays
+    comparable to 1x instead of every doc gaining 9 exact clones;
+  * embeddings: replica k rescales each component by (1 + 1e-4 k) —
+    direction moves ~1e-4 rad, cells keep their population shape.
+
+Each scenario runs in its OWN SparkSession with an event log; total
+shuffle read/write bytes are summed from SparkListenerTaskEnd metrics, so
+the reported volumes cover exactly that scenario's jobs.
+
+Usage: python tools/scale_experiment.py [factor]   (default 10)
+Prints one JSON line per scenario plus a summary table to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+WORK = Path("/tmp/scale_experiment")
+
+
+def make_session(name: str, log_dir: Path) -> SparkSession:
+    log_dir.mkdir(parents=True, exist_ok=True)
+    return (
+        SparkSession.builder.master("local[32]")
+        .appName(name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", log_dir.as_uri())
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def shuffle_bytes(log_dir: Path) -> tuple[int, int]:
+    """(read_bytes, write_bytes) summed over every task in the app log."""
+    rd = wr = 0
+    for f in log_dir.rglob("*"):
+        if f.is_dir() or f.name.startswith(".") or f.suffix == ".crc":
+            continue
+        for line in f.read_text(errors="ignore").splitlines():
+            if '"SparkListenerTaskEnd"' not in line:
+                continue
+            ev = json.loads(line)
+            tm = ev.get("Task Metrics") or {}
+            srm = tm.get("Shuffle Read Metrics") or {}
+            swm = tm.get("Shuffle Write Metrics") or {}
+            rd += srm.get("Remote Bytes Read", 0) + srm.get("Local Bytes Read", 0)
+            wr += swm.get("Shuffle Bytes Written", 0)
+    return rd, wr
+
+
+def build_replicas(factor: int) -> None:
+    docs_out = WORK / f"documents_x{factor}.parquet"
+    emb_out = WORK / f"embeddings_x{factor}.parquet"
+    if docs_out.exists() and emb_out.exists():
+        return
+    spark = make_session("scale-build", WORK / "log_build")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_emb = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    doc_parts, emb_parts = [], []
+    for k in range(factor):
+        if k == 0:
+            doc_parts.append(docs)
+            emb_parts.append(emb)
+            continue
+        rot = k * 7
+        toks = F.split(F.col("text"), " ")
+        n = F.size(toks)
+        # Rotate tokens by `rot` (mod length): breaks shingles across
+        # replicas while preserving length/vocabulary.
+        rotated = F.concat(
+            F.slice(toks, (F.lit(rot) % n) + 1, n), F.slice(toks, 1, F.lit(rot) % n)
+        )
+        doc_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + k * n_docs).withColumn(
+                "text", F.array_join(rotated, " ")
+            )
+        )
+        emb_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + k * n_emb).withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x * (1.0 + 1e-4 * k)),
+            )
+        )
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    d.repartition(32).write.mode("overwrite").parquet(str(docs_out))
+    e.repartition(32).write.mode("overwrite").parquet(str(emb_out))
+    spark.stop()
+
+
+def run_cluster_collapse(docs_path: str, tag: str) -> dict:
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+    from usgs_lidar_spark.operators.graph import collapse_clusters, connected_components
+
+    log_dir = WORK / f"log_cc_{tag}"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    spark = make_session(f"cc-{tag}", log_dir)
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    # Warm the input cache out of the timing (parquet page decode).
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", k=8, num_perm=64, bands=32, threshold=0.6, max_df=20
+    )
+    n_pairs = pairs.count()
+    t_pairs = time.perf_counter() - t0
+    stats: dict = {}
+    t1 = time.perf_counter()
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges, stats=stats
+    )
+    n_clusters = labels.select("cluster_id").distinct().count()
+    t_cc = time.perf_counter() - t1
+    out = collapse_clusters(docs, pairs, id_col="doc_id")
+    n_rows = out.count()
+    spark.stop()
+    rd, wr = shuffle_bytes(log_dir)
+    return {
+        "scenario": f"cluster_collapse_{tag}",
+        "n_docs": n_docs,
+        "n_pairs": n_pairs,
+        "n_clusters": n_clusters,
+        "n_rows": n_rows,
+        "pairs_sec": round(t_pairs, 2),
+        "cc_sec": round(t_cc, 2),
+        "cc_rounds": stats.get("rounds"),
+        "cc_converged": stats.get("converged"),
+        "shuffle_read_mb": round(rd / 1e6, 1),
+        "shuffle_write_mb": round(wr / 1e6, 1),
+    }
+
+
+def run_ivf(emb_path: str, tag: str) -> dict:
+    from usgs_lidar_spark.operators.similarity import ivf_topk
+
+    log_dir = WORK / f"log_ivf_{tag}"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    spark = make_session(f"ivf-{tag}", log_dir)
+    emb = spark.read.parquet(emb_path)
+    n_vec = emb.count()
+    # Fixed quantizer across scales: cells seeded from the original sf0.1
+    # vec_ids so cell geometry is identical and only population grows.
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.perf_counter()
+    out = ivf_topk(
+        emb, queries, cents, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5, n_probe=2,
+    )
+    n_rows = out.count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    rd, wr = shuffle_bytes(log_dir)
+    return {
+        "scenario": f"ivf_topk_{tag}",
+        "n_vectors": n_vec,
+        "n_rows": n_rows,
+        "sec": round(dt, 2),
+        "shuffle_read_mb": round(rd / 1e6, 1),
+        "shuffle_write_mb": round(wr / 1e6, 1),
+    }
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    WORK.mkdir(parents=True, exist_ok=True)
+    build_replicas(factor)
+    results = [
+        run_cluster_collapse(f"{SF_DIR}/documents.parquet", "1x"),
+        run_cluster_collapse(str(WORK / f"documents_x{factor}.parquet"), f"{factor}x"),
+        run_ivf(f"{SF_DIR}/embeddings.parquet", "1x"),
+        run_ivf(str(WORK / f"embeddings_x{factor}.parquet"), f"{factor}x"),
+    ]
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,11 +43,13 @@ class ConvergenceWarning(UserWarning):
 
 def _minlabel_rounds(
     labels: DataFrame, bidir: DataFrame, max_iter: int
-) -> tuple[DataFrame, bool]:
+) -> tuple[DataFrame, bool, int]:
     """Min-label propagation until no label changes. Returns
-    (labels, converged)."""
+    (labels, converged, rounds_run)."""
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = bidir.join(labels, bidir["u"] == labels["id"]).select(
             F.col("v").alias("id"), "label"
         )
@@ -64,12 +66,12 @@ def _minlabel_rounds(
         if changed == 0:
             converged = True
             break
-    return labels, converged
+    return labels, converged, rounds
 
 
 def _star_rounds(
     vertices: DataFrame, bidir: DataFrame, max_iter: int
-) -> tuple[DataFrame, bool]:
+) -> tuple[DataFrame, bool, int]:
     """Alternating large-star/small-star contraction (Kiveris et al. 2014).
 
     State is the parent-pointer forest as an edge list (u, v) meaning
@@ -92,7 +94,9 @@ def _star_rounds(
     # Self-loops carry no information; drop up front.
     edges = bidir.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # ---- large-star: every neighbor v > u attaches to
         #      m = min(N(u) ∪ {u}). Neighborhood min is a WINDOW MIN over
         #      the symmetric edge list — spillable per-key state, never a
@@ -140,7 +144,7 @@ def _star_rounds(
             "id", F.coalesce(F.col("label"), F.col("id")).alias("label")
         )
     )
-    return labels.localCheckpoint(), converged
+    return labels.localCheckpoint(), converged, rounds
 
 
 def connected_components(
@@ -152,6 +156,7 @@ def connected_components(
     max_iter: int = 20,
     algorithm: str = "minlabel",
     on_unconverged: str = "warn",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable through
     `edges` (undirected). Output: (id, cluster_id).
@@ -167,6 +172,10 @@ def connected_components(
     with labels still changing means the output is PARTIALLY propagated
     (wrong cluster ids on the unfinished components), which previously
     returned silently.
+
+    ``stats``: optional dict populated in place with {"rounds", "converged",
+    "algorithm"} — convergence diagnostics for monitoring/experiments
+    without an extra action.
     """
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
@@ -176,13 +185,18 @@ def connected_components(
     bidir = fwd.union(rev).distinct().localCheckpoint()
 
     if algorithm == "minlabel":
-        labels, converged = _minlabel_rounds(labels, bidir, max_iter)
+        labels, converged, rounds = _minlabel_rounds(labels, bidir, max_iter)
     elif algorithm == "star":
-        labels, converged = _star_rounds(
+        labels, converged, rounds = _star_rounds(
             vertices.select(F.col(id_col).alias("id")), bidir, max_iter
         )
     else:
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+
+    if stats is not None:
+        stats.update(
+            {"rounds": rounds, "converged": converged, "algorithm": algorithm}
+        )
 
     if not converged:
         msg = (
