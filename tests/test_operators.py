@@ -656,3 +656,112 @@ def test_recall_at_k_handles_zero_hit_queries(spark):
     got = {r["query_id"]: (r["n_hit"], r["n_exact"], r["recall"])
            for r in recall_at_k(approx, exact).collect()}
     assert got == {0: (1, 2, 0.5), 1: (0, 1, 0.0)}
+
+
+# --- Training-data pipeline operators (operators/pipeline.py) --------------
+
+
+def test_split_by_hash_deterministic_and_complete(spark):
+    """Every row gets exactly one split; fractions land near the weights;
+    assignment is a pure function of the id (repartitioning changes
+    nothing — the property randomSplit lacks)."""
+    from usgs_lidar_spark.operators.pipeline import split_by_hash
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    out = split_by_hash(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 20000
+    assert abs(counts["train"] / 20000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.05) < 0.01
+    again = split_by_hash(df.repartition(13), "doc_id")
+    assert (
+        out.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_by_hash(df, "doc_id", weights={"a": 0.5, "b": 0.4})
+
+
+def test_split_and_sample_are_map_only(spark):
+    """Split/sample must stay shuffle-free: stateless row-local hashing."""
+    from usgs_lidar_spark.operators.pipeline import sample_stratified, split_by_hash
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    for op in (
+        split_by_hash(df, "doc_id"),
+        sample_stratified(df, "doc_id", 0.25),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_sample_stratified_share_per_stratum(spark):
+    """The kept share approaches the fraction inside EVERY stratum, and a
+    different seed yields a different (but equally sized-ish) sample."""
+    from usgs_lidar_spark.operators.pipeline import sample_stratified
+
+    df = spark.range(30000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("stratum")
+    )
+    kept = sample_stratified(df, "doc_id", 0.2)
+    shares = {
+        r["stratum"]: r["n"] / 10000
+        for r in kept.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(abs(s - 0.2) < 0.02 for s in shares.values()), shares
+    other = sample_stratified(df, "doc_id", 0.2, seed=99)
+    assert kept.select("doc_id").exceptAll(other.select("doc_id")).count() > 0
+    with pytest.raises(ValueError, match="fraction"):
+        sample_stratified(df, "doc_id", 1.5)
+
+
+def test_contaminated_docs_flags_overlap(spark):
+    """A corpus doc sharing a long substring with a benchmark doc is
+    flagged with the right shingle counts; an unrelated doc is not."""
+    from usgs_lidar_spark.operators.pipeline import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (2, "completely unrelated words here nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in contaminated_docs(
+            corpus, bench, "text", "doc_id", k=8, max_df=None, min_frac=0.5
+        ).collect()
+    }
+    assert list(got) == [1]
+    assert got[1]["n_hit"] == got[1]["n_shingles"] and got[1]["hit_frac"] == 1.0
+
+
+def test_pack_sequences_offsets_and_splits(spark):
+    """Hand-checked packing: budget 10, docs of 4/5/3/9/0 tokens in id
+    order -> starts 0,4,9,12,21; doc 3 (5 tokens, start 9) straddles the
+    first boundary; the 0-token doc packs without splitting."""
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    rows = [(1, 4), (2, 5), (3, 3), (4, 9), (5, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(df, "doc_id", "toks", budget=10).collect()
+    }
+    assert [out[i]["token_start"] for i in (1, 2, 3, 4, 5)] == [0, 4, 9, 12, 21]
+    assert [out[i]["pack_id"] for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 1, 2]
+    assert [out[i]["split_across"] for i in (1, 2, 3, 4, 5)] == [
+        False, False, True, True, False,
+    ]
+    assert out[4]["pack_offset"] == 2
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "toks", budget=0)

@@ -1,0 +1,180 @@
+"""Training-data pipeline operators: deterministic splits, stratified
+sampling, benchmark-contamination checks, and sequence packing.
+
+These are the corpus-management steps an LLM data pipeline runs between
+dedup and tokenization. All four are pure DataFrame compositions — no
+UDFs, no collects — and each is oracle-checked in plans/queries.py.
+
+Scale notes (100 TB):
+  * split/sample are stateless row-local hashing — map-only, no shuffle;
+  * contamination is one equi-join keyed by shingle (benchmark side is
+    tiny → AQE broadcasts it) plus bounded aggregates;
+  * packing is one shuffle on the stream key + a running-sum window —
+    state per group is a single counter, spillable, never a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Lehmer / MINSTD multiplier and modulus for the portable hash.
+_LEHMER_A = 48271
+_LEHMER_M = 2147483647  # 2^31 - 1 (prime)
+
+#: Bucket resolution for split fractions (1 bucket = 0.01%).
+N_BUCKETS = 10000
+
+
+def portable_hash_bucket(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from an integer id.
+
+    Two Lehmer rounds (x -> a*x mod 2^31-1, a=48271 — the MINSTD
+    generator): portable to ANY SQL engine with 64-bit integers (the
+    intermediate product is < 2^47, no overflow anywhere), so the same
+    row lands in the same split in Spark, DuckDB, or a warehouse —
+    reproducibility across engines is the point of a split column.
+    Spark's xxhash64 would have better avalanche but exists nowhere else.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    x = (c.cast("long") + F.lit(1 + seed)) % F.lit(_LEHMER_M)
+    for _ in range(2):
+        x = (x * F.lit(_LEHMER_A)) % F.lit(_LEHMER_M)
+    return x % F.lit(N_BUCKETS)
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by deterministic id-hash.
+
+    ``weights`` maps split name -> fraction (must sum to ~1); assignment
+    is stable under any repartitioning/insertion order because it depends
+    only on the id — the property `df.randomSplit` does NOT have across
+    reruns or engines. Map-only: no shuffle at any scale.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = portable_hash_bucket(id_col, seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * N_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic ~`fraction` sample: keep rows whose hash bucket falls
+    below fraction*N_BUCKETS. Stratification is free — the rule depends
+    only on the id, so within ANY stratum the kept share tends to
+    `fraction` and membership is reproducible (unlike df.sample)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(
+        portable_hash_bucket(id_col, seed) < int(round(fraction * N_BUCKETS))
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int | None = 20,
+    min_frac: float = 0.2,
+) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents sharing too
+    many character k-shingles with any benchmark/eval document.
+
+    Output: (id, n_shingles, n_hit, hit_frac) for every corpus doc with
+    at least one shared shingle and hit_frac >= min_frac.
+
+    Pipeline: shingle both sides (df-capped on the corpus side — a
+    stop-shingle shared with a benchmark doc is not contamination
+    evidence), distinct benchmark shingle set, one equi-join keyed by
+    shingle, bounded count aggregates. The benchmark side of a real run
+    is a few thousand eval documents — AQE broadcasts it; nothing here
+    is proportional to corpus x benchmark.
+    """
+    from usgs_lidar_spark.operators.dedup import char_shingles
+
+    c_sh = char_shingles(corpus, text_col, id_col, k=k, max_df=max_df)
+    b_sh = (
+        char_shingles(benchmark, text_col, id_col, k=k, max_df=None)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        c_sh.join(b_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.join(sizes, id_col)
+        .withColumn(
+            "hit_frac", F.col("n_hit").cast("double") / F.col("n_shingles")
+        )
+        .filter(F.col("hit_frac") >= F.lit(min_frac))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column | str,
+    budget: int,
+    stream_col: str | None = None,
+) -> DataFrame:
+    """Streaming sequence packing: concatenate documents (in deterministic
+    id order, per stream) into fixed token-budget packs, GPT-pretraining
+    style — a document whose tokens straddle a pack boundary is split
+    across packs (flagged), nothing is padded or dropped.
+
+    Adds: token_start (offset in the stream), pack_id (the pack where the
+    doc BEGINS: floor(token_start/budget)), pack_offset, split_across.
+
+    One shuffle (on the stream key) + a running-sum window whose state is
+    a single counter per group — spillable, scale-safe. First-fit bin
+    packing would be sequential; boundary-splitting is both the scalable
+    form and what pretraining loaders actually do.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("long")
+    w = (
+        Window.partitionBy(stream_col) if stream_col else Window.partitionBy()
+    ).orderBy(id_col)
+    end = F.sum(toks).over(w)
+    start = end - toks
+    pack = F.floor(start / F.lit(budget)).cast("long")
+    return df.select(
+        "*",
+        toks.alias("n_tokens"),
+        start.alias("token_start"),
+        pack.alias("pack_id"),
+        (start % F.lit(budget)).alias("pack_offset"),
+        (end > (pack + 1) * F.lit(budget)).alias("split_across"),
+    )

@@ -2569,3 +2569,170 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r_mp.unionByName(r_ivf).select(
         "method", "query_id", "n_hit", "n_exact", "recall"
     )
+
+
+# =====================================================================
+# Training-data pipeline ops (north-star extension): splits, sampling,
+# contamination, sequence packing — operators/pipeline.py
+# =====================================================================
+
+#: SQL twin of operators/pipeline.portable_hash_bucket (two Lehmer/MINSTD
+#: rounds; every intermediate < 2^47, so portable BIGINT arithmetic).
+def _LEHMER_BUCKET(id_expr: str, seed: int = 0) -> str:
+    x = f"(({id_expr}) + {1 + seed}) % 2147483647"
+    for _ in range(2):
+        x = f"(({x}) * 48271) % 2147483647"
+    return f"(({x}) % 10000)"
+
+
+@query(
+    "pipe_split_train_val_test",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, {_LEHMER_BUCKET("doc_id")} AS bucket
+        FROM documents
+    ), s AS (
+        SELECT lang,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               doc_id
+        FROM b
+    )
+    SELECT split, lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM s GROUP BY split, lang
+    """,
+)
+def pipe_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by portable id-hash
+    (operators/pipeline.split_by_hash): stable across reruns, engines and
+    repartitioning, unlike randomSplit. Aggregated to (split, lang) counts
+    + an id checksum that pins the exact membership of every split."""
+    from usgs_lidar_spark.operators.pipeline import split_by_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        split_by_hash(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+@query(
+    "pipe_sample_stratified",
+    oracle=f"""
+    SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE {_LEHMER_BUCKET("doc_id", seed=7)} < 1000
+    GROUP BY lang
+    """,
+)
+def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample (operators/pipeline.sample_stratified,
+    seed=7), aggregated per language stratum with an id checksum. The
+    id-hash rule makes membership reproducible and per-stratum share
+    converge to the target fraction with zero shuffles."""
+    from usgs_lidar_spark.operators.pipeline import sample_stratified
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sample_stratified(d, "doc_id", fraction=0.1, seed=7)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+@query(
+    "pipe_contamination",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    ), bench AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ), csh0 AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                          i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
+            FROM corpus)
+    ), freq AS (
+        SELECT shingle FROM csh0 GROUP BY shingle HAVING count(*) <= 20
+    ), csh AS (
+        SELECT csh0.doc_id, csh0.shingle FROM csh0 JOIN freq USING (shingle)
+    ), bsh AS (
+        SELECT DISTINCT shingle FROM (
+            SELECT unnest(list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                          i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
+            FROM bench)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id
+    ), hits AS (
+        SELECT csh.doc_id, count(*) AS n_hit
+        FROM csh JOIN bsh USING (shingle) GROUP BY csh.doc_id
+    )
+    SELECT h.doc_id, s.n_shingles, h.n_hit,
+           CAST(h.n_hit AS DOUBLE) / s.n_shingles AS hit_frac
+    FROM hits h JOIN sizes s USING (doc_id)
+    WHERE CAST(h.n_hit AS DOUBLE) / s.n_shingles >= 0.2
+    """,
+)
+def pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (operators/pipeline.contaminated_docs):
+    every 97th document plays the held-out eval set; corpus documents
+    sharing >=20% of their df-capped char-8 shingles with it are flagged.
+    One shingle equi-join (tiny benchmark side -> AQE broadcast), bounded
+    aggregates — the decontamination pass of an LLM data pipeline."""
+    from usgs_lidar_spark.operators.pipeline import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_docs(
+        corpus, bench, "text", "doc_id", k=8, max_df=20, min_frac=0.2
+    ).select("doc_id", "n_shingles", "n_hit", "hit_frac")
+
+
+@query(
+    "pipe_pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_start,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS token_end
+        FROM toks
+        WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT doc_id, lang, n_tokens, token_start,
+           CAST(floor(token_start / 2048.0) AS BIGINT) AS pack_id,
+           token_start % 2048 AS pack_offset,
+           token_end > (floor(token_start / 2048.0) + 1) * 2048 AS split_across
+    FROM packed
+    """,
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing (operators/pipeline.pack_sequences):
+    per-language document streams concatenated into 2048-token packs,
+    boundary-straddling docs flagged split_across — the pretraining
+    loader's packing pass as one window over one shuffle."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return pack_sequences(
+        d, "doc_id", token_count("text"), budget=2048, stream_col="lang"
+    ).select(
+        "doc_id", "lang", "n_tokens", "token_start", "pack_id",
+        "pack_offset", "split_across",
+    )
