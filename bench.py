@@ -57,6 +57,11 @@ HEADLINE = [
     "sim_topk_ivf",
     "text_quality_score",
     "f3_point_in_polygon",
+    # round 4 additions: expression-only reprojection, the contamination
+    # shingle join, and the packing window.
+    "m3_utm_reproject",
+    "pipe_contamination",
+    "pipe_pack_sequences",
 ]
 
 

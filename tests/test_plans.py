@@ -152,6 +152,15 @@ HEADLINE_DIGESTS = {
     },
     "text_quality_score": {"shuffle_exchange": 0},
     "f3_point_in_polygon": {"shuffle_exchange": 0, "ArrowEvalPython": 1},
+    # Round-4 headliners. m3's zero shuffles IS the claim: the whole
+    # Krüger series runs in one codegen map stage.
+    "m3_utm_reproject": {"shuffle_exchange": 0},
+    "pipe_contamination": {
+        "shuffle_exchange": 7,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
+    },
+    "pipe_pack_sequences": {"shuffle_exchange": 1},
 }
 
 
