@@ -765,3 +765,77 @@ def test_pack_sequences_offsets_and_splits(spark):
     assert out[4]["pack_offset"] == 2
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", "toks", budget=0)
+
+
+# --- Product quantization (operators/similarity.py) ------------------------
+
+
+def test_pq_encode_seed_identity_and_no_shuffle(spark):
+    """Each codebook seed vector encodes to its own code in every
+    subspace (its distance to itself is 0), and the encode plan is a pure
+    map stage — the corpus never shuffles."""
+    from usgs_lidar_spark.operators.similarity import (
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cbs = pq_codebooks_from_rows(seeds, n_sub=4)
+    enc = pq_encode(emb, cbs)
+    got = {
+        r["vec_id"]: r["pq_codes"]
+        for r in enc.filter(F.col("vec_id") < 8).collect()
+    }
+    for vid in range(8):
+        assert got[vid] == [vid] * 4, (vid, got[vid])
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks_from_rows(seeds, n_sub=5)
+    with pytest.raises(ValueError, match="seed"):
+        pq_codebooks_from_rows([], n_sub=4)
+
+
+def test_pq_adc_hand_checked(spark):
+    """dim=4, n_sub=2, 2 codes per subspace from seeds (0,0,0,0) and
+    (2,2,4,4). Corpus vec 10=(0,0,4,4) encodes to [0,1]; query (0,0,4,4)
+    has LUT distances 0 to both halves -> ADC(10)=0; vec 11=(2,2,0,0)
+    encodes to [1,0] with ADC = (0-2)^2*2 + (4-0)^2*2 = 40."""
+    from usgs_lidar_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [2.0, 2.0, 4.0, 4.0]),
+            (10, [0.0, 0.0, 4.0, 4.0]),
+            (11, [2.0, 2.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = [[0.0, 0.0, 0.0, 0.0], [2.0, 2.0, 4.0, 4.0]]
+    cbs = pq_codebooks_from_rows(seeds, n_sub=2)
+    codes = {
+        r["vec_id"]: r["pq_codes"] for r in pq_encode(corpus, cbs).collect()
+    }
+    assert codes == {0: [0, 0], 1: [1, 1], 10: [0, 1], 11: [1, 0]}
+
+    q = spark.createDataFrame(
+        [(99, [0.0, 0.0, 4.0, 4.0])], "query_id long, embedding array<double>"
+    )
+    out = {
+        r["neighbor_id"]: r.asDict()
+        for r in pq_adc_topk(corpus, q, cbs, k=4).collect()
+    }
+    assert out[10]["adc_dist"] == 0.0 and out[10]["rank"] == 1
+    assert out[0]["adc_dist"] == 32.0   # second half: 4^2 * 2
+    assert out[1]["adc_dist"] == 8.0    # first half: 2^2 * 2
+    assert out[11]["adc_dist"] == 40.0

@@ -441,3 +441,152 @@ def recall_at_k(
             / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------
+
+def pq_codebooks_from_rows(
+    vectors: list[list[float]], n_sub: int
+) -> list[list[tuple[int, list[float]]]]:
+    """Build per-subspace codebooks from seed vectors: subspace j's codes
+    are the j-th slices of the seeds (code id = seed position). The same
+    deterministic-quantizer trick as the IVF queries — reproducible in
+    ANSI SQL, swap in k-means sub-codebooks for production recall."""
+    if not vectors:
+        raise ValueError("need at least one seed vector")
+    dim = len(vectors[0])
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    return [
+        [(c, v[j * sub : (j + 1) * sub]) for c, v in enumerate(vectors)]
+        for j in range(n_sub)
+    ]
+
+
+def _sq_dist(a, b) -> F.Column:
+    """Rounded squared L2 distance between two array columns (4 decimals:
+    collapses libm ulps so argmin/sums hash-match any engine)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors to per-subspace code ids (array<int>): for each
+    subspace, argmin of squared L2 distance to the sub-codebook, ties to
+    the lower code id.
+
+    Expression-only and map-side: each subspace's argmin is an array_min
+    over a (dist, code) struct array built from literal code vectors — no
+    shuffle, no UDF, corpus never moves. 64 floats become n_sub bytes'
+    worth of codes: the 100 TB memory story of IVF-PQ."""
+    sub = len(codebooks[0][0][1])
+    argmins = []
+    for j, cb in enumerate(codebooks):
+        slice_j = F.slice(F.col(vec_col), j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_dist(
+                        slice_j, F.array(*[F.lit(float(x)) for x in cvec])
+                    ).alias("d"),
+                    F.lit(int(c)).alias("c"),
+                )
+                for c, cvec in cb
+            ]
+        )
+        argmins.append(F.array_min(cands)["c"])
+    return df.withColumn(codes_col, F.array(*argmins))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per-query lookup tables
+    (query-slice -> each code's squared distance) replace all full-vector
+    arithmetic on the corpus side.
+
+    Plan: encode corpus (map-side), posexplode codes to (id, j, code);
+    LUT = queries x codebook entries (tiny: nq * n_sub * n_codes rows,
+    broadcast); equi-join on (j, code); partial-aggregated sum keyed by
+    (query, id); window top-k. The corpus-side shuffle carries code ids
+    and scaled-long partial sums only — never vectors. Distances sum as
+    scaled BIGINTs (each term carries 4 decimals) so the total is
+    partition-order-independent and oracle-exact.
+    """
+    spark = corpus.sparkSession
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    cb_rows = [
+        (j, int(c), [float(x) for x in cvec])
+        for j, cb in enumerate(codebooks)
+        for c, cvec in cb
+    ]
+    cb_df = spark.createDataFrame(
+        cb_rows, "j int, code int, cvec array<double>"
+    )
+    lut = (
+        queries.crossJoin(F.broadcast(cb_df))
+        .select(
+            F.col(query_id_col),
+            "j",
+            "code",
+            F.round(
+                _sq_dist(
+                    F.slice(F.col(vec_col), F.col("j") * sub + 1, sub), F.col("cvec")
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("d_scaled"),
+        )
+    )
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("pq_codes").alias("j", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("d_scaled").alias("adc_scaled"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_scaled").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            (F.col("adc_scaled") / 10000.0).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -2736,3 +2736,81 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "token_start", "pack_id",
         "pack_offset", "split_across",
     )
+
+
+# =====================================================================
+# Product quantization (north-star extension): compressed-domain ANN
+# =====================================================================
+
+def _sqd4(a: str, b: str) -> str:
+    """DuckDB rounded squared-L2 expression between two list operands."""
+    return f"""ROUND(
+          list_sum(list_transform(list_zip({a}, {b}),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 4)"""
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH js AS (
+        SELECT CAST(unnest(range(4)) AS INTEGER) AS j
+    ), cb AS (
+        SELECT js.j, CAST(s.vec_id AS INTEGER) AS code,
+               list_slice(s.embedding, js.j * 16 + 1, (js.j + 1) * 16) AS cvec
+        FROM embeddings s CROSS JOIN js WHERE s.vec_id < 8
+    ), enc AS (
+        SELECT vec_id AS neighbor_id, j, code FROM (
+            SELECT e.vec_id, cb.j, cb.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, cb.j
+                       ORDER BY {_sqd4("list_slice(e.embedding, cb.j * 16 + 1, (cb.j + 1) * 16)", "cb.cvec")} ASC,
+                                cb.code ASC) AS rn
+            FROM embeddings e CROSS JOIN cb)
+        WHERE rn = 1
+    ), lut AS (
+        SELECT q.vec_id AS query_id, cb.j, cb.code,
+               CAST(ROUND({_sqd4("list_slice(q.embedding, cb.j * 16 + 1, (cb.j + 1) * 16)", "cb.cvec")} * 10000) AS BIGINT)
+                   AS d_scaled
+        FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 5
+    ), scored AS (
+        SELECT l.query_id, e.neighbor_id,
+               CAST(sum(l.d_scaled) AS BIGINT) AS adc_scaled
+        FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
+        WHERE e.neighbor_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_scaled / 10000.0 AS adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_scaled, neighbor_id) AS BIGINT)
+               AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4 subspaces x 16 dims, 8 codes per
+    subspace seeded from the first corpus vectors (deterministic quantizer,
+    same trick as sim_topk_ivf), asymmetric-distance top-5 per query.
+    The corpus is consumed map-side (expression argmin encode, no shuffle
+    of vectors); per-query LUTs broadcast; ADC sums ride scaled BIGINTs so
+    the hash matches the oracle exactly. 64 floats -> 4 bytes per vector:
+    the compressed-domain scan that makes 100 TB of embeddings rankable
+    from memory."""
+    from usgs_lidar_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cbs = pq_codebooks_from_rows(seeds, n_sub=4)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(
+        emb, queries_df, cbs, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5,
+    )
