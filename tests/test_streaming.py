@@ -191,3 +191,74 @@ def test_streaming_late_data_dropped_by_watermark(spark, tmp_path):
     )
     batch_counts = {r["s"]: r["count"] for r in batch.collect()}
     assert batch_counts["2024-01-01 10:00:00"] == 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once delivery: the same event_id delivered in two
+    micro-batches within the watermark must reach the sink exactly once,
+    while distinct events all pass. State is watermark-bounded (the
+    numRowsTotal counter shrinks after the watermark passes old ids)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from usgs_lidar_spark.streaming.events import dedup_events_stream
+
+    def nanos(s: str) -> int:
+        return int(pd.Timestamp(s).value)
+
+    def write(path, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(path, index=False)
+
+    events_dir = tmp_path / "dup_events"
+    events_dir.mkdir()
+    write(
+        events_dir / "a.parquet",
+        [
+            (1, nanos("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+            (2, nanos("2024-01-01 10:01:00"), 1, "click", 1.0, "{}"),
+        ],
+    )
+    # Batch 2: event 1 redelivered (same id, same ts) plus a fresh event.
+    write(
+        events_dir / "b.parquet",
+        [
+            (1, nanos("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+            (3, nanos("2024-01-01 10:02:00"), 1, "click", 1.0, "{}"),
+        ],
+    )
+    now = os.path.getmtime(events_dir / "b.parquet")
+    os.utime(events_dir / "a.parquet", (now - 100, now - 100))
+
+    stream = read_events_stream(spark, str(events_dir), max_files_per_trigger=1)
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM t_dedup").collect()]
+    assert sorted(ids) == [1, 2, 3], ids  # exactly once each
+
+    progresses = [
+        json.loads(p.json) if hasattr(p, "json") else json.loads(p)
+        for p in q.recentProgress
+    ]
+    dropped = sum(
+        so.get("customMetrics", {}).get("numDroppedDuplicateRows", 0)
+        for p in progresses
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1, progresses
+    assert all(
+        so["operatorName"] == "dedupeWithinWatermark"
+        for p in progresses
+        for so in p.get("stateOperators", [])
+    )

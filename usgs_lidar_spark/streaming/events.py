@@ -112,3 +112,23 @@ def run_available_now(stream_df: DataFrame, table_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {table_name}")
+
+
+def dedup_events_stream(
+    events: DataFrame, id_cols: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact deduplication: drop repeated deliveries of the same
+    event within the watermark horizon — the streaming twin of
+    operators/dedup.exact_dedup for at-least-once sources (Kafka
+    redeliveries, retried webhooks).
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``id_cols``; a
+    duplicate arriving within the event-time watermark of the first copy
+    is dropped, and state for an id is evicted once the watermark passes
+    it — so per-key state is BOUNDED by the watermark horizon, the
+    property that keeps an infinite stream's dedup state finite. (Plain
+    dropDuplicates on a stream would keep every id forever.)
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )
