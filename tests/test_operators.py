@@ -839,3 +839,17 @@ def test_pq_adc_hand_checked(spark):
     assert out[0]["adc_dist"] == 32.0   # second half: 4^2 * 2
     assert out[1]["adc_dist"] == 8.0    # first half: 2^2 * 2
     assert out[11]["adc_dist"] == 40.0
+
+
+def test_pq_recall_floor(spark):
+    """The PQ recall metric runs end-to-end: 5 exact neighbors per query,
+    and the compressed search recovers at least one true neighbor overall
+    (the seeded 8-code toy codebook bounds how high recall can be on
+    near-orthogonal synthetic embeddings; the metric exists to measure
+    exactly that)."""
+    from usgs_lidar_spark.plans.queries import QUERIES
+
+    rows = QUERIES["sim_pq_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    assert all(r["n_exact"] == 5 for r in rows)
+    assert sum(r["n_hit"] for r in rows) > 0

@@ -110,3 +110,58 @@ def test_asof_matches_bruteforce(spark, left, right):
         cand = [r["t"] for r in rows if r["k"] == lk and r["t"] <= lt]
         want = max(cand) if cand else None
         assert got[rid] == want, (lk, lt, cand)
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=300),
+)
+@settings(**SET)
+def test_pack_sequences_invariants(spark, toks, budget):
+    """Packing is lossless and gapless on any input: starts chain exactly
+    (start_i = start_{i-1} + n_{i-1}), offsets stay inside the budget,
+    split flags fire iff the doc actually crosses its pack's boundary, and
+    the total token count is preserved."""
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], ["doc_id", "toks"]
+    )
+    rows = sorted(
+        pack_sequences(df, "doc_id", "toks", budget=budget).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    expect_start = 0
+    for r in rows:
+        assert r["token_start"] == expect_start
+        assert 0 <= r["pack_offset"] < budget
+        assert r["pack_id"] == r["token_start"] // budget
+        crosses = r["token_start"] + r["n_tokens"] > (r["pack_id"] + 1) * budget
+        assert r["split_across"] == crosses
+        expect_start += r["n_tokens"]
+    assert expect_start == sum(toks)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=50, unique=True
+    ),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(**SET)
+def test_split_partition_property(spark, ids, seed):
+    """Hash-splitting is a partition of the input (each id in exactly one
+    split) and seed-stable: the same ids under the same seed land in the
+    same split regardless of row order."""
+    from usgs_lidar_spark.operators.pipeline import split_by_hash
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = split_by_hash(df, "doc_id", seed=seed).collect()
+    assert len(out) == len(ids)
+    first = {r["doc_id"]: r["split"] for r in out}
+    again = split_by_hash(
+        spark.createDataFrame([(i,) for i in reversed(ids)], ["doc_id"]),
+        "doc_id",
+        seed=seed,
+    ).collect()
+    assert {r["doc_id"]: r["split"] for r in again} == first

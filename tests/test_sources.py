@@ -146,3 +146,45 @@ def test_zorder_write_prunes(spark, tmp_path):
     a = pts.agg(F.sum("x"), F.sum("y")).collect()[0]
     b = back.agg(F.sum("x"), F.sum("y")).collect()[0]
     assert a == b
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed by the join key into the same bucket count must
+    join with no Exchange on either side, and produce the same rows as the
+    plain shuffled join — the co-located layout write_bucketed promises."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.sources.writers import write_bucketed
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    try:
+        write_bucketed(
+            li, "t_li_bucketed", ("l_orderkey",), n_buckets=8,
+            sort_cols=("l_orderkey",), path=str(tmp_path / "li"),
+        )
+        write_bucketed(
+            orders, "t_ord_bucketed", ("o_orderkey",), n_buckets=8,
+            sort_cols=("o_orderkey",), path=str(tmp_path / "ord"),
+        )
+        bl = spark.table("t_li_bucketed")
+        bo = spark.table("t_ord_bucketed")
+        # hint("merge"): at sf0.001 the dim side is broadcastable, which
+        # would sidestep the layout under test; a real fact-to-fact join
+        # is SMJ, and THAT is what bucketing de-shuffles.
+        joined = bl.hint("merge").join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")

@@ -2814,3 +2814,94 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, cbs, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", k=5,
     )
+
+
+@query(
+    "sim_pq_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < 5
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_cos4("c.embedding", "q.qv")} DESC, c.vec_id)
+                       AS rank
+            FROM embeddings c, q WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ), js AS (
+        SELECT CAST(unnest(range(4)) AS INTEGER) AS j
+    ), cb AS (
+        SELECT js.j, CAST(s.vec_id AS INTEGER) AS code,
+               list_slice(s.embedding, js.j * 16 + 1, (js.j + 1) * 16) AS cvec
+        FROM embeddings s CROSS JOIN js WHERE s.vec_id < 8
+    ), enc AS (
+        SELECT vec_id AS neighbor_id, j, code FROM (
+            SELECT e.vec_id, cb.j, cb.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, cb.j
+                       ORDER BY {_sqd4("list_slice(e.embedding, cb.j * 16 + 1, (cb.j + 1) * 16)", "cb.cvec")} ASC,
+                                cb.code ASC) AS rn
+            FROM embeddings e CROSS JOIN cb)
+        WHERE rn = 1
+    ), lut AS (
+        SELECT q.query_id, cb.j, cb.code,
+               CAST(ROUND({_sqd4("list_slice(q.qv, cb.j * 16 + 1, (cb.j + 1) * 16)", "cb.cvec")} * 10000) AS BIGINT)
+                   AS d_scaled
+        FROM q CROSS JOIN cb
+    ), pq AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT l.query_id, e.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY l.query_id
+                       ORDER BY sum(l.d_scaled), e.neighbor_id) AS rank
+            FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
+            WHERE e.neighbor_id <> l.query_id
+            GROUP BY l.query_id, e.neighbor_id
+        ) WHERE rank <= 5
+    ), nex AS (
+        SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id
+    ), hit AS (
+        SELECT e.query_id, count(*) AS n_hit
+        FROM exact e JOIN pq p
+          ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT nex.query_id,
+           CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(nex.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / nex.n_exact AS recall
+    FROM nex LEFT JOIN hit USING (query_id)
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the product-quantization ADC search against the exact
+    cosine baseline — the accuracy guard for the compressed-domain path
+    (PQ ranks by quantized L2, exact ranks by cosine; on these unit-scale
+    synthetic embeddings the orderings line up well enough for a stable
+    recall signal)."""
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        recall_at_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5,
+    )
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    pq = pq_adc_topk(
+        emb, queries_df, pq_codebooks_from_rows(seeds, n_sub=4),
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id", k=5,
+    )
+    return recall_at_k(pq, exact)
