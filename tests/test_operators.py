@@ -853,3 +853,33 @@ def test_pq_recall_floor(spark):
     assert len(rows) == 5
     assert all(r["n_exact"] == 5 for r in rows)
     assert sum(r["n_hit"] for r in rows) > 0
+
+
+def test_ivf_pq_degrades_to_exhaustive_pq(spark):
+    """Probing every cell makes IVF-PQ candidate-complete: its output must
+    be IDENTICAL to exhaustive pq_adc_topk (same ADC, same ranks)."""
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cents = [(i, v) for i, v in enumerate(seeds)]
+    cbs = pq_codebooks_from_rows(seeds, n_sub=4)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = ivf_pq_topk(emb, q, cents, cbs, k=5, n_probe=8)
+    exhaustive = pq_adc_topk(emb, q, cbs, k=5)
+    assert full.exceptAll(exhaustive).count() == 0
+    assert exhaustive.exceptAll(full).count() == 0
+    # n_probe=2 returns a (possibly different) full top-5 per query too.
+    narrowed = ivf_pq_topk(emb, q, cents, cbs, k=5, n_probe=2)
+    per_q = {r["query_id"]: r["n"] for r in
+             narrowed.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 5 for n in per_q.values())

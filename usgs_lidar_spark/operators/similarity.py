@@ -590,3 +590,88 @@ def pq_adc_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 4,
+    method: str = "auto",
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN composition — the coarse
+    quantizer restricts each query to ~n_probe/n_cells of the corpus, and
+    ranking inside the probed cells runs in the COMPRESSED domain
+    (asymmetric distance over PQ codes), so full vectors are touched
+    exactly once, at encode time.
+
+    Corpus side is entirely map-side (cell assignment + code argmin in
+    the scan stage); query cells and LUTs broadcast; the only shuffle
+    carries (query, neighbor, scaled-long partial sums). With n_probe =
+    n_cells this degrades gracefully to exhaustive pq_adc_topk (pinned by
+    test)."""
+    spark = corpus.sparkSession
+    sub = len(codebooks[0][0][1])
+    enc = pq_encode(
+        ivf_assign(corpus, centroids, vec_col, round_digits, method),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    exploded = enc.select(
+        F.col(id_col).alias("neighbor_id"),
+        "__cid",
+        F.posexplode("pq_codes").alias("j", "code"),
+    )
+    qdf, sims, _qtmp = _with_centroid_sims(
+        queries, centroids, vec_col, round_digits, method
+    )
+    probes = F.slice(F.sort_array(sims, asc=False), 1, n_probe)
+    qcells = qdf.select(
+        F.col(query_id_col), F.explode(probes).alias("__p")
+    ).select(query_id_col, (-F.col("__p.negcid")).alias("__cid"))
+    cb_rows = [
+        (j, int(c), [float(x) for x in cvec])
+        for j, cb in enumerate(codebooks)
+        for c, cvec in cb
+    ]
+    cb_df = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
+    lut = queries.crossJoin(F.broadcast(cb_df)).select(
+        F.col(query_id_col),
+        "j",
+        "code",
+        F.round(
+            _sq_dist(
+                F.slice(F.col(vec_col), F.col("j") * sub + 1, sub), F.col("cvec")
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("d_scaled"),
+    )
+    scored = (
+        exploded.join(F.broadcast(qcells), "__cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .join(F.broadcast(lut), [query_id_col, "j", "code"])
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("d_scaled").alias("adc_scaled"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_scaled").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            (F.col("adc_scaled") / 10000.0).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

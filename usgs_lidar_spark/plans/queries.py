@@ -2905,3 +2905,90 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="embedding", query_id_col="query_id", k=5,
     )
     return recall_at_k(pq, exact)
+
+
+@query(
+    "sim_topk_ivf_pq",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim WHERE vec_id < 5) WHERE rn <= 2
+    ), js AS (
+        SELECT CAST(unnest(range(4)) AS INTEGER) AS j
+    ), cb AS (
+        SELECT js.j, CAST(s.vec_id AS INTEGER) AS code,
+               list_slice(s.embedding, js.j * 16 + 1, (js.j + 1) * 16) AS cvec
+        FROM embeddings s CROSS JOIN js WHERE s.vec_id < 8
+    ), enc AS (
+        SELECT vec_id AS neighbor_id, j, code FROM (
+            SELECT e.vec_id, cb.j, cb.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, cb.j
+                       ORDER BY {_sqd4("list_slice(e.embedding, cb.j * 16 + 1, (cb.j + 1) * 16)", "cb.cvec")} ASC,
+                                cb.code ASC) AS rn
+            FROM embeddings e CROSS JOIN cb)
+        WHERE rn = 1
+    ), lut AS (
+        SELECT q.vec_id AS query_id, cb.j, cb.code,
+               CAST(ROUND({_sqd4("list_slice(q.embedding, cb.j * 16 + 1, (cb.j + 1) * 16)", "cb.cvec")} * 10000) AS BIGINT)
+                   AS d_scaled
+        FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 5
+    ), cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM assigned a JOIN probes p ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    ), scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(sum(l.d_scaled) AS BIGINT) AS adc_scaled
+        FROM cand c
+        JOIN enc e ON e.neighbor_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id AND l.j = e.j AND l.code = e.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_scaled / 10000.0 AS adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_scaled, neighbor_id) AS BIGINT)
+               AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: the coarse quantizer (8 cells, n_probe=2 — same seeded
+    construction as sim_topk_ivf) restricts candidates, and ranking inside
+    the probed cells runs in the compressed domain (PQ asymmetric
+    distance, same codebooks as sim_pq_adc_topk). Full vectors are read
+    exactly once, at encode time; the canonical billion-scale layout."""
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks_from_rows,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cents = [(i, v) for i, v in enumerate(seeds)]
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(
+        emb, queries_df, cents, pq_codebooks_from_rows(seeds, n_sub=4),
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+        k=5, n_probe=2,
+    )
