@@ -883,3 +883,54 @@ def test_ivf_pq_degrades_to_exhaustive_pq(spark):
     per_q = {r["query_id"]: r["n"] for r in
              narrowed.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(n == 5 for n in per_q.values())
+
+
+# --- D8 flow accumulation (operators/terrain.py) ---------------------------
+
+
+def test_flow_accumulation_ramp_and_valley(spark):
+    """Hand-checked drainage: a 5-cell descending ramp accumulates 1..5;
+    a V-valley drains every cell into the outlet (acc = 9), with the
+    mid-channel cell collecting its three upslope cells (acc = 4)."""
+    from usgs_lidar_spark.operators.terrain import flow_accumulation
+
+    ramp = spark.createDataFrame(
+        [(i, 0, float(10 - i)) for i in range(5)], ["ix", "iy", "cz"]
+    )
+    stats: dict = {}
+    acc = {
+        (r["ix"], r["iy"]): r["acc"]
+        for r in flow_accumulation(ramp, stats=stats).collect()
+    }
+    assert [acc[(i, 0)] for i in range(5)] == [1, 2, 3, 4, 5]
+    assert stats["converged"] and stats["rounds"] == 5
+
+    valley = spark.createDataFrame(
+        [
+            (x, y, abs(x) * 2.0 + (2 - y) * 1.0)
+            for y in range(3)
+            for x in (-1, 0, 1)
+        ],
+        ["ix", "iy", "cz"],
+    )
+    vacc = {
+        (r["ix"], r["iy"]): r["acc"] for r in flow_accumulation(valley).collect()
+    }
+    assert vacc[(0, 2)] == 9  # the outlet drains everything
+    assert vacc[(0, 1)] == 4  # channel cell: itself + three upslope cells
+    assert vacc[(-1, 0)] == 1  # ridge cells have no inflow
+
+
+def test_flow_accumulation_unconverged_guard(spark):
+    """A path longer than max_iter must warn (default) or raise — partial
+    accumulation is never returned silently."""
+    from usgs_lidar_spark.operators.graph import ConvergenceWarning
+    from usgs_lidar_spark.operators.terrain import flow_accumulation
+
+    ramp = spark.createDataFrame(
+        [(i, 0, float(20 - i)) for i in range(8)], ["ix", "iy", "cz"]
+    )
+    with pytest.warns(ConvergenceWarning):
+        flow_accumulation(ramp, max_iter=3).collect()
+    with pytest.raises(RuntimeError, match="max_iter"):
+        flow_accumulation(ramp, max_iter=3, on_unconverged="raise")

@@ -127,3 +127,132 @@ def twi_grid(
         contrib.alias("contrib"),
         twi.alias("twi"),
     )
+
+
+#: Non-center stencil offsets in deterministic preference order (ties in
+#: steepest drop resolve to the LOWEST index — mirrored by the oracle SQL).
+D8_OFFSETS = [(dx, dy) for dx, dy in OFFSETS if (dx, dy) != (0, 0)]
+
+_SQRT2 = 1.4142135623730951
+
+
+def d8_flow_directions(
+    cells: DataFrame,
+    ix: str = "ix",
+    iy: str = "iy",
+    val: str = "cz",
+    cell_size: float = 1.0,
+) -> DataFrame:
+    """D8 flow routing: each cell drains to its steepest-descent neighbor
+    (drop = (z - z_n)/dist, diagonal dist = cell_size*sqrt(2)); pits and
+    flats (no strictly lower neighbor) emit no edge. Output:
+    (ix, iy, tix, tiy) — one edge per draining cell.
+
+    Deterministic: drops are rounded (9 dp) and ties resolve by stencil
+    preference order, so the flow graph is bit-stable across engines and
+    partitionings. Same neighbor-offer plan shape as the other stencil
+    ops: no non-equi join anywhere."""
+    p = neighbor_pivot(cells, ix, iy, val)
+    cands = []
+    for idx, (dx, dy) in enumerate(D8_OFFSETS):
+        dist = cell_size * (_SQRT2 if dx != 0 and dy != 0 else 1.0)
+        slot = F.col(_slot(dx, dy))
+        cands.append(
+            F.when(
+                slot.isNotNull(),
+                F.struct(
+                    F.round((F.col("v_00") - slot) / F.lit(dist), 9).alias(
+                        "drop"
+                    ),
+                    F.lit(-idx).alias("tb"),
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                ),
+            )
+        )
+    best = F.array_max(F.array(*cands))  # max drop, then lowest index
+    return (
+        p.withColumn("__best", best)
+        .filter(F.col("__best.drop") > 0)
+        .select(
+            ix,
+            iy,
+            (F.col(ix) + F.col("__best.dx")).alias("tix"),
+            (F.col(iy) + F.col("__best.dy")).alias("tiy"),
+        )
+    )
+
+
+def flow_accumulation(
+    cells: DataFrame,
+    ix: str = "ix",
+    iy: str = "iy",
+    val: str = "cz",
+    cell_size: float = 1.0,
+    max_iter: int = 64,
+    on_unconverged: str = "warn",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Iterative D8 flow accumulation — the full upstream-area computation
+    the one-hop TWI proxy approximates. acc(c) = 1 + sum of acc over all
+    cells draining into c; computed by fixpoint iteration
+    acc_{k+1} = 1 + inflow(acc_k), which stabilizes once k reaches the
+    longest flow-path length (the flow graph is a forest — each cell has
+    at most one outflow — so the iteration is exact, not approximate).
+
+    Scale shape per round: one equi-shuffle of (edge, acc) keyed by the
+    receiving cell + a scalar-only convergence count (the same discipline
+    as operators/graph connected components; per-round localCheckpoint
+    truncates lineage). Rounds track the longest drainage path — fine for
+    voxel-tile DEMs; continental river networks would want the
+    pointer-doubling rewrite (graph.py's star pattern applied to paths).
+
+    Output: (ix, iy, acc) for every input cell."""
+    import warnings
+
+    from usgs_lidar_spark.operators.graph import ConvergenceWarning
+
+    edges = d8_flow_directions(cells, ix, iy, val, cell_size).localCheckpoint()
+    base = cells.select(ix, iy).localCheckpoint()
+    acc = base.withColumn("acc", F.lit(1).cast("long"))
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        inflow = (
+            edges.join(acc, [ix, iy])
+            .groupBy(F.col("tix").alias(ix), F.col("tiy").alias(iy))
+            .agg(F.sum("acc").alias("__in"))
+        )
+        new_acc = (
+            base.join(inflow, [ix, iy], "left")
+            .select(
+                ix,
+                iy,
+                (F.lit(1) + F.coalesce(F.col("__in"), F.lit(0)))
+                .cast("long")
+                .alias("acc"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_acc.alias("n")
+            .join(acc.alias("o"), [ix, iy])
+            .filter(F.col("n.acc") != F.col("o.acc"))
+            .count()
+        )
+        acc = new_acc
+        if changed == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats.update({"rounds": rounds, "converged": converged})
+    if not converged:
+        msg = (
+            f"flow_accumulation hit max_iter={max_iter} before converging — "
+            "accumulation values on the longest paths are partial"
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, ConvergenceWarning, stacklevel=2)
+    return acc

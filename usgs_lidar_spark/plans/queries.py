@@ -2992,3 +2992,56 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="embedding", query_id_col="query_id",
         k=5, n_probe=2,
     )
+
+
+def _flow_oracle() -> str:
+    """Recursive-CTE replay of D8 flow accumulation: edges = steepest
+    rounded drop (ties by stencil preference index, exactly the struct-max
+    order in operators/terrain.d8_flow_directions); acc(c) = number of
+    cells whose flow path reaches c (including itself)."""
+    from usgs_lidar_spark.operators.terrain import D8_OFFSETS
+
+    cands = []
+    for idx, (dx, dy) in enumerate(D8_OFFSETS):
+        s = _slot_name(dx, dy)
+        dist = 1.4142135623730951 if dx != 0 and dy != 0 else 1.0
+        cands.append(
+            f"SELECT ix, iy, {dx} AS dx, {dy} AS dy, {idx} AS idx,\n"
+            f"       ROUND((v_00 - {s}) / {dist!r}, 9) AS drp\n"
+            f"FROM realc WHERE {s} IS NOT NULL"
+        )
+    cand_union = "\n        UNION ALL\n        ".join(cands)
+    return f"""
+    WITH RECURSIVE {_grid_cte()},
+    cand AS (
+        {cand_union}
+    ), edges AS (
+        SELECT ix, iy, ix + dx AS tix, iy + dy AS tiy FROM (
+            SELECT ix, iy, dx, dy, drp,
+                   row_number() OVER (PARTITION BY ix, iy
+                                      ORDER BY drp DESC, idx ASC) AS rn
+            FROM cand) WHERE rn = 1 AND drp > 0
+    ), walk(sx, sy, cx, cy) AS (
+        SELECT ix, iy, ix, iy FROM cells
+        UNION
+        SELECT w.sx, w.sy, e.tix, e.tiy
+        FROM walk w JOIN edges e ON e.ix = w.cx AND e.iy = w.cy
+    )
+    SELECT cx AS ix, cy AS iy, count(*) AS acc
+    FROM walk GROUP BY 1, 2
+    """
+
+
+@query("z3_flow_accumulation", oracle=None)
+def z3_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z3: full iterative D8 flow accumulation over the voxel grid — the
+    upstream-area computation the TWI one-hop proxy (z1) approximates,
+    closing SCALE.md's 'iterative flow accumulation' item. Fixpoint
+    rounds = longest drainage path; the oracle replays it as a recursive
+    CTE (reachability count over the flow forest)."""
+    from usgs_lidar_spark.operators.terrain import flow_accumulation
+
+    return flow_accumulation(_price_qty_grid(spark, sf_dir))
+
+
+ORACLE["z3_flow_accumulation"] = _flow_oracle()
