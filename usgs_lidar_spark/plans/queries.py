@@ -3045,3 +3045,97 @@ def z3_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["z3_flow_accumulation"] = _flow_oracle()
+
+
+# =====================================================================
+# Classic star-schema analytics, round 4: q6 / q4-late / q14 shapes
+# =====================================================================
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {DEC_SUM("l_extendedprice * l_discount", 4)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE year(l_shipdate) = 1996
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-pass filtered aggregate, the classic scan-
+    dominated query — predicates push to parquet, one partial+final agg,
+    revenue summed as scaled BIGINTs (price*discount carries 4 decimals)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1996)
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders with at least one
+    late-shipped line — a correlated EXISTS realized as a left-semi hash
+    join on orderkey with the lateness predicate as a join condition
+    (no distinct, no double-count)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT
+        100.0 * ({DEC_SUM("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)})
+              / ({DEC_SUM("l_extendedprice * (1 - l_discount)", 4)}) AS promo_pct,
+        count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1997
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share — broadcast dim join plus
+    a conditional/total aggregate pair; both sums ride scaled BIGINTs so
+    the ratio is bit-deterministic at any partitioning."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return j.agg(
+        (
+            F.lit(100.0) * dec_sum(promo, 4) / dec_sum(disc, 4)
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
