@@ -262,3 +262,68 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for p in progresses
         for so in p.get("stateOperators", [])
     )
+
+
+def test_idempotent_sink_exactly_once(spark, tmp_path):
+    """foreachBatch exactly-once: (a) a two-file replay lands every row
+    exactly once in batch_id partitions; (b) REPLAYING a batch (the
+    at-least-once failure mode) overwrites its directory instead of
+    appending duplicates; (c) restarting the drained stream with the same
+    checkpoint writes nothing new."""
+    import os
+
+    import pandas as pd
+
+    from usgs_lidar_spark.streaming.sink import (
+        idempotent_parquet_writer,
+        run_stream_to_parquet,
+    )
+
+    def nanos(s: str) -> int:
+        return int(pd.Timestamp(s).value)
+
+    def write(path, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(path, index=False)
+
+    events_dir = tmp_path / "sink_events"
+    events_dir.mkdir()
+    write(
+        events_dir / "a.parquet",
+        [
+            (1, nanos("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+            (2, nanos("2024-01-01 10:01:00"), 1, "click", 1.0, "{}"),
+        ],
+    )
+    write(
+        events_dir / "b.parquet",
+        [(3, nanos("2024-01-01 10:02:00"), 2, "view", 2.0, "{}")],
+    )
+    now = os.path.getmtime(events_dir / "b.parquet")
+    os.utime(events_dir / "a.parquet", (now - 100, now - 100))
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    stream = read_events_stream(spark, str(events_dir), max_files_per_trigger=1)
+    run_stream_to_parquet(stream, out, ckpt)
+
+    result = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in result.collect()) == [1, 2, 3]
+    assert result.select("batch_id").distinct().count() == 2
+
+    # (b) simulate the crash-replay of batch 0: same data, same batch id.
+    # localCheckpoint materializes the rows first — the replayed write
+    # overwrites the very files a lazy plan would still be reading.
+    batch0 = result.filter("batch_id = 0").drop("batch_id").localCheckpoint()
+    idempotent_parquet_writer(out)(batch0, 0)
+    again = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in again.collect()) == [1, 2, 3]
+
+    # (c) restart with the same checkpoint: nothing new to process.
+    run_stream_to_parquet(
+        read_events_stream(spark, str(events_dir), max_files_per_trigger=1),
+        out,
+        ckpt,
+    )
+    assert spark.read.parquet(out).count() == 3
