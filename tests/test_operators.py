@@ -934,3 +934,38 @@ def test_flow_accumulation_unconverged_guard(spark):
         flow_accumulation(ramp, max_iter=3).collect()
     with pytest.raises(RuntimeError, match="max_iter"):
         flow_accumulation(ramp, max_iter=3, on_unconverged="raise")
+
+
+def test_asof_salted_equals_unsalted(spark):
+    """The time-bucketed (hot-key) as-of must produce byte-identical
+    results to the plain as-of, including carries across empty buckets
+    and the inner/left distinction."""
+    import random
+
+    from usgs_lidar_spark.operators.asof import asof_join, asof_join_salted
+
+    rng = random.Random(11)
+    base = 1_700_000_000
+    lrows = [
+        (uid, base + rng.randrange(0, 40_000), f"c{n}")
+        for n, uid in enumerate(rng.choices([1, 1, 1, 2], k=60))
+    ]
+    rrows = [
+        (uid, base + rng.randrange(0, 40_000), float(n))
+        for n, uid in enumerate(rng.choices([1, 1, 1, 2], k=25))
+    ]
+    left = spark.createDataFrame(lrows, ["uid", "sec", "tag"]).select(
+        "uid", F.timestamp_seconds("sec").alias("t"), "tag"
+    )
+    right = spark.createDataFrame(rrows, ["uid", "sec", "v"]).select(
+        "uid", F.timestamp_seconds("sec").alias("t"), "v"
+    )
+    for how in ("inner", "left"):
+        plain = asof_join(left, right, ["uid"], "t", ["v"], tie_break="v", how=how)
+        # 1h buckets => ~11 buckets over the 40ks span, some with no right rows.
+        salted = asof_join_salted(
+            left, right, ["uid"], "t", ["v"],
+            bucket_width_seconds=3600, tie_break="v", how=how,
+        )
+        assert salted.exceptAll(plain).count() == 0, how
+        assert plain.exceptAll(salted).count() == 0, how

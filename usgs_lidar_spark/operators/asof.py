@@ -87,3 +87,100 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(f"asof_{ts_col}").isNotNull())
     return out
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    partition_keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    bucket_width_seconds: int,
+    tie_break: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join for HOT partition keys: salt the timeline into
+    ``bucket_width_seconds`` buckets so one key's window sort spreads over
+    many tasks instead of one (the skew.py pattern applied on the ts
+    dimension, as SCALE.md's as-of audit prescribes).
+
+    Two passes, both bounded:
+      1. the union-trick as-of runs partitioned by (keys, bucket) — the
+         big shuffle and the external sort are per-bucket now;
+      2. left rows with no in-bucket match take the carry-in: the last
+         right payload of any PRIOR bucket, computed on per-bucket
+         summaries (max_by over each bucket's right rows, then a running
+         last over the summary rows — one row per (key, bucket), tiny).
+
+    Output and semantics are identical to ``asof_join`` (equivalence is
+    pinned by test); requires a timestamp ``ts_col``.
+    """
+    assert how in ("inner", "left")
+    width_us = int(bucket_width_seconds) * 1_000_000
+    # cast("timestamp") accepts NTZ columns too (the events loader emits
+    # NTZ); with the engine's UTC session the mapping is deterministic,
+    # and any monotonic mapping yields correct buckets.
+    bkt = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / F.lit(width_us)
+    )
+
+    l2 = left.withColumn("__bkt", bkt(ts_col))
+    r2 = right.withColumn("__bkt", bkt(ts_col))
+    keys2 = [*partition_keys, "__bkt"]
+
+    in_bucket = asof_join(
+        l2, r2, keys2, ts_col, payload_cols, tie_break=tie_break, how="left"
+    )
+
+    payload = F.struct(
+        F.col(ts_col).alias(f"asof_{ts_col}"),
+        *[F.col(c).alias(f"asof_{c}") for c in payload_cols],
+    )
+    order = F.struct(
+        F.col(ts_col),
+        (F.col(tie_break) if tie_break else F.lit(0)).alias("__tie"),
+    )
+    summaries = r2.groupBy(*partition_keys, "__bkt").agg(
+        F.max_by(payload, order).alias("__last_payload")
+    )
+    # Left buckets with NO right rows still need a carry row: union a null
+    # marker per distinct left (key, bucket) into the summary timeline.
+    # Markers sort BEFORE the same bucket's summary, so a marker's
+    # running-last sees strictly-prior buckets only (same-bucket right
+    # rows are pass 1's job and may postdate the left rows).
+    ptype = summaries.schema["__last_payload"].dataType
+    markers = (
+        l2.select(*partition_keys, "__bkt")
+        .distinct()
+        .withColumn("__last_payload", F.lit(None).cast(ptype))
+        .withColumn("__is_sum", F.lit(0))
+    )
+    wprior = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(F.col("__bkt").asc(), F.col("__is_sum").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        summaries.withColumn("__is_sum", F.lit(1))
+        .unionByName(markers)
+        .withColumn(
+            "__carry", F.last("__last_payload", ignorenulls=True).over(wprior)
+        )
+        .filter(F.col("__is_sum") == 0)
+        .select(*partition_keys, "__bkt", "__carry")
+    )
+
+    joined = in_bucket.join(carry, keys2, "left")
+    match_ts = F.col(f"asof_{ts_col}")
+    fixed = [
+        F.when(match_ts.isNotNull(), F.col(f"asof_{c}"))
+        .otherwise(F.col(f"__carry.asof_{c}"))
+        .alias(f"asof_{c}")
+        for c in (ts_col, *payload_cols)
+    ]
+    out = joined.select(
+        *[c for c in left.columns], *fixed
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{ts_col}").isNotNull())
+    return out

@@ -3139,3 +3139,51 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "asof_salted_purchase_before_click",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, date_trunc('microseconds', ts) AS ts,
+               user_id, event_type, value
+        FROM events
+    ), c AS (SELECT * FROM e WHERE event_type = 'click'),
+       p AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+           p.value AS asof_value
+    FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_salted_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key (time-bucket-salted) as-of over the same click/purchase
+    semantics as asof_purchase_before_click — one hour buckets, identical
+    oracle, so the skew path carries the same hard signal as the plain
+    path (operators/asof.py::asof_join_salted)."""
+    from usgs_lidar_spark.operators.asof import asof_join_salted
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join_salted(
+        clicks,
+        purchases,
+        partition_keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["value"],
+        bucket_width_seconds=3600,
+        tie_break="event_id",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+        F.col("asof_value"),
+    )
