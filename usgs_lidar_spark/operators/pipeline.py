@@ -178,3 +178,26 @@ def pack_sequences(
         (start % F.lit(budget)).alias("pack_offset"),
         (end > (pack + 1) * F.lit(budget)).alias("split_across"),
     )
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe splits: EVERY row sharing ``group_col`` (a string key —
+    source domain, author, repository) lands in the same split, so near-
+    duplicate documents from one origin can't straddle train and test.
+
+    The group key is reduced to an integer with the engine's rolling-hash
+    fingerprint (functions/textstats.fingerprint — ANSI-SQL-reproducible)
+    and then routed through the same portable Lehmer bucketing as
+    split_by_hash. Still map-only: no shuffle, no group materialization.
+    """
+    from usgs_lidar_spark.functions.textstats import fingerprint
+
+    return split_by_hash(
+        df, fingerprint(group_col), weights=weights, seed=seed, split_col=split_col
+    )

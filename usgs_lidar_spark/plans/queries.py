@@ -3187,3 +3187,53 @@ def asof_salted_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataF
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
         F.col("asof_value"),
     )
+
+
+def _fp_sql(col: str, prefix: int = 64, mod: int = 1000000007) -> str:
+    """DuckDB twin of functions/textstats.fingerprint over any column."""
+    return f"""CASE WHEN length({col}) < 1 THEN CAST(0 AS BIGINT) ELSE
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, least(length({col}), {prefix}) + 1),
+                   i -> CAST(ord(substr({col}, CAST(i AS INTEGER), 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % {mod})
+           END"""
+
+
+@query(
+    "pipe_split_by_source",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               {_LEHMER_BUCKET(_fp_sql("source"))} AS bucket
+        FROM documents
+    ), s AS (
+        SELECT source, doc_id,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT split, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM s GROUP BY split
+    """,
+)
+def pipe_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe group split (operators/pipeline.split_by_group): the
+    whole `source` domain moves together, so origin-correlated near-dups
+    cannot straddle train/test. Aggregated per split with a doc-id
+    checksum pinning exact membership; sources-per-split counts make the
+    grouping visible (each source appears under exactly one split)."""
+    from usgs_lidar_spark.operators.pipeline import split_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        split_by_group(d, "source")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
