@@ -988,3 +988,34 @@ def test_split_by_group_no_leakage(spark):
     assert all(r["n_splits"] == 1 for r in per_group)
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_pq_refinement_reduces_error(spark):
+    """Lloyd sub-codebook refinement must strictly reduce mean quantization
+    error vs the seeded codebooks, and the refined books plug into the
+    same encode/ADC path (full top-5 per query, valid codes)."""
+    from usgs_lidar_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_quantization_error,
+        pq_refine_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cbs0 = pq_codebooks_from_rows(seeds, n_sub=4)
+    err0 = pq_quantization_error(emb, cbs0)
+    cbs1 = pq_refine_codebooks(emb, cbs0, n_iter=3)
+    err1 = pq_quantization_error(emb, cbs1)
+    assert err1 < err0 * 0.9, (err0, err1)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(emb, q, cbs1, k=5)
+    per_q = {r["query_id"]: r["n"] for r in
+             out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 5 for n in per_q.values())

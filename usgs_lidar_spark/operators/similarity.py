@@ -675,3 +675,83 @@ def ivf_pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def pq_refine_codebooks(
+    corpus: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+) -> list[list[tuple[int, list[float]]]]:
+    """Lloyd refinement of the PQ sub-codebooks: per subspace, each code
+    moves to the mean of its assigned subvector slices (n_iter rounds).
+
+    Same discipline as the IVF `kmeans_refine`: the per-round shuffle
+    carries (subspace, code) partial sums — n_sub * n_codes groups, never
+    vectors to the driver beyond the n_sub*n_codes*sub_dim centroid
+    matrix itself (kilobytes). Codes that lose every member keep their
+    previous vector. Deterministic given the input codebooks (assignment
+    ties break on code id).
+
+    Refined codebooks plug into pq_encode/pq_adc_topk/ivf_pq_topk
+    unchanged; they trade the seeded construction's oracle
+    reproducibility for real quantization error (see the improvement
+    test) — production uses this, the oracled queries keep seeds.
+    """
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    cbs = [list(cb) for cb in codebooks]
+    for _ in range(n_iter):
+        enc = pq_encode(corpus, cbs, id_col="__ignored", vec_col=vec_col)
+        per = enc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.col("pq_codes")[j].alias("code"),
+                            F.slice(F.col(vec_col), j * sub + 1, sub).alias("s"),
+                        )
+                        for j in range(n_sub)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.*")
+        means = (
+            per.groupBy("j", "code")
+            .agg(
+                *[
+                    F.avg(F.col("s")[d].cast("double")).alias(f"d{d}")
+                    for d in range(sub)
+                ]
+            )
+            .collect()
+        )
+        updated = {(r["j"], r["code"]): [r[f"d{d}"] for d in range(sub)] for r in means}
+        cbs = [
+            [(c, updated.get((j, c), vec)) for c, vec in cb]
+            for j, cb in enumerate(cbs)
+        ]
+    return cbs
+
+
+def pq_quantization_error(
+    corpus: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean total squared quantization error over the corpus — the
+    quantity Lloyd refinement minimizes; used to validate refinement."""
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    enc = pq_encode(corpus, codebooks, id_col="__ignored", vec_col=vec_col)
+    err = F.lit(0.0)
+    for j, cb in enumerate(codebooks):
+        slice_j = F.slice(F.col(vec_col), j * sub + 1, sub)
+        code_err = None
+        for c, cvec in cb:
+            d = _sq_dist(slice_j, F.array(*[F.lit(float(x)) for x in cvec]))
+            cond = F.col("pq_codes")[j] == c
+            code_err = F.when(cond, d) if code_err is None else code_err.when(cond, d)
+        err = err + code_err
+    return enc.agg(F.avg(err)).collect()[0][0]
