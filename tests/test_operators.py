@@ -1019,3 +1019,28 @@ def test_pq_refinement_reduces_error(spark):
     per_q = {r["query_id"]: r["n"] for r in
              out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(n == 5 for n in per_q.values())
+
+
+def test_multiprobe2_candidates_superset(spark):
+    """Hamming-2 probing can only add candidates over Hamming-1: every
+    neighbor the 1-flip probe ranks with sim above the 2-flip probe's
+    kth sim must still appear — concretely, per query the 2-flip top-k's
+    worst sim is >= the 1-flip top-k's worst sim."""
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_lsh_multiprobe,
+        cosine_topk_lsh_multiprobe2,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    m1 = cosine_topk_lsh_multiprobe(emb, q, k=5)
+    m2 = cosine_topk_lsh_multiprobe2(emb, q, k=5)
+    worst1 = {r["query_id"]: r["w"] for r in
+              m1.groupBy("query_id").agg(F.min("sim").alias("w")).collect()}
+    worst2 = {r["query_id"]: r["w"] for r in
+              m2.groupBy("query_id").agg(F.min("sim").alias("w")).collect()}
+    assert set(worst2) >= set(worst1)
+    for qid, w1 in worst1.items():
+        assert worst2[qid] >= w1, (qid, w1, worst2[qid])

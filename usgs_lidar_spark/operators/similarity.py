@@ -755,3 +755,57 @@ def pq_quantization_error(
             code_err = F.when(cond, d) if code_err is None else code_err.when(cond, d)
         err = err + code_err
     return enc.agg(F.avg(err)).collect()[0][0]
+
+
+def cosine_topk_lsh_multiprobe2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_bits: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hamming-2 multi-probe sign-LSH ANN: probe the home bucket, every
+    1-bit flip, and every 2-bit flip — the next rung of the recall ladder
+    promised in cosine_topk_lsh_multiprobe's docstring.
+
+    Probe count is 1 + n_bits + C(n_bits,2) (37 at n_bits=8), so each
+    query scans ~37/256 of the corpus; the corpus side is still one
+    bucket per vector with the same equi-join, and probes remain pairwise
+    distinct so no dedup step is needed."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits)).withColumn(
+        "__cnorm", norm(vec_col)
+    )
+    home = sign_lsh_bucket(vec_col, n_bits)
+    flips = [0] + [1 << j for j in range(n_bits)] + [
+        (1 << i) | (1 << j)
+        for i in range(n_bits)
+        for j in range(i + 1, n_bits)
+    ]
+    probes = F.array(*[home.bitwiseXOR(F.lit(m).cast("long")) for m in flips])
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probes).alias("__bucket"),
+        norm(vec_col).alias("__qnorm"),
+    )
+    joined = cb.join(F.broadcast(qb), "__bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
+    sim = F.round(raw, round_digits)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )

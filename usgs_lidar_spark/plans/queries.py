@@ -3237,3 +3237,41 @@ def pipe_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         )
     )
+
+
+@query(
+    "sim_topk_lsh_multiprobe2",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_LSH_BUCKET_SQL} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv, bucket
+        FROM base WHERE vec_id < 5
+    ), sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_cos4("c.embedding", "q.qv")} AS sim
+        FROM base c JOIN q ON bit_count(xor(c.bucket, q.bucket)) <= 2
+                          AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= 5
+    """,
+)
+def sim_topk_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-2 multi-probe LSH top-k: the widest rung of the probe
+    ladder (home + 1-bit + 2-bit flip buckets = 37/256 of the corpus per
+    query). The oracle joins on bit_count(xor) <= 2 — exactly the probe
+    set."""
+    from usgs_lidar_spark.operators.similarity import cosine_topk_lsh_multiprobe2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh_multiprobe2(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5, n_bits=8,
+    )
