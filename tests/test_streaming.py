@@ -327,3 +327,80 @@ def test_idempotent_sink_exactly_once(spark, tmp_path):
         ckpt,
     )
     assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_session_window_late_data_dropped(spark, tmp_path):
+    """Session-window eviction: a late event that WOULD have merged into
+    an already-finalized session is dropped instead of resurrecting it.
+    Same three-batch construction as the tumbling test (eviction happens
+    a batch before the late arrival): file A forms a 2-event session for
+    user 7 and advances the watermark; file B finalizes it; file C's
+    late event lands inside the closed session's span."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from usgs_lidar_spark.streaming.events import session_counts
+
+    def nanos(s: str) -> int:
+        return int(pd.Timestamp(s).value)
+
+    def write(path, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(path, index=False)
+
+    events_dir = tmp_path / "late_sessions"
+    events_dir.mkdir()
+    write(
+        events_dir / "a.parquet",
+        [
+            (1, nanos("2024-01-01 10:00:00"), 7, "click", 1.0, "{}"),
+            (2, nanos("2024-01-01 10:02:00"), 7, "click", 1.0, "{}"),
+            (3, nanos("2024-01-01 11:00:00"), 8, "click", 1.0, "{}"),
+        ],
+    )
+    write(
+        events_dir / "b.parquet",
+        [(4, nanos("2024-01-01 11:05:00"), 8, "click", 1.0, "{}")],
+    )
+    # Late: 10:03 falls inside user 7's closed [10:00, 10:07) session.
+    write(
+        events_dir / "c.parquet",
+        [(5, nanos("2024-01-01 10:03:00"), 7, "click", 1.0, "{}")],
+    )
+    now = os.path.getmtime(events_dir / "c.parquet")
+    os.utime(events_dir / "a.parquet", (now - 200, now - 200))
+    os.utime(events_dir / "b.parquet", (now - 100, now - 100))
+
+    stream = read_events_stream(spark, str(events_dir), max_files_per_trigger=1)
+    q = (
+        session_counts(stream)  # 5-minute gap, 30-minute watermark
+        .writeStream.format("memory")
+        .queryName("t_late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    progresses = [
+        json.loads(p.json) if hasattr(p, "json") else json.loads(p)
+        for p in q.recentProgress
+    ]
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1, progresses
+
+    finalized = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_late_sessions").collect()
+    }
+    # User 7's session finalized with its two on-time events; the late
+    # 10:03 event neither extended it nor spawned a new session.
+    assert finalized[(7, "2024-01-01 10:00:00.000000")] == 2
+    assert all(uid != 7 or ss.startswith("2024-01-01 10:00") for uid, ss in finalized)
