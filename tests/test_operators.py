@@ -1044,3 +1044,24 @@ def test_multiprobe2_candidates_superset(spark):
     assert set(worst2) >= set(worst1)
     for qid, w1 in worst1.items():
         assert worst2[qid] >= w1, (qid, w1, worst2[qid])
+
+
+def test_bruteforce_arrow_matches_expression_path(spark):
+    """The numpy-matmul fast path must reproduce the expression path's
+    top-k exactly (same rounding, same tie order) — the throughput
+    variant may never change answers."""
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_bruteforce_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    expr_path = cosine_topk_bruteforce(emb, q, k=5)
+    arrow_path = cosine_topk_bruteforce_arrow(
+        emb.repartition(7), q, k=5  # odd partitioning: partial top-k merge
+    )
+    assert arrow_path.exceptAll(expr_path).count() == 0
+    assert expr_path.exceptAll(arrow_path).count() == 0

@@ -809,3 +809,79 @@ def cosine_topk_lsh_multiprobe2(
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
     )
+
+
+def cosine_topk_bruteforce_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Throughput variant of cosine_topk_bruteforce: an Arrow-batched
+    numpy matmul replaces the per-pair higher-order folds.
+
+    The query matrix (small by contract) is captured in the closure and
+    shipped once per Python worker; each mapInPandas batch computes
+    corpus_block @ queries.T as one BLAS call and emits only its block's
+    top-k rows per query, so the Python->JVM return is k*n_queries rows
+    per batch, not the full similarity matrix. A final window over those
+    partial winners (tiny) picks the global top-k. Same ranking contract
+    as the expression path (rounded sim DESC, id ASC) — parity is pinned
+    by test; the expression path remains the oracle-comparable form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        empty = f"{query_id_col} long, neighbor_id long, sim double, rank long"
+        return corpus.sparkSession.createDataFrame([], empty)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(qm, axis=1)
+    q_norms[q_norms == 0] = np.inf  # zero-norm query => sim 0 everywhere
+
+    def block_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norms = np.linalg.norm(cm, axis=1)
+            c_norms[c_norms == 0] = np.inf
+            sims = (cm @ qm.T) / np.outer(c_norms, q_norms)
+            sims = np.round(sims, round_digits)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # partial top-k inside the block: sort by (-sim, id)
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+                sel = cand_idx[order]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_n.extend(ids[sel])
+                out_s.extend(col[sel])
+            yield pd.DataFrame(
+                {
+                    query_id_col: pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "sim": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        block_topk, f"{query_id_col} long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
