@@ -186,3 +186,34 @@ def test_headliner_no_row_python_or_cartesian(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+#: Queries whose CONSTRUCTION runs jobs (iterative fixpoints, driver-side
+#: seed collects of >1 job) — excluded from the cheap whole-registry sweep;
+#: each has its own digest pin or behavioral tests.
+_SWEEP_EXCLUDED = {
+    "dedup_cluster_collapse",  # CC iterations run at construction
+    "z3_flow_accumulation",    # fixpoint rounds run at construction
+}
+
+
+def test_registry_wide_plan_floors(spark):
+    """Hard floors swept across EVERY registered query: no row-at-a-time
+    Python eval and no CartesianProduct anywhere in the surface. The only
+    Python eval nodes allowed are the documented Arrow ones (point-in-
+    polygon's ArrowEvalPython, multimodal's MapInPandas)."""
+    spark.catalog.clearCache()
+    failures = []
+    for name, fn in QUERIES.items():
+        if name in _SWEEP_EXCLUDED:
+            continue
+        try:
+            plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"construction failed: {e}"))
+            continue
+        if "BatchEvalPython" in plan:
+            failures.append((name, "row-at-a-time BatchEvalPython"))
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct"))
+    assert not failures, failures
