@@ -1065,3 +1065,61 @@ def test_bruteforce_arrow_matches_expression_path(spark):
     )
     assert arrow_path.exceptAll(expr_path).count() == 0
     assert expr_path.exceptAll(arrow_path).count() == 0
+
+
+def test_split_and_sample_handle_negative_and_null_ids(spark):
+    """Round-4 review fixes: negative ids bucket correctly (pmod — they
+    previously all fell into the first split and every sample), and NULL
+    ids get a NULL split / are dropped from samples instead of silently
+    concentrating anywhere."""
+    from usgs_lidar_spark.operators.pipeline import (
+        sample_stratified,
+        split_by_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(-4000, 4000)], ["doc_id"]
+    )
+    out = split_by_hash(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 8000 - 0.9) < 0.03
+    assert "val" in counts and "test" in counts
+    neg = out.filter("doc_id < 0")
+    assert neg.filter("split != 'train'").count() > 0  # not all-train
+
+    kept = sample_stratified(df, "doc_id", 0.1).count()
+    assert abs(kept / 8000 - 0.1) < 0.03
+
+    with_null = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    splits = {r["doc_id"]: r["split"] for r in split_by_hash(with_null, "doc_id").collect()}
+    assert splits[None] is None and splits[1] is not None
+    assert sample_stratified(with_null, "doc_id", 1.0).count() == 1
+
+
+def test_probe_handles_jpeg_fill_bytes_and_null_content(spark):
+    """Round-4 review fixes: legal 0xFF fill bytes before a JPEG marker
+    don't derail the parser, and NULL content rows probe as (-1,-1,-1) /
+    extract as empty instead of crashing the task."""
+    import struct
+
+    from usgs_lidar_spark.multimodal import probe_image_dims
+    from usgs_lidar_spark.multimodal.binary_ops import binary_feature_extract
+
+    jpeg_fill = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 99, 77) + b"\x03" + bytes(9)
+    )
+    media = _media_from_bytes(spark, [jpeg_fill]).unionByName(
+        spark.createDataFrame(
+            [(99, "image", None, 0)],
+            "media_id long, media_type string, content binary, n_bytes long",
+        )
+    )
+    got = {r["media_id"]: r.asDict() for r in probe_image_dims(media).collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["channels"]) == (77, 99, 3)
+    assert (got[99]["width"], got[99]["height"], got[99]["channels"]) == (-1, -1, -1)
+    feats = {r["media_id"]: r.asDict() for r in binary_feature_extract(media).collect()}
+    assert feats[99]["n_bytes"] == 0 and feats[99]["head_byte"] == -1

@@ -8,9 +8,10 @@ Design for 100 TB of media:
   * all per-item Python work runs through ``mapInPandas`` — Arrow moves
     whole columnar batches across the JVM<->Python boundary once per
     partition chunk, never per row;
-  * decode is stubbed here (no imaging libs in this container): the
-    plumbing (schemas, batch shapes, signatures) is real; a deterministic
-    fake decoder keeps the path testable.
+  * decode comes in three tiers: `probe_image_dims` (pure-Python header
+    parse, runs anywhere), `decode_image` (full PIL decode, import-gated
+    — no imaging libs in this container), and `fake_decode_image` (a
+    deterministic stand-in exercising the exact schema/batch path).
 """
 
 from __future__ import annotations
@@ -66,7 +67,10 @@ def binary_feature_extract(media: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            content = pdf["content"]
+            # NULL content (the column is nullable) is treated as empty
+            # bytes — a None would TypeError inside len()/sum() and fail
+            # the whole task.
+            content = pdf["content"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -158,6 +162,11 @@ def _probe_one(b: bytes) -> tuple[int, int, int]:
             if b[i] != 0xFF:
                 break
             marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1  # legal 0xFF fill byte before a marker
+                continue
+            if marker == 0xD9:
+                break  # EOI before any SOF: no dimensions
             if marker in _JPEG_SOF:
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return w, h, b[i + 9]
@@ -187,7 +196,9 @@ def probe_image_dims(media: DataFrame) -> DataFrame:
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["content"].map(_probe_one)
+            dims = pdf["content"].map(
+                lambda b: _probe_one(b) if b is not None else (-1, -1, -1)
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -37,7 +37,11 @@ def portable_hash_bucket(id_col: Column | str, seed: int = 0) -> Column:
     Spark's xxhash64 would have better avalanche but exists nowhere else.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    x = (c.cast("long") + F.lit(1 + seed)) % F.lit(_LEHMER_M)
+    # pmod, not %: Spark's % follows the dividend's sign, so negative ids
+    # would produce negative buckets that compare below every threshold
+    # (all-train splits, always-kept samples). pmod keeps every
+    # intermediate in [0, M), for any long id.
+    x = F.pmod(c.cast("long") + F.lit(1 + seed), F.lit(_LEHMER_M))
     for _ in range(2):
         x = (x * F.lit(_LEHMER_A)) % F.lit(_LEHMER_M)
     return x % F.lit(N_BUCKETS)
@@ -56,6 +60,9 @@ def split_by_hash(
     is stable under any repartitioning/insertion order because it depends
     only on the id — the property `df.randomSplit` does NOT have across
     reruns or engines. Map-only: no shuffle at any scale.
+
+    Rows with a NULL id get a NULL split (visible and filterable) rather
+    than being silently concentrated into one split.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
@@ -72,7 +79,9 @@ def split_by_hash(
     expr = (
         F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     )
-    return df.withColumn(split_col, expr)
+    return df.withColumn(
+        split_col, F.when(bucket.isNotNull(), expr)
+    )
 
 
 def sample_stratified(
@@ -84,7 +93,8 @@ def sample_stratified(
     """Deterministic ~`fraction` sample: keep rows whose hash bucket falls
     below fraction*N_BUCKETS. Stratification is free — the rule depends
     only on the id, so within ANY stratum the kept share tends to
-    `fraction` and membership is reproducible (unlike df.sample)."""
+    `fraction` and membership is reproducible (unlike df.sample).
+    NULL-id rows are dropped (the comparison is null)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     return df.filter(
@@ -121,15 +131,20 @@ def contaminated_docs(
         char_shingles(benchmark, text_col, id_col, k=k, max_df=None)
         .select("shingle")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        c_sh.join(b_sh, "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
+    # One pass over the (expensive, df-cap-windowed) corpus shingles:
+    # a left join marks benchmark hits, then a single aggregate produces
+    # both counts — instead of re-executing the shingle lineage for a
+    # separate sizes aggregate plus a third join.
     return (
-        hits.join(sizes, id_col)
+        c_sh.join(b_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
         .withColumn(
             "hit_frac", F.col("n_hit").cast("double") / F.col("n_shingles")
         )
@@ -153,12 +168,24 @@ def pack_sequences(
     doc BEGINS: floor(token_start/budget)), pack_offset, split_across.
 
     One shuffle (on the stream key) + a running-sum window whose state is
-    a single counter per group — spillable, scale-safe. First-fit bin
-    packing would be sequential; boundary-splitting is both the scalable
-    form and what pretraining loaders actually do.
+    a single counter per group — spillable, scale-safe PROVIDED a
+    ``stream_col`` partitions the work. ``stream_col=None`` is a global
+    running sum — a single-task sort, fine for tests/small data, wrong at
+    scale — so it warns. First-fit bin packing would be sequential;
+    boundary-splitting is both the scalable form and what pretraining
+    loaders actually do.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if stream_col is None:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences(stream_col=None) runs a GLOBAL window — the "
+            "whole dataset funnels through one task; pass a stream key "
+            "(e.g. lang or a hash bucket) for distributed packing",
+            stacklevel=2,
+        )
     toks = (
         F.col(token_count_col)
         if isinstance(token_count_col, str)

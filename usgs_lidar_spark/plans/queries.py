@@ -2579,7 +2579,9 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SQL twin of operators/pipeline.portable_hash_bucket (two Lehmer/MINSTD
 #: rounds; every intermediate < 2^47, so portable BIGINT arithmetic).
 def _LEHMER_BUCKET(id_expr: str, seed: int = 0) -> str:
-    x = f"(({id_expr}) + {1 + seed}) % 2147483647"
+    # Positive remainder on the first step (DuckDB's % also follows the
+    # dividend sign), mirroring the Spark side's pmod for negative ids.
+    x = f"((((({id_expr}) + {1 + seed}) % 2147483647) + 2147483647) % 2147483647)"
     for _ in range(2):
         x = f"(({x}) * 48271) % 2147483647"
     return f"(({x}) % 10000)"
