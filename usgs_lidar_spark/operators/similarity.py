@@ -76,6 +76,53 @@ def cosine_topk_bruteforce(
     )
 
 
+def _lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    flip_masks: list[int],
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+    n_bits: int,
+    round_digits: int,
+) -> DataFrame:
+    """Shared sign-LSH top-k kernel: corpus keyed by its home bucket, each
+    query probing ``home XOR mask`` for every mask in ``flip_masks``
+    (pairwise-distinct probes => a corpus vector meets a query at most
+    once), exact rounded cosine within the probed buckets, per-query
+    window top-k with the module's (sim DESC, id ASC) tie contract. The
+    three public variants differ ONLY in the mask list."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits)).withColumn(
+        "__cnorm", norm(vec_col)
+    )
+    home = sign_lsh_bucket(vec_col, n_bits)
+    probes = F.array(*[home.bitwiseXOR(F.lit(m).cast("long")) for m in flip_masks])
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probes).alias("__bucket"),
+        norm(vec_col).alias("__qnorm"),
+    )
+    joined = cb.join(F.broadcast(qb), "__bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("sim", F.round(raw, round_digits))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -91,32 +138,9 @@ def cosine_topk_lsh(
     cosine within the bucket. The bucket equi-join replaces the cross
     product; at 2^n_bits buckets each probe scans ~1/2^n_bits of the
     corpus."""
-    from usgs_lidar_spark.functions.vectors import dot, norm
-
-    cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits)).withColumn(
-        "__cnorm", norm(vec_col)
-    )
-    qb = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        sign_lsh_bucket(vec_col, n_bits).alias("__bucket"),
-        norm(vec_col).alias("__qnorm"),
-    )
-    joined = cb.join(F.broadcast(qb), "__bucket").filter(
-        F.col(query_id_col) != F.col(id_col)
-    )
-    raw = F.when(
-        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
-    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
-    sim = F.round(raw, round_digits)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        joined.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    return _lsh_topk(
+        corpus, queries, [0], id_col, vec_col, query_id_col, k, n_bits,
+        round_digits,
     )
 
 
@@ -144,37 +168,10 @@ def cosine_topk_lsh_multiprobe(
     dedup step. Wider probing (Hamming 2) is the same rewrite with
     flip-pair probes.
     """
-    from usgs_lidar_spark.functions.vectors import dot, norm
-
-    cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits)).withColumn(
-        "__cnorm", norm(vec_col)
-    )
-    home = sign_lsh_bucket(vec_col, n_bits)
-    probes = F.array(
-        home,
-        *[home.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(n_bits)],
-    )
-    qb = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(probes).alias("__bucket"),
-        norm(vec_col).alias("__qnorm"),
-    )
-    joined = cb.join(F.broadcast(qb), "__bucket").filter(
-        F.col(query_id_col) != F.col(id_col)
-    )
-    raw = F.when(
-        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
-    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
-    sim = F.round(raw, round_digits)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        joined.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    masks = [0] + [1 << j for j in range(n_bits)]
+    return _lsh_topk(
+        corpus, queries, masks, id_col, vec_col, query_id_col, k, n_bits,
+        round_digits,
     )
 
 
@@ -487,9 +484,9 @@ def _sq_dist(a, b) -> F.Column:
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[tuple[int, list[float]]]],
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
+    with_error: bool = False,
 ) -> DataFrame:
     """Encode vectors to per-subspace code ids (array<int>): for each
     subspace, argmin of squared L2 distance to the sub-codebook, ties to
@@ -498,9 +495,13 @@ def pq_encode(
     Expression-only and map-side: each subspace's argmin is an array_min
     over a (dist, code) struct array built from literal code vectors — no
     shuffle, no UDF, corpus never moves. 64 floats become n_sub bytes'
-    worth of codes: the 100 TB memory story of IVF-PQ."""
+    worth of codes: the 100 TB memory story of IVF-PQ.
+
+    ``with_error=True`` also emits ``pq_err``: the row's total squared
+    quantization error (sum of the winning distances) — computed from the
+    same argmin structs, so error consumers don't re-derive distances."""
     sub = len(codebooks[0][0][1])
-    argmins = []
+    best = []
     for j, cb in enumerate(codebooks):
         slice_j = F.slice(F.col(vec_col), j * sub + 1, sub)
         cands = F.array(
@@ -514,8 +515,70 @@ def pq_encode(
                 for c, cvec in cb
             ]
         )
-        argmins.append(F.array_min(cands)["c"])
-    return df.withColumn(codes_col, F.array(*argmins))
+        best.append(F.array_min(cands))
+    out = df.withColumn(codes_col, F.array(*[b["c"] for b in best]))
+    if with_error:
+        err = best[0]["d"]
+        for b in best[1:]:
+            err = err + b["d"]
+        out = out.withColumn("pq_err", err)
+    return out
+
+
+#: Fixed-point scale for ADC sums: each LUT entry carries 4 decimals, so
+#: scaled-BIGINT sums are partition-order-independent and oracle-exact.
+_ADC_SCALE = 10000
+
+
+def _pq_lut(
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table: (query_id, j, code, d_scaled) — the
+    rounded, fixed-point squared distance from each query's j-th subvector
+    to each code. Tiny (nq * n_sub * n_codes rows); callers broadcast it."""
+    sub = len(codebooks[0][0][1])
+    cb_rows = [
+        (j, int(c), [float(x) for x in cvec])
+        for j, cb in enumerate(codebooks)
+        for c, cvec in cb
+    ]
+    cb_df = queries.sparkSession.createDataFrame(
+        cb_rows, "j int, code int, cvec array<double>"
+    )
+    return queries.crossJoin(F.broadcast(cb_df)).select(
+        F.col(query_id_col),
+        "j",
+        "code",
+        F.round(
+            _sq_dist(
+                F.slice(F.col(vec_col), F.col("j") * sub + 1, sub), F.col("cvec")
+            )
+            * _ADC_SCALE
+        )
+        .cast("long")
+        .alias("d_scaled"),
+    )
+
+
+def _adc_rank(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
+    """Final ADC ranking: (adc_scaled ASC, neighbor_id ASC) window top-k,
+    descaling the fixed-point sum into adc_dist."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_scaled").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            (F.col("adc_scaled") / float(_ADC_SCALE)).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
 
 
 def pq_adc_topk(
@@ -539,34 +602,8 @@ def pq_adc_topk(
     scaled BIGINTs (each term carries 4 decimals) so the total is
     partition-order-independent and oracle-exact.
     """
-    spark = corpus.sparkSession
-    n_sub = len(codebooks)
-    sub = len(codebooks[0][0][1])
-    cb_rows = [
-        (j, int(c), [float(x) for x in cvec])
-        for j, cb in enumerate(codebooks)
-        for c, cvec in cb
-    ]
-    cb_df = spark.createDataFrame(
-        cb_rows, "j int, code int, cvec array<double>"
-    )
-    lut = (
-        queries.crossJoin(F.broadcast(cb_df))
-        .select(
-            F.col(query_id_col),
-            "j",
-            "code",
-            F.round(
-                _sq_dist(
-                    F.slice(F.col(vec_col), F.col("j") * sub + 1, sub), F.col("cvec")
-                )
-                * 10000
-            )
-            .cast("long")
-            .alias("d_scaled"),
-        )
-    )
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    lut = _pq_lut(queries, codebooks, query_id_col, vec_col)
+    codes = pq_encode(corpus, codebooks, vec_col=vec_col)
     exploded = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("pq_codes").alias("j", "code"),
@@ -577,19 +614,7 @@ def pq_adc_topk(
         .groupBy(query_id_col, "neighbor_id")
         .agg(F.sum("d_scaled").alias("adc_scaled"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("adc_scaled").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            "neighbor_id",
-            (F.col("adc_scaled") / 10000.0).alias("adc_dist"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _adc_rank(scored, query_id_col, k)
 
 
 def ivf_pq_topk(
@@ -616,12 +641,9 @@ def ivf_pq_topk(
     carries (query, neighbor, scaled-long partial sums). With n_probe =
     n_cells this degrades gracefully to exhaustive pq_adc_topk (pinned by
     test)."""
-    spark = corpus.sparkSession
-    sub = len(codebooks[0][0][1])
     enc = pq_encode(
         ivf_assign(corpus, centroids, vec_col, round_digits, method),
         codebooks,
-        id_col=id_col,
         vec_col=vec_col,
     )
     exploded = enc.select(
@@ -636,25 +658,7 @@ def ivf_pq_topk(
     qcells = qdf.select(
         F.col(query_id_col), F.explode(probes).alias("__p")
     ).select(query_id_col, (-F.col("__p.negcid")).alias("__cid"))
-    cb_rows = [
-        (j, int(c), [float(x) for x in cvec])
-        for j, cb in enumerate(codebooks)
-        for c, cvec in cb
-    ]
-    cb_df = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
-    lut = queries.crossJoin(F.broadcast(cb_df)).select(
-        F.col(query_id_col),
-        "j",
-        "code",
-        F.round(
-            _sq_dist(
-                F.slice(F.col(vec_col), F.col("j") * sub + 1, sub), F.col("cvec")
-            )
-            * 10000
-        )
-        .cast("long")
-        .alias("d_scaled"),
-    )
+    lut = _pq_lut(queries, codebooks, query_id_col, vec_col)
     scored = (
         exploded.join(F.broadcast(qcells), "__cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -662,19 +666,7 @@ def ivf_pq_topk(
         .groupBy(query_id_col, "neighbor_id")
         .agg(F.sum("d_scaled").alias("adc_scaled"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("adc_scaled").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            "neighbor_id",
-            (F.col("adc_scaled") / 10000.0).alias("adc_dist"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _adc_rank(scored, query_id_col, k)
 
 
 def pq_refine_codebooks(
@@ -702,7 +694,7 @@ def pq_refine_codebooks(
     sub = len(codebooks[0][0][1])
     cbs = [list(cb) for cb in codebooks]
     for _ in range(n_iter):
-        enc = pq_encode(corpus, cbs, id_col="__ignored", vec_col=vec_col)
+        enc = pq_encode(corpus, cbs, vec_col=vec_col)
         per = enc.select(
             F.explode(
                 F.array(
@@ -741,20 +733,11 @@ def pq_quantization_error(
     vec_col: str = "embedding",
 ) -> float:
     """Mean total squared quantization error over the corpus — the
-    quantity Lloyd refinement minimizes; used to validate refinement."""
-    n_sub = len(codebooks)
-    sub = len(codebooks[0][0][1])
-    enc = pq_encode(corpus, codebooks, id_col="__ignored", vec_col=vec_col)
-    err = F.lit(0.0)
-    for j, cb in enumerate(codebooks):
-        slice_j = F.slice(F.col(vec_col), j * sub + 1, sub)
-        code_err = None
-        for c, cvec in cb:
-            d = _sq_dist(slice_j, F.array(*[F.lit(float(x)) for x in cvec]))
-            cond = F.col("pq_codes")[j] == c
-            code_err = F.when(cond, d) if code_err is None else code_err.when(cond, d)
-        err = err + code_err
-    return enc.agg(F.avg(err)).collect()[0][0]
+    quantity Lloyd refinement minimizes; used to validate refinement.
+    Reads pq_encode's own winning distances (with_error=True), so nothing
+    is re-derived."""
+    enc = pq_encode(corpus, codebooks, vec_col=vec_col, with_error=True)
+    return enc.agg(F.avg("pq_err")).collect()[0][0]
 
 
 def cosine_topk_lsh_multiprobe2(
@@ -775,39 +758,18 @@ def cosine_topk_lsh_multiprobe2(
     query scans ~37/256 of the corpus; the corpus side is still one
     bucket per vector with the same equi-join, and probes remain pairwise
     distinct so no dedup step is needed."""
-    from usgs_lidar_spark.functions.vectors import dot, norm
-
-    cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits)).withColumn(
-        "__cnorm", norm(vec_col)
+    masks = (
+        [0]
+        + [1 << j for j in range(n_bits)]
+        + [
+            (1 << i) | (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
     )
-    home = sign_lsh_bucket(vec_col, n_bits)
-    flips = [0] + [1 << j for j in range(n_bits)] + [
-        (1 << i) | (1 << j)
-        for i in range(n_bits)
-        for j in range(i + 1, n_bits)
-    ]
-    probes = F.array(*[home.bitwiseXOR(F.lit(m).cast("long")) for m in flips])
-    qb = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(probes).alias("__bucket"),
-        norm(vec_col).alias("__qnorm"),
-    )
-    joined = cb.join(F.broadcast(qb), "__bucket").filter(
-        F.col(query_id_col) != F.col(id_col)
-    )
-    raw = F.when(
-        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
-    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
-    sim = F.round(raw, round_digits)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        joined.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    return _lsh_topk(
+        corpus, queries, masks, id_col, vec_col, query_id_col, k, n_bits,
+        round_digits,
     )
 
 
@@ -831,9 +793,27 @@ def cosine_topk_bruteforce_arrow(
     partial winners (tiny) picks the global top-k. Same ranking contract
     as the expression path (rounded sim DESC, id ASC) — parity is pinned
     by test; the expression path remains the oracle-comparable form.
+    Rounding replicates Spark's HALF_UP (away from zero), not numpy's
+    half-to-even, so boundary sims rank identically on both paths.
+
+    Contract: integer id columns (the module's other operators are
+    id-type generic; this fast path trades that for the matmul).
     """
     import numpy as np
     import pandas as pd
+
+    for side, col in ((queries, query_id_col), (corpus, id_col)):
+        dt = dict(side.dtypes).get(col)
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"cosine_topk_bruteforce_arrow requires integer id columns; "
+                f"{col!r} is {dt} — use cosine_topk_bruteforce for other id "
+                "types"
+            )
+
+    def round_half_up(a, d):
+        scale = 10.0**d
+        return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
 
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:
@@ -853,7 +833,7 @@ def cosine_topk_bruteforce_arrow(
             c_norms = np.linalg.norm(cm, axis=1)
             c_norms[c_norms == 0] = np.inf
             sims = (cm @ qm.T) / np.outer(c_norms, q_norms)
-            sims = np.round(sims, round_digits)
+            sims = round_half_up(sims, round_digits)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):
                 col = sims[:, qi]
