@@ -3277,3 +3277,67 @@ def sim_topk_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", k=5, n_bits=8,
     )
+
+
+@query(
+    "pipe_end_to_end",
+    oracle=f"""
+    WITH keeps AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ), d AS (
+        SELECT doc_id, text FROM documents JOIN keeps USING (doc_id)
+    ), s AS (
+        SELECT doc_id, text,
+               CASE WHEN {_LEHMER_BUCKET("doc_id")} < 9000 THEN 'train'
+                    WHEN {_LEHMER_BUCKET("doc_id")} < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM d
+    ), toks AS (
+        SELECT doc_id, split,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM s
+    ), packed AS (
+        SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_start
+        FROM toks
+        WINDOW w AS (PARTITION BY split ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(floor(token_start / 2048.0)) + 1 AS BIGINT) AS n_packs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM packed GROUP BY split
+    """,
+)
+def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline composed end to end: exact dedup keeps
+    one representative per text, the survivors split 90/5/5 by portable
+    hash, and each split's stream packs into 2048-token sequences — three
+    operators chained exactly as a corpus build would run them, verified
+    as one oracle (per-split doc/token/pack counts + id checksum)."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.dedup import exact_dedup
+    from usgs_lidar_spark.operators.pipeline import pack_sequences, split_by_hash
+
+    d = _t(spark, sf_dir, "documents")
+    keeps = exact_dedup(d, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = d.join(keeps, "doc_id").select("doc_id", "text")
+    packed = pack_sequences(
+        split_by_hash(survivors, "doc_id"),
+        "doc_id",
+        token_count("text"),
+        budget=2048,
+        stream_col="split",
+    )
+    return packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max(F.floor(F.col("token_start") / 2048.0)) + 1)
+        .cast("long")
+        .alias("n_packs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
