@@ -1123,3 +1123,50 @@ def test_probe_handles_jpeg_fill_bytes_and_null_content(spark):
     assert (got[99]["width"], got[99]["height"], got[99]["channels"]) == (-1, -1, -1)
     feats = {r["media_id"]: r.asDict() for r in binary_feature_extract(media).collect()}
     assert feats[99]["n_bytes"] == 0 and feats[99]["head_byte"] == -1
+
+
+# --- Time-series resample + gap-fill (operators/resample.py) ---------------
+
+
+def test_resample_gap_fill_hand_case(spark):
+    """Key A has events in hours 0 and 3: the dense grid emits hours 0-3,
+    forward-fills the value across the gap, flags hours 1-2 as gaps, and
+    key B (single bucket) stays a single non-gap row."""
+    from usgs_lidar_spark.operators.resample import gap_fill, resample_events
+
+    rows = [
+        ("A", 100, 1.0), ("A", 200, 2.0),          # hour 0
+        ("A", 3 * 3600 + 5, 10.0),                  # hour 3
+        ("B", 7 * 3600 + 1, 5.0),                   # hour 7
+    ]
+    ev = spark.createDataFrame(rows, ["k", "sec", "v"]).select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    res = resample_events(
+        ev, "ts", ["k"],
+        {"n": F.count(F.lit(1)), "s": F.sum("v")}, step_seconds=3600,
+    )
+    out = {
+        (r["k"], r["__bucket"]): r.asDict()
+        for r in gap_fill(res, ["k"], ["s"], 3600).collect()
+    }
+    assert len(out) == 5  # A: hours 0..3, B: hour 7
+    assert out[("A", 0)]["s"] == 3.0 and not out[("A", 0)]["is_gap"]
+    assert out[("A", 1)]["is_gap"] and out[("A", 1)]["s"] == 3.0   # ffilled
+    assert out[("A", 2)]["is_gap"] and out[("A", 2)]["s"] == 3.0
+    assert out[("A", 3)]["s"] == 10.0 and not out[("A", 3)]["is_gap"]
+    assert out[("A", 1)]["n"] is None  # counts stay null on gap rows
+    assert out[("B", 7)]["s"] == 5.0 and not out[("B", 7)]["is_gap"]
+
+
+def test_gap_fill_max_buckets_guard(spark):
+    """A key spanning more buckets than the guard raises with the key
+    named, instead of detonating the explode."""
+    from usgs_lidar_spark.operators.resample import gap_fill, resample_events
+
+    ev = spark.createDataFrame(
+        [("A", 0, 1.0), ("A", 10_000_000, 1.0)], ["k", "sec", "v"]
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "v")
+    res = resample_events(ev, "ts", ["k"], {"s": F.sum("v")}, step_seconds=1)
+    with pytest.raises(ValueError, match="max_buckets"):
+        gap_fill(res, ["k"], ["s"], 1, max_buckets=1000)

@@ -21,9 +21,13 @@ Scale design (100 TB of vectors):
     replaces the cross product. `kmeans_refine` improves the centroids
     with Lloyd iterations (per-dimension JVM-side AVGs);
   * dot products run as zip_with/aggregate higher-order expressions —
-    JVM-side, no Python. For max throughput a Pandas-UDF matmul over
-    mapInPandas batches would vectorize further; built-ins keep this
-    oracle-comparable.
+    JVM-side, no Python — keeping every default path oracle-comparable;
+    `cosine_topk_bruteforce_arrow` is the measured ~3.5x throughput
+    escape hatch (per-batch BLAS matmul over mapInPandas, byte-identical
+    results by test);
+  * `pq_encode`/`pq_adc_topk`/`ivf_pq_topk` add the compressed-domain
+    tier: map-side code assignment, broadcast ADC LUTs, and the IVF-PQ
+    composition that touches full vectors exactly once.
 """
 
 from __future__ import annotations

@@ -3341,3 +3341,61 @@ def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_packs"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@query(
+    "ts1_resample_gap_fill",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS b, value FROM events
+    ), agg AS (
+        SELECT event_type, b, count(*) AS n_events,
+               {DEC_SUM("value")} AS value_sum
+        FROM e GROUP BY 1, 2
+    ), rng AS (
+        SELECT event_type, min(b) AS b0, max(b) AS b1 FROM agg GROUP BY 1
+    ), dense AS (
+        SELECT event_type, unnest(range(b0, b1 + 1)) AS b FROM rng
+    ), j AS (
+        SELECT d.event_type, d.b, a.n_events, a.value_sum,
+               a.value_sum IS NULL AS is_gap
+        FROM dense d LEFT JOIN agg a USING (event_type, b)
+    )
+    SELECT event_type,
+           strftime(make_timestamp(b * 3600000000), '%Y-%m-%d %H:%M:%S')
+               AS bucket_start,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           last_value(value_sum IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_sum,
+           is_gap
+    FROM j
+    """,
+)
+def ts1_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS1: hourly resample of the event stream per type, densified over
+    each key's observed span with forward-filled value sums and zeroed
+    counts on gap rows (operators/resample.py) — the regular-grid step
+    between raw events and windowed model inputs. One aggregate shuffle,
+    an output-proportional sequence() explode, one running window."""
+    from usgs_lidar_spark.operators.resample import gap_fill, resample_events
+
+    ev = _t(spark, sf_dir, "events")
+    res = resample_events(
+        ev,
+        "ts",
+        ["event_type"],
+        {"n_events": F.count(F.lit(1)), "value_sum": dec_sum("value")},
+        step_seconds=3600,
+    )
+    filled = gap_fill(res, ["event_type"], ["value_sum"], step_seconds=3600)
+    return filled.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "value_sum",
+        "is_gap",
+    )
