@@ -1170,3 +1170,28 @@ def test_gap_fill_max_buckets_guard(spark):
     res = resample_events(ev, "ts", ["k"], {"s": F.sum("v")}, step_seconds=1)
     with pytest.raises(ValueError, match="max_buckets"):
         gap_fill(res, ["k"], ["s"], 1, max_buckets=1000)
+
+
+def test_gap_fill_linear_interpolation(spark):
+    """Linear fill: a 3-bucket gap between values 3.0 (hour 0) and 11.0
+    (hour 4) interpolates to 5, 7, 9; occupied rows keep exact values;
+    ffill on the same input carries 3.0 across."""
+    from usgs_lidar_spark.operators.resample import gap_fill, resample_events
+
+    rows = [("A", 30, 3.0), ("A", 4 * 3600 + 30, 11.0)]
+    ev = spark.createDataFrame(rows, ["k", "sec", "v"]).select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    res = resample_events(ev, "ts", ["k"], {"s": F.sum("v")}, 3600)
+    lin = {
+        r["__bucket"]: r["s"]
+        for r in gap_fill(res, ["k"], ["s"], 3600, method="linear").collect()
+    }
+    assert lin == {0: 3.0, 1: 5.0, 2: 7.0, 3: 9.0, 4: 11.0}
+    ff = {
+        r["__bucket"]: r["s"]
+        for r in gap_fill(res, ["k"], ["s"], 3600, method="ffill").collect()
+    }
+    assert ff == {0: 3.0, 1: 3.0, 2: 3.0, 3: 3.0, 4: 11.0}
+    with pytest.raises(ValueError, match="method"):
+        gap_fill(res, ["k"], ["s"], 3600, method="spline")

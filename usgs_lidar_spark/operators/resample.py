@@ -59,14 +59,23 @@ def gap_fill(
     fill_cols: list[str],
     step_seconds: int,
     max_buckets: int | None = 100_000,
+    method: str = "ffill",
 ) -> DataFrame:
     """Densify a resampled frame: emit EVERY bucket between each key's
-    first and last occupied bucket, forward-filling ``fill_cols`` from
-    the most recent occupied bucket; `is_gap` marks synthesized rows.
+    first and last occupied bucket, filling ``fill_cols`` on synthesized
+    rows; `is_gap` marks them.
+
+    ``method``: "ffill" carries the most recent occupied value forward
+    (one running window); "linear" interpolates between the surrounding
+    occupied buckets (a backward window supplies the next value/bucket —
+    two windows total, still no joins). Interior gaps only either way:
+    the grid starts/ends at occupied buckets.
 
     ``max_buckets`` guards the per-key explosion (a key spanning years at
     second resolution would detonate row counts); raise/None to disable.
     """
+    if method not in ("ffill", "linear"):
+        raise ValueError(f"unknown fill method: {method!r}")
     grid = resampled.groupBy(*key_cols).agg(
         F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
     )
@@ -86,15 +95,35 @@ def gap_fill(
         F.explode(F.sequence(F.col("__b0"), F.col("__b1"))).alias("__bucket"),
     )
     joined = dense.join(resampled, [*key_cols, "__bucket"], "left")
-    w = (
+    w_back = (
         Window.partitionBy(*key_cols)
         .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     is_gap = F.col(f"`{fill_cols[0]}`").isNull() if fill_cols else F.lit(False)
     out = joined.withColumn("is_gap", is_gap)
-    for c in fill_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if method == "ffill":
+        for c in fill_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_back))
+    else:
+        occupied = F.when(~F.col("is_gap"), F.col("__bucket"))
+        prev_b = F.last(occupied, ignorenulls=True).over(w_back)
+        next_b = F.first(occupied, ignorenulls=True).over(w_fwd)
+        frac = (F.col("__bucket") - prev_b) / (next_b - prev_b)
+        for c in fill_cols:
+            prev_v = F.last(c, ignorenulls=True).over(w_back)
+            next_v = F.first(c, ignorenulls=True).over(w_fwd)
+            out = out.withColumn(
+                c,
+                F.when(~F.col("is_gap"), F.col(c)).otherwise(
+                    prev_v + (next_v - prev_v) * frac
+                ),
+            )
     return out.withColumn(
         "bucket_start", F.timestamp_seconds(F.col("__bucket") * step_seconds)
     )
