@@ -3399,3 +3399,68 @@ def ts1_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_sum",
         "is_gap",
     )
+
+
+@query(
+    "w2_range_rolling_sum",
+    oracle=f"""
+    SELECT event_id, user_id,
+           strftime(date_trunc('microseconds', ts), '%Y-%m-%d %H:%M:%S.%f')
+               AS ts_s,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / 100.0 AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def w2_range_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: RANGE-framed rolling window — per user, the count and exact
+    value sum of events in the trailing hour of EVENT TIME (a range frame
+    over timestamps, not a row frame; the form w1 doesn't cover). Spark
+    side orders by epoch seconds with rangeBetween(-3600, 0); scaled-long
+    sums keep the rolling values hash-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+            / F.lit(100.0)
+        ).alias("value_last_hour"),
+    )
+
+
+@query(
+    "w1_ntile_cume",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w1_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 family completion: ntile / cume_dist / percent_rank per priority
+    partition, ordered with a unique tie-break so every rank value is
+    engine-deterministic. cume_dist and percent_rank are exact binary
+    ratios of integers — hash-safe without rounding."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
