@@ -165,3 +165,37 @@ def test_split_partition_property(spark, ids, seed):
         seed=seed,
     ).collect()
     assert {r["doc_id"]: r["split"] for r in again} == first
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-3.0, max_value=3.0, allow_nan=False),   # dlon
+            st.floats(min_value=-84.0, max_value=84.0, allow_nan=False),  # lat
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    zone=st.integers(min_value=1, max_value=60),
+    south=st.booleans(),
+)
+@settings(**SET)
+def test_tmerc_roundtrip_property(spark, pts, zone, south):
+    """UTM forward∘inverse is identity to ~1e-9 deg for ANY in-zone point
+    in ANY of the 120 UTM zones — the per-zone generalization of the
+    fixed-zone roundtrip test."""
+    from usgs_lidar_spark.functions import tmerc
+
+    epsg = (32700 if south else 32600) + zone
+    lon0 = 6 * zone - 183
+    df = spark.createDataFrame(
+        [(lon0 + dlon, lat) for dlon, lat in pts], "lon double, lat double"
+    )
+    E, N = tmerc.utm_forward("lon", "lat", epsg)
+    lon_rt, lat_rt = tmerc.utm_inverse(E, N, epsg)
+    rows = df.select(
+        (F.col("lon") - lon_rt).alias("dlon"),
+        (F.col("lat") - lat_rt).alias("dlat"),
+    ).collect()
+    for r in rows:
+        assert abs(r["dlon"]) < 1e-9 and abs(r["dlat"]) < 1e-9, (epsg, r)

@@ -188,3 +188,41 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_fetch_with_retry_logic():
+    """Retry policy without a network: transient failures (exceptions,
+    5xx, 429) back off and retry; hard statuses (404) return immediately;
+    retries are bounded and the final failure is returned, not raised."""
+    from usgs_lidar_spark.sources.crawl import fetch_with_retry
+
+    sleeps: list[float] = []
+
+    def make(responses):
+        it = iter(responses)
+
+        def request(url):
+            r = next(it)
+            if r == "boom":
+                raise OSError("connection reset")
+            return r
+
+        return request
+
+    # fails twice (exception, 503) then succeeds; backoff doubles
+    status, payload = fetch_with_retry(
+        make(["boom", (503, None), (200, "ok")]), "u", sleep=sleeps.append
+    )
+    assert (status, payload) == (200, "ok") and sleeps == [0.5, 1.0]
+
+    # hard 404: no retries at all
+    sleeps.clear()
+    status, _ = fetch_with_retry(make([(404, None)]), "u", sleep=sleeps.append)
+    assert status == 404 and sleeps == []
+
+    # permanent exception: bounded attempts, -1 returned
+    sleeps.clear()
+    status, payload = fetch_with_retry(
+        make(["boom"] * 4), "u", sleep=sleeps.append
+    )
+    assert (status, payload) == (-1, None) and len(sleeps) == 3

@@ -45,22 +45,61 @@ FETCHED_SCHEMA = T.StructType(
 )
 
 
-def default_http_fetcher(base_url: str) -> Callable[[pd.Series], pd.DataFrame]:
+#: HTTP statuses worth retrying: throttling and transient server errors.
+_RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
+def fetch_with_retry(
+    request_fn: Callable[[str], tuple[int, str | None]],
+    url: str,
+    retries: int = 3,
+    backoff_seconds: float = 0.5,
+    sleep: Callable[[float], None] | None = None,
+) -> tuple[int, str | None]:
+    """Bounded-retry wrapper around one GET: exceptions and retryable
+    statuses (429/5xx) back off exponentially (0.5s, 1s, 2s, ...) up to
+    ``retries`` re-attempts; the final failure is returned, never raised
+    (a crawl partition must not die on one flaky endpoint). Pure logic —
+    inject ``request_fn``/``sleep`` to test without a network."""
+    import time
+
+    sleep = sleep or time.sleep
+    status, payload = -1, None
+    for attempt in range(retries + 1):
+        try:
+            status, payload = request_fn(url)
+        except Exception:
+            status, payload = -1, None
+        if status == 200 or (status != -1 and status not in _RETRYABLE_STATUSES):
+            return status, payload
+        if attempt < retries:
+            sleep(backoff_seconds * (2**attempt))
+    return status, payload
+
+
+def default_http_fetcher(
+    base_url: str, retries: int = 3, backoff_seconds: float = 0.5
+) -> Callable[[pd.Series], pd.DataFrame]:
     """Returns a per-partition fetcher using one pooled urllib3 connection
-    (the distributed analog of the reference's serial GET loop)."""
+    (the distributed analog of the reference's serial GET loop), with
+    bounded exponential-backoff retries on transient failures."""
 
     def fetch(names: pd.Series) -> pd.DataFrame:
         import urllib3  # deferred: executors import it, driver may not have it
 
         http = urllib3.PoolManager()
+
+        def request(url: str) -> tuple[int, str | None]:
+            r = http.request("GET", url, timeout=10.0)
+            return r.status, r.data.decode("utf-8", "replace")
+
         rows = []
         for name in names:
             url = f"{base_url}/{name}/ept.json"
-            try:
-                r = http.request("GET", url, timeout=10.0)
-                rows.append((name, r.status, r.data.decode("utf-8", "replace")))
-            except Exception:
-                rows.append((name, -1, None))
+            status, payload = fetch_with_retry(
+                request, url, retries=retries, backoff_seconds=backoff_seconds
+            )
+            rows.append((name, status, payload))
         return pd.DataFrame(rows, columns=["filename", "status", "payload"])
 
     return fetch
