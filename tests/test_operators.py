@@ -1195,3 +1195,60 @@ def test_gap_fill_linear_interpolation(spark):
     assert ff == {0: 3.0, 1: 3.0, 2: 3.0, 3: 3.0, 4: 11.0}
     with pytest.raises(ValueError, match="method"):
         gap_fill(res, ["k"], ["s"], 3600, method="spline")
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """Empty-input robustness sweep for the round-4 operators: every path
+    returns an empty (or sensible) result instead of crashing."""
+    from usgs_lidar_spark.operators.pipeline import (
+        contaminated_docs,
+        pack_sequences,
+        sample_stratified,
+        split_by_hash,
+    )
+    from usgs_lidar_spark.operators.resample import gap_fill, resample_events
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce_arrow,
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+    )
+    from usgs_lidar_spark.operators.terrain import flow_accumulation
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert split_by_hash(docs, "doc_id").count() == 0
+    assert sample_stratified(docs, "doc_id", 0.5).count() == 0
+    assert pack_sequences(
+        docs, "doc_id", F.length("text").cast("long"), 16, stream_col="lang"
+    ).count() == 0
+    some_docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
+    # empty benchmark: nothing is contaminated
+    assert contaminated_docs(some_docs, docs.select("doc_id", "text")).count() == 0
+    # empty corpus against a benchmark: nothing to flag
+    assert contaminated_docs(
+        docs.select("doc_id", "text"), some_docs
+    ).count() == 0
+
+    ev = spark.createDataFrame([], "k string, ts timestamp, v double")
+    res = resample_events(ev, "ts", ["k"], {"s": F.sum("v")}, 3600)
+    assert gap_fill(res, ["k"], ["s"], 3600).count() == 0
+
+    cells = spark.createDataFrame([], "ix long, iy long, cz double")
+    assert flow_accumulation(cells, max_iter=2).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    seeds = [[float(i == j) for i in range(8)] for j in range(2)]
+    cbs = pq_codebooks_from_rows(seeds, n_sub=2)
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    assert pq_adc_topk(emb, q, cbs, k=3).count() == 0  # empty corpus
+    assert cosine_topk_bruteforce_arrow(emb, q, k=3).count() == 0
+    assert cosine_topk_bruteforce_arrow(
+        some_docs.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+        ),
+        q.limit(0),
+        k=3,
+    ).count() == 0  # empty queries
