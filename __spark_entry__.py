@@ -49,6 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["flagship_voxel_subsample"](spark, "/root/testdata/sf0.001")
 
 
+_ROTATION_CACHE: dict[tuple[str, ...], list[str]] = {}
+
+
 def _verification_rotation_order(names: list[str]) -> list[str]:
     """Least-recently-verified-first ordering of the query surface.
 
@@ -66,6 +69,9 @@ def _verification_rotation_order(names: list[str]) -> list[str]:
     registration order. If the committed CORRECTNESS files are absent
     (fresh checkout), this degrades to plain registration order.
     """
+    key = tuple(names)
+    if key in _ROTATION_CACHE:
+        return _ROTATION_CACHE[key]
     last_round: dict[str, int] = {}
     for f in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
@@ -79,7 +85,9 @@ def _verification_rotation_order(names: list[str]) -> list[str]:
         for name in recorded:
             last_round[name] = max(rnd, last_round.get(name, 0))
     reg_pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_round.get(n, -1), reg_pos[n]))
+    order = sorted(names, key=lambda n: (last_round.get(n, -1), reg_pos[n]))
+    _ROTATION_CACHE[key] = order
+    return order
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

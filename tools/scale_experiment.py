@@ -3,12 +3,14 @@ dedup_cluster_collapse (MinHash pairs -> connected components) and
 sim_topk_ivf, at 1x (sf0.1) vs 10x (sf1-equivalent, synthesized by
 replication into /tmp — driver testdata is read-only).
 
-Replication is similarity-preserving-per-replica, similarity-breaking
-across replicas:
-  * documents: replica k rotates each doc's token list by 7k positions —
-    vocabulary and length unchanged, but 8-char shingles differ, so
-    near-dup structure (and therefore pair-graph density per node) stays
-    comparable to 1x instead of every doc gaining 9 exact clones;
+Replication notes (measured behavior, see SCALE.md):
+  * documents: replica k rotates each doc's token list by 7k positions.
+    Rotation only rewrites the two seam regions, so most char-8 shingles
+    SURVIVE across replicas (and docs whose token count divides 7k are
+    exact clones) — the 10x corpus therefore carries a much denser pair
+    graph than 1x. That makes it a strictly HARDER-than-linear input;
+    results are reported as measured, not as an independent-replica
+    approximation;
   * embeddings: replica k rescales each component by (1 + 1e-4 k) —
     direction moves ~1e-4 rad, cells keep their population shape.
 
@@ -78,7 +80,9 @@ def shuffle_bytes(log_dir: Path) -> tuple[int, int]:
 def build_replicas(factor: int) -> None:
     docs_out = WORK / f"documents_x{factor}.parquet"
     emb_out = WORK / f"embeddings_x{factor}.parquet"
-    if docs_out.exists() and emb_out.exists():
+    # _SUCCESS marker, not bare directory existence: a crashed prior run
+    # leaves a partial directory that must be rebuilt, not reused.
+    if (docs_out / "_SUCCESS").exists() and (emb_out / "_SUCCESS").exists():
         return
     spark = make_session("scale-build", WORK / "log_build")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -123,18 +127,22 @@ def build_replicas(factor: int) -> None:
 
 def run_cluster_collapse(docs_path: str, tag: str) -> dict:
     from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
-    from usgs_lidar_spark.operators.graph import collapse_clusters, connected_components
+    from usgs_lidar_spark.operators.graph import connected_components
 
     log_dir = WORK / f"log_cc_{tag}"
     shutil.rmtree(log_dir, ignore_errors=True)
     spark = make_session(f"cc-{tag}", log_dir)
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
-    # Warm the input cache out of the timing (parquet page decode).
     t0 = time.perf_counter()
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", k=8, num_perm=64, bands=32, threshold=0.6, max_df=20
     )
+    # Materialize ONCE: localCheckpoint pins the pair list so the CC
+    # stage (and its convergence counts) never re-executes the LSH
+    # pipeline — cc_sec and the shuffle totals measure one run of each
+    # stage, which is what the table claims.
+    pairs = pairs.localCheckpoint()
     n_pairs = pairs.count()
     t_pairs = time.perf_counter() - t0
     stats: dict = {}
@@ -144,9 +152,8 @@ def run_cluster_collapse(docs_path: str, tag: str) -> dict:
         docs.select(F.col("doc_id").alias("id")), edges, stats=stats
     )
     n_clusters = labels.select("cluster_id").distinct().count()
+    n_rows = labels.count()
     t_cc = time.perf_counter() - t1
-    out = collapse_clusters(docs, pairs, id_col="doc_id")
-    n_rows = out.count()
     spark.stop()
     rd, wr = shuffle_bytes(log_dir)
     return {
@@ -204,14 +211,18 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     WORK.mkdir(parents=True, exist_ok=True)
     build_replicas(factor)
-    results = [
-        run_cluster_collapse(f"{SF_DIR}/documents.parquet", "1x"),
-        run_cluster_collapse(str(WORK / f"documents_x{factor}.parquet"), f"{factor}x"),
-        run_ivf(f"{SF_DIR}/embeddings.parquet", "1x"),
-        run_ivf(str(WORK / f"embeddings_x{factor}.parquet"), f"{factor}x"),
+    scenarios = [
+        lambda: run_cluster_collapse(f"{SF_DIR}/documents.parquet", "1x"),
+        lambda: run_cluster_collapse(
+            str(WORK / f"documents_x{factor}.parquet"), f"{factor}x"
+        ),
+        lambda: run_ivf(f"{SF_DIR}/embeddings.parquet", "1x"),
+        lambda: run_ivf(str(WORK / f"embeddings_x{factor}.parquet"), f"{factor}x"),
     ]
-    for r in results:
-        print(json.dumps(r))
+    for scenario in scenarios:
+        # Print as produced: a crash in a later scenario must not discard
+        # completed results.
+        print(json.dumps(scenario()), flush=True)
 
 
 if __name__ == "__main__":

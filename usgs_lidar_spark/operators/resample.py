@@ -80,11 +80,13 @@ def gap_fill(
         F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
     )
     if max_buckets is not None:
-        too_wide = grid.filter(
-            F.col("__b1") - F.col("__b0") + 1 > max_buckets
-        ).limit(1)
-        if too_wide.count() > 0:
-            r = too_wide.collect()[0]
+        rows = (
+            grid.filter(F.col("__b1") - F.col("__b0") + 1 > max_buckets)
+            .limit(1)
+            .collect()
+        )
+        if rows:
+            r = rows[0]
             raise ValueError(
                 f"gap_fill: key {tuple(r[c] for c in key_cols)} spans "
                 f"{int(r['__b1'] - r['__b0'] + 1)} buckets > max_buckets="
@@ -95,6 +97,14 @@ def gap_fill(
         F.explode(F.sequence(F.col("__b0"), F.col("__b1"))).alias("__bucket"),
     )
     joined = dense.join(resampled, [*key_cols, "__bucket"], "left")
+    # Gap = the resampled side was absent from the join — marked by its
+    # (never-null-on-occupied-rows) bucket_start. Keying on a fill column
+    # instead would mislabel an occupied bucket whose aggregate is
+    # legitimately NULL (e.g. SUM over all-null values) as a gap and let
+    # the fill overwrite real values.
+    joined = joined.withColumn("is_gap", F.col("bucket_start").isNull()).drop(
+        "bucket_start"
+    )
     w_back = (
         Window.partitionBy(*key_cols)
         .orderBy("__bucket")
@@ -105,8 +115,7 @@ def gap_fill(
         .orderBy("__bucket")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    is_gap = F.col(f"`{fill_cols[0]}`").isNull() if fill_cols else F.lit(False)
-    out = joined.withColumn("is_gap", is_gap)
+    out = joined
     if method == "ffill":
         for c in fill_cols:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_back))
