@@ -1252,3 +1252,33 @@ def test_new_operators_tolerate_empty_inputs(spark):
         q.limit(0),
         k=3,
     ).count() == 0  # empty queries
+
+
+def test_ivf_pq_narrowed_probe_recall_floor(spark):
+    """Probing 2 of 8 cells must still recover a usable share of the
+    exhaustive compressed search's top-5 (the coarse quantizer's job is
+    to make the candidate restriction cheap, not blind): pin mean
+    overlap >= 40% at sf0.001 so a probe-selection regression (e.g.
+    probing the FARTHEST cells) fails loudly."""
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cents = [(i, v) for i, v in enumerate(seeds)]
+    cbs = pq_codebooks_from_rows(seeds, n_sub=4)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exhaustive = pq_adc_topk(emb, q, cbs, k=5).select("query_id", "neighbor_id")
+    narrowed = ivf_pq_topk(emb, q, cents, cbs, k=5, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    n_hit = narrowed.join(exhaustive, ["query_id", "neighbor_id"]).count()
+    assert n_hit >= 0.4 * 25, f"IVF-PQ probe recall collapsed: {n_hit}/25"
