@@ -3464,3 +3464,59 @@ def w1_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@query(
+    "a7_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: explicit GROUPING SETS with grouping_id — the generalized
+    rollup/cube form (all four set shapes in one pass, one shuffle).
+    The gid column distinguishes a real NULL group key from a superset
+    placeholder; money totals stay scaled BIGINTs."""
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS BIGINT) AS gid,
+               count(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        """,
+        o=o,
+    )
+
+
+@query(
+    "a8_ordered_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def a8_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: deterministic list aggregation — names per region joined in
+    SORTED order (collect_list alone is partition-order-nondeterministic;
+    sort_array makes it engine-comparable, DuckDB's ORDER BY inside
+    string_agg is the SQL twin)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
