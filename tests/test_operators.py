@@ -1282,3 +1282,24 @@ def test_ivf_pq_narrowed_probe_recall_floor(spark):
     )
     n_hit = narrowed.join(exhaustive, ["query_id", "neighbor_id"]).count()
     assert n_hit >= 0.4 * 25, f"IVF-PQ probe recall collapsed: {n_hit}/25"
+
+
+def test_voxel_pyramid_hierarchy_exact(spark):
+    """Pyramid invariants on a hand grid: per-level point counts are
+    conserved, children sum to parents, and a coarser level's barycenter
+    equals the exact weighted mean of its children (integer-sum state
+    makes it bit-exact, not approximately equal)."""
+    from usgs_lidar_spark.operators.voxel import voxel_pyramid
+
+    pts = [(float(i), ) for i in range(16)]  # 1-D, res=1 -> keys 0..15
+    df = spark.createDataFrame(pts, ["x"])
+    pyr = voxel_pyramid(df, ["x"], [1.0], levels=3, exact_decimals=[0])
+    rows = {(r["level"], r["ix"]): r.asDict() for r in pyr.collect()}
+    for lvl, n_cells in ((0, 16), (1, 8), (2, 4)):
+        cells = [r for (lv, _), r in rows.items() if lv == lvl]
+        assert len(cells) == n_cells
+        assert sum(r["n_points"] for r in cells) == 16
+    # level-2 cell 0 covers x in 0..3: barycenter exactly 1.5
+    assert rows[(2, 0)]["cx"] == 1.5 and rows[(2, 0)]["n_points"] == 4
+    with pytest.raises(ValueError, match="levels"):
+        voxel_pyramid(df, ["x"], [1.0], levels=0, exact_decimals=[0])

@@ -94,3 +94,66 @@ def voxel_downsample(
         aggs.append(c.alias(f"c{v}"))
     aggs.append(F.count(F.lit(1)).alias("n_points"))
     return keyed.groupBy(*[f"i{a}" for a in axes]).agg(*aggs)
+
+
+def voxel_pyramid(
+    df: DataFrame,
+    axes: Sequence[str],
+    resolutions: Sequence[float],
+    levels: int,
+    exact_decimals: Sequence[int],
+) -> DataFrame:
+    """LOD pyramid over the voxel grid — the engine's analog of the
+    reference's EPT octree levels (/root/reference/pipeline.json:3-9's
+    source structure): level 0 is the base grid, each coarser level
+    merges 2^len(axes) child voxels by halving the integer keys.
+
+    Built BOTTOM-UP: level l+1 aggregates level l's rows (grid-sized,
+    tiny), so the full point set is scanned exactly once no matter how
+    many levels — at 100 TB the pyramid costs one base aggregate plus
+    log-many grid-sized shuffles. Because per-voxel state is scaled-
+    integer coordinate sums + counts (exact_decimals required), merging
+    children is EXACT: every level is bit-identical to aggregating the
+    raw points directly at that resolution (the oracle checks precisely
+    that), which a float mean-of-means would not be.
+
+    Output: (level, i<axis>..., c<axis>... barycenters, n_points).
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    keyed = voxel_keys(df, axes, resolutions)
+    key_cols = [f"i{a}" for a in axes]
+    scales = [10**d for d in exact_decimals]
+    cur = keyed.groupBy(*key_cols).agg(
+        *[
+            F.sum(F.round(F.col(a) * s).cast("long")).alias(f"__s_{a}")
+            for a, s in zip(axes, scales)
+        ],
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    frames = [cur.withColumn("level", F.lit(0).cast("long"))]
+    for lvl in range(1, levels):
+        cur = cur.groupBy(
+            *[
+                F.floor(F.col(f"i{a}") / 2).cast("long").alias(f"i{a}")
+                for a in axes
+            ]
+        ).agg(
+            *[F.sum(f"__s_{a}").alias(f"__s_{a}") for a in axes],
+            F.sum("n_points").alias("n_points"),
+        )
+        frames.append(cur.withColumn("level", F.lit(lvl).cast("long")))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "level",
+        *key_cols,
+        *[
+            (F.col(f"__s_{a}") / (F.lit(float(s)) * F.col("n_points"))).alias(
+                f"c{a}"
+            )
+            for a, s in zip(axes, scales)
+        ],
+        "n_points",
+    )

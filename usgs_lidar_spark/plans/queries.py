@@ -3520,3 +3520,51 @@ def a8_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "z5_voxel_pyramid",
+    oracle="""
+    WITH mins AS (SELECT min(l_extendedprice) AS mp, min(l_quantity) AS mq
+                  FROM lineitem),
+    base AS (
+        SELECT CAST(floor((l_extendedprice - mp) / 5000.0) AS BIGINT) AS ix,
+               CAST(floor((l_quantity - mq) / 5.0) AS BIGINT) AS iy,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS sx,
+               CAST(ROUND(l_quantity) AS BIGINT) AS sy
+        FROM lineitem, mins
+    ), lv AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS level)
+    SELECT lv.level,
+           CAST(floor(ix / power(2, lv.level)) AS BIGINT) AS ix,
+           CAST(floor(iy / power(2, lv.level)) AS BIGINT) AS iy,
+           CAST(SUM(sx) AS DOUBLE) / (100.0 * count(*)) AS cx,
+           CAST(SUM(sy) AS DOUBLE) / (1.0 * count(*)) AS cy,
+           count(*) AS n_points
+    FROM base CROSS JOIN lv
+    GROUP BY 1, 2, 3
+    """,
+)
+def z5_voxel_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z5: 3-level LOD voxel pyramid over the price/quantity grid — the
+    EPT-octree-levels analog, built bottom-up (one raw scan + grid-sized
+    merges). The oracle aggregates every level DIRECTLY from the raw rows;
+    hash equality proves the hierarchical merge is exact, which only the
+    scaled-integer-sum state makes possible."""
+    from usgs_lidar_spark.operators.voxel import voxel_pyramid
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    pyr = voxel_pyramid(
+        li,
+        axes=["l_extendedprice", "l_quantity"],
+        resolutions=[5000.0, 5.0],
+        levels=3,
+        exact_decimals=[2, 0],
+    )
+    return pyr.select(
+        "level",
+        F.col("il_extendedprice").alias("ix"),
+        F.col("il_quantity").alias("iy"),
+        F.col("cl_extendedprice").alias("cx"),
+        F.col("cl_quantity").alias("cy"),
+        "n_points",
+    )
