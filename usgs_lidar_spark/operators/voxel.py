@@ -131,6 +131,11 @@ def voxel_pyramid(
         ],
         F.count(F.lit(1)).alias("n_points"),
     )
+    # Materialize each level before it branches into BOTH the output union
+    # and the next level's aggregate: without this, every union arm
+    # re-executes its full lineage and the raw points are scanned once per
+    # level — the exact cost the bottom-up construction exists to avoid.
+    cur = cur.localCheckpoint()
     frames = [cur.withColumn("level", F.lit(0).cast("long"))]
     for lvl in range(1, levels):
         cur = cur.groupBy(
@@ -141,7 +146,7 @@ def voxel_pyramid(
         ).agg(
             *[F.sum(f"__s_{a}").alias(f"__s_{a}") for a in axes],
             F.sum("n_points").alias("n_points"),
-        )
+        ).localCheckpoint()
         frames.append(cur.withColumn("level", F.lit(lvl).cast("long")))
     out = frames[0]
     for fr in frames[1:]:
