@@ -1303,3 +1303,34 @@ def test_voxel_pyramid_hierarchy_exact(spark):
     assert rows[(2, 0)]["cx"] == 1.5 and rows[(2, 0)]["n_points"] == 4
     with pytest.raises(ValueError, match="levels"):
         voxel_pyramid(df, ["x"], [1.0], levels=0, exact_decimals=[0])
+
+
+def test_sample_weighted_and_token_quota(spark):
+    """Weighted sampling: weight 1 keeps everything, weight 0 keeps
+    nothing, NULL drops; token quota: docs admitted in id order until the
+    cap, a doc that would cross it is dropped whole."""
+    from usgs_lidar_spark.operators.pipeline import (
+        cap_tokens_per_group,
+        sample_weighted,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 100 else 0.0) for i in range(200)]
+        + [(999, None)],
+        "doc_id long, w double",
+    )
+    kept = sample_weighted(df, "doc_id", "w")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == set(range(100))  # weight-1 rows only; 0s and NULL dropped
+
+    rows = [(1, "s", 8), (2, "s", 8), (3, "s", 8), (4, "t", 30), (5, "s", 1)]
+    d2 = spark.createDataFrame(rows, ["doc_id", "src", "t"])
+    out = sorted(
+        r["doc_id"]
+        for r in cap_tokens_per_group(d2, "doc_id", "t", "src", 20).collect()
+    )
+    # src s: cumsum 8,16,24 -> doc 3 crosses 20, dropped; doc 5 would be
+    # cum 25 (order by id AFTER 3) -> also over. src t: 30 > 20 -> dropped.
+    assert out == [1, 2]
+    with pytest.raises(ValueError, match="max_tokens"):
+        cap_tokens_per_group(d2, "doc_id", "t", "src", 0)

@@ -228,3 +228,56 @@ def split_by_group(
     return split_by_hash(
         df, fingerprint(group_col), weights=weights, seed=seed, split_col=split_col
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: row kept iff its hash
+    bucket falls below weight * N_BUCKETS, so a row with weight 0.9 is
+    kept with probability ~0.9 and weight >= 1 is always kept —
+    quality-score-proportional curation that is reproducible across
+    engines and reruns (df.sample can do none of this). Map-only.
+    Weights are clamped to [0, 1]; NULL weights drop the row."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    clamped = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        portable_hash_bucket(id_col, seed) < clamped * F.lit(N_BUCKETS)
+    )
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column | str,
+    group_col: str,
+    max_tokens_per_group: int,
+) -> DataFrame:
+    """Data-mixing quota: keep documents (in deterministic id order) until
+    each group's running token total reaches the cap, then drop the rest
+    of that group — bounding any one source/domain's contribution to the
+    corpus mix. A document that would cross the cap is dropped entirely
+    (no partial docs). One shuffle + running-sum window; the per-group
+    state is a single counter."""
+    if max_tokens_per_group <= 0:
+        raise ValueError(
+            f"max_tokens_per_group must be positive, got {max_tokens_per_group}"
+        )
+    toks = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(toks).over(w))
+        .filter(F.col("__cum") <= max_tokens_per_group)
+        .drop("__cum")
+    )

@@ -3568,3 +3568,76 @@ def z5_voxel_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cl_quantity").alias("cy"),
         "n_points",
     )
+
+
+@query(
+    "pipe_sample_weighted",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+        SELECT doc_id, lang,
+               least(greatest(CAST(n_chars AS DOUBLE) / 800.0, 0.0), 1.0) AS w
+        FROM documents
+    )
+    WHERE {_LEHMER_BUCKET("doc_id", seed=3)} < w * 10000
+    GROUP BY lang
+    """,
+)
+def pipe_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability scales
+    with document length (n_chars/800, clamped to 1) — longer documents
+    always survive, short ones proportionally (operators/pipeline.
+    sample_weighted). Aggregated per language with an id checksum."""
+    from usgs_lidar_spark.operators.pipeline import sample_weighted
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.col("n_chars").cast("double") / 800.0
+    return (
+        sample_weighted(d, "doc_id", w, seed=3)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+@query(
+    "pipe_token_quota",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS t
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, source, t,
+               sum(t) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c
+        FROM toks
+    )
+    SELECT source, count(*) AS n_docs, CAST(max(c) AS BIGINT) AS tokens_used,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM cum WHERE c <= 20000 GROUP BY source
+    """,
+)
+def pipe_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing quota (operators/pipeline.cap_tokens_per_group): each
+    source contributes at most 20k tokens, documents admitted in id order
+    until the cap — the mixing-control step that stops one domain from
+    dominating a corpus. Per-source kept-doc counts, tokens used, and an
+    id checksum pin exact membership."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.pipeline import cap_tokens_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = cap_tokens_per_group(
+        d, "doc_id", token_count("text"), "source", max_tokens_per_group=20000
+    )
+    toks = token_count("text")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("tokens_used"),
+        F.sum("doc_id").alias("id_sum"),
+    )
