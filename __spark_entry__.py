@@ -51,6 +51,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _ROTATION_CACHE: dict[tuple[str, ...], list[str]] = {}
 
+#: Always-verified sentinels pinned at the FRONT of every verify window,
+#: regardless of rotation state: one per major engine tier (flagship
+#: projection/agg, classic SQL, dedup, ANN, pipeline composition). A
+#: regression in these core paths is caught every round, not every
+#: ceil(N/50) rounds; the rotation then fills the remaining window slots
+#: least-recently-verified first.
+_SENTINELS = (
+    "flagship_voxel_subsample",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "sim_topk_ivf",
+    "pipe_end_to_end",
+)
+
 
 def _verification_rotation_order(names: list[str]) -> list[str]:
     """Least-recently-verified-first ordering of the query surface.
@@ -66,8 +80,10 @@ def _verification_rotation_order(names: list[str]) -> list[str]:
     each name appeared — makes the 50-entry cap rotate through every query
     at least once every ⌈N/50⌉ rounds, so a regression in any query reaches
     the hard oracle signal within two rounds instead of never. Ties keep
-    registration order. If the committed CORRECTNESS files are absent
-    (fresh checkout), this degrades to plain registration order.
+    registration order. The ``_SENTINELS`` core set is exempt from
+    rotation and pinned first so it is re-verified EVERY round. If the
+    committed CORRECTNESS files are absent (fresh checkout), this degrades
+    to sentinels + plain registration order.
     """
     key = tuple(names)
     if key in _ROTATION_CACHE:
@@ -85,7 +101,11 @@ def _verification_rotation_order(names: list[str]) -> list[str]:
         for name in recorded:
             last_round[name] = max(rnd, last_round.get(name, 0))
     reg_pos = {n: i for i, n in enumerate(names)}
-    order = sorted(names, key=lambda n: (last_round.get(n, -1), reg_pos[n]))
+    sentinels = [n for n in _SENTINELS if n in reg_pos]
+    rest = [n for n in names if n not in set(sentinels)]
+    order = sentinels + sorted(
+        rest, key=lambda n: (last_round.get(n, -1), reg_pos[n])
+    )
     _ROTATION_CACHE[key] = order
     return order
 

@@ -1,0 +1,78 @@
+"""Driver-contract shim tests: verification rotation order.
+
+The rotation in __spark_entry__ is verification-process policy (see its
+docstring); these tests pin (a) that it still parses the committed
+CORRECTNESS_r*.json artifact format — a silent format change would
+degrade the rotation to registration order and starve old queries of
+re-verification — and (b) the sentinel/rotation invariants.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import __spark_entry__ as entry
+from usgs_lidar_spark.plans import queries as q
+
+REPO = Path(entry.__file__).resolve().parent
+
+
+def test_correctness_artifact_format_still_parses():
+    """Each committed CORRECTNESS_r*.json must be a {query_name: record}
+    dict whose names overlap the registry — the shape the rotation's
+    last-round scan depends on."""
+    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    assert files, "no committed CORRECTNESS artifacts found"
+    registry = set(q.QUERIES)
+    seen_any = False
+    for f in files:
+        recorded = json.loads(f.read_text())
+        assert isinstance(recorded, dict) and recorded, f.name
+        overlap = registry & set(recorded)
+        assert overlap, (
+            f"{f.name}: no recorded name matches the registry — artifact "
+            "format or naming changed; fix _verification_rotation_order"
+        )
+        seen_any = True
+        for name, rec in recorded.items():
+            assert isinstance(rec, dict), (f.name, name)
+    assert seen_any
+
+
+def test_rotation_sentinels_pinned_first():
+    names = list(q.QUERIES)
+    order = entry._verification_rotation_order(names)
+    present = [s for s in entry._SENTINELS if s in names]
+    assert present == list(entry._SENTINELS), "sentinel missing from registry"
+    assert order[: len(present)] == present
+    assert sorted(order) == sorted(names)  # permutation, nothing dropped
+
+
+def test_rotation_prefers_least_recently_verified():
+    """Non-sentinel never-verified names sort before multi-round-green
+    ones; ties keep registration order."""
+    names = list(q.QUERIES)
+    order = entry._verification_rotation_order(names)
+    last_round: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        for name in json.loads(f.read_text()):
+            last_round[name] = max(rnd, last_round.get(name, 0))
+    tail = order[len(entry._SENTINELS) :]
+    keys = [last_round.get(n, -1) for n in tail]
+    assert keys == sorted(keys), "rotation tail not least-recently-verified"
+
+
+def test_rotation_without_artifacts_degrades_to_registration_order(tmp_path):
+    """Fresh-checkout behavior: sentinels first, then registration order."""
+    names = ["zz_custom", *entry._SENTINELS[:2], "aa_custom"]
+    orig = entry._REPO
+    entry._ROTATION_CACHE.clear()
+    entry._REPO = str(tmp_path)  # no CORRECTNESS files here
+    try:
+        order = entry._verification_rotation_order(names)
+    finally:
+        entry._REPO = orig
+        entry._ROTATION_CACHE.clear()
+    assert order == [*entry._SENTINELS[:2], "zz_custom", "aa_custom"]

@@ -1197,6 +1197,79 @@ def test_gap_fill_linear_interpolation(spark):
         gap_fill(res, ["k"], ["s"], 3600, method="spline")
 
 
+def test_gap_fill_ffill_preserves_occupied_null(spark):
+    """An OCCUPIED bucket whose aggregate is legitimately NULL (here:
+    sum over an all-null value column) must keep its NULL under ffill —
+    only synthesized gap rows are filled (same contract as linear)."""
+    from usgs_lidar_spark.operators.resample import gap_fill, resample_events
+
+    rows = [("A", 30, 3.0), ("A", 3600 + 30, None), ("A", 3 * 3600 + 30, 9.0)]
+    ev = spark.createDataFrame(rows, "k string, sec long, v double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    res = resample_events(ev, "ts", ["k"], {"s": F.sum("v")}, 3600)
+    out = {
+        r["__bucket"]: (r["s"], r["is_gap"])
+        for r in gap_fill(res, ["k"], ["s"], 3600, method="ffill").collect()
+    }
+    assert out[0] == (3.0, False)
+    assert out[1] == (None, False)  # occupied NULL survives the fill
+    assert out[2] == (3.0, True)    # gap ffills past the occupied NULL
+    assert out[3] == (9.0, False)
+
+
+def test_portable_hash_bucket_extreme_ids(spark):
+    """Ids at the long extremes produce in-range buckets identical to
+    wide-arithmetic math — no intermediate overflow (ANSI-safe)."""
+    from usgs_lidar_spark.operators.pipeline import (
+        _LEHMER_A,
+        _LEHMER_M,
+        N_BUCKETS,
+        portable_hash_bucket,
+    )
+
+    ids = [2**63 - 1, -(2**63), -1, 0, 1, 12345]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", portable_hash_bucket("id", seed=7).alias("b")
+        ).collect()
+    }
+
+    def ref(i, seed=7):
+        x = (i % _LEHMER_M + 1 + seed) % _LEHMER_M  # python ints: no overflow
+        for _ in range(2):
+            x = (x * _LEHMER_A) % _LEHMER_M
+        return x % N_BUCKETS
+
+    for i in ids:
+        assert got[i] == ref(i), i
+        assert 0 <= got[i] < N_BUCKETS
+
+
+def test_bruteforce_arrow_preserves_id_types(spark):
+    """Output id columns keep the INPUT id types (int stays int), and an
+    oversized query side fails loudly instead of a silent full collect."""
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce_arrow,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(6)],
+        "vec_id int, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "query_id smallint, embedding array<double>"
+    )
+    out = cosine_topk_bruteforce_arrow(emb, q, k=2)
+    dts = dict(out.dtypes)
+    assert dts["query_id"] == "smallint" and dts["neighbor_id"] == "int"
+    assert out.count() == 2
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_bruteforce_arrow(emb, q, k=2, max_queries=0)
+
+
 def test_new_operators_tolerate_empty_inputs(spark):
     """Empty-input robustness sweep for the round-4 operators: every path
     returns an empty (or sensible) result instead of crashing."""

@@ -39,9 +39,12 @@ def portable_hash_bucket(id_col: Column | str, seed: int = 0) -> Column:
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     # pmod, not %: Spark's % follows the dividend's sign, so negative ids
     # would produce negative buckets that compare below every threshold
-    # (all-train splits, always-kept samples). pmod keeps every
-    # intermediate in [0, M), for any long id.
-    x = F.pmod(c.cast("long") + F.lit(1 + seed), F.lit(_LEHMER_M))
+    # (all-train splits, always-kept samples). Reduce the id mod M BEFORE
+    # adding the seed offset: id + 1 + seed on a raw long near Long.MAX
+    # would overflow (an error under ANSI mode, a silent wrap otherwise —
+    # and a mismatch vs any oracle computing in wider arithmetic). After
+    # the first pmod every intermediate stays in [0, M).
+    x = F.pmod(F.pmod(c.cast("long"), F.lit(_LEHMER_M)) + F.lit(1 + seed), F.lit(_LEHMER_M))
     for _ in range(2):
         x = (x * F.lit(_LEHMER_A)) % F.lit(_LEHMER_M)
     return x % F.lit(N_BUCKETS)

@@ -117,8 +117,17 @@ def gap_fill(
     )
     out = joined
     if method == "ffill":
+        # Fill only synthesized gap rows: an occupied bucket whose
+        # aggregate is legitimately NULL keeps its NULL (same contract as
+        # the linear branch). Gap rows take the most recent non-null
+        # occupied value.
         for c in fill_cols:
-            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_back))
+            out = out.withColumn(
+                c,
+                F.when(
+                    F.col("is_gap"), F.last(c, ignorenulls=True).over(w_back)
+                ).otherwise(F.col(c)),
+            )
     else:
         occupied = F.when(~F.col("is_gap"), F.col("__bucket"))
         prev_b = F.last(occupied, ignorenulls=True).over(w_back)

@@ -785,6 +785,7 @@ def cosine_topk_bruteforce_arrow(
     query_id_col: str = "query_id",
     k: int = 5,
     round_digits: int = 4,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Throughput variant of cosine_topk_bruteforce: an Arrow-batched
     numpy matmul replaces the per-pair higher-order folds.
@@ -801,14 +802,25 @@ def cosine_topk_bruteforce_arrow(
     half-to-even, so boundary sims rank identically on both paths.
 
     Contract: integer id columns (the module's other operators are
-    id-type generic; this fast path trades that for the matmul).
+    id-type generic; this fast path trades that for the matmul). Output
+    id columns keep the INPUT id types (tinyint stays tinyint), matching
+    the type-preserving expression path. The query side must be small —
+    it is collected to the driver and closure-shipped; ``max_queries``
+    bounds that collect and the call fails loudly past it.
     """
     import numpy as np
     import pandas as pd
 
-    for side, col in ((queries, query_id_col), (corpus, id_col)):
-        dt = dict(side.dtypes).get(col)
-        if dt not in ("tinyint", "smallint", "int", "bigint"):
+    _np_by_spark = {
+        "tinyint": np.int8,
+        "smallint": np.int16,
+        "int": np.int32,
+        "bigint": np.int64,
+    }
+    q_dt = dict(queries.dtypes).get(query_id_col)
+    c_dt = dict(corpus.dtypes).get(id_col)
+    for col, dt in ((query_id_col, q_dt), (id_col, c_dt)):
+        if dt not in _np_by_spark:
             raise TypeError(
                 f"cosine_topk_bruteforce_arrow requires integer id columns; "
                 f"{col!r} is {dt} — use cosine_topk_bruteforce for other id "
@@ -819,11 +831,24 @@ def cosine_topk_bruteforce_arrow(
         scale = 10.0**d
         return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    # limit(max_queries+1) bounds the driver collect even on a runaway
+    # query side; >max_queries is a contract violation, not a truncation.
+    q_rows = (
+        queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_bruteforce_arrow: query side exceeds max_queries="
+            f"{max_queries}; this path broadcasts the full query matrix — "
+            "shrink the query set or raise max_queries explicitly"
+        )
     if not q_rows:
-        empty = f"{query_id_col} long, neighbor_id long, sim double, rank long"
+        empty = (
+            f"{query_id_col} {q_dt}, neighbor_id {c_dt}, sim double, "
+            "rank long"
+        )
         return corpus.sparkSession.createDataFrame([], empty)
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in q_rows], dtype=_np_by_spark[q_dt])
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(qm, axis=1)
     q_norms[q_norms == 0] = np.inf  # zero-norm query => sim 0 everywhere
@@ -832,7 +857,7 @@ def cosine_topk_bruteforce_arrow(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=_np_by_spark[c_dt])
             cm = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norms = np.linalg.norm(cm, axis=1)
             c_norms[c_norms == 0] = np.inf
@@ -853,14 +878,14 @@ def cosine_topk_bruteforce_arrow(
                 out_s.extend(col[sel])
             yield pd.DataFrame(
                 {
-                    query_id_col: pd.Series(out_q, dtype="int64"),
-                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    query_id_col: pd.Series(out_q, dtype=_np_by_spark[q_dt]),
+                    "neighbor_id": pd.Series(out_n, dtype=_np_by_spark[c_dt]),
                     "sim": pd.Series(out_s, dtype="float64"),
                 }
             )
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
-        block_topk, f"{query_id_col} long, neighbor_id long, sim double"
+        block_topk, f"{query_id_col} {q_dt}, neighbor_id {c_dt}, sim double"
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
