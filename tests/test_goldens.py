@@ -1,0 +1,52 @@
+"""Hard checks for the engine-kernel queries with no SQL oracle.
+
+``dedup_simhash64`` / ``dedup_simhash_near`` are defined over Spark's
+seeded xxhash64 and ``sketch_approx_stats`` over Spark's HLL++ /
+percentile_approx — DuckDB cannot reproduce them, so the driver records
+only a rows-only check. These tests close that gap with committed golden
+outputs at sf0.01 (regenerate via ``python tools/make_goldens.py``):
+the fingerprints are bit-deterministic by construction, and the sketch
+estimates were verified stable across 2/8/32-way parallelism (HLL merge
+is commutative; the percentile summaries proved partition-order-stable
+on this input) before pinning.
+
+A semantic regression in any of the three now fails pytest exactly,
+instead of sailing through the driver's row count.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from tools.make_goldens import GOLDEN_QUERIES, SF_DIR, canonical_rows
+from usgs_lidar_spark.plans import queries as q
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+def test_no_oracle_query_matches_committed_golden(spark, name):
+    golden = json.loads((FIXTURES / f"golden_{name}.json").read_text())
+    df = q.QUERIES[name](spark, SF_DIR)
+    assert df.columns == golden["columns"]
+    assert [list(dt) for dt in df.dtypes] == golden["dtypes"]
+    got = canonical_rows(df)
+    assert len(got) == len(golden["rows"])
+    for i, (g, w) in enumerate(zip(got, golden["rows"])):
+        assert g == w, f"{name} row {i}: got {g}, golden {w}"
+
+
+def test_every_registry_query_has_oracle_or_golden():
+    """Registry-wide invariant: every queries() entry carries EITHER a
+    DuckDB oracle (driver hash-match) OR a committed golden (exact pin
+    here). No query is rows-only."""
+    goldens = {
+        f.stem.removeprefix("golden_") for f in FIXTURES.glob("golden_*.json")
+    }
+    unchecked = [
+        n for n in q.QUERIES if n not in q.ORACLE and n not in goldens
+    ]
+    assert not unchecked, f"queries with neither oracle nor golden: {unchecked}"
