@@ -329,6 +329,135 @@ def test_idempotent_sink_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_sink_exactly_once_across_crash_restart(spark, tmp_path):
+    """THE exactly-once claim a user relies on: the query dies in the
+    worst window — AFTER the sink write for a batch, BEFORE the
+    checkpoint commit — and a restart from the same checkpoint dir must
+    replay that batch into the same batch_id partition and finish the
+    rest, landing every input row exactly once with no gaps.
+
+    The crash is injected by a foreachBatch wrapper that raises on batch
+    1 the first time only (a marker file makes the failure one-shot, as a
+    real transient crash is); restart uses the SAME checkpoint location.
+    """
+    import os
+
+    import pandas as pd
+
+    from usgs_lidar_spark.streaming.sink import idempotent_parquet_writer
+
+    def nanos(s: str) -> int:
+        return int(pd.Timestamp(s).value)
+
+    events_dir = tmp_path / "crash_events"
+    events_dir.mkdir()
+    for i, (name, eid, ts) in enumerate(
+        [
+            ("a.parquet", 1, "2024-01-01 10:00:00"),
+            ("b.parquet", 2, "2024-01-01 10:01:00"),
+            ("c.parquet", 3, "2024-01-01 10:02:00"),
+        ]
+    ):
+        pd.DataFrame(
+            [(eid, nanos(ts), 1, "click", 1.0, "{}")],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).to_parquet(events_dir / name, index=False)
+        os.utime(events_dir / name, (1700000000 + i, 1700000000 + i))
+
+    out = str(tmp_path / "crash_out")
+    ckpt = str(tmp_path / "crash_ckpt")
+    crash_marker = tmp_path / "crashed_once"
+    inner = idempotent_parquet_writer(out)
+
+    def crashing_writer(df, batch_id):
+        inner(df, batch_id)  # sink write SUCCEEDS...
+        if batch_id == 1 and not crash_marker.exists():
+            crash_marker.write_text("boom")
+            raise RuntimeError("injected crash after write, before commit")
+
+    def start():
+        return (
+            read_events_stream(spark, str(events_dir), max_files_per_trigger=1)
+            .writeStream.foreachBatch(crashing_writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(Exception, match="injected crash"):
+        start().awaitTermination()
+    # batch 1's data is on disk but NOT committed — the at-least-once gap.
+    assert crash_marker.exists()
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    start().awaitTermination()  # restart from the same checkpoint
+
+    result = spark.read.parquet(out)
+    rows = [(r["event_id"], r["batch_id"]) for r in result.collect()]
+    assert sorted(eid for eid, _ in rows) == [1, 2, 3]  # exactly once, no gaps
+    batch_ids = sorted(b for _, b in rows)
+    assert len(set(batch_ids)) == 3  # batch 1 replayed into ITS dir, not a new one
+
+
+def test_sink_compaction_end_to_end(spark, tmp_path):
+    """Compaction job over a multi-batch sink: rewrites sealed batch dirs
+    into one well-sized dataset behind an atomic manifest, preserves every
+    row and its batch_id provenance, leaves live batches alone, and
+    composes incrementally; read_sink is consistent at every step."""
+    from usgs_lidar_spark.streaming.compact import (
+        compact_sink,
+        read_sink,
+    )
+    from usgs_lidar_spark.streaming.sink import idempotent_parquet_writer
+
+    out = str(tmp_path / "comp_sink")
+    write = idempotent_parquet_writer(out)
+    for b in range(4):
+        write(
+            spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "event_id"),
+            b,
+        )
+
+    # Pre-compaction view: plain batch-dir union.
+    assert read_sink(spark, out).count() == 40
+
+    # Compact batches 0..2; batch 3 is the stream's live tail.
+    m = compact_sink(spark, out, up_to_batch=2, target_partitions=1)
+    assert m["version"] == 1 and m["max_batch_id"] == 2
+    view = read_sink(spark, out)
+    assert sorted(r["event_id"] for r in view.collect()) == list(range(40))
+    # provenance survives; superseded batch dirs are gone, tail remains
+    assert view.filter("batch_id = 1").count() == 10
+    names = {p.name for p in (tmp_path / "comp_sink").iterdir()}
+    assert names == {"batch_id=3", "_compacted"}
+    # the compacted dataset is ONE file (the small-file fix)
+    vdir = tmp_path / "comp_sink" / "_compacted" / m["version_dir"]
+    assert len(list(vdir.glob("*.parquet"))) == 1
+
+    # An orphan version dir (crash before manifest swap) is invisible.
+    (tmp_path / "comp_sink" / "_compacted" / "v99").mkdir()
+    assert read_sink(spark, out).count() == 40
+
+    # Nothing new sealed -> no-op.
+    assert compact_sink(spark, out, up_to_batch=2) is None
+
+    # Incremental round: seal batch 3 plus a new batch 4.
+    write(
+        spark.range(40, 50).withColumnRenamed("id", "event_id"), 4
+    )
+    m2 = compact_sink(spark, out, target_partitions=1)
+    assert m2["version"] == 2 and m2["max_batch_id"] == 4
+    assert m2["n_source_batches"] == 5
+    final = read_sink(spark, out)
+    assert sorted(r["event_id"] for r in final.collect()) == list(range(50))
+    assert final.select("batch_id").distinct().count() == 5
+    # previous version cleaned up
+    comp = tmp_path / "comp_sink" / "_compacted"
+    assert not (comp / "v1").exists() and (comp / "v2").exists()
+
+
 def test_streaming_session_window_late_data_dropped(spark, tmp_path):
     """Session-window eviction: a late event that WOULD have merged into
     an already-finalized session is dropped instead of resurrecting it.

@@ -1,0 +1,172 @@
+"""Compaction for the idempotent streaming sink's one-dir-per-batch output.
+
+A long-running stream through ``sink.idempotent_parquet_writer`` leaves
+``batch_id=N`` directories, each holding one micro-batch's (often tiny)
+files — the classic small-file problem: at 100 TB a reader would open
+millions of files and the NameNode/listing cost dominates the scan.
+
+``compact_sink`` is the batch job that fixes this WITHOUT stopping the
+stream:
+
+  1. read every sealed batch directory (``batch_id <= up_to_batch``;
+     batches newer than that may still be replayed by a recovering
+     stream, so they are never touched);
+  2. rewrite them as one well-sized parquet dataset under
+     ``_compacted/v<K>/`` (coalesced to ``target_partitions`` or
+     partitioned by a user column — batch_id is preserved as a normal
+     column so nothing is lost);
+  3. atomically swap a JSON manifest (`_compacted/MANIFEST.json`, tmp
+     file + ``os.replace``) recording the active version and the highest
+     batch id it covers;
+  4. only then delete the superseded batch directories.
+
+Crash-safety comes from the ordering: a crash before the manifest swap
+leaves an orphan ``v<K>`` directory that readers ignore (the manifest
+still points at the old state); a crash after the swap but before the
+deletes leaves garbage batch dirs that readers skip (their ids are <=
+the manifest's ``max_batch_id``) and the next compaction removes.
+
+``read_sink`` is the matching reader: compacted data plus any batch
+directories newer than the manifest — a consistent view at every point
+of the protocol above.
+
+Driver-side file operations use the local filesystem API; on HDFS/object
+stores the same protocol holds with the corresponding rename primitive
+(HDFS rename is atomic; object stores need a conditional put), which is
+an environment binding, not a design change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_BATCH_RE = re.compile(r"^batch_id=(\d+)$")
+MANIFEST = "MANIFEST.json"
+
+
+def _batch_dirs(sink_path: str) -> dict[int, Path]:
+    root = Path(sink_path)
+    out: dict[int, Path] = {}
+    if root.is_dir():
+        for child in root.iterdir():
+            m = _BATCH_RE.match(child.name)
+            if m and child.is_dir():
+                out[int(m.group(1))] = child
+    return out
+
+
+def _read_manifest(sink_path: str) -> dict | None:
+    f = Path(sink_path) / "_compacted" / MANIFEST
+    if not f.exists():
+        return None
+    return json.loads(f.read_text())
+
+
+def compact_sink(
+    spark: SparkSession,
+    sink_path: str,
+    up_to_batch: int | None = None,
+    target_partitions: int | None = 1,
+    partition_by: list[str] | None = None,
+) -> dict | None:
+    """Rewrite sealed ``batch_id`` directories into a compacted dataset
+    and atomically publish it via the manifest. Returns the new manifest,
+    or None when there is nothing to compact.
+
+    ``up_to_batch``: highest batch id considered sealed (default: all
+    present). Leave headroom below the stream's current batch when the
+    stream is live — a recovering stream may legitimately rewrite its
+    LAST uncommitted batch directory, never older ones.
+    ``target_partitions``: repartition width of the compacted write (the
+    knob that fixes small files); None keeps the scan's partitioning.
+    ``partition_by``: optional hive-partition columns for the compacted
+    dataset (e.g. an event-date column) — the layout a 100 TB reader
+    actually wants.
+    """
+    manifest = _read_manifest(sink_path)
+    already = manifest["max_batch_id"] if manifest else -1
+    dirs = _batch_dirs(sink_path)
+    todo = {
+        b: p
+        for b, p in dirs.items()
+        if b > already and (up_to_batch is None or b <= up_to_batch)
+    }
+    if not todo:
+        return None
+
+    # basePath keeps batch_id as a (partition) column in the scan; it is
+    # written back as a NORMAL column so compacted rows keep provenance.
+    scan = (
+        spark.read.option("basePath", sink_path)
+        .parquet(*[str(p) for p in sorted(todo.values())])
+    )
+    sources: list[DataFrame] = [scan]
+    if manifest:
+        sources.append(
+            spark.read.parquet(
+                str(Path(sink_path) / "_compacted" / manifest["version_dir"])
+            )
+        )
+    df = sources[0] if len(sources) == 1 else sources[0].unionByName(sources[1])
+    if target_partitions is not None:
+        df = df.repartition(target_partitions)
+
+    version = (manifest["version"] + 1) if manifest else 1
+    comp_root = Path(sink_path) / "_compacted"
+    comp_root.mkdir(exist_ok=True)
+    vdir = f"v{version}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(comp_root / vdir))
+
+    new_manifest = {
+        "version": version,
+        "version_dir": vdir,
+        "max_batch_id": max(todo),
+        "n_source_batches": len(todo) + (manifest["n_source_batches"] if manifest else 0),
+    }
+    tmp = comp_root / f".{MANIFEST}.tmp"
+    tmp.write_text(json.dumps(new_manifest, indent=1))
+    os.replace(tmp, comp_root / MANIFEST)  # the atomic publish point
+
+    # Post-publish cleanup: superseded batch dirs and the previous version.
+    for p in todo.values():
+        shutil.rmtree(p, ignore_errors=True)
+    if manifest:
+        shutil.rmtree(comp_root / manifest["version_dir"], ignore_errors=True)
+    return new_manifest
+
+
+def read_sink(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Consistent view of the sink at any protocol point: the manifest's
+    compacted dataset plus batch directories NEWER than it (uncompacted
+    tail); plain batch-dir union when no compaction has run."""
+    manifest = _read_manifest(sink_path)
+    covered = manifest["max_batch_id"] if manifest else -1
+    tail = [p for b, p in sorted(_batch_dirs(sink_path).items()) if b > covered]
+    parts: list[DataFrame] = []
+    if manifest:
+        parts.append(
+            spark.read.parquet(
+                str(Path(sink_path) / "_compacted" / manifest["version_dir"])
+            )
+        )
+    if tail:
+        parts.append(
+            spark.read.option("basePath", sink_path).parquet(
+                *[str(p) for p in tail]
+            )
+        )
+    if not parts:
+        raise FileNotFoundError(f"empty sink: {sink_path}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
