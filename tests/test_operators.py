@@ -187,6 +187,34 @@ def test_char_shingles_short_doc(spark):
     assert {r["doc_id"]: r["count"] for r in got} == {2: 3}
 
 
+def test_shingle_apis_cap_stop_shingles_by_default(spark):
+    """Safe-at-scale defaults: the df cap is finite unless explicitly
+    disabled — a stop-shingle present in every document is dropped by
+    default and only joins all-pairs on max_df=None opt-out."""
+    import inspect
+
+    from usgs_lidar_spark.operators.dedup import (
+        char_shingles,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    for fn in (char_shingles, ngram_jaccard_pairs, minhash_signatures,
+               minhash_lsh_pairs):
+        default = inspect.signature(fn).parameters["max_df"].default
+        assert default is not None and default > 0, fn.__name__
+
+    # 25 docs sharing one stop-shingle ("AAAAAAAA"), each with a unique tail.
+    docs = spark.createDataFrame(
+        [(i, "AAAAAAAA" + f"{i:08d}") for i in range(25)], ["doc_id", "text"]
+    )
+    capped = char_shingles(docs, "text", "doc_id", k=8)
+    assert capped.filter("shingle = 'AAAAAAAA'").count() == 0  # df=25 > 20
+    uncapped = char_shingles(docs, "text", "doc_id", k=8, max_df=None)
+    assert uncapped.filter("shingle = 'AAAAAAAA'").count() == 25
+
+
 def test_simhash_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps over it"), (2, "the quick brown fox jumps over it")],

@@ -95,7 +95,7 @@ def char_shingles(
     text_col: str,
     id_col: str,
     k: int = 8,
-    max_df: int | None = None,
+    max_df: int | None = 20,
     fused_small_corpus: bool = False,
 ) -> DataFrame:
     """Distinct character k-shingles per document: (id, shingle).
@@ -109,7 +109,10 @@ def char_shingles(
     dominate it (observed: 5.6e8 joined rows at sf0.1 uncapped vs ~2.7e7
     capped at 20). Near-duplicates still share their rare shingles, so
     capping is the standard near-dup practice — and it bounds the worst
-    key's skew at 100 TB.
+    key's skew at 100 TB. The cap is ON BY DEFAULT (20, matching the
+    measured sweet spot above): the quadratic stop-shingle join is an
+    explicit ``max_df=None`` opt-out, not something a caller can hit by
+    omission.
 
     The capped path is two bounded-state steps:
       1. distinct (doc_id, shingle) — HashAggregate keyed by the pair,
@@ -165,7 +168,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     k: int = 8,
     threshold: float = 0.6,
-    max_df: int | None = None,
+    max_df: int | None = 20,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: all pairs with
     J(a,b) = |shingles_a ∩ shingles_b| / |shingles_a ∪ shingles_b| >= t.
@@ -210,7 +213,7 @@ def minhash_signatures(
     id_col: str,
     k: int = 8,
     num_perm: int = 64,
-    max_df: int | None = None,
+    max_df: int | None = 20,
 ) -> DataFrame:
     """MinHash signature per document: num_perm seeded xxhash64 minima over
     the shingle set. Pure column math after the shingle explode — the
@@ -232,7 +235,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 32,
     threshold: float = 0.6,
-    max_df: int | None = None,
+    max_df: int | None = 20,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard. rows-per-band = num_perm // bands; two docs collide if
