@@ -324,8 +324,15 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFram
     Bit j of the fingerprint is 1 iff the majority of the doc's shingle
     hashes have bit j set. Implemented as a groupBy with 64 conditional
     sums over xxhash64 bits — all JVM-side expressions.
+
+    Shingles are deliberately UNCAPPED (max_df=None): a fingerprint must
+    be a pure function of the document's own text, not of corpus-wide
+    document frequencies, and the per-doc vote aggregation is linear —
+    the df cap exists to bound shingle-JOIN blowup, a step simhash does
+    not have (its join-side guard is simhash_near_dup_pairs'
+    max_bucket).
     """
-    sh = char_shingles(df, text_col, id_col, k)
+    sh = char_shingles(df, text_col, id_col, k, max_df=None)
     h = F.xxhash64(F.col("shingle"))
     votes = [
         F.sum(

@@ -3144,6 +3144,174 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice) AS cost
+        FROM lineitem GROUP BY 1, 2
+    ), rc AS (
+        SELECT c.partkey, c.suppkey, c.cost, s.s_name, n.n_name
+        FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, rc.suppkey AS s_suppkey, rc.s_name, rc.n_name,
+           rc.cost AS min_cost
+    FROM part p JOIN rc ON rc.partkey = p.p_partkey
+    WHERE p.p_size <= 5
+      AND rc.cost = (SELECT MIN(rc2.cost) FROM rc rc2
+                     WHERE rc2.partkey = rc.partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the EUROPE supplier(s) whose
+    offer cost equals the per-part minimum — the classic correlated
+    MIN-subquery. No partsupp table in this schema, so the part-supplier
+    cost relation is derived as MIN(l_extendedprice) per (part, supplier)
+    from lineitem (reference has no supplier dimension at all; this is
+    the engine-surface form of its per-group-argmin idiom,
+    /root/reference/scripts/usgs_lidar.py catalog min-year selection).
+
+    Spark realization: the correlated subquery is a per-part MIN window
+    over the already-region-restricted cost relation — ONE shuffle keyed
+    by partkey replaces the rejoin a naive translation would add; dims
+    (supplier/nation/region, then the size-filtered part) broadcast, so
+    lineitem is the only big table and is touched once.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("l_extendedprice").alias("cost"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    rc = cost.join(F.broadcast(supp), cost["suppkey"] == supp["s_suppkey"])
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey")
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        rc.join(F.broadcast(p), rc["partkey"] == p["p_partkey"])
+        .withColumn("__min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("__min_cost"))
+        .select(
+            "p_partkey",
+            F.col("suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.col("cost").alias("min_cost"),
+        )
+    )
+
+
+@query(
+    "q11_part_value_share",
+    oracle=f"""
+    WITH val AS (
+        SELECT l_partkey AS partkey,
+               {DEC_SUM("l_extendedprice * l_quantity", 4)} AS part_value
+        FROM lineitem GROUP BY 1
+    ), tot AS (SELECT SUM(part_value) AS total_value FROM val)
+    SELECT v.partkey, v.part_value,
+           v.part_value / t.total_value AS share
+    FROM val v CROSS JOIN tot t
+    WHERE v.part_value > 0.0008 * t.total_value
+    """,
+)
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value vs a fraction of the
+    GLOBAL total — group aggregate compared against a global aggregate.
+
+    Spark realization: the global total is a 1-row aggregate cross-joined
+    back with an explicit broadcast (the a1_global_minmax scalar pattern)
+    — no collect, no second scan of lineitem (the per-part aggregate
+    feeds both sides). Value sums ride scaled BIGINTs (dec_sum) so the
+    share division and the threshold comparison are bit-deterministic at
+    any partitioning.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    val = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_quantity"), 4).alias(
+            "part_value"
+        )
+    )
+    tot = val.agg(F.sum("part_value").alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > 0.0008 * F.col("total_value"))
+        .select(
+            "partkey",
+            "part_value",
+            (F.col("part_value") / F.col("total_value")).alias("share"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+        FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    with a NOT-IN supplier exclusion. The NOT IN realizes as a broadcast
+    LEFT ANTI join against the (tiny) excluded-supplier set — correct
+    here because s_suppkey is non-null; a nullable NOT-IN column would
+    need the null-aware variant. The part predicate lives in a broadcast
+    dim join; COUNT(DISTINCT) runs on the already-distinct (part,
+    supplier) pairs, a two-phase hash aggregate with map-side partials.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("suppkey"))
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        ps.join(F.broadcast(bad), "suppkey", "left_anti")
+        .join(F.broadcast(p), ps["partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
     "asof_salted_purchase_before_click",
     oracle="""
     WITH e AS (
