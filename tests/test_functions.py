@@ -124,6 +124,43 @@ def test_general_projection_gated(spark):
         assert abs(out["x"]) < 1e-6
 
 
+def test_reproject_udf_plumbing_with_injected_transformer(spark):
+    """The general-EPSG UDF tier end-to-end WITHOUT pyproj: an injected
+    transformer factory proves the (x, y) -> struct<x, y> Arrow plumbing
+    — multi-partition batching, struct field access, null propagation —
+    with exact affine expected values. The fake is defined LOCALLY so
+    cloudpickle ships it by value (a test-module global would pickle by
+    reference to a module the workers can't import)."""
+    from usgs_lidar_spark.functions.projection import reproject_udf
+
+    class AffineFakeTransformer:
+        """pyproj.Transformer stand-in: a known affine map."""
+
+        def transform(self, xs, ys):
+            return xs * 2.0 + 1.0, ys - 0.5
+
+    udf = reproject_udf(
+        4326, 2193, transformer_factory=AffineFakeTransformer
+    )
+    rows = [(float(i), float(-i)) for i in range(1000)] + [(None, 3.0)]
+    df = spark.createDataFrame(rows, "x double, y double").repartition(7)
+    out = df.select("x", "y", udf("x", "y").alias("p")).select(
+        "x", "y", F.col("p.x").alias("px"), F.col("p.y").alias("py")
+    )
+    assert dict(out.dtypes)["px"] == "double"
+    got = {r["x"]: (r["px"], r["py"]) for r in out.collect()}
+    for i in range(1000):
+        assert got[float(i)] == (2.0 * i + 1.0, -i - 0.5)
+    # NULL input propagates as null/NaN through the float pipeline (Arrow
+    # may render the NaN slot as SQL NULL), never a crash; the non-null
+    # coordinate of the same row still transforms.
+    import math
+
+    px = got[None][0]
+    assert px is None or math.isnan(px)
+    assert got[None][1] == 2.5
+
+
 # --- Transverse Mercator (UTM) expression path -----------------------------
 
 TMERC_GOLDEN = Path(__file__).parent / "fixtures" / "tmerc_golden.json"

@@ -76,24 +76,52 @@ def have_pyproj() -> bool:
         return False
 
 
-def reproject_udf(src_epsg: int, dst_epsg: int):
+def reproject_udf(src_epsg: int, dst_epsg: int, transformer_factory=None):
     """Arrow-batched (x, y) -> struct(x, y) reprojection via pyproj.
 
-    The Transformer is constructed lazily inside the UDF (once per python
-    worker, not per batch) — the standard expensive-closure pattern."""
-    if not have_pyproj():
-        raise NotImplementedError(
-            f"reprojection {src_epsg}->{dst_epsg} requires pyproj, which is "
-            "not installed here; EPSG:4326<->3857 is available as pure "
-            "column math in usgs_lidar_spark.functions.mercator"
-        )
+    ``transformer_factory``: zero-arg callable returning an object with
+    ``.transform(xs, ys) -> (xs', ys')`` over numpy arrays (the pyproj
+    Transformer protocol). Default builds a pyproj Transformer for the
+    EPSG pair; injecting a factory lets environments without pyproj (and
+    tests) exercise the identical Arrow/struct plumbing. The factory must
+    be picklable — it ships to the Python workers in the UDF closure.
+
+    The transformer is constructed lazily and cached per Python worker
+    (not per Arrow batch) — the standard expensive-closure pattern:
+    pyproj CRS setup costs ~10 ms, a 100 TB scan has millions of batches.
+    """
+    if transformer_factory is None:
+        if not have_pyproj():
+            raise NotImplementedError(
+                f"reprojection {src_epsg}->{dst_epsg} requires pyproj, which "
+                "is not installed here; EPSG:4326<->3857 is available as pure "
+                "column math in usgs_lidar_spark.functions.mercator"
+            )
+        transformer_factory = _PyprojFactory(src_epsg, dst_epsg)
+
+    worker_cache: dict[str, object] = {}
 
     @pandas_udf("struct<x: double, y: double>")
     def reproject(x: pd.Series, y: pd.Series) -> pd.DataFrame:
-        import pyproj
-
-        tr = pyproj.Transformer.from_crs(src_epsg, dst_epsg, always_xy=True)
+        tr = worker_cache.get("tr")
+        if tr is None:
+            tr = worker_cache["tr"] = transformer_factory()
         ox, oy = tr.transform(x.to_numpy(), y.to_numpy())
         return pd.DataFrame({"x": ox, "y": oy})
 
     return reproject
+
+
+class _PyprojFactory:
+    """Picklable default transformer factory (a lambda would not ship)."""
+
+    def __init__(self, src_epsg: int, dst_epsg: int):
+        self.src_epsg = src_epsg
+        self.dst_epsg = dst_epsg
+
+    def __call__(self):
+        import pyproj
+
+        return pyproj.Transformer.from_crs(
+            self.src_epsg, self.dst_epsg, always_xy=True
+        )
