@@ -1225,6 +1225,48 @@ def test_gap_fill_linear_interpolation(spark):
         gap_fill(res, ["k"], ["s"], 3600, method="spline")
 
 
+def test_ivf_append_matches_full_assign_and_drift_vs_refined(spark):
+    """Incremental IVF maintenance: (a) appending a batch with the
+    existing quantizer is indistinguishable from re-assigning the whole
+    corpus; (b) drift metrics against a kmeans_refine'd quantizer are
+    well-formed and the refined quantizer never LOWERS mean within-cell
+    similarity on the data it was refined on."""
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_append,
+        ivf_assign,
+        ivf_drift_metrics,
+        kmeans_refine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 8").collect()
+    ]
+    base = ivf_assign(emb.filter("vec_id < 450"), cents, keep_sim=True)
+    appended = ivf_append(base, emb.filter("vec_id >= 450"), cents)
+    full = ivf_assign(emb, cents, keep_sim=True)
+    a = {r["vec_id"]: (r["__cid"], r["__csim"]) for r in appended.collect()}
+    f = {r["vec_id"]: (r["__cid"], r["__csim"]) for r in full.collect()}
+    assert a == f and len(a) == 500
+
+    refined = kmeans_refine(emb, cents, n_iter=1)
+    drift = ivf_drift_metrics(emb, cents, refined).collect()
+    assert sum(r["n"] for r in drift) == 500
+    for r in drift:
+        assert 0.0 <= r["moved_frac"] <= 1.0
+        assert r["n_moved"] <= r["n"]
+        assert -1.0 <= r["mean_csim"] <= 1.0
+    # Lloyd step quality: mean sim to assigned centroid must not drop.
+    def mean_csim(centroids):
+        rows = ivf_assign(emb, centroids, keep_sim=True).agg(
+            F.avg("__csim").alias("m")
+        ).collect()
+        return rows[0]["m"]
+
+    assert mean_csim(refined) >= mean_csim(cents) - 1e-9
+
+
 def test_gap_fill_ffill_preserves_occupied_null(spark):
     """An OCCUPIED bucket whose aggregate is legitimately NULL (here:
     sum over an all-null value column) must keep its NULL under ffill —

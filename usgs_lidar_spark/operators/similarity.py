@@ -297,6 +297,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     round_digits: int = 4,
     method: str = "auto",
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Attach `__cid`: the nearest (max rounded cosine, min id on ties)
     coarse centroid. Centroids are a driver-side list — the coarse
@@ -304,13 +305,102 @@ def ivf_assign(
     to megabytes). Assignment is embarrassingly parallel under BOTH
     strategies (`_with_centroid_sims`): it runs inside the scan stage with
     no shuffle of the corpus at any size; `method='broadcast'` keeps the
-    PLAN O(1) in k as well, which is what survives a real quantizer."""
+    PLAN O(1) in k as well, which is what survives a real quantizer.
+    ``keep_sim`` additionally attaches `__csim`, the rounded cosine to the
+    assigned centroid (the quantization-quality signal drift metrics
+    read)."""
     df, sims, tmp = _with_centroid_sims(
         corpus, centroids, vec_col, round_digits, method
     )
     best = F.array_max(sims)
     out = df.withColumn("__cid", -best["negcid"])
+    if keep_sim:
+        out = out.withColumn("__csim", best["sim"])
     return out.drop(tmp) if tmp is not None else out
+
+
+def ivf_append(
+    base_assigned: DataFrame,
+    new_vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    method: str = "auto",
+) -> DataFrame:
+    """Incremental IVF index append: assign ONLY the new vectors with the
+    EXISTING coarse quantizer and union them into the already-assigned
+    base — no k-means re-run, no touch of the base corpus.
+
+    This is the streaming-corpus maintenance path: appending a batch
+    costs one map-only assignment over the batch (the base rows move
+    zero bytes), vs a full rebuild costing n_iter scans + aggregates of
+    the WHOLE corpus. The price is quantizer staleness — new data may
+    cluster where the old centroids aren't; measure it with
+    `ivf_drift_metrics` and rebuild when the drift crosses the caller's
+    threshold (assignments are identical to a from-scratch assign with
+    the same centroids — parity pinned by the sim_ivf_append_parity
+    oracle query — so the INDEX is never wrong, only less selective).
+
+    ``base_assigned`` must carry ivf_assign's output columns (`__cid`,
+    optionally `__csim`); the new side gets the same treatment
+    (keep_sim inferred) and is column-aligned before the union.
+    """
+    newly = ivf_assign(
+        new_vectors,
+        centroids,
+        vec_col,
+        round_digits,
+        method,
+        keep_sim="__csim" in base_assigned.columns,
+    )
+    return base_assigned.unionByName(newly.select(*base_assigned.columns))
+
+
+def ivf_drift_metrics(
+    corpus: DataFrame,
+    centroids_old: list[tuple[int, list[float]]],
+    centroids_new: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    method: str = "auto",
+) -> DataFrame:
+    """Per-cell staleness report for an incrementally-maintained IVF
+    index: under the CURRENT quantizer (`centroids_old`), each cell's
+    occupancy and mean cosine-to-centroid (exact scaled-integer mean),
+    plus how many of its vectors a CANDIDATE quantizer (`centroids_new`,
+    e.g. a kmeans_refine output) would reassign — the rebuild-decision
+    signal.
+
+    One pass: both assignments are map-only expression argmaxes attached
+    to the same scan, followed by a single groupBy(cid) aggregate; shuffle
+    volume is one row per cell. Returns (cid, n, mean_csim, n_moved,
+    moved_frac)."""
+    scale = 10**round_digits
+    both = ivf_assign(
+        ivf_assign(
+            corpus, centroids_old, vec_col, round_digits, method, keep_sim=True
+        )
+        .withColumnRenamed("__cid", "__cid_old")
+        .withColumnRenamed("__csim", "__csim_old"),
+        centroids_new,
+        vec_col,
+        round_digits,
+        method,
+    )
+    return (
+        both.groupBy(F.col("__cid_old").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("__csim_old") * scale).cast("long"))
+                / (F.lit(float(scale)) * F.count(F.lit(1)))
+            ).alias("mean_csim"),
+            F.sum(
+                F.when(F.col("__cid") != F.col("__cid_old"), 1).otherwise(0)
+            ).cast("long").alias("n_moved"),
+        )
+        .withColumn("moved_frac", F.col("n_moved") / F.col("n"))
+    )
 
 
 def ivf_topk(

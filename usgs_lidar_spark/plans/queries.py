@@ -2376,6 +2376,105 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_append_parity",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), csim AS (
+        SELECT e.vec_id, c.cid, {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT vec_id, cid, csim FROM (
+        SELECT vec_id, cid, csim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rn
+        FROM csim) WHERE rn = 1
+    """,
+)
+def sim_ivf_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: assign the first 400 vectors, then
+    APPEND the remaining 100 through ivf_append (assign-only, no k-means
+    re-run, base untouched). The oracle assigns the WHOLE corpus from
+    scratch with the same quantizer — the append path must be
+    indistinguishable from a full re-assign (same cells, same
+    quantization cosines), which is exactly the invariant that makes
+    incremental appends safe on a streaming corpus."""
+    from usgs_lidar_spark.operators.similarity import ivf_append, ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    base = ivf_assign(
+        emb.filter(F.col("vec_id") < 400), cents, keep_sim=True
+    )
+    appended = ivf_append(base, emb.filter(F.col("vec_id") >= 400), cents)
+    return appended.select(
+        "vec_id", F.col("__cid").alias("cid"), F.col("__csim").alias("csim")
+    )
+
+
+@query(
+    "sim_ivf_drift",
+    oracle=f"""
+    WITH cold AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), cnew AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id >= 8 AND vec_id < 16
+    ), aold AS (
+        SELECT vec_id, cid, csim FROM (
+            SELECT e.vec_id, c.cid, {_cos4("e.embedding", "c.cvec")} AS csim,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_cos4("e.embedding", "c.cvec")}
+                                               DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cold c) WHERE rn = 1
+    ), anew AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_cos4("e.embedding", "c.cvec")}
+                                               DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cnew c) WHERE rn = 1
+    )
+    SELECT aold.cid, count(*) AS n,
+           CAST(SUM(CAST(ROUND(aold.csim * 10000) AS BIGINT)) AS DOUBLE)
+               / (10000.0 * count(*)) AS mean_csim,
+           SUM(CASE WHEN anew.cid <> aold.cid THEN 1 ELSE 0 END) AS n_moved,
+           CAST(SUM(CASE WHEN anew.cid <> aold.cid THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS moved_frac
+    FROM aold JOIN anew USING (vec_id)
+    GROUP BY aold.cid
+    """,
+)
+def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild-decision metrics for an incrementally-maintained IVF
+    index: per current cell, occupancy, exact mean cosine-to-centroid,
+    and how many vectors a candidate quantizer (here: a disjoint seed
+    set, deterministically reproducible by the oracle; in production a
+    kmeans_refine output) would reassign. Both assignments ride the same
+    scan — one groupBy shuffle of one row per cell."""
+    from usgs_lidar_spark.operators.similarity import ivf_drift_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def seeds(lo: int, hi: int):
+        return [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            )
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+
+    return ivf_drift_metrics(emb, seeds(0, 8), seeds(8, 16))
+
+
+@query(
     "dedup_cluster_collapse",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},
