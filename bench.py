@@ -62,6 +62,11 @@ HEADLINE = [
     "m3_utm_reproject",
     "pipe_contamination",
     "pipe_pack_sequences",
+    # round 5 additions: correlated-subquery classic, HAVING-driven
+    # fact-to-fact join, and incremental-index drift metrics.
+    "q2_min_cost_supplier",
+    "q18_large_volume_customers",
+    "sim_ivf_drift",
 ]
 
 

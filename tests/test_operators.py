@@ -1225,6 +1225,40 @@ def test_gap_fill_linear_interpolation(spark):
         gap_fill(res, ["k"], ["s"], 3600, method="spline")
 
 
+def test_contamination_fractional_cap_is_scale_stable(spark):
+    """The absolute df cap tightens as the corpus grows (measured at 10x:
+    flagged docs dropped 1194 -> 501); max_df_frac keeps the SAME flagged
+    set when the corpus is replicated, because the resolved cap scales
+    with corpus size."""
+    from usgs_lidar_spark.operators.pipeline import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(900, "thequickbrownfoxjumpsover")], ["doc_id", "text"]
+    )
+    base_rows = [(0, "thequickbrownfoxjumpsover")] + [
+        (i, f"unrelated-document-{i:04d}-padding") for i in range(1, 30)
+    ]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    big = spark.createDataFrame(
+        [(r[0] + 1000 * k, r[1]) for k in range(3) for r in base_rows],
+        ["doc_id", "text"],
+    )
+
+    def flagged(corpus, **kw):
+        return sorted(
+            r["doc_id"] % 1000
+            for r in contaminated_docs(corpus, bench, **kw).collect()
+        )
+
+    # Fractional cap: identical per-replica flags at 1x and 3x.
+    assert flagged(base, max_df_frac=0.1) == [0]
+    assert flagged(big, max_df_frac=0.1) == [0, 0, 0]
+    # Absolute cap at 2: the 3x corpus has df=3 for the contaminated
+    # shingles -> evidence capped away, flags silently vanish.
+    assert flagged(base, max_df=2) == [0]
+    assert flagged(big, max_df=2) == []
+
+
 def test_ivf_append_matches_full_assign_and_drift_vs_refined(spark):
     """Incremental IVF maintenance: (a) appending a batch with the
     existing quantizer is indistinguishable from re-assigning the whole

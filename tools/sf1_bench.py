@@ -1,0 +1,142 @@
+"""sf1 bench point (SCALE.md): the five most expensive headliners one
+order of magnitude above the driver's bench scale.
+
+Builds an sf1-equivalent dataset under /tmp (driver testdata is
+read-only) by 10x-replicating ONLY the tables the five queries read —
+lineitem (~6 M rows), documents, embeddings — and symlinking the rest
+from sf0.1, then runs each query at sf0.1 (1x) and sf1 (10x) in its own
+SparkSession with an event log, reporting wall seconds and total shuffle
+bytes per scenario.
+
+Replication semantics (same contract as tools/scale_experiment.py —
+reported as measured, not as an independent-replica approximation):
+  * lineitem: replica k offsets l_orderkey by k*(max+1); part/supplier
+    keys unchanged, so per-part/supplier fan-out grows 10x — a
+    harder-than-linear input for the grouping queries;
+  * documents: replica k rotates the token list by 7k — most shingles
+    survive, so the near-dup pair graph DENSIFIES superlinearly;
+  * embeddings: replica k rescales components by (1 + 1e-4 k) — cell
+    geometry preserved, population x10.
+
+Usage: python tools/sf1_bench.py           # prints one JSON line per scenario
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tools.scale_experiment import make_session, shuffle_bytes  # noqa: E402
+
+SF01 = Path("/root/testdata/sf0.1")
+WORK = Path("/tmp/sf1_bench")
+SF1 = WORK / "sf1"
+FACTOR = 10
+
+QUERIES_UNDER_TEST = [
+    "dedup_cluster_collapse",
+    "pipe_contamination",
+    "dedup_minhash_lsh",
+    "sim_topk_ivf",
+    "flagship_voxel_subsample",
+    "f3_point_in_polygon",
+]
+
+
+def build_sf1() -> None:
+    if (SF1 / "_BUILT").exists():
+        return
+    SF1.mkdir(parents=True, exist_ok=True)
+    spark = make_session("sf1-build", WORK / "log_build")
+
+    def replicate(name: str, id_shift: dict[str, str], mutate=None) -> None:
+        src = spark.read.parquet(str(SF01 / f"{name}.parquet"))
+        maxes = {
+            c: src.agg(F.max(c)).collect()[0][0] + 1 for c in id_shift.values()
+        }
+        parts = []
+        for k in range(FACTOR):
+            p = src
+            if k:
+                for out_col, key in id_shift.items():
+                    p = p.withColumn(out_col, F.col(key) + k * maxes[key])
+                if mutate is not None:
+                    p = mutate(p, k)
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(
+            str(SF1 / f"{name}.parquet")
+        )
+
+    def rotate_text(df, k):
+        toks = F.split(F.col("text"), " ")
+        n = F.size(toks)
+        rot = F.lit(k * 7) % n
+        return df.withColumn(
+            "text",
+            F.array_join(
+                F.concat(F.slice(toks, rot + 1, n), F.slice(toks, 1, rot)), " "
+            ),
+        )
+
+    replicate("lineitem", {"l_orderkey": "l_orderkey"})
+    replicate("documents", {"doc_id": "doc_id"}, rotate_text)
+    replicate(
+        "embeddings",
+        {"vec_id": "vec_id"},
+        lambda df, k: df.withColumn(
+            "embedding", F.transform("embedding", lambda x: x * (1.0 + 1e-4 * k))
+        ),
+    )
+    spark.stop()
+    for f in SF01.glob("*.parquet"):
+        dst = SF1 / f.name
+        if not dst.exists():
+            dst.symlink_to(f)
+    (SF1 / "_BUILT").touch()
+
+
+def run_query(name: str, sf_dir: str, tag: str) -> dict:
+    from usgs_lidar_spark.plans.queries import QUERIES
+
+    log_dir = WORK / f"log_{name}_{tag}"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    spark = make_session(f"{name}-{tag}", log_dir)
+    # One untimed warmup at the smallest SF compiles the plan shape, so
+    # the timed run measures steady-state execution (bench.py convention).
+    QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    t0 = time.perf_counter()
+    n_rows = QUERIES[name](spark, sf_dir).count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    rd, wr = shuffle_bytes(log_dir)
+    return {
+        "scenario": f"{name}_{tag}",
+        "n_rows": n_rows,
+        "sec": round(dt, 2),
+        "shuffle_read_mb": round(rd / 1e6, 1),
+        "shuffle_write_mb": round(wr / 1e6, 1),
+    }
+
+
+def main() -> None:
+    WORK.mkdir(parents=True, exist_ok=True)
+    build_sf1()
+    for name in QUERIES_UNDER_TEST:
+        for sf_dir, tag in ((str(SF01), "1x"), (str(SF1), "10x")):
+            print(json.dumps(run_query(name, sf_dir, tag)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

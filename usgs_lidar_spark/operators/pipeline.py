@@ -113,6 +113,7 @@ def contaminated_docs(
     k: int = 8,
     max_df: int | None = 20,
     min_frac: float = 0.2,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: flag corpus documents sharing too
     many character k-shingles with any benchmark/eval document.
@@ -125,10 +126,25 @@ def contaminated_docs(
     evidence), distinct benchmark shingle set, one equi-join keyed by
     shingle, bounded count aggregates. The benchmark side of a real run
     is a few thousand eval documents — AQE broadcasts it; nothing here
-    is proportional to corpus x benchmark.
+    is proportional to corpus x benchmark (the join itself is linear in
+    corpus, so unlike the dedup self-joins the cap here is purely an
+    evidence-quality filter, not a blowup guard).
+
+    ``max_df_frac``: scale-stable alternative to the absolute cap —
+    "drop shingles present in more than this FRACTION of corpus docs"
+    (resolved to an absolute df via one corpus count). An absolute cap
+    silently tightens as the corpus grows: measured at 10x corpus
+    (tools/sf1_bench.py), max_df=20 cut flagged docs 1194 -> 501 because
+    shingle dfs scale with corpus size while the cap doesn't. Set the
+    fraction when the corpus size varies across runs; overrides
+    ``max_df`` when given.
     """
     from usgs_lidar_spark.operators.dedup import char_shingles
 
+    if max_df_frac is not None:
+        import math
+
+        max_df = max(1, math.ceil(max_df_frac * corpus.count()))
     c_sh = char_shingles(corpus, text_col, id_col, k=k, max_df=max_df)
     b_sh = (
         char_shingles(benchmark, text_col, id_col, k=k, max_df=None)

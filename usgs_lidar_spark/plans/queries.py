@@ -3411,6 +3411,101 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pq AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
+               count(*) AS c
+        FROM lineitem GROUP BY 1
+    )
+    SELECT {DEC_SUM("l.l_extendedprice", 2)} / 7.0 AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq    ON pq.partkey   = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 * pq.c < pq.sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines under 20% of their part's
+    average quantity — the correlated AVG subquery. The per-part average
+    is a groupBy over lineitem re-joined on partkey (2-phase hash agg,
+    then an equi-join AQE broadcasts when the part-stats side is small);
+    the 20%-of-average comparison is EXACT integer arithmetic
+    (qty_scaled * 5 * count < sum_scaled), so no float threshold can
+    disagree between engines at any partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    pq = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sq"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    qs = F.round(F.col("l_quantity") * 100).cast("long")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(pq, li["l_partkey"] == pq["partkey"])
+        .filter(qs * 5 * F.col("c") < F.col("sq"))
+        .agg(
+            (dec_sum("l_extendedprice", 2) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               {DEC_SUM("l_quantity", 2)} AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders — a
+    HAVING-filtered aggregate driving a fact-to-fact join. The per-order
+    quantity sum shuffles lineitem by orderkey once; the HAVING filter
+    shrinks that side to the big orders BEFORE the orders join (AQE
+    broadcasts the survivors), and the customer dim joins broadcast.
+    Quantity sums ride scaled BIGINTs, and the HAVING threshold compares
+    the scaled integer itself — bit-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("__sq")
+        )
+        .filter(F.col("__sq") > 25000)
+        .select(
+            "l_orderkey", (F.col("__sq") / F.lit(100.0)).alias("sum_qty")
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@query(
     "asof_salted_purchase_before_click",
     oracle="""
     WITH e AS (
