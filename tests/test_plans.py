@@ -164,6 +164,21 @@ HEADLINE_DIGESTS = {
         "BroadcastHashJoin": 1,
     },
     "pipe_pack_sequences": {"shuffle_exchange": 1},
+    # Round-5 headliners. q2: cost groupBy + per-part window = 2 shuffles,
+    # every dim broadcast. q18: one orderkey shuffle; the HAVING survivors
+    # and customer dim broadcast. sim_ivf_drift: both quantizer argmaxes
+    # are map-side expressions — the only shuffle is the per-cell groupBy.
+    "q2_min_cost_supplier": {
+        "shuffle_exchange": 2,
+        "BroadcastExchange": 4,
+        "BroadcastHashJoin": 4,
+    },
+    "q18_large_volume_customers": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
+    },
+    "sim_ivf_drift": {"shuffle_exchange": 1},
 }
 
 

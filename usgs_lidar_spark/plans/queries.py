@@ -3333,16 +3333,25 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark realization: the global total is a 1-row aggregate cross-joined
     back with an explicit broadcast (the a1_global_minmax scalar pattern)
-    — no collect, no second scan of lineitem (the per-part aggregate
-    feeds both sides). Value sums ride scaled BIGINTs (dec_sum) so the
-    share division and the threshold comparison are bit-deterministic at
-    any partitioning.
+    — no collect. The per-part aggregate feeds BOTH the total and the
+    output, so it is localCheckpoint-materialized (part-level cardinality
+    — tiny next to lineitem): without that, Catalyst plans two full
+    lineitem scans (exchange reuse did not fire on this shape, verified
+    on the executed plan), and the alternative — an unpartitioned window
+    for the total — funnels every part row through one partition. One
+    lineitem scan, then two cheap aggregates over part-level rows. Value
+    sums ride scaled BIGINTs (dec_sum) so the share division and the
+    threshold comparison are bit-deterministic at any partitioning.
     """
     li = _t(spark, sf_dir, "lineitem")
-    val = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        dec_sum(F.col("l_extendedprice") * F.col("l_quantity"), 4).alias(
-            "part_value"
+    val = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_quantity"), 4).alias(
+                "part_value"
+            )
         )
+        .localCheckpoint(eager=False)
     )
     tot = val.agg(F.sum("part_value").alias("total_value"))
     return (
