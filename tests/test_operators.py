@@ -1225,6 +1225,46 @@ def test_gap_fill_linear_interpolation(spark):
         gap_fill(res, ["k"], ["s"], 3600, method="spline")
 
 
+def test_frame_sampling_and_resize_plumbing(spark):
+    """Multimodal resize + frame-sample: (a) byte-chunk frame sampling
+    emits every Nth complete frame with exact bytes and totals (the
+    one-to-many mapInPandas shape); (b) the fake resize stand-in tiles
+    payloads to exactly width*height bytes; (c) the PIL-gated real resize
+    raises cleanly when PIL is absent."""
+    from usgs_lidar_spark.multimodal import (
+        fake_resize_image,
+        have_pil,
+        resize_image,
+        sample_frames,
+        to_media_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 5), (2, "xy"), (3, "")], ["doc_id", "text"]
+    )
+    media = to_media_table(docs, "doc_id", "text")
+
+    # 40 bytes / frame_size 8 = 5 frames; every 2nd -> indices 0, 2, 4.
+    frames = sample_frames(media, frame_size=8, every_n=2).collect()
+    got = {(r["media_id"], r["frame_index"]): r for r in frames}
+    assert set(got) == {(1, 0), (1, 2), (1, 4)}  # docs 2, 3: no full frame
+    assert all(r["n_frames_total"] == 5 for r in frames)
+    assert bytes(got[(1, 0)]["frame"]) == b"abcdefgh"
+    with pytest.raises(ValueError, match="positive"):
+        sample_frames(media, frame_size=0)
+
+    resized = {
+        r["media_id"]: r for r in fake_resize_image(media, 4, 3).collect()
+    }
+    assert all(r["n_bytes"] == 12 and r["width"] == 4 for r in resized.values())
+    assert bytes(resized[2]["content"]) == b"xyxyxyxyxyxy"  # tiled
+    assert bytes(resized[3]["content"]) == bytes(12)  # empty -> zero bytes
+
+    if not have_pil():
+        with pytest.raises(NotImplementedError, match="PIL"):
+            resize_image(media, 4, 3)
+
+
 def test_contamination_fractional_cap_is_scale_stable(spark):
     """The absolute df cap tightens as the corpus grows (measured at 10x:
     flagged docs dropped 1194 -> 501); max_df_frac keeps the SAME flagged

@@ -9,15 +9,26 @@ Three decode tiers, cheapest first:
     no imaging libs; the path is real and tested wherever PIL exists);
   * `fake_decode_image` — deterministic stand-in that exercises the exact
     mapInPandas schema/batch shape with zero deps.
+
+Transform tier: `resize_image` (PIL-gated) / `fake_resize_image`
+(deterministic tiling stand-in, same schema and output-size profile) and
+`sample_frames` — byte-chunk frame sampling, the one-to-many mapInPandas
+shape (real for raw frame buffers; container formats would wrap a codec
+decode in the same contract), oracle-checked as `mm_frame_sample`.
 """
 
 from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     DECODED_SCHEMA,
+    FRAMES_SCHEMA,
     MEDIA_SCHEMA,
+    RESIZED_SCHEMA,
     binary_feature_extract,
     decode_image,
     fake_decode_image,
+    fake_resize_image,
     have_pil,
     probe_image_dims,
+    resize_image,
+    sample_frames,
     to_media_table,
 )

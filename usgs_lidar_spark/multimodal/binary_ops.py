@@ -240,3 +240,147 @@ def fake_decode_image(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+#: Output schema of the resize operators: resized payload + new geometry.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+#: Output schema of frame sampling: one row per sampled frame.
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("n_frames_total", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Decode -> resize -> re-encode (PNG) via PIL, one Arrow batch at a
+    time. Import-gated like decode_image (no imaging libs here);
+    `fake_resize_image` exercises the identical schema/batch path. At
+    scale this is the canonical thumbnailing pass: map-only, output
+    partitioning inherits the scan, bytes cross the JVM<->Python boundary
+    once per batch in each direction."""
+    if not have_pil():
+        raise NotImplementedError(
+            "image resizing requires PIL, not present in this environment; "
+            "fake_resize_image exercises the plumbing deterministically"
+        )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        def one(b: bytes) -> bytes | None:
+            try:
+                with Image.open(io.BytesIO(b)) as im:
+                    out = io.BytesIO()
+                    im.resize((width, height)).save(out, format="PNG")
+                    return out.getvalue()
+            except Exception:
+                return None
+
+        for pdf in batches:
+            resized = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "content": resized,
+                    "n_bytes": resized.map(
+                        lambda b: len(b) if b is not None else -1
+                    ).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def fake_resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Deterministic resize stand-in: the output payload is the input
+    bytes tiled/truncated to exactly width*height bytes — a pure function
+    of the input with the real operator's schema, batch shape, and
+    output-size profile (output bytes ~ target geometry, independent of
+    input size — what makes a thumbnail pass cheap to shuffle
+    downstream)."""
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b) -> bytes:
+            b = bytes(b) if b is not None else b""
+            if not b:
+                return bytes(target)
+            reps = -(-target // len(b))  # ceil
+            return (b * reps)[:target]
+
+        for pdf in batches:
+            resized = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "content": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int, every_n: int = 1
+) -> DataFrame:
+    """Frame sampling over raw fixed-size frame buffers: split `content`
+    into consecutive ``frame_size``-byte frames (complete frames only)
+    and emit every ``every_n``-th as its own row — the one-to-many
+    mapInPandas shape a video pipeline uses (each input batch yields a
+    frames batch; nothing is held per partition).
+
+    This byte-chunk framing IS the real operator for uncompressed frame
+    buffers (raw RGB/PCM); container formats (mp4/mkv) need a codec
+    library this environment doesn't ship — that tier would wrap the same
+    schema and sampling contract around an av/ffmpeg decode in `one()`.
+    Oracle-checked against substring arithmetic (mm_frame_sample)."""
+    if frame_size <= 0 or every_n <= 0:
+        raise ValueError(
+            f"frame_size and every_n must be positive, got "
+            f"({frame_size}, {every_n})"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids: list[int] = []
+            idxs: list[int] = []
+            totals: list[int] = []
+            frames: list[bytes] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                n_frames = len(b) // frame_size
+                for i in range(0, n_frames, every_n):
+                    mids.append(mid)
+                    idxs.append(i)
+                    totals.append(n_frames)
+                    frames.append(b[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int64"),
+                    "n_frames_total": pd.Series(totals, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(gen, FRAMES_SCHEMA)

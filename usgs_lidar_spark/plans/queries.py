@@ -1504,6 +1504,45 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_feature_extract(media)
 
 
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               CAST(octet_length(encode(text)) // 16 AS BIGINT)
+                   AS n_frames_total
+        FROM documents
+    ), idx AS (
+        SELECT media_id, text, n_frames_total,
+               unnest(range(0, CAST(n_frames_total AS INTEGER), 4)) AS i
+        FROM m WHERE n_frames_total > 0
+    )
+    SELECT media_id, CAST(i AS BIGINT) AS frame_index, n_frames_total,
+           hex(encode(substr(text, CAST(i AS INTEGER) * 16 + 1, 16)))
+               AS frame_hex
+    FROM idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media: every 4th 16-byte frame of each
+    payload as its own row — the one-to-many mapInPandas shape of a video
+    frame-extraction pass, oracle-checked against substring arithmetic
+    (frames rendered as hex so both engines compare strings, not
+    engine-specific binary encodings; this DuckDB build has no BLOB
+    substring, so the oracle slices the ASCII text and hexes its UTF-8
+    encoding — byte-identical to slicing the bytes for ASCII payloads)."""
+    from usgs_lidar_spark.multimodal import sample_frames, to_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text")
+    return sample_frames(media, frame_size=16, every_n=4).select(
+        "media_id",
+        "frame_index",
+        "n_frames_total",
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
 # =====================================================================
 # Exact point-in-polygon (SURVEY.md §2 F3) — bbox prefilter + pandas UDF
 # =====================================================================
