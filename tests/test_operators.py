@@ -1265,6 +1265,59 @@ def test_frame_sampling_and_resize_plumbing(spark):
             resize_image(media, 4, 3)
 
 
+def test_global_shuffle_deterministic_partition_invariant(spark):
+    """global_shuffle: (a) shard/position are a pure function of (id,
+    seed) — identical across repartitionings; (b) positions are dense
+    1..n per shard; (c) a different seed produces a different order."""
+    from usgs_lidar_spark.operators.pipeline import global_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+
+    def snap(frame, seed=0):
+        return {
+            r["doc_id"]: (r["shard"], r["shard_pos"])
+            for r in global_shuffle(frame, "doc_id", 4, seed).collect()
+        }
+
+    a = snap(df)
+    b = snap(df.repartition(13))
+    assert a == b
+    from collections import Counter
+
+    per_shard = Counter(s for s, _ in a.values())
+    by_shard: dict[int, list[int]] = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, per_shard[s] + 1))
+    assert snap(df, seed=1) != a
+
+
+def test_exact_dedup_incremental_drops_seen_and_collapses_batch(spark):
+    """Incremental exact dedup: batch docs whose text the corpus already
+    contains are dropped entirely; duplicates WITHIN the batch collapse
+    to (min id, count); fresh unique docs pass through."""
+    from usgs_lidar_spark.operators.pipeline import exact_dedup_incremental
+
+    seen = spark.createDataFrame(
+        [(1, "already ingested"), (2, "also known")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already ingested"),   # dropped: in corpus
+            (11, "brand new"),
+            (12, "brand new"),          # in-batch dup of 11
+            (13, "unique fresh doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["keep_id"]: r["n_copies"]
+        for r in exact_dedup_incremental(batch, seen).collect()
+    }
+    assert got == {11: 2, 13: 1}
+
+
 def test_contamination_fractional_cap_is_scale_stable(spark):
     """The absolute df cap tightens as the corpus grows (measured at 10x:
     flagged docs dropped 1194 -> 501); max_df_frac keeps the SAME flagged

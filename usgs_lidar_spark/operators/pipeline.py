@@ -26,6 +26,22 @@ _LEHMER_M = 2147483647  # 2^31 - 1 (prime)
 N_BUCKETS = 10000
 
 
+def portable_hash_long(id_col: Column | str, seed: int = 0) -> Column:
+    """Full-range deterministic hash in [0, 2^31-1): the same two Lehmer
+    rounds as `portable_hash_bucket` WITHOUT the final bucket fold — the
+    total-order key the global shuffle needs (10k buckets would collide
+    constantly; the full range makes (key, id) an effectively random yet
+    reproducible total order on any engine with 64-bit integers)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    x = F.pmod(
+        F.pmod(c.cast("long"), F.lit(_LEHMER_M)) + F.lit(1 + seed),
+        F.lit(_LEHMER_M),
+    )
+    for _ in range(2):
+        x = (x * F.lit(_LEHMER_A)) % F.lit(_LEHMER_M)
+    return x
+
+
 def portable_hash_bucket(id_col: Column | str, seed: int = 0) -> Column:
     """Deterministic bucket in [0, N_BUCKETS) from an integer id.
 
@@ -36,7 +52,6 @@ def portable_hash_bucket(id_col: Column | str, seed: int = 0) -> Column:
     reproducibility across engines is the point of a split column.
     Spark's xxhash64 would have better avalanche but exists nowhere else.
     """
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
     # pmod, not %: Spark's % follows the dividend's sign, so negative ids
     # would produce negative buckets that compare below every threshold
     # (all-train splits, always-kept samples). Reduce the id mod M BEFORE
@@ -44,10 +59,7 @@ def portable_hash_bucket(id_col: Column | str, seed: int = 0) -> Column:
     # would overflow (an error under ANSI mode, a silent wrap otherwise —
     # and a mismatch vs any oracle computing in wider arithmetic). After
     # the first pmod every intermediate stays in [0, M).
-    x = F.pmod(F.pmod(c.cast("long"), F.lit(_LEHMER_M)) + F.lit(1 + seed), F.lit(_LEHMER_M))
-    for _ in range(2):
-        x = (x * F.lit(_LEHMER_A)) % F.lit(_LEHMER_M)
-    return x % F.lit(N_BUCKETS)
+    return portable_hash_long(id_col, seed) % F.lit(N_BUCKETS)
 
 
 def split_by_hash(
@@ -299,4 +311,68 @@ def cap_tokens_per_group(
         df.withColumn("__cum", F.sum(toks).over(w))
         .filter(F.col("__cum") <= max_tokens_per_group)
         .drop("__cum")
+    )
+
+
+def global_shuffle(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every row gets a
+    reproducible pseudo-random sort key, a shard, and its position within
+    the shard — the step that turns a curated corpus into shuffled
+    training shards WITHOUT `orderBy(rand())` (irreproducible, and a
+    global sort besides).
+
+    Columns added: `shard` = key mod n_shards, `shard_pos` = rank within
+    the shard under the (key, id) total order. One shuffle keyed by
+    shard; each shard orders independently (no global sort barrier), so
+    shards write out in parallel at any corpus size — and the whole
+    assignment is a pure function of (id, seed): the same corpus yields
+    the same shards on any engine, rerun, or partitioning.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = portable_hash_long(id_col, seed)
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", (F.col("__key") % n_shards).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__key")
+    )
+
+
+def exact_dedup_incremental(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seen_text_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup of an INCOMING batch against an already-ingested
+    corpus: drop batch docs whose content already exists in `seen`, then
+    collapse exact duplicates within the batch itself (keep the minimum
+    id, count the copies).
+
+    This is the streaming-ingest companion to `exact_dedup`: the
+    historical corpus is represented by its content hashes only (md5 —
+    reproducible in ANSI SQL, unlike xxhash64, so the whole operator is
+    oracle-checkable), meaning the anti-join shuffles 16-byte digests,
+    never historical text. At 100 TB the `seen` side is a persisted
+    hash table maintained by previous ingests; each new batch costs one
+    anti-join keyed by digest plus one batch-sized aggregate.
+    """
+    bh = batch.withColumn("__h", F.md5(F.col(text_col)))
+    sh = (
+        seen.select(F.md5(F.col(seen_text_col or text_col)).alias("__h"))
+        .distinct()
+    )
+    return (
+        bh.join(sh, "__h", "left_anti")
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__h")
     )

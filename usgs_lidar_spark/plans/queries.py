@@ -4051,3 +4051,63 @@ def pipe_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(toks).alias("tokens_used"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@query(
+    "pipe_global_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               ((((doc_id % 2147483647) + 1) % 2147483647)
+                 * 48271 % 2147483647) * 48271 % 2147483647 AS k
+        FROM documents
+    )
+    SELECT doc_id, CAST(k % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id)
+                AS BIGINT) AS shard_pos
+    FROM keyed
+    """,
+)
+def pipe_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle into 8 shards
+    (operators/pipeline.global_shuffle): every document gets a
+    reproducible pseudo-random shard and in-shard position — no
+    orderBy(rand()), no global sort; shards order independently. The
+    oracle replays the Lehmer key chain in plain 64-bit SQL arithmetic,
+    so every document's exact (shard, position) must agree."""
+    from usgs_lidar_spark.operators.pipeline import global_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(d, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+@query(
+    "dedup_exact_incremental",
+    oracle="""
+    WITH seen AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+    ), batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM batch ANTI JOIN seen USING (h)
+    GROUP BY h
+    """,
+)
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest exact dedup
+    (operators/pipeline.exact_dedup_incremental): the first 250 documents
+    are the already-ingested corpus (represented ONLY by md5 digests —
+    the historical text never moves); the rest arrive as a new batch,
+    drop anything already seen, and collapse within-batch duplicates to
+    (keep_id, n_copies). md5, not xxhash64, so the whole operator is
+    SQL-reproducible."""
+    from usgs_lidar_spark.operators.pipeline import exact_dedup_incremental
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup_incremental(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
+    )
