@@ -199,3 +199,48 @@ def test_tmerc_roundtrip_property(spark, pts, zone, south):
     ).collect()
     for r in rows:
         assert abs(r["dlon"]) < 1e-9 and abs(r["dlat"]) < 1e-9, (epsg, r)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    seed=st.integers(min_value=0, max_value=100),
+    n_shards=st.integers(min_value=1, max_value=7),
+)
+@settings(**SET)
+def test_global_shuffle_permutation_property(spark, ids, seed, n_shards):
+    """For ANY long ids (full range, negatives included): the hash key is
+    in [0, 2^31-1) and matches pure-Python wide arithmetic; shards lie in
+    [0, n_shards); positions are a dense 1..k per shard — i.e. the
+    operator is a permutation into shards, never dropping or duplicating
+    a row, on any input."""
+    from usgs_lidar_spark.operators.pipeline import (
+        _LEHMER_A,
+        _LEHMER_M,
+        global_shuffle,
+        portable_hash_long,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = global_shuffle(df, "doc_id", n_shards, seed).select(
+        "doc_id", "shard", "shard_pos", portable_hash_long("doc_id", seed).alias("k")
+    ).collect()
+    assert len(rows) == len(ids)
+
+    def ref_key(i):
+        x = (i % _LEHMER_M + 1 + seed) % _LEHMER_M
+        for _ in range(2):
+            x = (x * _LEHMER_A) % _LEHMER_M
+        return x
+
+    per_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["k"] < _LEHMER_M and r["k"] == ref_key(r["doc_id"])
+        assert 0 <= r["shard"] < n_shards and r["shard"] == r["k"] % n_shards
+        per_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for ps in per_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

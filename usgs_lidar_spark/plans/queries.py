@@ -4111,3 +4111,63 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_incremental(
         d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
     )
+
+
+@query(
+    "q20_dominant_part_suppliers",
+    oracle="""
+    WITH ps AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+          AND year(l_shipdate) = 1997
+        GROUP BY 1, 2
+    ), shares AS (
+        SELECT l_suppkey, sq,
+               SUM(sq) OVER (PARTITION BY l_partkey) AS tq
+        FROM ps
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM shares WHERE sq * 5 > tq
+    )
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested-IN pipeline — suppliers who ship more
+    than 20% of some PROMO part's 1997 volume. Part set membership is a
+    broadcast semi-join (the inner IN), the per-(part, supplier) volumes
+    aggregate once, the part total is a window over that aggregate (NOT a
+    second lineitem scan), and the dominance test is exact integer
+    arithmetic (sq * 5 > tq). The qualifying-supplier set feeds a
+    broadcast left-semi join against the supplier dim (the outer IN).
+    One lineitem scan, two shuffles (agg + window), everything else
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    base = li.filter(F.year("l_shipdate") == 1997).join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi"
+    )
+    ps = base.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sq")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ps.withColumn("tq", F.sum("sq").over(w))
+        .filter(F.col("sq") * 5 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(dominant), s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
