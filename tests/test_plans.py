@@ -164,14 +164,18 @@ HEADLINE_DIGESTS = {
         "BroadcastHashJoin": 1,
     },
     "pipe_pack_sequences": {"shuffle_exchange": 1},
-    # Round-5 headliners. q2: cost groupBy + per-part window = 2 shuffles,
-    # every dim broadcast. q18: one orderkey shuffle; the HAVING survivors
-    # and customer dim broadcast. sim_ivf_drift: both quantizer argmaxes
-    # are map-side expressions — the only shuffle is the per-cell groupBy.
+    # Round-5 headliners. q2: part/supplier semi-joins push below the
+    # aggregate (group-key filters), so the cost groupBy shuffles only
+    # restricted rows; groupBy + per-part window = 2 shuffles, and the
+    # tiny dim chain broadcasts on both the semi and the label side (7
+    # constant-size broadcasts — the shuffle shrink is the scale lever).
+    # q18: one orderkey shuffle; the HAVING survivors and customer dim
+    # broadcast. sim_ivf_drift: both quantizer argmaxes are map-side
+    # expressions — the only shuffle is the per-cell groupBy.
     "q2_min_cost_supplier": {
         "shuffle_exchange": 2,
-        "BroadcastExchange": 4,
-        "BroadcastHashJoin": 4,
+        "BroadcastExchange": 7,
+        "BroadcastHashJoin": 7,
     },
     "q18_large_volume_customers": {
         "shuffle_exchange": 1,

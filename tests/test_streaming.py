@@ -458,6 +458,63 @@ def test_sink_compaction_end_to_end(spark, tmp_path):
     assert not (comp / "v1").exists() and (comp / "v2").exists()
 
 
+def test_stream_continues_across_compaction(spark, tmp_path):
+    """Live-pipeline integration: drain a stream into the idempotent
+    sink, COMPACT the sealed batches, then resume the SAME stream (same
+    checkpoint) over newly-arrived files. The resumed stream's batch ids
+    continue past the compacted range into fresh batch_id dirs, and
+    read_sink serves the union (compacted + post-compaction tail) with
+    every event exactly once."""
+    import os
+
+    import pandas as pd
+
+    from usgs_lidar_spark.streaming.compact import compact_sink, read_sink
+    from usgs_lidar_spark.streaming.sink import run_stream_to_parquet
+
+    def write(path, eid, second, mtime):
+        pd.DataFrame(
+            [(eid, int(pd.Timestamp("2024-01-01").value) + second * 10**9,
+              1, "click", 1.0, "{}")],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).to_parquet(path, index=False)
+        os.utime(path, (mtime, mtime))
+
+    events_dir = tmp_path / "live_events"
+    events_dir.mkdir()
+    for i in range(3):
+        write(events_dir / f"{i}.parquet", i, i * 60, 1700000000 + i)
+
+    out = str(tmp_path / "live_out")
+    ckpt = str(tmp_path / "live_ckpt")
+
+    def drain():
+        run_stream_to_parquet(
+            read_events_stream(spark, str(events_dir), max_files_per_trigger=1),
+            out,
+            ckpt,
+        )
+
+    drain()  # batches 0..2
+    m = compact_sink(spark, out, target_partitions=1)
+    assert m["max_batch_id"] == 2
+
+    # New data arrives; the resumed stream must not reuse compacted ids.
+    for i in (3, 4):
+        write(events_dir / f"{i}.parquet", i, i * 60, 1700000000 + i)
+    drain()
+
+    view = read_sink(spark, out)
+    assert sorted(r["event_id"] for r in view.collect()) == [0, 1, 2, 3, 4]
+    batch_ids = {r["batch_id"] for r in view.collect()}
+    assert batch_ids == {0, 1, 2, 3, 4}  # continuation, no id reuse
+    tail_dirs = {
+        p.name for p in (tmp_path / "live_out").iterdir()
+        if p.name.startswith("batch_id=")
+    }
+    assert tail_dirs == {"batch_id=3", "batch_id=4"}  # 0..2 live compacted
+
+
 def test_streaming_session_window_late_data_dropped(spark, tmp_path):
     """Session-window eviction: a late event that WOULD have merged into
     an already-finalized session is dropped instead of resurrecting it.

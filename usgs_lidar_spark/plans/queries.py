@@ -3313,16 +3313,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine-surface form of its per-group-argmin idiom,
     /root/reference/scripts/usgs_lidar.py catalog min-year selection).
 
-    Spark realization: the correlated subquery is a per-part MIN window
-    over the already-region-restricted cost relation — ONE shuffle keyed
-    by partkey replaces the rejoin a naive translation would add; dims
-    (supplier/nation/region, then the size-filtered part) broadcast, so
-    lineitem is the only big table and is touched once.
+    Spark realization: both restrictions land on GROUP KEYS (partkey,
+    suppkey), so they push BELOW the aggregate — lineitem is semi-joined
+    against the broadcast size-filtered part set and the broadcast
+    EUROPE supplier set before anything shuffles, shrinking the
+    aggregate's input (and its shuffle) by the filters' combined
+    selectivity (~10x here). The correlated subquery is then a per-part
+    MIN window over the small restricted cost relation — one more
+    (tiny) shuffle keyed by partkey replaces the rejoin a naive
+    translation would add; lineitem is the only big table and is
+    touched once.
     """
     li = _t(spark, sf_dir, "lineitem")
-    cost = li.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(F.min("l_extendedprice").alias("cost"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -3331,19 +3333,30 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
-    rc = cost.join(F.broadcast(supp), cost["suppkey"] == supp["s_suppkey"])
     p = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 5)
         .select("p_partkey")
     )
+    restricted = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(supp.select("s_suppkey")),
+        li["l_suppkey"] == F.col("s_suppkey"),
+        "left_semi",
+    )
+    cost = restricted.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("l_extendedprice").alias("cost"))
     w = Window.partitionBy("partkey")
     return (
-        rc.join(F.broadcast(p), rc["partkey"] == p["p_partkey"])
-        .withColumn("__min_cost", F.min("cost").over(w))
+        cost.withColumn("__min_cost", F.min("cost").over(w))
         .filter(F.col("cost") == F.col("__min_cost"))
+        .join(F.broadcast(supp), F.col("suppkey") == supp["s_suppkey"])
         .select(
-            "p_partkey",
+            F.col("partkey").alias("p_partkey"),
             F.col("suppkey").alias("s_suppkey"),
             "s_name",
             "n_name",
