@@ -4184,3 +4184,81 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@query(
+    "pipe_end_to_end_v2",
+    oracle=r"""
+    WITH seen AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+    ), batch AS (
+        SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id >= 250
+    ), fresh AS (
+        SELECT min(doc_id) AS doc_id
+        FROM batch ANTI JOIN seen USING (h)
+        GROUP BY h
+    ), d AS (
+        SELECT b.doc_id, b.text,
+               ((((b.doc_id % 2147483647) + 1) % 2147483647)
+                 * 48271 % 2147483647) * 48271 % 2147483647 AS k
+        FROM batch b JOIN fresh USING (doc_id)
+    ), sharded AS (
+        SELECT doc_id, text, CAST(k % 4 AS INTEGER) AS shard,
+               row_number() OVER (PARTITION BY k % 4 ORDER BY k, doc_id)
+                   AS shard_pos
+        FROM d
+    ), toks AS (
+        SELECT doc_id, shard, shard_pos,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tokens
+        FROM sharded
+    ), packed AS (
+        SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_start
+        FROM toks
+        WINDOW w AS (PARTITION BY shard ORDER BY shard_pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(floor(token_start / 512.0)) + 1 AS BIGINT) AS n_packs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM packed GROUP BY shard
+    """,
+)
+def pipe_end_to_end_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 ingest pipeline composed end to end: an incoming batch
+    (doc_id >= 250) dedups against the already-ingested corpus by md5
+    digest, survivors shuffle deterministically into 4 training shards,
+    and each shard packs into 512-token sequences IN SHARD ORDER
+    (pack_sequences keyed by shard_pos, so pack boundaries follow the
+    training order, not raw ids) — ingest-dedup -> shuffle -> pack as one
+    oracle (per-shard doc/token/pack counts + id checksum)."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.pipeline import (
+        exact_dedup_incremental,
+        global_shuffle,
+        pack_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    seen = d.filter(F.col("doc_id") < 250)
+    keeps = exact_dedup_incremental(batch, seen).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = batch.join(keeps, "doc_id")
+    sharded = global_shuffle(survivors, "doc_id", n_shards=4)
+    packed = pack_sequences(
+        sharded, "shard_pos", token_count("text"), budget=512,
+        stream_col="shard",
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max(F.floor(F.col("token_start") / 512.0)) + 1)
+        .cast("long")
+        .alias("n_packs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
