@@ -1265,6 +1265,37 @@ def test_frame_sampling_and_resize_plumbing(spark):
             resize_image(media, 4, 3)
 
 
+def test_levenshtein_blocking_contract(spark):
+    """Blocked edit-distance dedup: qualifying pairs within one length
+    bucket of each other are found exactly once with the correct
+    distance; pairs straddling more than one bucket are missed (the
+    documented blocking trade); block_cols separate languages."""
+    from usgs_lidar_spark.operators.dedup import levenshtein_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a" * 32),
+            (2, "en", "a" * 30 + "bb"),       # lev 2, same bucket
+            (3, "en", "a" * 47),              # lev 15 vs doc1, bucket +0..1
+            (4, "en", "a" * 80),              # within threshold by lev? no: 48 edits
+            (5, "de", "a" * 32),              # identical to 1 but other lang
+            (6, "en", "a" * 66),              # lev 34 vs doc1 BUT 2 buckets away
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    pairs = levenshtein_near_dup_pairs(
+        docs, "text", "doc_id", max_distance=40, block_cols=["lang"],
+        bucket_width=16,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["lev"] for r in pairs}
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 15
+    assert (1, 5) not in got            # language block separates
+    assert (1, 6) not in got            # 2 buckets apart: blocked out
+    assert (1, 4) not in got            # lev 48 > threshold
+    assert len(got) == len(pairs)       # every pair produced exactly once
+
+
 def test_global_shuffle_deterministic_partition_invariant(spark):
     """global_shuffle: (a) shard/position are a pure function of (id,
     seed) — identical across repartitionings; (b) positions are dense

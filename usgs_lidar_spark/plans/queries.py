@@ -4262,3 +4262,32 @@ def pipe_end_to_end_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_packs"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@query(
+    "dedup_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS lev
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(length(a.text) // 16 - length(b.text) // 16) <= 1
+    WHERE levenshtein(a.text, b.text) <= 40
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (operators/dedup.
+    levenshtein_near_dup_pairs): language + length-bucket blocking, then
+    JVM-side Levenshtein verify at distance <= 40 — the dedup modality
+    that catches small in-place mutations (typos, template fills) that
+    shingle Jaccard over-penalizes. The probe-side bucket expansion
+    {b-1, b, b+1} is exactly the oracle's |bucket diff| <= 1 join; both
+    engines run the classic edit-distance, so the distances themselves
+    hash-match."""
+    from usgs_lidar_spark.operators.dedup import levenshtein_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return levenshtein_near_dup_pairs(
+        d, "text", "doc_id", max_distance=40, block_cols=["lang"],
+        bucket_width=16,
+    )
