@@ -4291,3 +4291,49 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", max_distance=40, block_cols=["lang"],
         bucket_width=16,
     )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, count(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)
+                   * CAST(ROUND(value * 100) AS BIGINT)) AS q
+        FROM events GROUP BY event_type
+    ), z AS (
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - CAST(st.s AS DOUBLE) / (100.0 * st.n))
+               / sqrt(CAST(st.q AS DOUBLE) / (10000.0 * st.n)
+                      - (CAST(st.s AS DOUBLE) / (100.0 * st.n))
+                        * (CAST(st.s AS DOUBLE) / (100.0 * st.n))) AS z
+        FROM events e JOIN stats st USING (event_type)
+    )
+    SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 3.0
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier detection: events more than 3 population
+    standard deviations from their event_type's mean. Moments are EXACT
+    scaled-BIGINT sums (value carries 2 decimals; the squared sum stays
+    in 64 bits up to ~4e9 rows per group — past that, widen to
+    decimal(38)), so mean/variance/z are bit-identical on any
+    partitioning and engine; the 5-row stats table broadcasts back onto
+    the scan. One shuffle (the stats aggregate), map-only scoring."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    vs = F.round(F.col("value") * 100).cast("long")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vs).alias("s"),
+        F.sum(vs * vs).alias("q"),
+    )
+    mean = F.col("s").cast("double") / (F.lit(100.0) * F.col("n"))
+    mean2 = F.col("q").cast("double") / (F.lit(10000.0) * F.col("n"))
+    z = (F.col("value") - mean) / F.sqrt(mean2 - mean * mean)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", "z")
+    )
