@@ -4337,3 +4337,73 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 3.0)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click —
+    the sequential-pattern shape (each stage anchors on the previous
+    stage's timestamp, not mere event presence). Three per-user min
+    aggregates chained by joins; each stage's frame shrinks, AQE
+    broadcasts the survivor sets, and nothing needs a per-user ordered
+    buffer. Ties on the anchor timestamp use strict >, matching the
+    oracle exactly."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((v, "n_view"), (c, "n_view_click"),
+                         (p, "n_view_click_purchase"))
+    ]
+    out = counts[0]
+    for one in counts[1:]:
+        out = out.crossJoin(F.broadcast(one))
+    return out
