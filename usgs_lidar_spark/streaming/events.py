@@ -19,19 +19,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: On-disk schema for streaming reads: ts as raw int64 nanos (the parquet
-#: files carry TIMESTAMP(NANOS); with nanosAsLong the streaming reader sees
-#: a long, converted below exactly as the batch loader does).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    """Streaming source schema with the on-disk type of ``ts`` plugged in.
+
+    The driver's parquet has carried ``ts`` as TIMESTAMP(NANOS) (read as raw
+    int64 under nanosAsLong) in some generations and TIMESTAMP(MICROS) in
+    others, so the reader probes rather than assumes — see
+    ``read_events_stream``."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: The raw-int64-nanos form, used by tests that synthesize nanos parquet.
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 
 def read_events_stream(
@@ -48,13 +56,22 @@ def read_events_stream(
     backfill so state/watermark advance incrementally instead of one giant
     batch; tests use it to replay files in separate micro-batches and
     exercise watermark progression between them."""
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    # readStream needs an explicit schema, but the on-disk ts type varies
+    # across testdata generations (TIMESTAMP(NANOS) -> bigint under
+    # nanosAsLong vs native TIMESTAMP(MICROS)). Probe once with a batch
+    # footer read — a driver-side metadata operation — and match it.
+    disk_ts = spark.read.parquet(events_dir).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_raw_schema(disk_ts)).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(events_dir)
-    # LTZ (not NTZ): withWatermark requires TIMESTAMP; with the session in
-    # UTC the wall-clock values match the batch loader's NTZ exactly.
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Normalize to LTZ (not NTZ): withWatermark requires TIMESTAMP; with the
+    # session in UTC the wall-clock values match the batch loader's NTZ
+    # exactly. Integer division for the nanos form — see catalog.load_table
+    # for why float division would corrupt the microsecond digit.
+    if isinstance(disk_ts, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
