@@ -4719,3 +4719,196 @@ def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS DOUBLE) / 10000.0 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier via a max-of-aggregate scalar
+    subquery). The revenue view aggregates one quarter of lineitem per
+    supplier; the max is reduced to a 1-row frame and broadcast back
+    with crossJoin(broadcast(...)) — the same scalar pattern as
+    a1_global_minmax, so no global single-partition window and no
+    driver collect. Equality on revenue is safe because both sides sum
+    scaled BIGINTs (exact at 4 decimals) and divide once. Supplier
+    names attach AFTER the winner filter, so the dimension join touches
+    only the winning row(s)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    winners = rev.crossJoin(F.broadcast(top)).filter(
+        F.col("total_revenue") == F.col("_max_rev")
+    )
+    return winners.join(
+        F.broadcast(s), winners["supplier_no"] == s["s_suppkey"]
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunctions. The disjunction straddles both tables, so it cannot be
+    a join predicate — but its part-side projection (brand IN the three
+    values AND size in the union range) and lineitem-side projection
+    (quantity in the union range) are both implied by the OR, so they
+    are applied BEFORE the join as pushdown-able scan filters. Part
+    shrinks enough to broadcast; the residual OR runs post-join on the
+    already-reduced rows. One scan each, zero shuffle beyond the
+    broadcast."""
+    b12 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+    b23 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+    b34 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+    p = _t(spark, sf_dir, "part").filter(b12 | b23 | b34).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    q = F.col("l_quantity")
+    keep = (
+        (b12 & q.between(1, 11)) | (b23 & q.between(10, 20)) | (b34 & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(keep)
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                        + INTERVAL 60 DAY
+                                   THEN l_suppkey END) AS n_late_supp,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN l_suppkey END) AS late_supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM per_order JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp > 1 AND n_late_supp = 1
+    GROUP BY 1, 2
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who alone delayed a multi-supplier
+    order). Classic formulations use EXISTS + NOT EXISTS correlated
+    subqueries = two extra scans of lineitem; here both existence tests
+    collapse into ONE per-order aggregate over a single lineitem scan:
+    n_supp>1 encodes the EXISTS (another supplier on the order),
+    n_late_supp=1 encodes the NOT EXISTS (no OTHER late supplier), and
+    the lone late supplier is recovered as max(CASE WHEN late). This
+    schema has no commit/receipt dates, so "late" is ship > order date
+    + 60 days. One shuffle on orderkey, one tiny agg on suppkey, the
+    orders filter pushes to its scan, supplier broadcast at the end."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    late_key = F.when(late, F.col("l_suppkey"))
+    per_order = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(late_key).alias("n_late_supp"),
+            F.max(late_key).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(F.broadcast(s), per_order["late_supp"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*)) AS abal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > abal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (well-funded customers who never ordered). Three
+    classic sub-shapes in one: a scalar subquery (global average of
+    positive balances — reduced to a 1-row frame and broadcast, exact
+    scaled-BIGINT average so the > comparison is bit-identical across
+    engines), an anti join against recent orders (the NOT EXISTS — "no
+    orders since 2000"; Spark's left_anti, with the date filter pushed
+    to the orders scan before the shuffle), and a final tiny rollup by
+    market segment (stand-in for the country-code substring this schema
+    lacks)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        dec_avg("c_acctbal", 2).alias("abal")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("abal"))
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dec_sum("c_acctbal", 2).alias("totacctbal"),
+    )
