@@ -1,0 +1,105 @@
+"""Hand-checked cases for operators/textquality.py (repetition metrics,
+token-window chunking, corpus-frequency scoring). The sf0.01 parity with
+DuckDB is covered by the driver oracle; these pin exact small-case
+semantics the oracle's agreement alone would not explain."""
+
+from __future__ import annotations
+
+from usgs_lidar_spark.operators.textquality import (
+    chunk_documents,
+    corpus_freq_score,
+    repetition_metrics,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_metrics_hand_case(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a a a"),  # maximal repetition
+            (2, "w x y z"),  # no repetition
+            (3, "x"),  # too short for any n-gram
+            (4, "  "),  # blank
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(df).collect()}
+
+    # doc 1: 4 tokens, 1 type; bigrams = 3x "a a" -> top frac 1.0;
+    # trigrams = 2x "a a a" -> 1 duplicate slot of 2.
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["type_token_ratio"] == 0.25
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[1]["dup_trigram_frac"] == 0.5
+
+    # doc 2: all distinct -> TTR 1, top bigram 1/3, no dup trigrams.
+    assert got[2]["type_token_ratio"] == 1.0
+    assert got[2]["top_bigram_frac"] == 1.0 / 3.0
+    assert got[2]["dup_trigram_frac"] == 0.0
+
+    # doc 3: single token -> no n-grams, fracs are 0 (short != repetitive).
+    assert got[3] == {
+        "doc_id": 3,
+        "n_tokens": 1,
+        "type_token_ratio": 1.0,
+        "top_bigram_frac": 0.0,
+        "dup_trigram_frac": 0.0,
+    }
+
+    # blank doc: zero tokens, all-zero metrics (not dropped).
+    assert got[4]["n_tokens"] == 0
+    assert got[4]["type_token_ratio"] == 0.0
+
+
+def test_chunk_documents_covers_tail_and_overlaps(spark):
+    text = " ".join(f"t{i}" for i in range(5))  # t0..t4
+    df = _docs(spark, [(1, text), (2, "")])
+    rows = sorted(
+        (r["chunk_id"], r["start_tok"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=3, stride=2).collect()
+    )
+    # starts 0,2,4: [t0 t1 t2], [t2 t3 t4], tail [t4].
+    assert rows == [
+        (0, 0, 3, "t0 t1 t2"),
+        (1, 2, 3, "t2 t3 t4"),
+        (2, 4, 1, "t4"),
+    ]
+    # chunk i and i+1 overlap by chunk_tokens - stride = 1 token.
+    assert rows[0][3].split()[-1] == rows[1][3].split()[0]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0, stride=2)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=0)
+
+
+def test_corpus_freq_score_exact_and_tier_invariant(spark):
+    # corpus counts: the=3, cat=2, qq=1
+    df = _docs(spark, [(1, "the cat"), (2, "the the cat qq")])
+    got = {r["doc_id"]: r.asDict() for r in corpus_freq_score(df).collect()}
+    assert got[1]["n_tokens"] == 2
+    assert got[1]["mean_token_count"] == (3 + 2) / 2
+    assert got[1]["rare_frac"] == 0.5  # cat(2) < 3, the(3) not rare
+    assert got[2]["mean_token_count"] == (3 + 3 + 2 + 1) / 4
+    assert got[2]["rare_frac"] == 0.5  # cat + qq rare, 2 of 4 slots
+
+    # The hot/tail split is an execution detail: forcing everything through
+    # the broadcast tier or everything through the shuffle tier must not
+    # change a single value.
+    all_hot = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_freq_score(df, hot_vocab=100).collect()
+    }
+    all_tail = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_freq_score(df, hot_vocab=1).collect()
+    }
+    assert got == all_hot == all_tail

@@ -4912,3 +4912,115 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         dec_sum("c_acctbal", 2).alias("totacctbal"),
     )
+
+@query(
+    "text_repetition_metrics",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ), uni AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_types
+        FROM toks
+    ), big AS (
+        SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+        FROM (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t)),
+                                i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+                  FROM toks WHERE len(t) >= 2)
+            GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ), tri AS (
+        SELECT doc_id, SUM(c) AS n_trigrams, SUM(c) - count(*) AS dup_trigram_n
+        FROM (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+                  FROM toks WHERE len(t) >= 3)
+            GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_types AS DOUBLE) / n_tokens ELSE 0.0 END
+               AS type_token_ratio,
+           CASE WHEN n_bigrams IS NOT NULL AND n_bigrams > 0
+                THEN CAST(top_bigram_n AS DOUBLE) / n_bigrams ELSE 0.0 END
+               AS top_bigram_frac,
+           CASE WHEN n_trigrams IS NOT NULL AND n_trigrams > 0
+                THEN CAST(dup_trigram_n AS DOUBLE) / n_trigrams ELSE 0.0 END
+               AS dup_trigram_frac
+    FROM uni LEFT JOIN big USING (doc_id) LEFT JOIN tri USING (doc_id)
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (type/token ratio, top-bigram
+    share, duplicated-trigram share) — see operators/textquality.py for
+    the scale contract (explode->two-level count, no per-doc arrays)."""
+    from usgs_lidar_spark.operators.textquality import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_chunking",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start_tok
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(start_tok // 24 AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(t, start_tok + 1, start_tok + 32)) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(t, start_tok + 1, start_tok + 32), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker (32-token chunks, stride 24) —
+    map-only sequence+posexplode+slice, the standard RAG/training split.
+    See operators/textquality.py::chunk_documents."""
+    from usgs_lidar_spark.operators.textquality import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), 32, 24)
+
+
+@query(
+    "text_corpus_freq_score",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), counts AS (
+        SELECT w, count(*) AS cnt FROM tok GROUP BY w
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(SUM(cnt) AS DOUBLE) / count(*) AS mean_token_count,
+           CAST(SUM(CASE WHEN cnt < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+               AS rare_frac
+    FROM tok JOIN counts USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-rarity scoring with the Zipf-head skew handled by a
+    two-tier lookup (broadcast hot vocab, shuffle only the tail) —
+    integer-exact, see operators/textquality.py::corpus_freq_score."""
+    from usgs_lidar_spark.operators.textquality import corpus_freq_score
+
+    return corpus_freq_score(_t(spark, sf_dir, "documents"))
