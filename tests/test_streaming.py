@@ -590,3 +590,35 @@ def test_streaming_session_window_late_data_dropped(spark, tmp_path):
     # 10:03 event neither extended it nor spawned a new session.
     assert finalized[(7, "2024-01-01 10:00:00.000000")] == 2
     assert all(uid != 7 or ss.startswith("2024-01-01 10:00") for uid, ss in finalized)
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval self-join (clicks x purchases per user,
+    30-minute horizon, watermarks on both sides) replayed with
+    availableNow in APPEND mode must emit exactly the batch twin's pairs
+    — inner interval joins emit each match once, so append is the
+    correct (and only legal) output mode."""
+    from usgs_lidar_spark.streaming.events import click_purchase_join_stream
+
+    events_dir = tmp_path / "events_ssj"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", events_dir / "part-0.parquet")
+
+    stream = read_events_stream(spark, str(events_dir))
+    joined = click_purchase_join_stream(stream)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.sql("SELECT * FROM t_ssj")
+
+    batch = QUERIES["events_click_purchase_pairs"](spark, SF_SMALL)
+    s_cols, s_rows = canonical_rows(result.toPandas())
+    b_cols, b_rows = canonical_rows(batch.toPandas())
+    assert s_cols == b_cols
+    assert len(s_rows) > 0
+    assert s_rows == b_rows

@@ -5024,3 +5024,52 @@ def text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.textquality import corpus_freq_score
 
     return corpus_freq_score(_t(spark, sf_dir, "documents"))
+
+@query(
+    "events_click_purchase_pairs",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           strftime(date_trunc('microseconds', c.ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(date_trunc('microseconds', p.ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every (click, purchase) pair for the same user with
+    the purchase inside [click, click + 30min] — the batch twin of
+    streaming/events.py::click_purchase_join_stream, which runs the same
+    predicate as a watermarked stream-stream join. The join is equi on
+    user_id (one hash shuffle; the time range is a post-join residual),
+    so it scales like any keyed join — never a cartesian. Both sides
+    prune to their event_type at the scan."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = c.join(
+        p,
+        (c["user_id"] == p["p_user"])
+        & (p["p_ts"] >= c["c_ts"])
+        & (p["p_ts"] <= c["c_ts"] + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+    )

@@ -149,3 +149,57 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         id_cols or ["event_id"]
     )
+
+def click_purchase_join_stream(
+    events: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval self-join: match each click with the same
+    user's purchases inside ``[click_ts, click_ts + horizon]`` — the
+    streaming twin of the batch ``events_click_purchase_pairs`` query.
+
+    Why this shape is the hard one in streaming: both sides are
+    unbounded, so the engine must BUFFER rows waiting for future matches.
+    Two things bound that state, and both are required: each side carries
+    an event-time watermark (how late its rows can be), and the join
+    condition constrains the two event times to a finite interval — from
+    these Spark derives, per side, the oldest row that could still match
+    a future row, and evicts everything older from the state store. With
+    only an equi-key (no time bound) the state would grow forever.
+
+    The join key is user_id (hash-partitioned state, spreads across
+    executors); the time range is the residual predicate that enables
+    eviction. Inner join, so append output emits each match exactly once.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    j = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["p_ts"] >= clicks["c_ts"])
+        & (purchases["p_ts"] <= clicks["c_ts"] + F.expr(f"INTERVAL {horizon}")),
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+    )
