@@ -1635,3 +1635,31 @@ def test_sample_weighted_and_token_quota(spark):
     assert out == [1, 2]
     with pytest.raises(ValueError, match="max_tokens"):
         cap_tokens_per_group(d2, "doc_id", "t", "src", 0)
+
+
+def test_minhash_incremental_equals_batch_involving_subset_of_full(spark):
+    """The incremental form must return exactly the full run's pairs that
+    involve a batch doc — nothing extra, nothing lost — with pair_type
+    telling corpus-batch from batch-batch."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(d, "text", "doc_id", k=8, threshold=0.6).collect()
+    }
+    expected = {p for p in full if p[0] % 10 == 0 or p[1] % 10 == 0}
+
+    inc_rows = minhash_lsh_pairs_incremental(
+        d.withColumn("is_batch", F.col("doc_id") % 10 == 0),
+        "text", "doc_id", "is_batch", k=8, threshold=0.6,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in inc_rows} == expected
+    for r in inc_rows:
+        both = r["id_a"] % 10 == 0 and r["id_b"] % 10 == 0
+        assert r["pair_type"] == ("batch_batch" if both else "corpus_batch")

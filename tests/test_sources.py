@@ -264,3 +264,46 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         for f in sorted(d.glob("*.parquet")):
             rows.extend(pq.read_table(f).to_pandas()["shard_pos"])
         assert rows == sorted(rows) and rows[0] == 1
+
+
+def test_upsert_partitions_replaces_only_touched_partitions(spark, tmp_path):
+    """Dynamic-partition upsert: partitions present in the update batch are
+    replaced wholesale; untouched partitions keep their original FILES
+    (not just their rows) — proving the write never rewrote them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.sources.writers import upsert_partitions
+
+    path = str(tmp_path / "upsert_table")
+    base = spark.createDataFrame(
+        [(1, "r1", 10.0), (2, "r1", 11.0), (3, "r2", 20.0), (4, "r3", 30.0)],
+        "id long, region string, v double",
+    )
+    base.write.partitionBy("region").parquet(path)
+    r3_files_before = set(os.listdir(f"{path}/region=r3"))
+
+    # Replacement slice for r1 (fewer rows than before — proves replace,
+    # not append) and a brand-new partition r4.
+    updates = spark.createDataFrame(
+        [(9, "r1", 99.0), (5, "r4", 40.0)], "id long, region string, v double"
+    )
+    upsert_partitions(updates, path, ["region"])
+
+    got = {
+        (r["id"], r["region"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (9, "r1", 99.0),   # replaced
+        (3, "r2", 20.0),   # untouched
+        (4, "r3", 30.0),   # untouched
+        (5, "r4", 40.0),   # added
+    }
+    # r3's physical files are bit-for-bit the ones from the base write.
+    assert set(os.listdir(f"{path}/region=r3")) == r3_files_before
+    # session default restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+    )

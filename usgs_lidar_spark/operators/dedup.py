@@ -497,3 +497,111 @@ def levenshtein_near_dup_pairs(
         )
         .filter(F.col("lev") <= max_distance)
     )
+
+
+def minhash_lsh_pairs_incremental(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    batch_col: str,
+    k: int = 8,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.6,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """Incremental near-dup detection for streaming ingest: find every
+    near-duplicate pair that INVOLVES the new batch (``batch_col`` is a
+    boolean marking batch rows in ``docs``; the rest is the already-
+    ingested corpus) — corpus x corpus pairs were found when those docs
+    ingested and are never recomputed.
+
+    The asymmetry is the point at scale: band hashes are built for all
+    docs (in production the corpus's band table IS the persisted LSH
+    index, appended per batch like similarity.ivf_append — the only
+    per-batch signature work is the batch itself), but the candidate
+    equi-join probes batch bands against the full band table, so its
+    cost is ~|batch| x bucket occupancy instead of the full self-join's
+    |corpus|^2 worst case. Corpus TEXT is touched only for docs that
+    actually collide with a batch band (the verify semi-join) — cold
+    history stays cold.
+
+    Output: (id_a, id_b, jaccard, pair_type) with id_a < id_b and
+    pair_type in {'corpus_batch', 'batch_batch'}; exact-Jaccard verified
+    like minhash_lsh_pairs, so no false positives.
+    """
+    rows_per_band = num_perm // bands
+    sh = char_shingles(docs, text_col, id_col, k, max_df).cache()
+    flags = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(batch_col).alias("is_batch")
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("h"),
+            )
+            for b in range(bands)
+        ]
+    )
+    longf = (
+        sig.select("doc_id", F.explode(band_structs).alias("bh"))
+        .select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        .join(flags, "doc_id")
+        .cache()
+    )
+    probe = longf.filter(F.col("is_batch"))
+    l, r = longf.alias("l"), probe.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.withColumnRenamed("doc_id", "id_a").join(candidates, "id_a")
+    b_sh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = a_sh.join(b_sh, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    fa = flags.select(F.col("doc_id").alias("id_a"), F.col("is_batch").alias("a_b"))
+    fb = flags.select(F.col("doc_id").alias("id_b"), F.col("is_batch").alias("b_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .join(F.broadcast(fa), "id_a")
+        .join(F.broadcast(fb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.when(F.col("a_b") & F.col("b_b"), "batch_batch")
+            .otherwise("corpus_batch")
+            .alias("pair_type"),
+        )
+    )

@@ -5073,3 +5073,96 @@ def events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
     )
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events WHERE event_type = 'signup'
+        GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_day, count(*) AS cohort_n FROM cohort GROUP BY 1
+    ), active AS (
+        SELECT DISTINCT e.user_id, c.cohort_day,
+               date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        WHERE CAST(e.ts AS DATE) >= c.cohort_day
+    )
+    SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(a.day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_active,
+           s.cohort_n,
+           CAST(count(*) AS DOUBLE) / s.cohort_n AS retention
+    FROM active a JOIN sizes s ON a.cohort_day = s.cohort_day
+    GROUP BY a.cohort_day, a.day_offset, s.cohort_n
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-signup day, then
+    counted once per (cohort, day-offset) where they show ANY activity on
+    or after the cohort day. Three aggregates: the cohort anchor (per-user
+    min — one shuffle on user_id), the distinct (user, cohort, offset)
+    dedup (piggybacks the same user_id partitioning, so AQE reuses the
+    shuffle), and the tiny matrix rollup joined against broadcastable
+    cohort sizes. The retention ratio is int/int division — exact on
+    both engines."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("cohort_day"))
+    )
+    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_n"))
+    active = (
+        e.join(cohort, "user_id")
+        .filter(F.col("ts").cast("date") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+            "cohort_n",
+            (F.col("n_active").cast("double") / F.col("cohort_n")).alias("retention"),
+        )
+    )
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id_a, id_b, jaccard,
+           CASE WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN 'batch_batch'
+                ELSE 'corpus_batch' END AS pair_type
+    FROM jac
+    WHERE jaccard >= 0.6 AND (id_a % 10 = 0 OR id_b % 10 = 0)
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs involving the newest 10%
+    of docs (doc_id % 10 == 0 plays the incoming batch) against the
+    ingested corpus — batch bands probe the band index, corpus x corpus
+    is never recomputed, corpus text only verifies actual collisions.
+    Oracle = exact Jaccard restricted to batch-involving pairs (the same
+    ~6e-7 band-miss bound as dedup_minhash_lsh)."""
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_batch", F.col("doc_id") % 10 == 0
+    )
+    return minhash_lsh_pairs_incremental(
+        d, "text", "doc_id", "is_batch",
+        k=8, num_perm=64, bands=32, threshold=0.6, max_df=20,
+    )

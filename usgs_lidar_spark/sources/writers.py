@@ -117,3 +117,38 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def upsert_partitions(
+    updates: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Partition-level upsert on plain parquet: replace exactly the hive
+    partitions present in ``updates`` and leave every other partition's
+    files untouched (Spark's dynamic partitionOverwriteMode, scoped to
+    this one write so the session default is unaffected).
+
+    This is the idiomatic "merge" for append-mostly analytical tables
+    without a table format: corrections arrive for a few (region, year)
+    slices, the job overwrites only those directories, and readers keep
+    partition pruning + old files for all untouched slices. Contract:
+    ``updates`` must carry FULL replacement partitions — this is
+    replace-by-partition, not row-level merge (that needs a table format
+    with a transaction log; out of scope for plain parquet by design).
+
+    Scale: the write shuffles/writes only the updated partitions' rows;
+    nothing is read or rewritten for the rest of the table, so cost is
+    O(changed data), not O(table).
+    """
+    spark = updates.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            updates.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
