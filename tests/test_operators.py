@@ -1663,3 +1663,64 @@ def test_minhash_incremental_equals_batch_involving_subset_of_full(spark):
     for r in inc_rows:
         both = r["id_a"] % 10 == 0 and r["id_b"] % 10 == 0
         assert r["pair_type"] == ("batch_batch" if both else "corpus_batch")
+
+
+def test_cdc_apply_changelog_delete_wins_and_ties_break(spark):
+    """Trailing delete removes the key; a later upsert resurrects it;
+    equal-ts ties resolve by the tie column (higher wins)."""
+    from usgs_lidar_spark.operators.cdc import apply_changelog
+
+    log = spark.createDataFrame(
+        [
+            # key 1: upsert then delete -> gone
+            (1, 10, 100, "U", 1.0),
+            (1, 20, 101, "D", None),
+            # key 2: delete then upsert -> present with the later value
+            (2, 10, 102, "D", None),
+            (2, 30, 103, "U", 2.5),
+            # key 3: two ops at the SAME ts -> higher event_id wins
+            (3, 10, 104, "U", 3.0),
+            (3, 10, 105, "U", 3.5),
+        ],
+        "k long, ts long, eid long, op string, v double",
+    )
+    got = {
+        r["k"]: (r["ts"], r["v"])
+        for r in apply_changelog(log, "k", "ts", "op", ["v"], tie_col="eid").collect()
+    }
+    assert got == {2: (30, 2.5), 3: (10, 3.5)}
+
+
+def test_cdc_attribute_history_intervals_chain(spark):
+    from usgs_lidar_spark.operators.cdc import attribute_history
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "x")], "k long, ts long, v string"
+    )
+    rows = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["is_current"], r["v"])
+        for r in attribute_history(df, "k", "ts", ["v"]).collect()
+    )
+    assert rows == [
+        (1, 10, 20, False, "a"),
+        (1, 20, None, True, "b"),
+        (2, 5, None, True, "x"),
+    ]
+
+
+def test_cdc_snapshot_diff_null_safe(spark):
+    """NULL payloads are compared null-safely: NULL -> 'x' is a change,
+    NULL -> NULL is not; column-shifted nulls differ from literals."""
+    from usgs_lidar_spark.operators.cdc import snapshot_diff
+
+    left = spark.createDataFrame(
+        [(1, None, "s"), (2, "p", None), (3, None, None), (4, "a", "b")],
+        "k long, c1 string, c2 string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", "s"), (2, None, "p"), (3, None, None), (5, "n", "n")],
+        "k long, c1 string, c2 string",
+    )
+    got = {r["k"]: r["status"] for r in
+           snapshot_diff(left, right, ["k"], ["c1", "c2"]).collect()}
+    assert got == {1: "changed", 2: "changed", 4: "removed", 5: "added"}

@@ -1,0 +1,125 @@
+"""Change-data-capture / warehouse-maintenance operators: SCD2 interval
+building, changelog application, and snapshot diffing.
+
+These are the "keep a mutable world consistent inside an append-only
+engine" operators every large pipeline grows: turn an event log into
+validity intervals (SCD2), collapse a CDC changelog into current state
+(last-writer-wins with deletes), and reconcile two snapshots of a table
+(added / removed / changed).
+
+Scale contracts:
+* SCD2 and changelog-apply are one window each, partitioned by the
+  entity key — state per key is a sort buffer of that key's rows
+  (spillable), shuffled once, no driver involvement;
+* snapshot_diff is a single full-outer equi-join on the key; the row
+  payloads are pre-reduced map-side to one 64-bit hash per side, so the
+  shuffle carries (key, hash) not the full rows, and the change test is
+  a long comparison. At 100 TB this is the cheapest possible
+  reconciliation that still catches any byte-level change (xxhash64
+  collision odds ~2^-64 per pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def attribute_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """SCD2: turn a per-entity event log into validity intervals.
+
+    Each observation of ``value_cols`` for a key is valid from its own
+    timestamp until the NEXT observation's timestamp (``valid_to`` NULL
+    for the current row, ``is_current`` flags it). ``tie_col`` breaks
+    equal-timestamp ties deterministically (defaults to the first value
+    column).
+
+    One window (partitionBy key, orderBy ts) — the canonical
+    interval-ization; no self-join, no driver state.
+    """
+    order = [F.col(ts_col).asc(), F.col(tie_col or value_cols[0]).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return df.select(
+        key_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+        *value_cols,
+    )
+
+
+def apply_changelog(
+    changelog: DataFrame,
+    key_col: str,
+    ts_col: str,
+    op_col: str,
+    payload_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Collapse a CDC changelog into current state: for each key keep the
+    LAST operation by (ts, tie) — upserts ('U'/'I') survive with their
+    payload, a trailing delete ('D') removes the key entirely.
+
+    Implemented as max_by over a struct ordering key (one hash aggregate,
+    partial map-side) rather than a row_number window: the aggregate
+    pre-combines per partition, so a hot key reduces before the shuffle
+    instead of sorting all its rows in one partition's window buffer.
+    ``tie_col`` must make (ts, tie) unique per key for a deterministic
+    result (event/sequence ids do).
+    """
+    tie = tie_col or ts_col
+    ordk = F.struct(F.col(ts_col), F.col(tie))
+    last = changelog.groupBy(key_col).agg(
+        F.max_by(F.col(op_col), ordk).alias("_op"),
+        *[F.max_by(F.col(c), ordk).alias(c) for c in payload_cols],
+        F.max(ordk).alias("_ord"),
+    )
+    return last.filter(F.col("_op") != "D").select(
+        key_col,
+        F.col(f"_ord.{ts_col}").alias(ts_col),
+        *payload_cols,
+    )
+
+
+def _row_hash(cols: list[str]) -> Column:
+    # NULL-safe: hash the string forms with a sentinel for NULL so
+    # (NULL, 'x') never collides with ('x', NULL) or a literal sentinel.
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(c) for c in cols
+    ]
+    return F.xxhash64(*parts)
+
+
+def snapshot_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Reconcile two snapshots of a table: one row per key whose presence
+    or payload differs — ``status`` in {'added', 'removed', 'changed'}
+    (added = in right only). Unchanged keys are filtered out.
+
+    Each side is reduced map-side to (key, xxhash64(payload)) before the
+    single full-outer join, so the shuffle moves 16-24 bytes per row no
+    matter how wide the table; the caller re-joins the keys back to
+    either snapshot if they need the differing payloads.
+    """
+    lh = left.select(*key_cols, _row_hash(compare_cols).alias("_lh"))
+    rh = right.select(*key_cols, _row_hash(compare_cols).alias("_rh"))
+    j = lh.join(rh, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_lh").isNull(), "added")
+        .when(F.col("_rh").isNull(), "removed")
+        .when(F.col("_lh") != F.col("_rh"), "changed")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )

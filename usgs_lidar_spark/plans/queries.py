@@ -5166,3 +5166,143 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", "is_batch",
         k=8, num_perm=64, bands=32, threshold=0.6, max_df=20,
     )
+
+@query(
+    "cdc_attribute_history",
+    oracle="""
+    SELECT user_id,
+           strftime(date_trunc('microseconds', ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(date_trunc('microseconds',
+                    lead(ts) OVER w), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           event_type, value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_attribute_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval-ization of the event log: each per-user observation
+    is valid until the next one (operators/cdc.attribute_history — one
+    window keyed by user, no self-join). event_id breaks equal-ts ties
+    deterministically."""
+    from usgs_lidar_spark.operators.cdc import attribute_history
+
+    h = attribute_history(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", ["event_type", "value"], tie_col="event_id",
+    )
+    return h.select(
+        "user_id",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "valid_from"
+        ),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        "is_current",
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id,
+           strftime(date_trunc('microseconds', ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC collapse: last-writer-wins per user with deletes — 'error'
+    events play the tombstones. operators/cdc.apply_changelog uses
+    max_by over a (ts, event_id) struct — a partial-aggregating hash
+    agg, so hot keys pre-combine map-side instead of sorting a window
+    buffer (the row_number formulation the oracle uses)."""
+    from usgs_lidar_spark.operators.cdc import apply_changelog
+
+    log = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    cur = apply_changelog(log, "user_id", "ts", "op", ["value"], tie_col="event_id")
+    return cur.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ), r AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 42.0, 'N'
+        FROM orders WHERE o_orderkey % 19 = 0
+    )
+    SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                WHEN r.o_orderkey IS NULL THEN 'removed'
+                WHEN l.o_totalprice <> r.o_totalprice
+                  OR l.o_orderstatus <> r.o_orderstatus THEN 'changed'
+           END AS status
+    FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    WHERE CASE WHEN l.o_orderkey IS NULL THEN 'added'
+               WHEN r.o_orderkey IS NULL THEN 'removed'
+               WHEN l.o_totalprice <> r.o_totalprice
+                 OR l.o_orderstatus <> r.o_orderstatus THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: the 'next day' snapshot is simulated from
+    orders (every 17th key dropped, every 13th repriced, every 19th
+    reborn under a new key), and operators/cdc.snapshot_diff reports
+    added/removed/changed keys. The engine compares one map-side
+    xxhash64 per row — the oracle compares the payload columns directly,
+    so agreement also demonstrates the hash reduction loses nothing."""
+    from usgs_lidar_spark.operators.cdc import snapshot_diff
+
+    left = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = left.filter(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    born = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 19 == 0)
+        .select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit(42.0).alias("o_totalprice"),
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    right = base.unionByName(born)
+    return snapshot_diff(
+        left, right, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
