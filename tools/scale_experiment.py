@@ -207,6 +207,49 @@ def run_ivf(emb_path: str, tag: str) -> dict:
     }
 
 
+def run_minhash_incremental(docs_path: str, tag: str) -> dict:
+    """Full LSH near-dup run vs the incremental form (newest 10% of
+    doc_ids play the incoming batch) on the SAME corpus — the claim
+    under test: the incremental candidate join + verification cost
+    tracks the batch, not the corpus pair density, because corpus bands
+    only ever join against batch bands and corpus text is pulled only
+    for actual collisions."""
+    from usgs_lidar_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    log_dir = WORK / f"log_mhinc_{tag}"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    spark = make_session(f"mhinc-{tag}", log_dir)
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    n_full = minhash_lsh_pairs(
+        docs, "text", "doc_id", k=8, num_perm=64, bands=32, threshold=0.6, max_df=20
+    ).count()
+    t_full = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    n_inc = minhash_lsh_pairs_incremental(
+        docs.withColumn("is_batch", F.col("doc_id") % 10 == 0),
+        "text", "doc_id", "is_batch",
+        k=8, num_perm=64, bands=32, threshold=0.6, max_df=20,
+    ).count()
+    t_inc = time.perf_counter() - t1
+    spark.stop()
+    rd, wr = shuffle_bytes(log_dir)
+    return {
+        "scenario": f"minhash_incremental_{tag}",
+        "n_docs": n_docs,
+        "full_pairs": n_full,
+        "full_sec": round(t_full, 2),
+        "incremental_pairs": n_inc,
+        "incremental_sec": round(t_inc, 2),
+        "shuffle_read_mb": round(rd / 1e6, 1),
+        "shuffle_write_mb": round(wr / 1e6, 1),
+    }
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     WORK.mkdir(parents=True, exist_ok=True)
@@ -218,6 +261,10 @@ def main() -> None:
         ),
         lambda: run_ivf(f"{SF_DIR}/embeddings.parquet", "1x"),
         lambda: run_ivf(str(WORK / f"embeddings_x{factor}.parquet"), f"{factor}x"),
+        lambda: run_minhash_incremental(f"{SF_DIR}/documents.parquet", "1x"),
+        lambda: run_minhash_incremental(
+            str(WORK / f"documents_x{factor}.parquet"), f"{factor}x"
+        ),
     ]
     for scenario in scenarios:
         # Print as produced: a crash in a later scenario must not discard
