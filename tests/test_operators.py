@@ -1724,3 +1724,34 @@ def test_cdc_snapshot_diff_null_safe(spark):
     got = {r["k"]: r["status"] for r in
            snapshot_diff(left, right, ["k"], ["c1", "c2"]).collect()}
     assert got == {1: "changed", 2: "changed", 4: "removed", 5: "added"}
+
+
+def test_rollup_merge_equals_scratch_and_rejects_unknown_kind(spark):
+    import pytest
+
+    from usgs_lidar_spark.operators.rollup import merge_rollup, rollup_state
+
+    rows = spark.createDataFrame(
+        [("a", 1.25, 10), ("a", 2.50, 5), ("b", 0.75, 7), ("a", -1.00, 3)],
+        "k string, price double, qty long",
+    )
+    keys, measures = ["k"], [("price", "sum"), ("price", "count"),
+                             ("qty", "min"), ("qty", "max")]
+    # split history/batch unevenly, merge, compare to one-shot state
+    hist = rows.filter("qty >= 5")
+    batch = rows.filter("qty < 5")
+    merged = merge_rollup(
+        rollup_state(hist, keys, measures),
+        rollup_state(batch, keys, measures),
+        keys, measures,
+    )
+    scratch = rollup_state(rows, keys, measures)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(scratch)
+    # exactness of the scaled sum: 1.25+2.50-1.00 = 2.75 -> 275 cents
+    a = {r["k"]: r for r in merged.collect()}["a"]
+    assert a["price_sum"] == 275 and a["price_count"] == 3
+    assert a["qty_min"] == 3 and a["qty_max"] == 10
+
+    with pytest.raises(ValueError):
+        rollup_state(rows, keys, [("price", "median")])

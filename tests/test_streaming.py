@@ -622,3 +622,38 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     assert s_cols == b_cols
     assert len(s_rows) > 0
     assert s_rows == b_rows
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    (batch) dimension needs no watermark and no state — each micro-batch
+    joins the dimension as a plain broadcastable lookup. Counts per
+    enriched segment must equal the batch equivalent."""
+    from pyspark.sql import functions as F
+
+    events_dir = tmp_path / "events_enrich"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", events_dir / "part-0.parquet")
+
+    stream = read_events_stream(spark, str(events_dir))
+    from usgs_lidar_spark.catalog import load_table
+
+    batch_events = load_table(spark, SF_SMALL, "events")
+    segments = (
+        batch_events.select("user_id").distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 3 == 0, "core")
+                    .otherwise("longtail"))
+    )
+    enriched = (
+        stream.join(F.broadcast(segments), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(enriched, "t_enrich")
+    got = {r["segment"]: r["n"] for r in out.collect()}
+    want = {
+        r["segment"]: r["n"]
+        for r in batch_events.join(segments, "user_id")
+        .groupBy("segment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and set(got) == {"core", "longtail"}

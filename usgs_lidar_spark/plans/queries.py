@@ -5306,3 +5306,81 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         left, right, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     )
+
+@query(
+    "rollup_incremental_refresh",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_price,
+           count(*) AS n_orders,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: history (orders before 2000) is
+    aggregated into stored mergeable state, the 'new arrivals' (2000+)
+    into batch state, and merge_rollup combines them — the oracle
+    aggregates everything from scratch, so hash equality PROVES the
+    algebraic merge is exact (the scaled-BIGINT sums make even the
+    double sums order-independent). Refresh cost is O(batch + rollup),
+    never O(history) — see operators/rollup.py."""
+    from usgs_lidar_spark.operators.rollup import merge_rollup, rollup_state
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+    measures = [
+        ("o_totalprice", "sum"),
+        ("o_totalprice", "count"),
+        ("o_orderdate", "min"),
+        ("o_orderdate", "max"),
+    ]
+    o = _t(spark, sf_dir, "orders")
+    hist = o.filter(F.col("o_orderdate") < "2000-01-01")
+    batch = o.filter(F.col("o_orderdate") >= "2000-01-01")
+    stored = rollup_state(hist, keys, measures)
+    fresh = merge_rollup(stored, rollup_state(batch, keys, measures), keys, measures)
+    return fresh.select(
+        *keys,
+        (F.col("o_totalprice_sum").cast("double") / 100.0).alias("total_price"),
+        F.col("o_totalprice_count").alias("n_orders"),
+        F.col("o_orderdate_min").alias("first_order"),
+        F.col("o_orderdate_max").alias("last_order"),
+    )
+
+
+@query(
+    "topk_per_group_parts",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_brand, p_partkey, p_name, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rk
+        FROM part
+    )
+    SELECT p_brand, CAST(rk AS INTEGER) AS rk, p_partkey, p_name, p_retailprice
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def topk_per_group_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (3 priciest parts per brand): one window keyed by
+    brand with a deterministic (price desc, partkey) order, filtered on
+    row_number — the rank never materializes beyond each partition's
+    sort, and no global TakeOrdered is involved, so k-per-group scales
+    with groups, not with a single driver-side top list."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            F.row_number().over(w).alias("rk"),
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+        )
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "p_name", "p_retailprice")
+    )
