@@ -67,6 +67,12 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
     "sim_ivf_drift",
+    # round 5 (cont.) additions: incremental near-dup (batch probes the
+    # band index), hash-reduced snapshot reconciliation, and the cohort
+    # retention matrix.
+    "dedup_minhash_incremental",
+    "cdc_snapshot_diff",
+    "events_cohort_retention",
 ]
 
 

@@ -1755,3 +1755,30 @@ def test_rollup_merge_equals_scratch_and_rejects_unknown_kind(spark):
 
     with pytest.raises(ValueError):
         rollup_state(rows, keys, [("price", "median")])
+
+
+def test_dq_checks_count_real_violations(spark):
+    from usgs_lidar_spark.operators import dq
+
+    child = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, -2.0), (2, 99, 50.0), (3, None, None)],
+        "k long, fk long, v double",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    report = {
+        r["constraint"]: (r["violations"], r["checked"])
+        for r in dq.dq_report(
+            [
+                dq.check_unique(child, ["k"]),          # k=1 twice -> 1 surplus
+                dq.check_not_null(child, ["fk", "v"]),  # 1 null each
+                dq.check_foreign_key(child, "fk", parent, "pk"),  # fk=99 orphan
+                dq.check_in_range(child, "v", 0.0, 10.0),  # -2, 50, NULL out
+            ]
+        ).collect()
+    }
+    assert report["unique(k)"] == (1, 4)
+    assert report["not_null(fk)"] == (1, 4)
+    assert report["not_null(v)"] == (1, 4)
+    # NULL fk is not an orphan; only fk=99 is, over 3 non-null rows
+    assert report["foreign_key(fk)"] == (1, 3)
+    assert report["range(v in [0.0,10.0])"] == (3, 4)

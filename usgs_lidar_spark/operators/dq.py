@@ -1,0 +1,107 @@
+"""Data-quality constraint checks: uniqueness, completeness, referential
+integrity, and range conformance — the assertions a pipeline runs before
+promoting a batch, as one DataFrame job per report.
+
+Design: every check reduces to an aggregate or an anti-join, and the
+report unions their (constraint, violations, checked) rows — a handful
+of scans that Catalyst schedules independently, each partial-aggregated
+map-side. Nothing collects to the driver; the report itself is a
+per-constraint summary (violation COUNTS, not violating rows — at 100 TB
+the row-level drill-down is a follow-up filtered query, not something to
+ship with every report).
+
+* uniqueness: groupBy(key) HAVING count>1, reduced to the number of
+  duplicated keys and surplus rows;
+* completeness: null counts per column in ONE pass over the table
+  (conditional sums share the scan);
+* referential integrity: left_anti join child->parent, counting orphans
+  (the parent side is a broadcastable distinct of the key);
+* range: conditional count of out-of-bound values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _report_row(df: DataFrame, constraint: str, violations: Column, checked: Column):
+    return df.agg(
+        F.lit(constraint).alias("constraint"),
+        violations.cast("long").alias("violations"),
+        checked.cast("long").alias("checked"),
+    )
+
+
+def check_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One row: how many key values occur more than once, and how many
+    surplus rows those duplicates add."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.lit(f"unique({','.join(key_cols)})").alias("constraint"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("long")
+        .alias("violations"),
+        F.sum("n").cast("long").alias("checked"),
+    )
+
+
+def check_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per column, all computed in a single scan."""
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.struct(
+                F.lit(f"not_null({c})").alias("constraint"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("violations"),
+                F.count(F.lit(1)).cast("long").alias("checked"),
+            ).alias(c)
+        )
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.explode(F.array(*[F.col(c) for c in cols])).alias("r")
+    )
+    return stacked.select("r.constraint", "r.violations", "r.checked")
+
+
+def check_foreign_key(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+) -> DataFrame:
+    """Orphan count: child rows whose key has no parent. The parent key
+    set is distinct-reduced first (broadcastable for dimension tables);
+    NULL child keys are not orphans (SQL FK semantics)."""
+    pk = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    non_null = child.filter(F.col(child_key).isNotNull())
+    orphans = non_null.join(pk, child_key, "left_anti")
+    n_orphans = orphans.agg(F.count(F.lit(1)).alias("n"))
+    n_checked = non_null.agg(F.count(F.lit(1)).alias("n"))
+    return n_orphans.crossJoin(
+        F.broadcast(n_checked.withColumnRenamed("n", "c"))
+    ).select(
+        F.lit(f"foreign_key({child_key})").alias("constraint"),
+        F.col("n").cast("long").alias("violations"),
+        F.col("c").cast("long").alias("checked"),
+    )
+
+
+def check_in_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    return _report_row(
+        df,
+        f"range({col} in [{lo},{hi}])",
+        F.sum(
+            F.when(F.col(col).isNull() | ~F.col(col).between(lo, hi), 1).otherwise(0)
+        ),
+        F.count(F.lit(1)),
+    )
+
+
+def dq_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the per-check summaries into one report frame."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

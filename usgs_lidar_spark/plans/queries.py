@@ -5384,3 +5384,56 @@ def topk_per_group_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("p_brand", "rk", "p_partkey", "p_name", "p_retailprice")
     )
+
+@query(
+    "dq_violation_report",
+    oracle="""
+    SELECT 'unique(o_orderkey)' AS constraint,
+           CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT)
+               AS violations,
+           CAST(SUM(n) AS BIGINT) AS checked
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'not_null(o_custkey)',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'not_null(o_orderdate)',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key(o_custkey)',
+           CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT),
+           count(*)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_custkey IS NOT NULL
+    UNION ALL
+    SELECT 'range(o_totalprice in [0.0,1000000.0])',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL
+                          OR o_totalprice < 0.0
+                          OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(*)
+    FROM orders
+    """,
+)
+def dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-promotion data-quality gate over orders: key uniqueness,
+    completeness, referential integrity to customer, and a price range
+    — each check an aggregate or anti-join producing a (constraint,
+    violations, checked) summary row; no violating rows ship with the
+    report (operators/dq.py)."""
+    from usgs_lidar_spark.operators import dq
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return dq.dq_report(
+        [
+            dq.check_unique(o, ["o_orderkey"]),
+            dq.check_not_null(o, ["o_custkey", "o_orderdate"]),
+            dq.check_foreign_key(o, "o_custkey", c, "c_custkey"),
+            dq.check_in_range(o, "o_totalprice", 0.0, 1000000.0),
+        ]
+    )
