@@ -183,6 +183,26 @@ HEADLINE_DIGESTS = {
         "BroadcastHashJoin": 2,
     },
     "sim_ivf_drift": {"shuffle_exchange": 1},
+    # Round-5 (cont.) headliners. Incremental minhash mirrors the full
+    # LSH pipeline (shingle agg + band join legs + candidate verify) plus
+    # the is_batch flag joins — the SortMergeJoin is the band-table probe
+    # (both sides data-sized, correctly NOT broadcast). Snapshot diff's
+    # SMJ is the full-outer hash-compare join: full outer cannot
+    # broadcast, two key shuffles is its floor. Cohort retention re-keys
+    # through user -> (user,cohort,offset) -> (cohort,offset) with the
+    # size table broadcast.
+    "dedup_minhash_incremental": {
+        "shuffle_exchange": 19,
+        "BroadcastExchange": 8,
+        "BroadcastHashJoin": 8,
+        "SortMergeJoin": 1,
+    },
+    "cdc_snapshot_diff": {"shuffle_exchange": 2, "SortMergeJoin": 1},
+    "events_cohort_retention": {
+        "shuffle_exchange": 5,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
+    },
 }
 
 

@@ -5101,12 +5101,12 @@ def events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users cohorted by first-signup day, then
     counted once per (cohort, day-offset) where they show ANY activity on
-    or after the cohort day. Three aggregates: the cohort anchor (per-user
-    min — one shuffle on user_id), the distinct (user, cohort, offset)
-    dedup (piggybacks the same user_id partitioning, so AQE reuses the
-    shuffle), and the tiny matrix rollup joined against broadcastable
-    cohort sizes. The retention ratio is int/int division — exact on
-    both engines."""
+    or after the cohort day. The cohort anchor is a per-user min (one
+    shuffle on user_id), the activity join meets it on the same key, the
+    distinct re-keys by (user, cohort, offset) and the matrix rollup by
+    (cohort, offset) — all keys of strictly shrinking cardinality, with
+    the tiny cohort-size table broadcast at the end. The retention ratio
+    is int/int division — exact on both engines."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     cohort = (
         e.filter(F.col("event_type") == "signup")
