@@ -1782,3 +1782,40 @@ def test_dq_checks_count_real_violations(spark):
     # NULL fk is not an orphan; only fk=99 is, over 3 non-null rows
     assert report["foreign_key(fk)"] == (1, 3)
     assert report["range(v in [0.0,10.0])"] == (3, 4)
+
+
+def test_resample_to_mix_exact_quotas_and_binding_group(spark):
+    import pytest
+
+    from usgs_lidar_spark.operators.pipeline import resample_to_mix
+
+    # en: 100 rows, de: 10, fr: 40. Weights 6:2:1 (W=9). The binding
+    # group is de: M = min(100*9//6, 10*9//2, 40*9//1) = min(150,45,360)
+    # = 45 -> quotas en=30, de=10, fr=5.
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(1000 + i, "de") for i in range(10)]
+        + [(2000 + i, "fr") for i in range(40)]
+        + [(3000 + i, "zh") for i in range(7)]  # no weight -> dropped
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = resample_to_mix(df, "lang", {"en": 6, "de": 2, "fr": 1}, "doc_id")
+    got = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == {"en": 30, "de": 10, "fr": 5}
+    # deterministic: same call keeps the same ids
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in resample_to_mix(
+            df, "lang", {"en": 6, "de": 2, "fr": 1}, "doc_id"
+        ).collect()
+    )
+    assert ids1 == ids2
+
+    with pytest.raises(ValueError):
+        resample_to_mix(df, "lang", {}, "doc_id")
+    with pytest.raises(ValueError):
+        resample_to_mix(df, "lang", {"en": 0}, "doc_id")

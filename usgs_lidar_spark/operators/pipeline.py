@@ -376,3 +376,63 @@ def exact_dedup_incremental(
         )
         .drop("__h")
     )
+
+
+def resample_to_mix(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, int],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample groups to a target mix (data mixing for training runs):
+    given integer weights per group (e.g. {'en': 6, 'de': 2, 'fr': 1} =
+    target shares 6/9, 2/9, 1/9), keep the LARGEST subset whose group
+    proportions hit the target exactly in integer arithmetic — never
+    upsampling, never exceeding any group's population. Groups without a
+    weight are dropped.
+
+    Math (all integer, so identical on any engine): with W = sum of
+    weights, the achievable total is M = min_g floor(n_g * W / w_g)
+    (the most-constraining group binds), and each group keeps its first
+    k_g = floor(w_g * M / W) rows in the deterministic pseudo-random
+    order (portable_hash_long(id, seed), id).
+
+    Scale: the per-group counts and the (k_g) table are group-cardinality
+    sized (broadcast); selection is one rank window per group — a
+    spillable sort of each group's rows, shuffled once on the group key.
+    For corpora where even a per-group sort is unwanted, the hash-
+    threshold approximation (keep if bucket < k_g/n_g * N_BUCKETS, cf.
+    sample_stratified) trades exact counts for a map-only plan; this
+    exact form is the one whose output a mix report can assert on.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive ints")
+    total_w = sum(weights.values())
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        list(weights.items()), f"{group_col} string, _w long"
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(wdf), group_col)
+    )
+    m = counts.agg(
+        F.min(F.floor(F.col("_n") * total_w / F.col("_w"))).alias("_m")
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(m))
+        .select(
+            group_col,
+            F.floor(F.col("_w") * F.col("_m") / total_w).alias("_k"),
+        )
+    )
+    order = [portable_hash_long(id_col, seed).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_k"))
+        .drop("_rk", "_k")
+    )

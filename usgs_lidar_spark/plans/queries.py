@@ -5437,3 +5437,45 @@ def dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.check_in_range(o, "o_totalprice", 0.0, 1000000.0),
         ]
     )
+
+@query(
+    "pipe_target_mix",
+    oracle="""
+    WITH w(lang, wt) AS (VALUES ('en', 6), ('de', 2), ('fr', 1)),
+    counts AS (
+        SELECT d.lang, count(*) AS n, any_value(wt) AS wt
+        FROM documents d JOIN w ON d.lang = w.lang
+        GROUP BY d.lang
+    ), m AS (
+        SELECT min((n * 9) // wt) AS m FROM counts
+    ), quota AS (
+        SELECT lang, (wt * m) // 9 AS k FROM counts, m
+    ), ranked AS (
+        SELECT d.doc_id, d.lang, q.k,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY ((((doc_id % 2147483647) + 1) % 2147483647)
+                             * 48271 % 2147483647) * 48271 % 2147483647,
+                            doc_id) AS rk
+        FROM documents d JOIN quota q ON d.lang = q.lang
+    )
+    SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM ranked WHERE rk <= k GROUP BY lang
+    """,
+)
+def pipe_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: downsample documents to a 6:2:1 en:de:fr target (zh/es
+    dropped — no weight) keeping the largest exactly-proportioned subset;
+    integer quota math + deterministic Lehmer order make the kept SET
+    itself reproducible on any engine (id_sum pins membership, not just
+    counts). See operators/pipeline.resample_to_mix."""
+    from usgs_lidar_spark.operators.pipeline import resample_to_mix
+
+    kept = resample_to_mix(
+        _t(spark, sf_dir, "documents"), "lang", {"en": 6, "de": 2, "fr": 1},
+        "doc_id",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
