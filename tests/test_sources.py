@@ -307,3 +307,44 @@ def test_upsert_partitions_replaces_only_touched_partitions(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
     )
+
+
+def test_quarantine_readers_split_good_from_malformed(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from usgs_lidar_spark.sources.readers import (
+        read_csv_quarantine,
+        read_json_data_quarantine,
+    )
+
+    jpath = tmp_path / "feed.jsonl"
+    jpath.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "notanint", "v": "bad type"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = read_json_data_quarantine(spark, str(jpath), schema)
+    assert {(r["id"], r["v"]) for r in good.collect()} == {
+        (1, "ok"), (2, "also ok")
+    }
+    assert good.columns == ["id", "v"]
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2 and "{this is not json}" in bad_lines
+
+    cpath = tmp_path / "feed.csv"
+    cpath.write_text(
+        "id,v\n"
+        "1,ok\n"
+        "zz,badint\n"       # id not a long -> quarantined
+        "2,n/a\n"           # null token -> good row, NULL v
+    )
+    cschema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    cgood, cbad = read_csv_quarantine(spark, str(cpath), cschema)
+    assert {(r["id"], r["v"]) for r in cgood.collect()} == {(1, "ok"), (2, None)}
+    assert [r["raw_line"] for r in cbad.collect()] == ["zz,badint"]

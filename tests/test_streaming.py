@@ -657,3 +657,46 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         .groupBy("segment").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want and set(got) == {"core", "longtail"}
+
+
+def test_vacuum_sink_removes_only_unreachable_state(spark, tmp_path):
+    """Simulated crash leftovers: a batch dir the manifest already covers,
+    an orphan compacted version, and a stale manifest tmp. Vacuum removes
+    exactly those; the live tail batch and active version survive, and
+    read_sink sees identical data before and after."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.streaming.compact import (
+        compact_sink,
+        read_sink,
+        vacuum_sink,
+    )
+
+    sink = tmp_path / "sink"
+    for b in range(3):
+        spark.range(b * 10, b * 10 + 10).withColumn(
+            "v", F.col("id") * 2
+        ).write.parquet(str(sink / f"batch_id={b}"))
+    m = compact_sink(spark, str(sink), up_to_batch=1)
+    assert m["max_batch_id"] == 1
+
+    # crash leftovers: covered batch dir re-appears (crash between
+    # publish and delete), an orphan version, a stale tmp manifest
+    spark.range(0, 10).withColumn("v", F.col("id") * 2).write.parquet(
+        str(sink / "batch_id=0")
+    )
+    (sink / "_compacted" / "v99").mkdir()
+    (sink / "_compacted" / ".MANIFEST.json.tmp").write_text("{}")
+
+    before = sorted(tuple(r) for r in read_sink(spark, str(sink)).collect())
+    removed = vacuum_sink(str(sink))
+    assert removed == {"batch_dirs": 1, "version_dirs": 1, "tmp_files": 1}
+    after = sorted(tuple(r) for r in read_sink(spark, str(sink)).collect())
+    assert before == after and len(after) == 30
+    # live tail untouched, active version untouched
+    assert (sink / "batch_id=2").is_dir()
+    active = _json.loads((sink / "_compacted" / "MANIFEST.json").read_text())
+    assert (sink / "_compacted" / active["version_dir"]).is_dir()
+    assert not (sink / "batch_id=0").exists()

@@ -70,3 +70,79 @@ def read_json_data(spark: SparkSession, path: str, schema: T.StructType | None =
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_json_data_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines scan that QUARANTINES malformed rows instead of silently
+    nulling (PERMISSIVE's default) or dropping (DROPMALFORMED) them:
+    returns (good, quarantined) where `good` carries the declared schema
+    and `quarantined` holds each bad line's raw text for triage.
+
+    At ingest scale a malformed-row policy must be explicit: crawl/vendor
+    feeds always contain some garbage, DROPMALFORMED hides it, and
+    FAILFAST turns one bad byte into a dead 100 TB backfill. The
+    quarantine frame is the auditable middle: the pipeline proceeds,
+    nothing is silently lost, and the bad lines land in their own sink.
+
+    Spark caveat handled here: the corrupt-record column cannot be the
+    only selected column (the scan would short-circuit parsing), and
+    since Spark 3 a query may not select ONLY the corrupt column from
+    the raw scan — so the split materializes the flag into a normal
+    boolean first.
+    """
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    ).cache()  # one parse feeds both halves
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, quarantined
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    null_tokens: list[str] | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of read_json_data_quarantine, composed with the
+    reference's null-token semantics on the good half."""
+    tokens = NULL_TOKENS if null_tokens is None else null_tokens
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = (
+        spark.read.option("header", True)
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("nullValue", tokens[0] if tokens else None)
+        .csv(path)
+    ).cache()
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    if len(tokens) > 1:
+        for name, dtype in good.dtypes:
+            if dtype == "string":
+                good = good.withColumn(
+                    name,
+                    F.when(F.col(name).isin(tokens[1:]), F.lit(None)).otherwise(
+                        F.col(name)
+                    ),
+                )
+    quarantined = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, quarantined

@@ -170,3 +170,36 @@ def read_sink(spark: SparkSession, sink_path: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def vacuum_sink(sink_path: str) -> dict:
+    """Remove crash orphans the compaction protocol can legitimately
+    leave behind: batch directories already covered by the manifest
+    (crash after publish, before deletes), compacted version dirs other
+    than the active one (crash before publish, or before the previous
+    version's delete), and stale manifest tmp files. Never touches
+    batch dirs newer than the manifest (the live tail) or anything when
+    no manifest exists (nothing is superseded yet).
+
+    Safe to run at ANY time, concurrent with readers: everything removed
+    is, by the manifest's word, unreachable through read_sink. Returns a
+    summary of what was removed.
+    """
+    manifest = _read_manifest(sink_path)
+    removed = {"batch_dirs": 0, "version_dirs": 0, "tmp_files": 0}
+    comp_root = Path(sink_path) / "_compacted"
+    if manifest is None:
+        return removed
+    for b, p in _batch_dirs(sink_path).items():
+        if b <= manifest["max_batch_id"]:
+            shutil.rmtree(p, ignore_errors=True)
+            removed["batch_dirs"] += 1
+    if comp_root.is_dir():
+        for child in comp_root.iterdir():
+            if child.is_dir() and child.name != manifest["version_dir"]:
+                shutil.rmtree(child, ignore_errors=True)
+                removed["version_dirs"] += 1
+            elif child.is_file() and child.name.startswith(f".{MANIFEST}"):
+                child.unlink(missing_ok=True)
+                removed["tmp_files"] += 1
+    return removed
