@@ -1819,3 +1819,47 @@ def test_resample_to_mix_exact_quotas_and_binding_group(spark):
         resample_to_mix(df, "lang", {}, "doc_id")
     with pytest.raises(ValueError):
         resample_to_mix(df, "lang", {"en": 0}, "doc_id")
+
+
+def test_nearest_join_tolerance_and_tie_semantics(spark):
+    from usgs_lidar_spark.operators.asof import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 200, "L2"), (2, 50, "L3")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 90, 901),    # 10 before L1
+            (1, 110, 902),   # 10 after L1 -> exact tie, past wins
+            (1, 170, 903),   # 30 before L2
+            (1, 215, 904),   # 15 after L2 -> closer, future wins
+            (2, 500, 905),   # 450 from L3 -> outside tolerance
+        ],
+        "k long, ts long, rid long",
+    )
+    inner = {
+        r["tag"]: (r["nearest_rid"], r["nearest_dt"])
+        for r in nearest_join(
+            left, right, ["k"], "ts", ["rid"], tolerance=100, tie_break="rid"
+        ).collect()
+    }
+    assert inner == {"L1": (901, -10), "L2": (904, 15)}
+
+    outer = nearest_join(
+        left, right, ["k"], "ts", ["rid"], tolerance=100,
+        tie_break="rid", how="left",
+    )
+    rows = {r["tag"]: r["nearest_rid"] for r in outer.collect()}
+    assert rows == {"L1": 901, "L2": 904, "L3": None}
+
+    # equal-timestamp right rows: smallest tie wins on both sides
+    right2 = spark.createDataFrame(
+        [(1, 90, 7), (1, 90, 3), (1, 110, 9), (1, 110, 8)],
+        "k long, ts long, rid long",
+    )
+    got = nearest_join(
+        left.filter("tag = 'L1'"), right2, ["k"], "ts", ["rid"],
+        tolerance=100, tie_break="rid",
+    ).collect()[0]
+    assert (got["nearest_rid"], got["nearest_dt"]) == (3, -10)

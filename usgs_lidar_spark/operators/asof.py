@@ -184,3 +184,108 @@ def asof_join_salted(
     if how == "inner":
         out = out.filter(F.col(f"asof_{ts_col}").isNotNull())
     return out
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    tolerance: int,
+    tie_break: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Nearest-event join: attach the right row closest in time to each
+    left row (EITHER direction) within ``tolerance``, per partition key —
+    the sensor-alignment / nearest-measurement cousin of the as-of join
+    (which is strictly backward-looking).
+
+    Deterministic choice: minimize (|dt|, right ts, tie) — so an exact
+    tie between a past and a future candidate resolves to the PAST one,
+    and equal-timestamp right rows resolve by ``tie_break``. ``tolerance``
+    is in the timestamp's native unit (microseconds for timestamp
+    columns, raw units for numeric ts). Output appends
+    ``nearest_<ts>``/``nearest_<payload>`` and the signed
+    ``nearest_dt`` (right - left); `how='left'` keeps unmatched rows.
+
+    Physical plan — the same union trick as asof_join but with TWO
+    windows over ONE shuffle: both sides union, exchange once on the
+    partition keys, then a forward-ordered and a backward-ordered
+    running `last(ignorenulls)` produce the nearest candidate on each
+    side of every left row (Spark reuses the exchange; the second
+    window adds only a per-partition re-sort). No range join, no
+    candidate explosion: exactly two candidates per left row are ever
+    materialized, however dense the right side is inside the tolerance
+    window.
+    """
+    assert how in ("inner", "left")
+    is_ts = "timestamp" in dict(left.dtypes)[ts_col]
+
+    def tsn(col):
+        c = F.col(col)
+        return F.unix_micros(c.cast("timestamp")) if is_ts else c.cast("long")
+
+    left_cols = left.columns
+    payload = F.struct(
+        F.col(ts_col).alias(f"nearest_{ts_col}"),
+        *[F.col(c).alias(f"nearest_{c}") for c in payload_cols],
+        tsn(ts_col).alias("__rtsn"),
+    )
+    r = right.select(
+        *[F.col(k) for k in partition_keys],
+        tsn(ts_col).alias("__tsn"),
+        (F.col(tie_break) if tie_break else F.lit(0)).alias("__tie"),
+        F.lit(1).alias("__is_right"),
+        payload.alias("__payload"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in partition_keys
+        ],
+    )
+    l = left.select(
+        *[F.col(k) for k in partition_keys],
+        tsn(ts_col).alias("__tsn"),
+        F.lit(0).alias("__tie"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in left_cols if c not in partition_keys],
+    )
+    u = r.unionByName(l)
+
+    # Backward: latest right at ts <= L; equal-ts rights sort tie DESC so
+    # the carried last() is the SMALLEST tie. Forward mirrors in reverse.
+    w_back = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(F.col("__tsn").asc(), F.col("__is_right").desc(), F.col("__tie").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(F.col("__tsn").desc(), F.col("__is_right").desc(), F.col("__tie").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = (
+        u.withColumn("__back", F.last("__payload", ignorenulls=True).over(w_back))
+        .withColumn("__fwd", F.last("__payload", ignorenulls=True).over(w_fwd))
+        .filter(F.col("__is_right") == 0)
+    )
+
+    back_dt = F.col("__back.__rtsn") - F.col("__tsn")   # <= 0
+    fwd_dt = F.col("__fwd.__rtsn") - F.col("__tsn")     # >= 0
+    back_ok = F.col("__back").isNotNull() & (-back_dt <= tolerance)
+    fwd_ok = F.col("__fwd").isNotNull() & (fwd_dt <= tolerance)
+    # past wins exact |dt| ties
+    use_back = back_ok & (~fwd_ok | (-back_dt <= fwd_dt))
+    chosen = F.when(use_back, F.col("__back")).when(fwd_ok, F.col("__fwd"))
+    dt = F.when(use_back, back_dt).when(fwd_ok, fwd_dt)
+
+    out = cand.select(
+        *left_cols,
+        chosen.alias("__m"),
+        dt.alias("nearest_dt"),
+    ).select(*left_cols, F.col("__m.*"), "nearest_dt").drop("__rtsn")
+    if how == "inner":
+        out = out.filter(F.col(f"nearest_{ts_col}").isNotNull())
+    return out

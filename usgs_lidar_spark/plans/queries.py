@@ -5479,3 +5479,91 @@ def pipe_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+@query(
+    "a9_group_median",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+               / 100.0 AS median_price,
+           quantile_cont(CAST(ROUND(l_quantity) AS BIGINT), 0.5) AS median_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a9_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (vs the approx_percentile sketch path in
+    sketch_approx_stats): Spark's `percentile` aggregate with linear
+    interpolation, computed over cents-scaled integers so the midpoint
+    average of two longs is exactly representable and both engines emit
+    the identical double. Exact percentiles sort each group's values —
+    the per-group-sort cost approx_percentile exists to avoid; this is
+    the ground-truth form you run on the slice where exactness matters,
+    not the default at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(cents, F.lit(0.5)) / 100.0).alias("median_price"),
+        F.percentile(qty, F.lit(0.5)).alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+@query(
+    "nearest_purchase_to_click",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ), cand AS (
+        SELECT c.click_id, c.user_id, c.c_ts, p.event_id, p.p_ts,
+               date_diff('microsecond', c.c_ts, p.p_ts) AS dt
+        FROM c JOIN p ON c.user_id = p.user_id
+        WHERE abs(date_diff('microsecond', c.c_ts, p.p_ts)) <= 1800000000
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY click_id
+                                     ORDER BY abs(dt), p_ts, event_id) AS rk
+        FROM cand
+    )
+    SELECT user_id, click_id,
+           strftime(date_trunc('microseconds', c_ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(date_trunc('microseconds', p_ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS nearest_ts,
+           event_id AS nearest_event_id,
+           CAST(dt AS BIGINT) AS nearest_dt
+    FROM ranked WHERE rk = 1
+    """,
+)
+def nearest_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join: each click matched to the user's closest
+    purchase within ±30 minutes, past preferred on exact ties
+    (operators/asof.nearest_join — one shuffle, two windows, never a
+    range-join explosion; the oracle IS the range-join formulation, so
+    agreement proves the two-candidate reduction exact)."""
+    from usgs_lidar_spark.operators.asof import nearest_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = nearest_join(
+        clicks, purchases, ["user_id"], "ts", ["event_id"],
+        tolerance=1_800_000_000, tie_break="event_id",
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("nearest_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "nearest_ts"
+        ),
+        "nearest_event_id",
+        "nearest_dt",
+    )
