@@ -1863,3 +1863,30 @@ def test_nearest_join_tolerance_and_tie_semantics(spark):
         tolerance=100, tie_break="rid",
     ).collect()[0]
     assert (got["nearest_rid"], got["nearest_dt"]) == (3, -10)
+
+
+def test_audio_rms_windows_hand_case(spark):
+    import math
+
+    import pytest
+
+    from usgs_lidar_spark.multimodal import audio_rms_windows
+
+    media = spark.createDataFrame(
+        [(1, bytes([128, 130, 126, 128, 138])), (2, b"")],
+        "media_id long, content binary",
+    )
+    rows = {
+        (r["media_id"], r["window_index"]): (r["n_samples"], r["rms"])
+        for r in audio_rms_windows(media, window=4).collect()
+    }
+    # samples centered at 128: [0, 2, -2, 0, 10]
+    # window 0: sumsq = 0+4+4+0 = 8, n=4 -> sqrt(2)
+    # window 1 (tail): sumsq = 100, n=1 -> 10.0
+    assert rows == {
+        (1, 0): (4, math.sqrt(2.0)),
+        (1, 1): (1, 10.0),
+    }  # empty payload yields no rows
+
+    with pytest.raises(ValueError):
+        audio_rms_windows(media, window=0)

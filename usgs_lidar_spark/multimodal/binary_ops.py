@@ -384,3 +384,60 @@ def sample_frames(
             )
 
     return media.mapInPandas(gen, FRAMES_SCHEMA)
+
+
+#: Output schema of audio_rms_windows.
+AUDIO_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_index", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_rms_windows(media: DataFrame, window: int = 64) -> DataFrame:
+    """Windowed RMS energy over audio payloads — the feature pass of an
+    audio quality/silence filter, one row per window (one-to-many
+    mapInPandas, like sample_frames).
+
+    The container has no audio codec library, so the "decode" is the
+    deterministic stand-in this module uses throughout: each payload
+    byte is an unsigned 8-bit PCM sample centered at 128 (a real decoder
+    slots in behind the same (media_id, samples) contract). Per window
+    of ``window`` samples (tail kept short): rms = sqrt(sumsq/n), with
+    sumsq accumulated in int64 — exact — and sqrt correctly rounded by
+    IEEE, so results are bit-identical across engines and partitionings.
+
+    Scale: map-only (no shuffle); output is ~n_bytes/window rows per
+    payload; numpy does the per-batch math on Arrow buffers.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, widx, ns, vals = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = content if content is not None else b""
+                samples = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+                for k in range(0, len(samples), window):
+                    chunk = samples[k : k + window]
+                    sumsq = int((chunk * chunk).sum())
+                    ids.append(mid)
+                    widx.append(k // window)
+                    ns.append(len(chunk))
+                    vals.append(float(np.sqrt(sumsq / len(chunk))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_index": pd.Series(widx, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "rms": pd.Series(vals, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(rms, AUDIO_RMS_SCHEMA)

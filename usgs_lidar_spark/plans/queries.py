@@ -5567,3 +5567,39 @@ def nearest_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nearest_event_id",
         "nearest_dt",
     )
+
+@query(
+    "mm_audio_rms",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               list_transform(range(1, length(text) + 1),
+                   i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+                        - 128) AS s
+        FROM documents
+    ), win AS (
+        SELECT media_id, s,
+               unnest(range(0, len(s), 64)) AS k
+        FROM m WHERE len(s) > 0
+    )
+    SELECT media_id,
+           CAST(k // 64 AS BIGINT) AS window_index,
+           CAST(len(list_slice(s, k + 1, k + 64)) AS BIGINT) AS n_samples,
+           sqrt(CAST(list_sum(list_transform(list_slice(s, k + 1, k + 64),
+                                             x -> x * x)) AS DOUBLE)
+                / len(list_slice(s, k + 1, k + 64))) AS rms
+    FROM win
+    """,
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over 'audio' payloads (documents' bytes as
+    8-bit PCM, the deterministic decode stand-in): one-to-many
+    mapInPandas with int64-exact sums of squares and one IEEE sqrt, so
+    both engines emit identical doubles. See
+    multimodal/binary_ops.audio_rms_windows. (ASCII payloads make the
+    oracle's per-char ord() equal the byte values.)"""
+    from usgs_lidar_spark.multimodal import audio_rms_windows, to_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text")
+    return audio_rms_windows(media, window=64)
