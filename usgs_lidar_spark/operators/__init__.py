@@ -3,14 +3,26 @@ joins, dedup, similarity search, terrain derivatives, skew utilities.
 Each module documents the reference behavior it re-expresses (file:line
 into /root/reference) and the Spark physical plan it produces at scale."""
 
-from usgs_lidar_spark.operators.asof import asof_join  # noqa: F401
+from usgs_lidar_spark.operators.asof import asof_join, nearest_join  # noqa: F401
+from usgs_lidar_spark.operators.cdc import (  # noqa: F401
+    apply_changelog,
+    attribute_history,
+    snapshot_diff,
+)
 from usgs_lidar_spark.operators.dedup import (  # noqa: F401
     char_shingles,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
+)
+from usgs_lidar_spark.operators.rollup import merge_rollup, rollup_state  # noqa: F401
+from usgs_lidar_spark.operators.textquality import (  # noqa: F401
+    chunk_documents,
+    corpus_freq_score,
+    repetition_metrics,
 )
 from usgs_lidar_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,

@@ -5603,3 +5603,97 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     media = to_media_table(d, "doc_id", "text")
     return audio_rms_windows(media, window=64)
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n,
+           CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY event_type) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix with
+    per-source-state probabilities. One lag/lead window per user (the
+    sequence), a (from, to) count, and a tiny window over the 25-cell
+    matrix for row-normalization — the shuffles are user-keyed then
+    matrix-keyed, both fine at any scale. Count ratios are int/int in
+    one division, so probabilities hash identically."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    counts = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wrow)).alias("p"),
+    )
+
+
+@query(
+    "skew_report_lineitem",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_n,
+               quantile_cont(n, 0.5) AS p50,
+               quantile_cont(n, 0.99) AS p99
+        FROM counts
+    )
+    SELECT n_keys, n_rows, max_n, p50, p99,
+           max_n / (CAST(n_rows AS DOUBLE) / n_keys) AS max_over_mean
+    FROM stats
+    """,
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/agg key: per-key
+    row counts reduced to (n_keys, max, exact p50/p99, max/mean) — the
+    numbers that tell you whether l_suppkey needs salting BEFORE you pay
+    for the skewed shuffle. The count table is one hash agg; the exact
+    percentiles sort only the per-key counts (key-cardinality sized,
+    not row-sized)."""
+    counts = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.percentile("n", F.lit(0.5)).alias("p50"),
+        F.percentile("n", F.lit(0.99)).alias("p99"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "p50",
+        "p99",
+        (
+            F.col("max_n") / (F.col("n_rows").cast("double") / F.col("n_keys"))
+        ).alias("max_over_mean"),
+    )
