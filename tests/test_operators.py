@@ -1890,3 +1890,33 @@ def test_audio_rms_windows_hand_case(spark):
 
     with pytest.raises(ValueError):
         audio_rms_windows(media, window=0)
+
+
+def test_user_value_trend_hand_case(spark):
+    """Known OLS fits: exact slope on a clean line, NULL-slope degenerate
+    groups (single point / zero time variance), NULL values excluded."""
+    import datetime as dt
+
+    from usgs_lidar_spark.operators.grouped import user_value_trend
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hour = dt.timedelta(hours=1)
+    rows = [
+        # user 1: value = 1.0 + 0.5 * hours -> slope 0.5/h, intercept 1.0
+        (1, t0, 1.0), (1, t0 + hour, 1.5), (1, t0 + 2 * hour, 2.0),
+        # user 2: single point -> NULL slope, intercept = value
+        (2, t0, 7.25),
+        # user 3: two points, same ts -> zero variance -> NULL slope,
+        # intercept = mean
+        (3, t0, 1.0), (3, t0, 3.0),
+        # user 4: NULL values drop; remaining single point
+        (4, t0, None), (4, t0 + hour, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r for r in user_value_trend(df).collect()}
+    assert got[1]["n"] == 3
+    assert abs(got[1]["slope_per_hour"] - 0.5) < 1e-12
+    assert abs(got[1]["intercept"] - 1.0) < 1e-12
+    assert got[2]["slope_per_hour"] is None and got[2]["intercept"] == 7.25
+    assert got[3]["slope_per_hour"] is None and got[3]["intercept"] == 2.0
+    assert got[4]["n"] == 1 and got[4]["intercept"] == 4.0

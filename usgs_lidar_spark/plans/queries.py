@@ -5697,3 +5697,48 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_n") / (F.col("n_rows").cast("double") / F.col("n_keys"))
         ).alias("max_over_mean"),
     )
+
+@query(
+    "events_user_trend",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000 AS ts_s,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ), reb AS (
+        SELECT user_id,
+               ts_s - min(ts_s) OVER (PARTITION BY user_id) AS t, v
+        FROM base
+    ), s AS (
+        -- sums stay HUGEINT (DuckDB's SUM(BIGINT)) so the normal-equation
+        -- products below cannot overflow; they only narrow to DOUBLE at
+        -- the final division, exactly like the Python side's exact ints
+        SELECT user_id, count(*) AS n,
+               SUM(t) AS st, SUM(v) AS sv,
+               SUM(t * t) AS stt,
+               SUM(t * v) AS stv
+        FROM reb GROUP BY 1
+    )
+    SELECT user_id, n,
+           CASE WHEN n < 2 OR n * stt - st * st = 0 THEN NULL
+                ELSE (CAST(n * stv - st * sv AS DOUBLE)
+                      / CAST(n * stt - st * st AS DOUBLE)) * 3600.0 / 100.0
+           END AS slope_per_hour,
+           CASE WHEN n < 2 OR n * stt - st * st = 0
+                THEN (CAST(sv AS DOUBLE) / n) / 100.0
+                ELSE (CAST(sv * stt - st * stv AS DOUBLE)
+                      / CAST(n * stt - st * st AS DOUBLE)) / 100.0
+           END AS intercept
+    FROM s
+    """,
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend through applyInPandas (the grouped-map
+    UDF shape): normal equations on int64-exact per-group sums, one
+    double division at the end — a Python-UDF query the oracle can
+    hash-compare bit-for-bit (operators/grouped.py documents the
+    float-before-divide rule that makes that possible)."""
+    from usgs_lidar_spark.operators.grouped import user_value_trend
+
+    return user_value_trend(_t(spark, sf_dir, "events"))
