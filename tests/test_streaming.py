@@ -700,3 +700,96 @@ def test_vacuum_sink_removes_only_unreachable_state(spark, tmp_path):
     active = _json.loads((sink / "_compacted" / "MANIFEST.json").read_text())
     assert (sink / "_compacted" / active["version_dir"]).is_dir()
     assert not (sink / "batch_id=0").exists()
+
+
+def test_streaming_rollup_matches_batch_and_survives_crash(spark, tmp_path):
+    """Streaming materialized view: per-type (sum, count, min, max) rollup
+    maintained across micro-batches must equal the batch aggregate over
+    all input — including when the query crashes AFTER a version publish
+    but BEFORE the checkpoint commit, forcing a replay of that batch (the
+    double-counting trap the versioned manifest exists to prevent)."""
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.streaming.rollup_sink import (
+        read_rollup,
+        rollup_writer,
+    )
+
+    events_dir = tmp_path / "ru_events"
+    events_dir.mkdir()
+
+    def nanos(s: str) -> int:
+        return int(pd.Timestamp(s).value)
+
+    rows = [
+        ("a.parquet", [(1, "click", 1.25), (2, "view", 2.0)]),
+        ("b.parquet", [(3, "click", 0.75)]),
+        ("c.parquet", [(4, "view", 5.5), (5, "click", 1.0)]),
+    ]
+    for i, (name, evs) in enumerate(rows):
+        pd.DataFrame(
+            [
+                (eid, nanos("2024-01-01 10:00:00") + eid, 1, et, v, "{}")
+                for eid, et, v in evs
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).to_parquet(events_dir / name, index=False)
+        os.utime(events_dir / name, (1700000000 + i, 1700000000 + i))
+
+    out = str(tmp_path / "ru_out")
+    ckpt = str(tmp_path / "ru_ckpt")
+    keys, measures = ["event_type"], [("value", "sum"), ("value", "count")]
+    inner = rollup_writer(out, keys, measures)
+    crash_marker = tmp_path / "ru_crashed"
+
+    def crashing_writer(df, batch_id):
+        inner(df, batch_id)  # version published...
+        if batch_id == 1 and not crash_marker.exists():
+            crash_marker.write_text("boom")
+            raise RuntimeError("injected crash after publish, before commit")
+
+    def start():
+        return (
+            read_events_stream(spark, str(events_dir), max_files_per_trigger=1)
+            .writeStream.foreachBatch(crashing_writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with _pytest.raises(Exception, match="injected crash"):
+        start().awaitTermination()
+    start().awaitTermination()  # restart: replays batch 1, then batch 2
+
+    got = {
+        r["event_type"]: (r["value_sum"], r["value_count"])
+        for r in read_rollup(spark, out).collect()
+    }
+    # exact cents: click 1.25+0.75+1.00 = 300 cents over 3 rows
+    assert got == {"click": (300, 3), "view": (750, 2)}
+
+    # and equals the batch-computed rollup over the same files
+    from usgs_lidar_spark.operators.rollup import rollup_state
+    from usgs_lidar_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    batch = {
+        r["event_type"]: (r["value_sum"], r["value_count"])
+        for r in rollup_state(
+            spark.read.schema(EVENTS_RAW_SCHEMA).parquet(str(events_dir)),
+            keys, measures,
+        ).collect()
+    }
+    assert got == batch
+    # version retention: only the active version and its replay base remain
+    import json as _json2
+
+    m = _json2.loads((tmp_path / "ru_out" / "MANIFEST.json").read_text())
+    vdirs = sorted(
+        p.name for p in (tmp_path / "ru_out").iterdir()
+        if p.is_dir() and p.name.startswith("v")
+    )
+    assert set(vdirs) <= {m["version_dir"], m["prev_version_dir"]}
