@@ -5742,3 +5742,59 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.grouped import user_value_trend
 
     return user_value_trend(_t(spark, sf_dir, "events"))
+
+@query(
+    "text_top_terms",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS lift
+        FROM tf JOIN df USING (term), n
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY lift DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, lift
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 terms per document by TF-lift
+    (tf x N/df — the log-free TF-IDF ordering; ln() would break
+    cross-engine hash equality and is monotone-equivalent for ranking
+    within a fixed tf). Term frequencies shuffle on (doc, term),
+    document frequencies on term (Zipf-head skew is benign here — df is
+    a count-only aggregate with map-side partial combine, unlike the
+    row-carrying lookup join corpus_freq_score de-skews), and the scalar
+    doc count broadcasts. Deterministic (lift desc, term) tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    from usgs_lidar_spark.functions.textstats import ws_tokens
+
+    tok = d.select("doc_id", F.explode(ws_tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("lift").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "lift")
+    )
