@@ -5798,3 +5798,37 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "rk", "term", "tf", "df", "lift")
     )
+
+@query(
+    "w3_first_last_nth",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS last_v,
+           nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w3_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-positional window family with the frame trap handled
+    explicitly: last_value/nth_value over the DEFAULT frame (unbounded
+    preceding..current row) would return the running last/3rd — the
+    full-partition frame must be spelled out, while first_value is
+    frame-insensitive for this ordering. One user-keyed window sort
+    serves all three."""
+    w_default = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_default.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w_default).alias("first_v"),
+        F.last("value").over(w_full).alias("last_v"),
+        F.nth_value("value", 3).over(w_full).alias("third_v"),
+    )
