@@ -2399,12 +2399,16 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    # `or` placeholder: on an EMPTY corpus there are no seeds; a 1-dim
+    # zero centroid lets the plan still build (nothing executes over an
+    # empty scan), so the query returns an empty frame with the correct
+    # schema instead of an AnalysisException.
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < 8)
         .select("vec_id", "embedding")
         .collect()
-    ]
+    ] or [(0, [0.0])]
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2441,12 +2445,16 @@ def sim_ivf_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.similarity import ivf_append, ivf_assign
 
     emb = _t(spark, sf_dir, "embeddings")
+    # `or` placeholder: on an EMPTY corpus there are no seeds; a 1-dim
+    # zero centroid lets the plan still build (nothing executes over an
+    # empty scan), so the query returns an empty frame with the correct
+    # schema instead of an AnalysisException.
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < 8)
         .select("vec_id", "embedding")
         .collect()
-    ]
+    ] or [(0, [0.0])]
     base = ivf_assign(
         emb.filter(F.col("vec_id") < 400), cents, keep_sim=True
     )
@@ -2508,7 +2516,7 @@ def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("vec_id", "embedding")
             .collect()
-        ]
+        ] or [(lo, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
 
     return ivf_drift_metrics(emb, seeds(0, 8), seeds(8, 16))
 
@@ -2692,12 +2700,16 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", k=5, n_bits=8,
     )
+    # `or` placeholder: on an EMPTY corpus there are no seeds; a 1-dim
+    # zero centroid lets the plan still build (nothing executes over an
+    # empty scan), so the query returns an empty frame with the correct
+    # schema instead of an AnalysisException.
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < 8)
         .select("vec_id", "embedding")
         .collect()
-    ]
+    ] or [(0, [0.0])]
     ivf = ivf_topk(
         emb, queries_df, cents, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", k=5, n_probe=2,
@@ -2942,10 +2954,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # empty-corpus placeholder (see the cents comment in sim_topk_ivf);
+    # dim 4 keeps pq_codebooks_from_rows' n_sub=4 divisibility contract
     seeds = [
         [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
+    ] or [[0.0] * 4]
     cbs = pq_codebooks_from_rows(seeds, n_sub=4)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -3036,10 +3050,12 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", k=5,
     )
+    # empty-corpus placeholder (see the cents comment in sim_topk_ivf);
+    # dim 4 keeps pq_codebooks_from_rows' n_sub=4 divisibility contract
     seeds = [
         [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
+    ] or [[0.0] * 4]
     pq = pq_adc_topk(
         emb, queries_df, pq_codebooks_from_rows(seeds, n_sub=4),
         id_col="vec_id", vec_col="embedding", query_id_col="query_id", k=5,
@@ -3119,10 +3135,12 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # empty-corpus placeholder (see the cents comment in sim_topk_ivf);
+    # dim 4 keeps pq_codebooks_from_rows' n_sub=4 divisibility contract
     seeds = [
         [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
+    ] or [[0.0] * 4]
     cents = [(i, v) for i, v in enumerate(seeds)]
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
