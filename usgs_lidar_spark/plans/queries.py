@@ -4348,7 +4348,12 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s").cast("double") / (F.lit(100.0) * F.col("n"))
     mean2 = F.col("q").cast("double") / (F.lit(10000.0) * F.col("n"))
-    z = (F.col("value") - mean) / F.sqrt(mean2 - mean * mean)
+    var = mean2 - mean * mean
+    # Zero-variance groups (constant value, or a single row) have no
+    # outliers by definition; without the guard the division is 0/0 —
+    # an ArithmeticException under ANSI mode. The oracle needs no twin:
+    # its x/0.0 yields NaN/inf, which abs(z) > 3 filters the same way.
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
     return (
         e.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
