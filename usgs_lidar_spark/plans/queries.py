@@ -5855,3 +5855,116 @@ def w3_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w_full).alias("last_v"),
         F.nth_value("value", 3).over(w_full).alias("third_v"),
     )
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+    ), day_users AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), dau AS (
+        SELECT d, count(*) AS dau FROM day_users GROUP BY 1
+    ), wau AS (
+        SELECT days.d, count(DISTINCT du.user_id) AS wau
+        FROM days JOIN day_users du
+          ON du.d <= days.d AND du.d > days.d - INTERVAL 7 DAY
+        GROUP BY 1
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement: daily actives, trailing-7-day actives, and stickiness
+    (DAU/WAU). The trailing distinct is THE trap here — count(DISTINCT)
+    over a RANGE window is unsupported/incorrect, so the rolling set is
+    computed by joining the day grid to per-day distinct users within
+    the 7-day interval: the join fans each (day, user) row to <= 7 grid
+    days, then a count-distinct per day — fan-out bounded by the window
+    length, never quadratic. Inputs to both aggregates share one
+    (day, user) distinct pass."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    day_users = e.distinct()
+    days = day_users.select("d").distinct()
+    dau = day_users.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    g = days.alias("g")
+    du = day_users.alias("du")
+    wau = (
+        g.join(
+            du,
+            (F.col("du.d") <= F.col("g.d"))
+            & (F.col("du.d") > F.date_sub(F.col("g.d"), 7)),
+        )
+        .groupBy(F.col("g.d").alias("d"))
+        .agg(F.countDistinct("du.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS monetary
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT o_custkey, last_order, frequency, monetary,
+               ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+        FROM base
+    )
+    SELECT CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(monetary * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS segment_value
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary rolled
+    into quintile scores (ntile with a custkey tie-break so bucket edges
+    are deterministic), then segment sizes and value. The three ntiles
+    are global windows over the per-customer AGGREGATE (customer-
+    cardinality rows, not orders) — the standard caveat: a global ntile
+    single-partitions that frame, fine for dimension-sized inputs,
+    replaced by range-bucketed approximations if customers outgrow one
+    partition's sort."""
+    base = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dec_sum("o_totalprice", 2).alias("monetary"),
+        )
+    )
+    scored = base.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dec_sum("monetary", 2).alias("segment_value"),
+    )
