@@ -5968,3 +5968,45 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         dec_sum("monetary", 2).alias("segment_value"),
     )
+
+@query(
+    "unpivot_status_measures",
+    oracle="""
+    WITH agg AS (
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total_price,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, 'total_price' AS measure, total_price AS value
+    FROM agg
+    UNION ALL
+    SELECT o_orderstatus, 'n_orders', n_orders FROM agg
+    UNION ALL
+    SELECT o_orderstatus, 'n_customers', n_customers FROM agg
+    """,
+)
+def unpivot_status_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long (UNPIVOT): the per-status measure columns melt into
+    (measure, value) rows with stack() — the inverse of
+    pivot_status_by_segment, and a map-side expression over the tiny
+    aggregate (the oracle's UNION ALL re-reads the CTE three times;
+    stack emits all three rows in one pass)."""
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            dec_sum("o_totalprice", 2).alias("total_price"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(3, 'total_price', total_price, 'n_orders', n_orders, "
+            "'n_customers', n_customers) AS (measure, value)"
+        ),
+    )
