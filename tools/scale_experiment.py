@@ -250,6 +250,67 @@ def run_minhash_incremental(docs_path: str, tag: str) -> dict:
     }
 
 
+def run_snapshot_diff(factor: int, tag: str) -> dict:
+    """snapshot_diff at 1x vs Nx orders: the claim under test is the
+    hash-reduction — the full-outer reconciliation join shuffles
+    (key, 64-bit payload hash), so shuffle bytes per row stay constant
+    (~tens of bytes) no matter how wide the table, and wall scales with
+    rows, not payload. The Nx snapshot pair is built inline (orderkey
+    offset per replica, same mutation pattern as the cdc_snapshot_diff
+    query: every 17th key dropped, every 13th repriced, every 19th
+    reborn)."""
+    from usgs_lidar_spark.operators.cdc import snapshot_diff
+
+    log_dir = WORK / f"log_diff_{tag}"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    spark = make_session(f"diff-{tag}", log_dir)
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    if factor > 1:
+        maxkey = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        parts = [
+            o.withColumn("o_orderkey", F.col("o_orderkey") + k * maxkey)
+            for k in range(factor)
+        ]
+        left = parts[0]
+        for p in parts[1:]:
+            left = left.unionByName(p)
+    else:
+        left = o
+    left = left.localCheckpoint()  # measure the diff, not the replica build
+    n_rows = left.count()
+    base = left.filter(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    born = left.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        F.lit(42.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    right = base.unionByName(born)
+    t0 = time.perf_counter()
+    n_diff = snapshot_diff(
+        left, right, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    rd, wr = shuffle_bytes(log_dir)
+    return {
+        "scenario": f"snapshot_diff_{tag}",
+        "n_rows": n_rows,
+        "n_diff": n_diff,
+        "sec": round(dt, 2),
+        "shuffle_read_mb": round(rd / 1e6, 1),
+        "shuffle_write_mb": round(wr / 1e6, 1),
+        "shuffle_bytes_per_row": round(wr / max(n_rows, 1), 1),
+    }
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     WORK.mkdir(parents=True, exist_ok=True)
@@ -265,6 +326,8 @@ def main() -> None:
         lambda: run_minhash_incremental(
             str(WORK / f"documents_x{factor}.parquet"), f"{factor}x"
         ),
+        lambda: run_snapshot_diff(1, "1x"),
+        lambda: run_snapshot_diff(factor, f"{factor}x"),
     ]
     for scenario in scenarios:
         # Print as produced: a crash in a later scenario must not discard
