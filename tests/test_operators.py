@@ -1920,3 +1920,33 @@ def test_user_value_trend_hand_case(spark):
     assert got[2]["slope_per_hour"] is None and got[2]["intercept"] == 7.25
     assert got[3]["slope_per_hour"] is None and got[3]["intercept"] == 2.0
     assert got[4]["n"] == 1 and got[4]["intercept"] == 4.0
+
+
+def test_spatial_join_diamonds_hand_case(spark):
+    from usgs_lidar_spark.operators.spatial import spatial_join_points_diamonds
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),    # center of A
+            (2, 2.0, 0.0),    # ON A's boundary (|2|/2=1) AND B's (|0-1|/1=1)
+            (3, 1.0, 0.5),    # inside A and B (overlap zone)
+            (4, 9.0, 9.0),    # in none
+        ],
+        "pid long, x double, y double",
+    )
+    dia = spark.createDataFrame(
+        [("A", 0.0, 0.0, 2.0, 1.0), ("B", 2.0, 1.0, 2.0, 1.0)],
+        "poly_id string, cx double, cy double, a double, b double",
+    )
+    # cell chosen SMALLER than the diamonds so shapes span many cells
+    got = sorted(
+        (r["pid"], r["poly_id"])
+        for r in spatial_join_points_diamonds(pts, dia, cell=0.7).collect()
+    )
+    assert got == [(1, "A"), (2, "A"), (2, "B"), (3, "A"), (3, "B")]
+    # and identical with a cell larger than every diamond
+    big = sorted(
+        (r["pid"], r["poly_id"])
+        for r in spatial_join_points_diamonds(pts, dia, cell=50.0).collect()
+    )
+    assert big == got

@@ -122,3 +122,53 @@ def convex_halfplane_sql(
             f"({y2!r} - {y1!r}) * (({x_expr}) - {x1!r}) >= 0)"
         )
     return " AND ".join(terms)
+
+
+def spatial_join_points_diamonds(
+    points: DataFrame,
+    diamonds: DataFrame,
+    cell: float,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Spatial JOIN of a point table against a POLYGON TABLE (here convex
+    L1 diamonds: |x-cx|/a + |y-cy|/b <= 1, one row per diamond with
+    columns (poly_id, cx, cy, a, b)) — the many-polygons generalization
+    of filter_within_polygon's single crop.
+
+    Plan (the standard grid-bucketed spatial join, no geo library):
+      1. each diamond EXPLODES to the grid cells its bbox covers
+         (sequence x sequence — cells are (floor(x/cell), floor(y/cell))
+         pairs); each point maps to exactly ONE cell — map-side;
+      2. equi-join on the cell key — candidates are point x diamond
+         pairs sharing a cell, never a cross product;
+      3. exact containment check as a pure column predicate (convex
+         shape => one inequality), then DISTINCT on (point, poly) since
+         a diamond spanning k cells can meet the same point only once —
+         no dedup needed at all, because the point lives in exactly one
+         cell. (The distinct IS needed the moment points expand to
+         shapes; for point probes each candidate pair is unique.)
+
+    Scale: cost is sum over cells of |points_in_cell| x |diamonds_on_cell|
+    — bounded by choosing `cell` near the typical diamond size. A
+    pathological mega-diamond covering the whole plane degrades toward
+    broadcast-join behavior (it lands in every cell), which is also the
+    right physical answer for a polygon that matches everything; cap or
+    split such shapes upstream if they exist.
+    """
+    cx, cy, a, b = F.col("cx"), F.col("cy"), F.col("a"), F.col("b")
+    gx = lambda c: F.floor(c / cell).cast("long")  # noqa: E731
+    cells_x = F.sequence(gx(cx - a), gx(cx + a))
+    cells_y = F.sequence(gx(cy - b), gx(cy + b))
+    d_cells = (
+        diamonds.withColumn("__gx", F.explode(cells_x))
+        .withColumn("__gy", F.explode(cells_y))
+    )
+    p_cells = points.withColumn("__gx", gx(F.col(x_col))).withColumn(
+        "__gy", gx(F.col(y_col))
+    )
+    cand = p_cells.join(d_cells, ["__gx", "__gy"])
+    inside = (
+        F.abs(F.col(x_col) - cx) / a + F.abs(F.col(y_col) - cy) / b
+    ) <= 1.0
+    return cand.filter(inside).drop("__gx", "__gy")

@@ -6010,3 +6010,46 @@ def unpivot_status_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'n_customers', n_customers) AS (measure, value)"
         ),
     )
+
+@query(
+    "spatial_join_points_regions",
+    oracle="""
+    WITH pts AS (
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice AS x, l_quantity * 1000 AS y
+        FROM lineitem WHERE l_linenumber = 1
+    ), dia AS (
+        SELECT r_regionkey AS poly_id,
+               15000.0 + 12000.0 * r_regionkey AS cx,
+               10000.0 + 6000.0 * r_regionkey AS cy,
+               8000.0 AS a, 5000.0 AS b
+        FROM region
+    )
+    SELECT p.l_orderkey, p.l_linenumber, d.poly_id
+    FROM pts p JOIN dia d
+      ON abs(p.x - d.cx) / d.a + abs(p.y - d.cy) / d.b <= 1.0
+    """,
+)
+def spatial_join_points_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join: first-line lineitem 'points' (price, 1000*qty)
+    against one convex diamond per region — grid-bucketed candidates
+    (cell equi-join) + exact containment, vs the oracle's direct theta
+    join. Agreement proves the bucketing loses and invents nothing.
+    operators/spatial.spatial_join_points_diamonds."""
+    from usgs_lidar_spark.operators.spatial import spatial_join_points_diamonds
+
+    pts = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_quantity") * 1000).alias("y"),
+    )
+    dia = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("poly_id"),
+        (15000.0 + 12000.0 * F.col("r_regionkey")).alias("cx"),
+        (10000.0 + 6000.0 * F.col("r_regionkey")).alias("cy"),
+        F.lit(8000.0).alias("a"),
+        F.lit(5000.0).alias("b"),
+    )
+    j = spatial_join_points_diamonds(pts, dia, cell=4000.0)
+    return j.select("l_orderkey", "l_linenumber", "poly_id")
