@@ -3,7 +3,8 @@ driver does — vanilla SparkSession (none of the engine's session confs),
 entry() smoke at sf0.001, then every queries() entry vs its oracle_sql()
 via DuckDB at sf0.01 with an order-insensitive compare.
 
-Usage: python tools/driver_replica.py [sf_dir]
+Usage: python tools/driver_replica.py [sf_dir] [query_name ...]
+(with query names: checks only those — the fast loop while building one)
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from parity import canonical_rows  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -44,11 +46,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    t0 = time.time()
-    res = entrymod.entry(spark)
-    rows = res.count()
-    print(f"[smoke] entry() -> {rows} rows, schema={res.columns} ({time.time()-t0:.1f}s)")
-    assert rows > 0
+    if not ONLY:
+        t0 = time.time()
+        res = entrymod.entry(spark)
+        rows = res.count()
+        print(
+            f"[smoke] entry() -> {rows} rows, schema={res.columns} "
+            f"({time.time()-t0:.1f}s)"
+        )
+        assert rows > 0
 
     con = duckdb.connect()
     for t in TABLES:
@@ -58,6 +64,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if ONLY:
+        unknown = ONLY - set(qs)
+        assert not unknown, f"unknown queries: {sorted(unknown)}"
+        qs = {k: v for k, v in qs.items() if k in ONLY}
     failed = []
     for name in sorted(qs):
         t0 = time.time()
