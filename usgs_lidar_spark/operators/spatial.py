@@ -172,3 +172,66 @@ def spatial_join_points_diamonds(
         F.abs(F.col(x_col) - cx) / a + F.abs(F.col(y_col) - cy) / b
     ) <= 1.0
     return cand.filter(inside).drop("__gx", "__gy")
+
+
+def nearest_neighbor_join(
+    points: DataFrame,
+    sites: DataFrame,
+    radius: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    site_id_col: str = "site_id",
+    site_x_col: str = "sx",
+    site_y_col: str = "sy",
+) -> DataFrame:
+    """Nearest-site join: attach each point's closest site within
+    ``radius`` (squared-L2; ties break on site id) — the nearest-facility
+    / sensor-fusion primitive, and the 2-D sibling of asof.nearest_join.
+
+    Grid scheme: cell width = radius, sites land in their own cell,
+    each point probes its 3x3 cell neighborhood (a 9-row explode on the
+    POINT side — any site within `radius` of the point must lie in one
+    of those cells, since radius <= cell diagonal reach). Candidates are
+    the cell equi-join; the exact distance filter + a per-point min
+    (struct-min aggregate, partial map-side — no window sort) pick the
+    winner. Never a cross join; cost is points x sites-per-neighborhood.
+
+    Output: point columns + (site id, nearest_d2). Points with no site
+    inside the radius drop (inner semantics) — wrap with a left join on
+    the input for left semantics.
+    """
+    cell = float(radius)
+    g = lambda c: F.floor(c / cell).cast("long")  # noqa: E731
+    s_cells = sites.select(
+        F.col(site_id_col).alias("__sid"),
+        F.col(site_x_col).alias("__sx"),
+        F.col(site_y_col).alias("__sy"),
+        g(F.col(site_x_col)).alias("__gx"),
+        g(F.col(site_y_col)).alias("__gy"),
+    )
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    p_cells = (
+        points.withColumn("__px", g(F.col(x_col)))
+        .withColumn("__py", g(F.col(y_col)))
+        .withColumn("__dx", F.explode(offsets))
+        .withColumn("__dy", F.explode(offsets))
+        .withColumn("__gx", F.col("__px") + F.col("__dx"))
+        .withColumn("__gy", F.col("__py") + F.col("__dy"))
+    )
+    cand = p_cells.join(s_cells, ["__gx", "__gy"])
+    d2 = (F.col(x_col) - F.col("__sx")) * (F.col(x_col) - F.col("__sx")) + (
+        F.col(y_col) - F.col("__sy")
+    ) * (F.col(y_col) - F.col("__sy"))
+    hit = cand.withColumn("__d2", d2).filter(F.col("__d2") <= radius * radius)
+    point_cols = points.columns
+    best = (
+        hit.groupBy(*point_cols)
+        .agg(
+            F.min(F.struct(F.col("__d2"), F.col("__sid"))).alias("__best")
+        )
+    )
+    return best.select(
+        *point_cols,
+        F.col("__best.__sid").alias("nearest_site_id"),
+        F.col("__best.__d2").alias("nearest_d2"),
+    )

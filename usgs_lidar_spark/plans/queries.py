@@ -6053,3 +6053,62 @@ def spatial_join_points_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = spatial_join_points_diamonds(pts, dia, cell=4000.0)
     return j.select("l_orderkey", "l_linenumber", "poly_id")
+
+@query(
+    "nearest_station_join",
+    oracle="""
+    WITH pts AS (
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice AS x, l_quantity * 1000 AS y
+        FROM lineitem WHERE l_linenumber = 1
+    ), sites AS (
+        SELECT s_suppkey AS site_id,
+               (s_suppkey * 7919) % 100000 + 0.5 AS sx,
+               (s_suppkey * 104729) % 50000 + 0.5 AS sy
+        FROM supplier
+    ), cand AS (
+        SELECT p.l_orderkey, p.l_linenumber, p.x, p.y, s.site_id,
+               (p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy) AS d2
+        FROM pts p JOIN sites s
+          ON (p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)
+             <= 3000.0 * 3000.0
+    ), ranked AS (
+        -- point identity includes (x, y): the synthetic lineitem can
+        -- repeat an (orderkey, linenumber) pair, and merging two distinct points
+        -- into one partition would under-report matches
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber, x, y
+                                     ORDER BY d2, site_id) AS rk
+        FROM cand
+    )
+    SELECT l_orderkey, l_linenumber, x, y, site_id AS nearest_site_id,
+           d2 AS nearest_d2
+    FROM ranked WHERE rk = 1
+    """,
+)
+def nearest_station_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility join: each lineitem 'point' matched to its
+    closest supplier 'station' within 3000 units — 3x3 grid-cell probe
+    + cell equi-join + struct-min per point (no window sort, partial
+    map-side), vs the oracle's direct theta join. Deterministic
+    (d2, site_id) tie-break; squared distances so no sqrt enters the
+    comparison. operators/spatial.nearest_neighbor_join."""
+    from usgs_lidar_spark.operators.spatial import nearest_neighbor_join
+
+    pts = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_quantity") * 1000).alias("y"),
+    )
+    sites = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("site_id"),
+        ((F.col("s_suppkey") * 7919) % 100000 + 0.5).alias("sx"),
+        ((F.col("s_suppkey") * 104729) % 50000 + 0.5).alias("sy"),
+    )
+    j = nearest_neighbor_join(
+        pts, sites, radius=3000.0,
+        site_id_col="site_id", site_x_col="sx", site_y_col="sy",
+    )
+    return j.select(
+        "l_orderkey", "l_linenumber", "x", "y", "nearest_site_id", "nearest_d2"
+    )
