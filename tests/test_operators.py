@@ -1974,3 +1974,35 @@ def test_nearest_neighbor_join_grid_probe(spark):
     # pid 3: sites 11 and 12 both at d2=1.0 -> tie, lower id 11 wins
     # pid 2: nothing within 1.5 -> dropped
     assert got == {1: (10, 0.08), 3: (11, 1.0)}
+
+
+def test_interval_overlap_join_semantics(spark):
+    import pytest
+
+    from usgs_lidar_spark.operators.asof import interval_overlap_join
+
+    iv = spark.createDataFrame(
+        [
+            (1, "a", 0, 10),
+            (1, "b", 10, 20),   # touches a (half-open: NOT overlapping)
+            (1, "c", 5, 100),   # overlaps a, b, d; spans many buckets
+            (1, "d", 99, 101),
+            (2, "e", 0, 10),    # other key: never pairs with key 1
+        ],
+        "k long, iid string, start long, end long",
+    )
+    pairs = {
+        tuple(sorted((r["iid"], r["iid_r"])))
+        for r in interval_overlap_join(iv, iv, ["k"], bucket_width=7).collect()
+        if r["iid"] != r["iid_r"]
+    }
+    assert pairs == {("a", "c"), ("b", "c"), ("c", "d")}
+    # bucket width must not change the answer
+    wide = {
+        tuple(sorted((r["iid"], r["iid_r"])))
+        for r in interval_overlap_join(iv, iv, ["k"], bucket_width=1000).collect()
+        if r["iid"] != r["iid_r"]
+    }
+    assert wide == pairs
+    with pytest.raises(ValueError):
+        interval_overlap_join(iv, iv, ["k"], bucket_width=0)

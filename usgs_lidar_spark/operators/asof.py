@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -289,3 +289,56 @@ def nearest_join(
     if how == "inner":
         out = out.filter(F.col(f"nearest_{ts_col}").isNotNull())
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_keys: Sequence[str],
+    bucket_width: int,
+    start_col: str = "start",
+    end_col: str = "end",
+    suffix: str = "_r",
+) -> DataFrame:
+    """All pairs of overlapping intervals (half-open [start, end)) between
+    two interval tables, per partition key — the temporal sibling of the
+    grid-bucketed spatial join.
+
+    Plan: each interval EXPLODES to the fixed-width time buckets it
+    touches, candidates come from the (keys, bucket) equi-join, the
+    exact predicate (l.start < r.end AND r.start < l.end) filters, and a
+    distinct collapses pairs that met in several buckets. Cost is
+    sum-over-buckets of |left| x |right| per bucket — bounded by sizing
+    ``bucket_width`` near the typical interval length; a naive theta
+    join is per-key quadratic with no such bound.
+
+    Bounds must be integer-comparable (epoch seconds/days/micros).
+    Output: left columns + right's non-key columns with ``suffix``.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = int(bucket_width)
+
+    def buckets(s: Column, e: Column) -> Column:
+        return F.sequence(
+            F.floor(s / w).cast("long"), F.floor((e - 1) / w).cast("long")
+        )
+
+    l = left.withColumn("__b", F.explode(buckets(F.col(start_col), F.col(end_col))))
+    rcols = [c for c in right.columns if c not in partition_keys]
+    r = right.select(
+        *partition_keys, *[F.col(c).alias(c + suffix) for c in rcols]
+    )
+    r = r.withColumn(
+        "__b",
+        F.explode(buckets(F.col(start_col + suffix), F.col(end_col + suffix))),
+    )
+    overlap = (F.col(start_col) < F.col(end_col + suffix)) & (
+        F.col(start_col + suffix) < F.col(end_col)
+    )
+    return (
+        l.join(r, [*partition_keys, "__b"])
+        .filter(overlap)
+        .drop("__b")
+        .distinct()
+    )

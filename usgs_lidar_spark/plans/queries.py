@@ -6112,3 +6112,49 @@ def nearest_station_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "l_orderkey", "l_linenumber", "x", "y", "nearest_site_id", "nearest_d2"
     )
+
+@query(
+    "orders_overlap_pairs",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey,
+               epoch_us(o_orderdate) // 86400000000 AS s,
+               epoch_us(o_orderdate) // 86400000000 + 30 AS e
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT a.o_custkey, a.o_orderkey, a.s, a.e,
+           b.o_orderkey AS o_orderkey_r, b.s AS s_r, b.e AS e_r
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.s < b.e AND b.s < a.e
+     AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def orders_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join: pairs of a customer's orders whose
+    30-day activity windows overlap (re-order-while-active behavior) —
+    bucketed by 30-day epochs (operators/asof.interval_overlap_join:
+    explode-to-buckets + equi-join + exact predicate + distinct), vs the
+    oracle's direct per-customer theta join. The a<b key filter halves
+    the symmetric pairs deterministically."""
+    from usgs_lidar_spark.operators.asof import interval_overlap_join
+
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / 86400000000
+            ).cast("long").alias("s"),
+        )
+        .withColumn("e", F.col("s") + 30)
+    )
+    j = interval_overlap_join(
+        iv, iv, ["o_custkey"], bucket_width=30, start_col="s", end_col="e"
+    )
+    return j.filter(F.col("o_orderkey") < F.col("o_orderkey_r")).select(
+        "o_custkey", "o_orderkey", "s", "e", "o_orderkey_r", "s_r", "e_r"
+    )
