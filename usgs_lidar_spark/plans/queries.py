@@ -6158,3 +6158,48 @@ def orders_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(F.col("o_orderkey") < F.col("o_orderkey_r")).select(
         "o_custkey", "o_orderkey", "s", "e", "o_orderkey_r", "s_r", "e_r"
     )
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support FROM pairs WHERE support >= 3
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in >= 3 shared
+    orders. The self-join is keyed on orderkey, so the blow-up is
+    bounded by lines-per-order squared (~7^2 here, never corpus^2); the
+    distinct first collapses repeated (order, part) lines so a part
+    counted twice in one order cannot inflate support. The support
+    filter prunes the pair tail before it is ever materialized to the
+    driver — at 100 TB the pairs frame stays distributed and the
+    min-support threshold is the size knob."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
