@@ -2006,3 +2006,113 @@ def test_interval_overlap_join_semantics(spark):
     assert wide == pairs
     with pytest.raises(ValueError):
         interval_overlap_join(iv, iv, ["k"], bucket_width=0)
+
+
+def test_sq8_codes_bounded_and_degenerate_dims(spark):
+    """SQ8 codes stay in [0, 255]; a constant dimension gets scale 0,
+    code 0, and reconstructs to exactly its constant value."""
+    from usgs_lidar_spark.operators.similarity import (
+        _sq8_recon_expr,
+        sq8_bounds,
+        sq8_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0, -2.0]), (2, [0.0, 7.0, 3.0]), (3, [0.0, 6.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    mins, scales = sq8_bounds(df)
+    assert mins[0] == 0.0 and scales[0] == 0.0  # degenerate dim
+    enc = sq8_encode(df, mins, scales).withColumn(
+        "recon", _sq8_recon_expr("sq8_codes", mins, scales)
+    )
+    rows = {r["vec_id"]: r for r in enc.collect()}
+    for r in rows.values():
+        assert all(0 <= c <= 255 for c in r["sq8_codes"])
+        assert r["recon"][0] == 0.0  # exact for constant dims
+    # extremes land on the extreme codes
+    assert rows[1]["sq8_codes"][1] == 0 and rows[2]["sq8_codes"][1] == 255
+
+
+def test_sq8_rerank_recovers_exact_topk(spark):
+    """With rerank=corpus-size the SQ8 short list covers everything, so
+    the exact re-rank must reproduce brute-force top-k bit-for-bit; with
+    a small rerank window recall must be at least pure-SQ8's."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        sq8_bounds,
+        sq8_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mins, scales = sq8_bounds(emb, "embedding")
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = cosine_topk_bruteforce(emb, q, k=5)
+    full_rerank = sq8_topk(emb, q, mins, scales, k=5, rerank=10**9)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, full_rerank.collect())
+    )
+    pure = pairs(sq8_topk(emb, q, mins, scales, k=5))
+    rr = pairs(sq8_topk(emb, q, mins, scales, k=5, rerank=25))
+    ex = pairs(exact)
+    assert len(rr & ex) >= len(pure & ex)
+
+
+def test_range_search_lsh_subset_of_exact(spark):
+    """Bucketed range search can only MISS pairs, never invent them: its
+    result set is a subset of exact range search at the same tau, and
+    every returned sim is >= tau."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_range_search,
+        cosine_range_search_lsh,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_range_search(emb, q, threshold=0.25)
+    lsh = cosine_range_search_lsh(emb, q, threshold=0.25, n_bits=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    l_ = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    assert l_ <= e
+    assert all(r["sim"] >= 0.25 for r in lsh.collect())
+    assert len(e) > 0
+
+
+def test_duplicate_ngram_spans_hand_case(spark):
+    """Overlapping duplicated windows count covered tokens ONCE: two docs
+    share 'a b c d' (positions 1 and 2 both duplicated with n=3 in doc 1
+    — union covers tokens 1..4, not 6), and a unique doc reports zeros."""
+    from usgs_lidar_spark.operators.dedup import duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y"),
+            (2, "z a b c d w"),
+            (3, "p q r s t u"),
+            (4, "one two"),  # shorter than n: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_ngram_spans(df, n=3, min_docs=2).collect()
+    }
+    # doc 1: grams at pos 1..4; 'a b c'(1) and 'b c d'(2) shared with doc 2
+    assert out[1]["n_grams"] == 4
+    assert out[1]["n_dup_grams"] == 2
+    assert out[1]["dup_tokens_covered"] == 4  # union of [1,3] and [2,4]
+    assert abs(out[1]["dup_token_fraction"] - 4 / 6) < 1e-12
+    # doc 2: shared grams at pos 2,3 -> union [2,5] = 4 tokens
+    assert out[2]["n_dup_grams"] == 2 and out[2]["dup_tokens_covered"] == 4
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_token_fraction"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_tokens_covered"] == 0

@@ -605,3 +605,120 @@ def minhash_lsh_pairs_incremental(
             .alias("pair_type"),
         )
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection: per document, how much of it
+    is covered by token n-grams that also appear in other documents —
+    the distributed approximation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): instead of exact maximal repeated substrings, every
+    n-token window is a candidate and a window is "duplicated" when its
+    n-gram occurs in >= min_docs distinct documents.
+
+    Returns one row per input document:
+      n_tokens, n_grams            — totals (0 for docs shorter than n)
+      n_dup_grams                  — window positions whose gram is shared
+      dup_tokens_covered           — tokens under the UNION of duplicated
+                                     windows (overlaps counted once)
+      dup_token_fraction           — covered / n_tokens (0.0 when empty)
+
+    A 100 TB corpus feeds the gram stage as one shuffle keyed by the
+    gram; the doc-frequency agg is a distinct-reduce (no fan-out), and
+    duplicated positions come back via a SEMI join against the
+    df>=min_docs gram set — fan-out exactly 1, so no join can explode
+    regardless of how hot a boilerplate gram is (hot grams are the
+    signal here, not skew to cap away — the opposite contract of
+    char_shingles' max_df). Span coverage is a per-doc window over dup
+    positions (monotone ends, so one running max suffices). At scale,
+    swap the gram string for xxhash64(gram) to shuffle 8 bytes instead
+    of ~n words — same plan shape (the string form stays the
+    oracle-comparable default, as in exact_dedup vs exact_dedup_hashed).
+    """
+    from usgs_lidar_spark.functions.textstats import ws_tokens
+
+    toks = df.select(
+        F.col(id_col), ws_tokens(text_col).alias("__toks")
+    ).withColumn("__n_tokens", F.size("__toks").cast("long"))
+
+    n_positions = F.greatest(
+        F.lit(0).cast("long"), (F.col("__n_tokens") - F.lit(n) + 1)
+    )
+    # sequence(1, stop) DESCENDS to [1, 0] when stop < 1 — docs shorter
+    # than n must yield an empty position list, not position 0.
+    positions = F.when(
+        n_positions > 0, F.sequence(F.lit(1), n_positions.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice("__toks", i, F.lit(n))
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("__g"),
+    ).select(id_col, F.col("__g.pos").alias("pos"), F.col("__g.gram").alias("gram"))
+
+    dup_grams = (
+        grams.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram", "left_semi")
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + F.lit(n) - 1
+    prev_end = F.coalesce(F.max(F.col("pos") + F.lit(n) - 1).over(w_prev), F.lit(0))
+    covered_add = F.greatest(
+        F.lit(0).cast("long"), end - F.greatest(F.col("pos") - 1, prev_end)
+    )
+    per_doc_dup = (
+        dup_pos.withColumn("__add", covered_add)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("__add").alias("dup_tokens_covered"),
+        )
+    )
+
+    totals = toks.select(
+        F.col(id_col),
+        F.col("__n_tokens").alias("n_tokens"),
+        n_positions.alias("n_grams"),
+    )
+    return (
+        totals.join(per_doc_dup, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_tokens_covered", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens_covered"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("dup_tokens_covered", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            .alias("dup_token_fraction"),
+        )
+    )

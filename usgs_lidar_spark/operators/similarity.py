@@ -984,3 +984,264 @@ def cosine_topk_bruteforce_arrow(
         partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    threshold: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact range search: every (query, corpus) pair with rounded cosine
+    >= threshold. The retrieval dual of top-k — "all semantic duplicates
+    above tau", the shape a dedup or retrieval-augmentation pipeline asks
+    when k is unknowable in advance.
+
+    Scale contract (same as cosine_topk_bruteforce): the QUERY side is
+    small and broadcast; the corpus never shuffles — each partition
+    emits only its over-threshold pairs, so the output (not the
+    corpus) bounds what moves. There is no window stage at all: range
+    search is embarrassingly parallel, strictly cheaper than top-k.
+    """
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cn = corpus.withColumn("__cnorm", norm(vec_col))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+    )
+    joined = cn.crossJoin(F.broadcast(q)).filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
+    return (
+        joined.withColumn("sim", F.round(raw, round_digits))
+        .filter(F.col("sim") >= threshold)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim")
+    )
+
+
+def cosine_range_search_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    threshold: float = 0.3,
+    n_bits: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate range search: candidates from the multi-probe sign-LSH
+    bucket join (home bucket + every Hamming-1 neighbor, the same probe
+    set as cosine_topk_lsh_multiprobe), exact rounded cosine and the
+    threshold filter within the probed buckets only.
+
+    At scale each query touches ~(n_bits+1)/2^n_bits of the corpus
+    instead of all of it; the miss set is exactly the over-threshold
+    pairs whose buckets differ in >= 2 sign bits (recall measurable
+    against cosine_range_search on a sample). Probe buckets are
+    pairwise distinct so no pair is emitted twice — no dedup stage.
+    """
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cb = corpus.withColumn(
+        "__bucket", sign_lsh_bucket(vec_col, n_bits)
+    ).withColumn("__cnorm", norm(vec_col))
+    home = sign_lsh_bucket(vec_col, n_bits)
+    masks = [0] + [1 << j for j in range(n_bits)]
+    probes = F.array(
+        *[home.bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probes).alias("__bucket"),
+        norm(vec_col).alias("__qnorm"),
+    )
+    joined = cb.join(F.broadcast(qb), "__bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
+    return (
+        joined.withColumn("sim", F.round(raw, round_digits))
+        .filter(F.col("sim") >= threshold)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim")
+    )
+
+
+# =====================================================================
+# SQ8 scalar quantization: the 4x-memory-compression tier between full
+# float vectors and PQ codes. Per-dimension affine quantization to one
+# byte; approximate similarity runs over reconstructed values, exact
+# re-rank recovers recall on the short list.
+# =====================================================================
+
+
+def sq8_bounds(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, scale) for SQ8 affine quantization, computed
+    distributed (posexplode -> per-position min/max — a map-side partial
+    agg, one tiny d-row result) and collected to the driver: d scalars,
+    the same bounded-collect contract as IVF centroid seeding.
+
+    scale[i] = (max-min)/255, or 0.0 for a degenerate (constant)
+    dimension — the 0 scale makes reconstruction collapse to min
+    exactly and encode emit code 0, no NaN/div-by-zero anywhere.
+    min/max over doubles are order-independent, so the bounds are
+    deterministic under any partitioning.
+    """
+    stats = (
+        corpus.select(F.posexplode(vec_col).alias("__i", "__x"))
+        .groupBy("__i")
+        .agg(
+            F.min(F.col("__x").cast("double")).alias("mn"),
+            F.max(F.col("__x").cast("double")).alias("mx"),
+        )
+        .orderBy("__i")
+        .collect()
+    )
+    mins = [r["mn"] for r in stats]
+    scales = [
+        (r["mx"] - r["mn"]) / 255.0 if r["mx"] > r["mn"] else 0.0
+        for r in stats
+    ]
+    return mins, scales
+
+
+def _sq8_code_expr(vec_col: str, mins: list[float], scales: list[float]) -> F.Column:
+    """Elementwise SQ8 code array: clamp(floor((x - min_i)/scale_i), 0, 255)
+    as an expression over literal bounds arrays — map-side, no shuffle,
+    no UDF, reproducible in any SQL engine (floor over the same doubles)."""
+    mins_lit = F.array(*[F.lit(float(v)) for v in mins])
+    scales_lit = F.array(*[F.lit(float(v)) for v in scales])
+    return F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.arrays_zip(mins_lit, scales_lit),
+        lambda x, ms: F.when(ms["1"] == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((x - ms["0"]) / ms["1"]).cast("int"),
+                ),
+            )
+        ),
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    mins: list[float],
+    scales: list[float],
+    vec_col: str = "embedding",
+    codes_col: str = "sq8_codes",
+) -> DataFrame:
+    """Attach the SQ8 code column (array<int>, values 0..255 — one byte
+    of information per dimension, 4x smaller than float32 at rest).
+    Purely map-side; the corpus never shuffles to be encoded."""
+    return df.withColumn(codes_col, _sq8_code_expr(vec_col, mins, scales))
+
+
+def _sq8_recon_expr(codes_col: str, mins: list[float], scales: list[float]) -> F.Column:
+    """Reconstruction: min_i + (code + 0.5) * scale_i (bucket midpoint;
+    exact min for degenerate dims since scale is 0)."""
+    mins_lit = F.array(*[F.lit(float(v)) for v in mins])
+    scales_lit = F.array(*[F.lit(float(v)) for v in scales])
+    return F.zip_with(
+        F.col(codes_col),
+        F.arrays_zip(mins_lit, scales_lit),
+        lambda c, ms: ms["0"] + (c.cast("double") + F.lit(0.5)) * ms["1"],
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    mins: list[float],
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    rerank: int = 0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k by cosine over SQ8-RECONSTRUCTED corpus vectors (asymmetric:
+    queries stay full-precision), optional exact re-rank of the top
+    ``rerank`` candidates.
+
+    Plan shape: encode + reconstruct are map-side expressions over the
+    corpus partition (at rest only the byte codes need storing — the
+    recon norm is derivable once at encode time); the broadcast query set
+    makes candidate scoring shuffle-free; the only shuffle is the
+    per-query window top-k over scored rows. With rerank=R, the R-row
+    short list per query joins back to full vectors by id — nq*R rows,
+    broadcast — and the final order uses exact cosine; recall lost to
+    quantization is recovered while full vectors are touched only for
+    the short list (the SQ8 memory story survives).
+    """
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    recon = sq8_encode(corpus, mins, scales, vec_col).withColumn(
+        "__recon", _sq8_recon_expr("sq8_codes", mins, scales)
+    )
+    cn = recon.withColumn("__cnorm", norm("__recon"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+    )
+    joined = cn.crossJoin(F.broadcast(q)).filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(
+        dot("__recon", "__qvec") / (F.col("__cnorm") * F.col("__qnorm"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    scored = (
+        joined.withColumn("sim", F.round(raw, round_digits))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    if not rerank:
+        return scored.filter(F.col("rank") <= k).select(
+            query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank"
+        )
+    shortlist = scored.filter(F.col("rank") <= rerank).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__qvec"),
+        F.col("__qnorm"),
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
+    )
+    exact = shortlist.join(full, "neighbor_id")
+    raw2 = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(
+        dot("__cvec", "__qvec") / (F.col("__cnorm") * F.col("__qnorm"))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("sim", F.round(raw2, round_digits))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )

@@ -6203,3 +6203,217 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 3)
     )
+
+
+# =====================================================================
+# Range search + SQ8 scalar-quantization tier (round 5 cont.)
+# =====================================================================
+
+_SIGN_BUCKET_SQL = """CAST((CASE WHEN {e}[1] > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN {e}[2] > 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN {e}[3] > 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN {e}[4] > 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN {e}[5] > 0 THEN 16 ELSE 0 END)
+                  + (CASE WHEN {e}[6] > 0 THEN 32 ELSE 0 END)
+                  + (CASE WHEN {e}[7] > 0 THEN 64 ELSE 0 END)
+                  + (CASE WHEN {e}[8] > 0 THEN 128 ELSE 0 END) AS BIGINT)"""
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+        {_COSINE_SQL}
+        FROM c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim FROM sims WHERE sim >= 0.30
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact range search — all pairs with cosine >= tau (the dual of
+    top-k when k is unknowable: "every semantic duplicate above 0.30").
+    Broadcast query set, no window stage; each corpus partition emits
+    only its over-threshold pairs, so output size (not corpus size)
+    bounds the shuffle."""
+    from usgs_lidar_spark.operators.similarity import cosine_range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_range_search(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", threshold=0.30,
+    )
+
+
+@query(
+    "sim_range_search_lsh",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {_SIGN_BUCKET_SQL.format(e='embedding')} AS bucket
+        FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+             FROM b WHERE vec_id < 50),
+    c AS (SELECT vec_id, embedding, bucket FROM b),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+        {_COSINE_SQL}
+        FROM c JOIN q ON bit_count(xor(c.bucket, q.bucket)) <= 1
+                     AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim FROM sims WHERE sim >= 0.30
+    """,
+)
+def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate range search: multi-probe sign-LSH candidates (home
+    bucket + Hamming-1 neighbors), threshold filter on exact cosine
+    within probed buckets only — each query touches ~9/256 of the corpus
+    at scale. Oracle replays the identical probe set via
+    bit_count(xor()) <= 1, so this pins the bucketed path exactly (its
+    recall vs sim_range_search is visible as the row-count delta)."""
+    from usgs_lidar_spark.operators.similarity import cosine_range_search_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_range_search_lsh(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", threshold=0.30, n_bits=8,
+    )
+
+
+@query(
+    "sim_topk_sq8",
+    oracle="""
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    dims AS (
+        SELECT i,
+               min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, pos GROUP BY i
+    ),
+    dimarr AS (
+        SELECT list(mn ORDER BY i) AS mns,
+               list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                         ELSE 0.0 END ORDER BY i) AS scales
+        FROM dims
+    ),
+    recon AS (
+        SELECT e.vec_id,
+               list_transform(range(1, 65), i ->
+                 d.mns[i] + ((CASE WHEN d.scales[i] = 0.0 THEN 0.0
+                   ELSE LEAST(255.0, GREATEST(0.0,
+                     FLOOR((CAST(e.embedding[i] AS DOUBLE) - d.mns[i])
+                           / d.scales[i]))) END)
+                   + 0.5) * d.scales[i]) AS rv
+        FROM embeddings e, dimarr d
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+        ROUND(
+          list_sum(list_transform(list_zip(c.rv, q.qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(c.rv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+        FROM recon c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= 5
+    """,
+)
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 compressed-domain top-k: corpus quantized to one byte per
+    dimension (4x smaller at rest than float32), queries stay full
+    precision, candidates ranked by cosine over the reconstructed
+    (bucket-midpoint) values. Bounds come from one tiny posexplode agg
+    (d rows collected — the IVF-seeding contract); encode + reconstruct
+    are map-side expressions, so the corpus never shuffles. The oracle
+    replays quantization bit-for-bit: min/max, floor, midpoint recon and
+    the rounded cosine are the same double arithmetic in both engines.
+    The exact-re-rank path (sq8_topk(rerank=R)) is pinned by pytest
+    against brute force."""
+    from usgs_lidar_spark.operators.similarity import sq8_bounds, sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, scales = sq8_bounds(emb, "embedding")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq8_topk(
+        emb, queries_df, mins, scales, id_col="vec_id",
+        vec_col="embedding", query_id_col="query_id", k=5,
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ), base AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(greatest(len(t) - 7, 0) AS BIGINT) AS n_grams, t
+        FROM toks
+    ), grams AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               array_to_string(t[u.i:u.i+7], ' ') AS gram
+        FROM base, LATERAL (
+            SELECT unnest(range(1, CAST(n_grams AS INTEGER) + 1)) AS i
+        ) u
+        WHERE n_grams > 0
+    ), dupg AS (
+        SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+        GROUP BY gram HAVING count(*) >= 2
+    ), dup_pos AS (
+        SELECT g.doc_id, g.pos FROM grams g SEMI JOIN dupg d ON g.gram = d.gram
+    ), spans AS (
+        SELECT doc_id, pos, pos + 7 AS end_,
+               coalesce(max(pos + 7) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev_end
+        FROM dup_pos
+    ), per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+               CAST(sum(greatest(end_ - greatest(pos - 1, prev_end), 0))
+                    AS BIGINT) AS dup_tokens_covered
+        FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_grams,
+           coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(p.dup_tokens_covered, 0) AS dup_tokens_covered,
+           CASE WHEN b.n_tokens = 0 THEN 0.0
+                ELSE CAST(coalesce(p.dup_tokens_covered, 0) AS DOUBLE)
+                     / CAST(b.n_tokens AS DOUBLE) END AS dup_token_fraction
+    FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022, distributed n-gram form):
+    per document, the fraction of tokens covered by the UNION of 8-token
+    windows whose gram appears in >= 2 distinct documents. Candidate
+    marking is a SEMI join against the shared-gram set (fan-out 1 — a
+    boilerplate gram can be arbitrarily hot without exploding any join);
+    span coverage is one running-max window per doc."""
+    from usgs_lidar_spark.operators.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=8, min_docs=2
+    )
