@@ -2116,3 +2116,60 @@ def test_duplicate_ngram_spans_hand_case(spark):
     assert out[2]["n_dup_grams"] == 2 and out[2]["dup_tokens_covered"] == 4
     assert out[3]["n_dup_grams"] == 0 and out[3]["dup_token_fraction"] == 0.0
     assert out[4]["n_grams"] == 0 and out[4]["dup_tokens_covered"] == 0
+
+
+def test_pagerank_fixed_matches_python_reference(spark):
+    """pagerank_fixed reproduces an independent integer-arithmetic
+    reference on an asymmetric graph, mass concentrates on the hub, and
+    total mass stays ~1 (integer-div rounding only ever loses <1/scale
+    per term)."""
+    from usgs_lidar_spark.operators.graph import pagerank_fixed
+
+    # star: hub 1 <-> {2,3,4}, plus chain 4 <-> 5
+    und = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["rank_scaled"] for r in pagerank_fixed(df, iterations=3).collect()}
+
+    scale, n = 10**12, 5
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: scale // n for v in deg}
+    for _ in range(3):
+        s = {v: 0 for v in deg}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {v: 15 * scale // (100 * n) + 85 * s[v] // 100 for v in deg}
+    assert out == r
+    assert r[1] == max(r.values())  # hub dominates
+    assert abs(sum(out.values()) - scale) < 1000  # mass conserved
+
+
+def test_curriculum_order_invariants(spark):
+    """Stages are monotone in score, global_step interleaves round-robin
+    (step % n_stages == stage), steps are unique, and the schedule is
+    invariant under repartitioning."""
+    from usgs_lidar_spark.operators.pipeline import curriculum_order
+
+    rows = [(i, (i * 7) % 100 + 1) for i in range(1, 81)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    out = curriculum_order(df, "doc_id", "score", n_stages=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # monotone: a higher-stage row never has a lower score than the
+    # max score of the stage below
+    stage_scores = {}
+    for r in out:
+        stage_scores.setdefault(r["stage"], []).append(r["score"])
+    stages = sorted(stage_scores)
+    for lo, hi in zip(stages, stages[1:]):
+        assert max(stage_scores[lo]) <= min(stage_scores[hi])
+    assert all(r["global_step"] % 4 == r["stage"] for r in out)
+    steps = [r["global_step"] for r in out]
+    assert len(set(steps)) == len(steps)
+    out2 = curriculum_order(
+        df.repartition(13), "doc_id", "score", n_stages=4
+    ).collect()
+    assert {r["doc_id"]: r["global_step"] for r in out2} == {
+        i: by_id[i]["global_step"] for i in by_id
+    }

@@ -235,3 +235,76 @@ def collapse_clusters(
             (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
         )
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank (damping 0.85) in EXACT scaled-integer
+    arithmetic: ranks live as BIGINT multiples of 1/scale, per-edge
+    contributions use integer division (r DIV out_degree), and the
+    damped update is (85 * sum) DIV 100 — every intermediate is an
+    integer, so sums are partition-order-independent and the whole
+    computation is reproducible bit-for-bit in any SQL engine (floating
+    PageRank would drift with aggregation order; the ~1/scale rounding
+    this buys costs ~1e-12 absolute accuracy per step).
+
+    Each iteration is one equi-join of the rank frame with the edge
+    list plus one sum-by-destination — the canonical distributed PR
+    step; with the edge list bucketed by src even that join's shuffle
+    disappears, and iterations stay O(E) with no driver round-trip
+    (node count rides a broadcast one-row frame). Dangling mass:
+    callers pass symmetrized edges (every node then has out-degree
+    >= 1); true dangling nodes simply leak their mass, the standard
+    simplification.
+
+    Returns (node, rank_scaled BIGINT, rank DOUBLE = scaled/scale).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    nodes = nodes.crossJoin(F.broadcast(n_row))
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("__d")
+    )
+    ranks = nodes.select(
+        "node",
+        "__n",
+        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("__r"),
+    )
+    e = edges.select(F.col(src).alias("__esrc"), F.col(dst).alias("__edst"))
+    teleport = F.expr(f"CAST({15 * scale} AS BIGINT) div (100 * __n)")
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, e["__esrc"] == deg["node"])
+            .join(
+                ranks.select(F.col("node").alias("__rn"), "__r"),
+                F.col("__esrc") == F.col("__rn"),
+            )
+            .select(
+                F.col("__edst").alias("node"),
+                F.expr("__r div __d").alias("__c"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .withColumn("__s", F.coalesce("__s", F.lit(0)))
+            .select(
+                "node",
+                "__n",
+                (teleport + F.expr("(85 * __s) div 100")).alias("__r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("__r").alias("rank_scaled"),
+        (F.col("__r").cast("double") / float(scale)).alias("rank"),
+    )

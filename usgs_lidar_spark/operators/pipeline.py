@@ -436,3 +436,57 @@ def resample_to_mix(
         .filter(F.col("_rk") <= F.col("_k"))
         .drop("_rk", "_k")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_stages: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic curriculum schedule: rows binned into ``n_stages``
+    difficulty stages by an integer score (equal-width bins between the
+    global min and max), shuffled WITHIN each stage by the portable
+    Lehmer hash, and given an interleaved global step so a trainer
+    reading in ``global_step`` order sees a stable round-robin mix of
+    stages (stage s contributes its pos-th row at step
+    pos * n_stages + s; stages that exhaust early leave gaps — readers
+    consume in step order, not by dense index).
+
+    Everything is reproducible on any engine and any partitioning:
+    binning is integer arithmetic against two broadcast scalars (global
+    min/max ride a one-row crossJoin — no driver collect), the shuffle
+    key is the seeded MINSTD hash (same two-round form as
+    ``split_by_hash``), and the only shuffle is the per-stage window
+    (n_stages-way parallel; for stages too big for one reducer, the
+    documented remedy is sub-salting the stage window and offsetting —
+    same as the salted aggregations).
+
+    Returns (id, score, stage, shuffle_key, stage_pos, global_step).
+    """
+    stats = df.agg(
+        F.min(F.col(score_col).cast("long")).alias("__mn"),
+        F.max(F.col(score_col).cast("long")).alias("__mx"),
+    )
+    b = df.crossJoin(F.broadcast(stats))
+    width = F.col("__mx") - F.col("__mn") + F.lit(1)
+    stage = F.expr(
+        f"((CAST({score_col} AS BIGINT) - __mn) * {n_stages}) div (__mx - __mn + 1)"
+    )
+    # guard: score == mx lands exactly on n_stages only when width divides
+    # evenly; least() keeps the top edge in the last stage.
+    stage = F.least(stage, F.lit(n_stages - 1)).cast("long")
+    keyed = b.select(
+        F.col(id_col),
+        F.col(score_col),
+        stage.alias("stage"),
+        portable_hash_long(id_col, seed).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("stage").orderBy("shuffle_key", id_col)
+    return keyed.withColumn(
+        "stage_pos", (F.row_number().over(w) - 1).cast("long")
+    ).withColumn(
+        "global_step",
+        (F.col("stage_pos") * n_stages + F.col("stage")).cast("long"),
+    )

@@ -6417,3 +6417,138 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_spans(
         _t(spark, sf_dir, "documents"), "text", "doc_id", n=8, min_docs=2
     )
+
+
+@query(
+    "graph_pagerank_parts",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), edges AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (
+        SELECT node, CAST(1000000000000 AS BIGINT) // n AS r
+        FROM nodes, nn
+    ),
+    s1 AS (
+        SELECT e.dst AS node, sum(r0.r // deg.d) AS s
+        FROM edges e JOIN deg ON e.src = deg.node
+                     JOIN r0 ON e.src = r0.node
+        GROUP BY e.dst
+    ),
+    r1 AS (
+        SELECT nodes.node,
+               CAST(15000000000000 AS BIGINT) // (100 * n)
+               + (85 * coalesce(s1.s, 0)) // 100 AS r
+        FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.node = s1.node
+    ),
+    s2 AS (
+        SELECT e.dst AS node, sum(r1.r // deg.d) AS s
+        FROM edges e JOIN deg ON e.src = deg.node
+                     JOIN r1 ON e.src = r1.node
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT nodes.node,
+               CAST(15000000000000 AS BIGINT) // (100 * n)
+               + (85 * coalesce(s2.s, 0)) // 100 AS r
+        FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.node
+    ),
+    s3 AS (
+        SELECT e.dst AS node, sum(r2.r // deg.d) AS s
+        FROM edges e JOIN deg ON e.src = deg.node
+                     JOIN r2 ON e.src = r2.node
+        GROUP BY e.dst
+    ),
+    r3 AS (
+        SELECT nodes.node,
+               CAST(15000000000000 AS BIGINT) // (100 * n)
+               + (85 * coalesce(s3.s, 0)) // 100 AS r
+        FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node
+    )
+    SELECT node, r AS rank_scaled,
+           CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r3
+    """,
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the part
+    co-purchase graph (pairs sharing >= 2 orders, symmetrized). Ranks
+    are scaled BIGINTs and every step is integer arithmetic — exact
+    under any partitioning, so an iterative graph algorithm gets a full
+    value-hash oracle (the chained-CTE replay) instead of a rows-only
+    check. Each iteration is one edge-rank equi-join + sum-by-dst."""
+    from usgs_lidar_spark.operators.graph import pagerank_fixed
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    return pagerank_fixed(edges, "src", "dst", iterations=3)
+
+
+@query(
+    "pipe_curriculum_order",
+    oracle="""
+    WITH st AS (
+        SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents
+    ), keyed AS (
+        SELECT doc_id, n_chars,
+               least(((n_chars - mn) * 4) // (mx - mn + 1),
+                     3) AS stage,
+               ((((((doc_id + 1) % 2147483647) + 2147483647) % 2147483647)
+                 * 48271 % 2147483647) * 48271 % 2147483647) AS shuffle_key
+        FROM documents, st
+    )
+    SELECT doc_id, n_chars, CAST(stage AS BIGINT) AS stage,
+           CAST(shuffle_key AS BIGINT) AS shuffle_key,
+           CAST(row_number() OVER (PARTITION BY stage
+                                   ORDER BY shuffle_key, doc_id) - 1
+                AS BIGINT) AS stage_pos,
+           CAST((row_number() OVER (PARTITION BY stage
+                                    ORDER BY shuffle_key, doc_id) - 1) * 4
+                + stage AS BIGINT) AS global_step
+    FROM keyed
+    """,
+)
+def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved curriculum: documents binned into 4
+    equal-width difficulty stages by n_chars, MINSTD-shuffled within
+    stage, and scheduled round-robin across stages via
+    global_step = stage_pos * 4 + stage. Reproducible on any engine /
+    partitioning (integer binning against broadcast min/max scalars,
+    seeded portable hash, per-stage windows)."""
+    from usgs_lidar_spark.operators.pipeline import curriculum_order
+
+    return curriculum_order(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", n_stages=4
+    )
