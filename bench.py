@@ -73,6 +73,11 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "cdc_snapshot_diff",
     "events_cohort_retention",
+    # round 5 (cont. 2) additions: compressed-domain ANN, substring-span
+    # dedup, and integer-exact iterative PageRank.
+    "sim_topk_sq8",
+    "dedup_substring_spans",
+    "graph_pagerank_parts",
 ]
 
 

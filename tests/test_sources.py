@@ -348,3 +348,63 @@ def test_quarantine_readers_split_good_from_malformed(spark, tmp_path):
     cgood, cbad = read_csv_quarantine(spark, str(cpath), cschema)
     assert {(r["id"], r["v"]) for r in cgood.collect()} == {(1, "ok"), (2, None)}
     assert [r["raw_line"] for r in cbad.collect()] == ["zz,badint"]
+
+
+def test_stats_manifest_prunes_files_and_preserves_results(spark, tmp_path):
+    """A range predicate on the sorted column reads strictly fewer files
+    via the manifest, returns exactly the rows of a full-scan filter,
+    and an impossible range prunes everything (empty frame, same
+    schema)."""
+    from usgs_lidar_spark.sources.stats_manifest import (
+        prune_files,
+        read_with_skipping,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "pts")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    # range-partition by x so each file owns a tight x slice
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(path)
+    write_stats_manifest(spark, path, ["x"])
+
+    all_files = prune_files(spark, path, {})
+    kept = prune_files(spark, path, {"x": (10.0, 15.0)})
+    assert len(all_files) == 8
+    assert 0 < len(kept) < len(all_files)
+
+    got = read_with_skipping(spark, path, {"x": (10.0, 15.0)})
+    expected = spark.read.parquet(path).filter("x >= 10.0 and x <= 15.0")
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in expected.collect()
+    )
+    # pruning is visible at the scan: strictly fewer input files
+    assert 0 < len(got.inputFiles()) < len(
+        spark.read.parquet(path).inputFiles()
+    )
+
+    nothing = read_with_skipping(spark, path, {"x": (1000.0, 2000.0)})
+    assert nothing.count() == 0
+    assert nothing.schema == expected.schema
+
+
+def test_stats_manifest_conservative_on_missing_stats(spark, tmp_path):
+    """A column absent from a file's schema (or stats-less) never causes
+    that file to be dropped."""
+    from usgs_lidar_spark.sources.stats_manifest import (
+        prune_files,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "mixed")
+    spark.range(0, 10).select(
+        F.col("id"), F.col("id").cast("double").alias("x")
+    ).coalesce(1).write.parquet(path)
+    spark.range(10, 20).select(F.col("id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    write_stats_manifest(spark, path, ["x"])
+    kept = prune_files(spark, path, {"x": (100.0, 200.0)})
+    # the x-bearing file is provably out of range; the x-less file stays
+    assert len(kept) == 1
