@@ -259,3 +259,41 @@ def test_registry_wide_plan_floors(spark):
         if "CartesianProduct" in plan:
             failures.append((name, "CartesianProduct"))
     assert not failures, failures
+
+
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, tmp_path):
+    """When a fact-dim join can't broadcast, Catalyst's runtime-filter
+    rule builds a bloom filter from the filtered dim side and pushes
+    might_contain() onto the fact scan — rows that can't join are
+    dropped BEFORE the shuffle. This is the semi-join reduction the
+    100 TB plans rely on; pin that the rule stays active under the
+    engine's session confs."""
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(0, 500_000).selectExpr("id AS k", "id % 97 AS v").write.parquet(fact_p)
+    spark.range(0, 50_000).selectExpr("id AS k", "id % 13 AS tag").write.parquet(dim_p)
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # local test files are far below the 10GiB default fact-side bar
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter("tag = 3")
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        # and the filtered join still returns exactly the semi-joined rows
+        assert j.count() == 50_000 // 13 + (1 if 3 < 50_000 % 13 else 0)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
