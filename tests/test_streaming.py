@@ -793,3 +793,70 @@ def test_streaming_rollup_matches_batch_and_survives_crash(spark, tmp_path):
         if p.is_dir() and p.name.startswith("v")
     )
     assert set(vdirs) <= {m["version_dir"], m["prev_version_dir"]}
+
+
+def test_tws_moments_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) per-user
+    moments after one availableNow pass equal the batch aggregate —
+    exact integer state, so replay order can't change the answer.
+    Skips where Spark's TWS python runner can't start (its state-server
+    protocol needs google.protobuf, absent in this container)."""
+    import shutil
+    import pytest
+    from pyspark.sql import functions as F
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.streaming.stateful_tws import (
+        have_tws_runtime,
+        track_user_moments_tws,
+    )
+
+    if not have_tws_runtime():
+        pytest.skip("google.protobuf unavailable: TWS runner cannot start")
+
+    events_dir = tmp_path / "events_tws"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", events_dir / "part-0.parquet")
+    stream = read_events_stream(spark, str(events_dir))
+
+    q = (
+        track_user_moments_tws(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["value_sum"],
+            round(r["value_mean"], 6),
+            round(r["value_var"], 4),
+        )
+        for r in spark.sql("SELECT * FROM t_tws").collect()
+    }
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("c"),
+            F.sum(cents * cents).alias("c2"),
+        )
+    )
+    want = {}
+    for r in batch.collect():
+        mean_c = r["c"] / r["n"]
+        var_c = r["c2"] / r["n"] - mean_c * mean_c
+        want[r["user_id"]] = (
+            r["n"],
+            r["c"] / 100.0,
+            round(mean_c / 100.0, 6),
+            round(var_c / 10000.0, 4),
+        )
+    assert got == want
+    assert len(got) > 0
