@@ -2173,3 +2173,33 @@ def test_curriculum_order_invariants(spark):
     assert {r["doc_id"]: r["global_step"] for r in out2} == {
         i: by_id[i]["global_step"] for i in by_id
     }
+
+
+def test_profile_numeric_single_scan_and_values(spark):
+    """The profiler reads the table ONCE (one scan node in the physical
+    plan despite profiling 3 columns) and reports exact stats."""
+    from usgs_lidar_spark.operators.dq import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, None, 5.0), (2.0, 7.0, 5.0), (None, 7.0, 5.0)],
+        "a double, b double, c double",
+    )
+    out = {r["col_name"]: r for r in profile_numeric(df, ["a", "b", "c"]).collect()}
+    assert out["a"]["n_rows"] == 3 and out["a"]["n_null"] == 1
+    assert out["a"]["n_distinct"] == 2
+    assert out["b"]["min_value"] == 7.0 and out["b"]["max_value"] == 7.0
+    assert out["c"]["n_distinct"] == 1
+
+    import io, contextlib
+    from usgs_lidar_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    prof = profile_numeric(li, ["l_quantity", "l_tax", "l_discount"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prof.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1

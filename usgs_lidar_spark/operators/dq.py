@@ -105,3 +105,39 @@ def dq_report(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-scan numeric profile: (col_name, n_rows, n_null, n_distinct,
+    min_value, max_value) for every listed column.
+
+    Plan shape: ONE pass over the table — each column's struct(name,
+    value) rides an inline array that posexplode fans out to (name,
+    value) rows, then a single hash aggregate per column name computes
+    the stats. The naive per-column loop would scan the table
+    len(cols) times; this scans once and shuffles only len(cols) rows
+    per partition's worth of partial aggregates. n_distinct is exact
+    (count distinct over the value column — two-stage under AQE);
+    swap in approx_count_distinct when a sketch suffices.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("double").alias("value"),
+            )
+            for c in cols
+        ]
+    )
+    exploded = df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.col_name").alias("col_name"), F.col("p.value").alias("value")
+    )
+    return exploded.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -6552,3 +6552,36 @@ def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(
         _t(spark, sf_dir, "documents"), "doc_id", "n_chars", n_stages=4
     )
+
+
+@query(
+    "dq_profile_lineitem",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    )
+    SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+           min(value) AS min_value, max(value) AS max_value
+    FROM pairs GROUP BY col_name
+    """,
+)
+def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan numeric profiling of four lineitem measures: the inline
+    struct-array explode turns N per-column scans into one table pass
+    plus a per-column hash aggregate (min/max/null/distinct are all
+    partial-aggregable, so the shuffle carries only partial states)."""
+    from usgs_lidar_spark.operators.dq import profile_numeric
+
+    return profile_numeric(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
