@@ -203,6 +203,26 @@ HEADLINE_DIGESTS = {
         "BroadcastExchange": 2,
         "BroadcastHashJoin": 2,
     },
+    # SQ8: broadcast query set (the 1-row BNLJ is the bounds-free cross
+    # of corpus x broadcast queries), one shuffle = the top-k window.
+    "sim_topk_sq8": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    # gram doc-freq agg + dup-position semi join + per-doc window/agg.
+    "dedup_substring_spans": {
+        "shuffle_exchange": 3,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
+    },
+    # Iteration-INVARIANT frames (edges/nodes/degrees) are checkpointed
+    # once; the 3 rank iterations then chain linearly over those scans
+    # (13 shuffles / 9 joins) instead of re-expanding the edge-build
+    # lineage per iteration (105 shuffle exchanges measured without the
+    # checkpoints). Rank-vs-edge joins stay SMJ by design: at scale
+    # neither side is broadcastable.
+    "graph_pagerank_parts": {"shuffle_exchange": 13, "SortMergeJoin": 9},
 }
 
 
