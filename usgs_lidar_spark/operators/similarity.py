@@ -1245,3 +1245,47 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")
     )
+
+
+def sq8_clip_metrics(
+    df: DataFrame,
+    mins: list[float],
+    scales: list[float],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension drift report for appending a NEW batch to an SQ8
+    index with FROZEN bounds: how many components fall below min (clip
+    to code 0) or above max (clip to 255). Frozen bounds keep old codes
+    valid — the append-without-rebuild story, mirroring
+    ivf_append/ivf_drift_metrics — and the clip rate is the signal for
+    when re-quantization pays.
+
+    One posexplode + per-dim aggregate (64 rows out); bounds ride as
+    literal arrays, so the batch never shuffles anything but partial
+    counts. Degenerate dims (scale 0) clip on ANY deviation from the
+    constant — exactly right, since their codes carry no range.
+
+    Returns (dim, n, n_below, n_above, clip_rate) — dim is 0-based.
+    """
+    mins_lit = F.array(*[F.lit(float(v)) for v in mins])
+    maxs_lit = F.array(
+        *[
+            F.lit(float(mn) + 255.0 * float(sc)) if sc > 0 else F.lit(float(mn))
+            for mn, sc in zip(mins, scales)
+        ]
+    )
+    ex = df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+    lo = F.element_at(mins_lit, F.col("dim") + 1)
+    hi = F.element_at(maxs_lit, F.col("dim") + 1)
+    return (
+        ex.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("x") < lo, 1).otherwise(0)).cast("long").alias("n_below"),
+            F.sum(F.when(F.col("x") > hi, 1).otherwise(0)).cast("long").alias("n_above"),
+        )
+        .withColumn(
+            "clip_rate",
+            (F.col("n_below") + F.col("n_above")).cast("double") / F.col("n").cast("double"),
+        )
+    )

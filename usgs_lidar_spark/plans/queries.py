@@ -6585,3 +6585,49 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+@query(
+    "sim_sq8_clip_drift",
+    oracle="""
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    dims AS (
+        SELECT i,
+               min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, pos WHERE vec_id < 400 GROUP BY i
+    ),
+    bounds AS (
+        SELECT i, mn,
+               CASE WHEN mx > mn
+                    THEN mn + 255.0 * ((mx - mn) / 255.0)
+                    ELSE mn END AS hi
+        FROM dims
+    ),
+    newbatch AS (
+        SELECT e.vec_id, b.i, CAST(e.embedding[b.i] AS DOUBLE) AS x,
+               b.mn, b.hi
+        FROM embeddings e, bounds b WHERE e.vec_id >= 400
+    )
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE x < mn) AS BIGINT) AS n_below,
+           CAST(count(*) FILTER (WHERE x > hi) AS BIGINT) AS n_above,
+           CAST(count(*) FILTER (WHERE x < mn OR x > hi) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS clip_rate
+    FROM newbatch GROUP BY i
+    """,
+)
+def sim_sq8_clip_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 index maintenance: append a new vector batch under FROZEN
+    quantization bounds (old codes stay valid — no rebuild) and report
+    per-dimension clip counts. Rising clip_rate is the re-quantize
+    signal; the oracle replays the frozen-bounds arithmetic exactly
+    (hi = mn + 255*scale in the same doubles)."""
+    from usgs_lidar_spark.operators.similarity import sq8_bounds, sq8_clip_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    mins, scales = sq8_bounds(old, "embedding")
+    return sq8_clip_metrics(new, mins, scales, "embedding")
