@@ -244,3 +244,68 @@ def test_global_shuffle_permutation_property(spark, ids, seed, n_shards):
         per_shard.setdefault(r["shard"], []).append(r["shard_pos"])
     for ps in per_shard.values():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta".split()),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(**SET)
+def test_substring_spans_bounds(spark, texts, n):
+    """For any corpus: dup coverage never exceeds the token count, the
+    dup fraction stays in [0, 1], dup gram counts never exceed total
+    grams, and docs shorter than n report zero grams."""
+    from usgs_lidar_spark.operators.dedup import duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in duplicate_ngram_spans(df, n=n).collect():
+        assert 0 <= r["dup_tokens_covered"] <= r["n_tokens"]
+        assert 0.0 <= r["dup_token_fraction"] <= 1.0
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        if r["n_tokens"] < n:
+            assert r["n_grams"] == 0 and r["n_dup_grams"] == 0
+
+
+@given(
+    und=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=8),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_mass_and_positivity(spark, und, iters):
+    """On any symmetrized graph: ranks are positive, total mass stays
+    within integer-rounding slack of 1.0, and the result is invariant
+    under edge-list repartitioning."""
+    from usgs_lidar_spark.operators.graph import pagerank_fixed
+
+    edges = list({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["rank_scaled"] for r in pagerank_fixed(df, iterations=iters).collect()}
+    assert all(v > 0 for v in out.values())
+    scale = 10**12
+    # each integer div loses < 1 unit; bound by (#nodes + #edges) per iter
+    slack = (len(out) + len(edges) + 2) * iters + len(out)
+    assert scale - slack <= sum(out.values()) <= scale
+    out2 = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_fixed(df.repartition(7), iterations=iters).collect()
+    }
+    assert out == out2

@@ -11,6 +11,7 @@ from usgs_lidar_spark.operators.cdc import (  # noqa: F401
 )
 from usgs_lidar_spark.operators.dedup import (  # noqa: F401
     char_shingles,
+    duplicate_ngram_spans,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_pairs_incremental,
@@ -18,6 +19,12 @@ from usgs_lidar_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash64,
 )
+from usgs_lidar_spark.operators.graph import (  # noqa: F401
+    collapse_clusters,
+    connected_components,
+    pagerank_fixed,
+)
+from usgs_lidar_spark.operators.pipeline import curriculum_order  # noqa: F401
 from usgs_lidar_spark.operators.rollup import merge_rollup, rollup_state  # noqa: F401
 from usgs_lidar_spark.operators.textquality import (  # noqa: F401
     chunk_documents,
@@ -25,8 +32,14 @@ from usgs_lidar_spark.operators.textquality import (  # noqa: F401
     repetition_metrics,
 )
 from usgs_lidar_spark.operators.similarity import (  # noqa: F401
+    cosine_range_search,
+    cosine_range_search_lsh,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    sq8_bounds,
+    sq8_clip_metrics,
+    sq8_encode,
+    sq8_topk,
 )
 from usgs_lidar_spark.operators.skew import salted_count_distinct, salted_sum  # noqa: F401
 from usgs_lidar_spark.operators.spatial import (  # noqa: F401
