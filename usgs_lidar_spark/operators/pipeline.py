@@ -490,3 +490,37 @@ def curriculum_order(
         "global_step",
         (F.col("stage_pos") * n_stages + F.col("stage")).cast("long"),
     )
+
+
+def filter_above_group_median(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep: str = "above",
+) -> DataFrame:
+    """Keep rows whose integer score is >= (``keep='above'``) or <
+    their group's EXACT median — the per-language quality-pruning step
+    of a corpus pipeline ("drop the bottom half of each language by
+    quality") with a deterministic, engine-reproducible threshold.
+
+    The median is exact (`percentile` over long values — midpoints of
+    two longs are exactly representable doubles, so Spark and any SQL
+    engine agree bit-for-bit). Plan: one per-group aggregate (tiny
+    result, one row per group) joined back onto the scan — AQE
+    broadcasts it for dimension-sized group counts, so the corpus
+    shuffles nothing; per-group exact percentile does sort each group's
+    values once, the documented cost of exactness vs the
+    approx_percentile sketch.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(score_col).cast("long"), F.lit(0.5)).alias(
+            "__median"
+        )
+    )
+    j = df.join(med, group_col)
+    cond = (
+        F.col(score_col).cast("double") >= F.col("__median")
+        if keep == "above"
+        else F.col(score_col).cast("double") < F.col("__median")
+    )
+    return j.filter(cond).withColumnRenamed("__median", "group_median")

@@ -6631,3 +6631,27 @@ def sim_sq8_clip_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.filter(F.col("vec_id") >= 400)
     mins, scales = sq8_bounds(old, "embedding")
     return sq8_clip_metrics(new, mins, scales, "embedding")
+
+
+@query(
+    "pipe_quality_filter",
+    oracle="""
+    WITH med AS (
+        SELECT lang,
+               quantile_cont(CAST(n_chars AS BIGINT), 0.5) AS group_median
+        FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, m.group_median
+    FROM documents d JOIN med m ON d.lang = m.lang
+    WHERE CAST(d.n_chars AS DOUBLE) >= m.group_median
+    """,
+)
+def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality pruning: keep each language's top half by
+    n_chars against the EXACT group median (integer-valued percentile —
+    engine-reproducible threshold; the group-median frame is one row per
+    language and broadcast back onto the scan)."""
+    from usgs_lidar_spark.operators.pipeline import filter_above_group_median
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return filter_above_group_median(d, "lang", "n_chars")
