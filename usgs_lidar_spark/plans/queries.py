@@ -6655,3 +6655,34 @@ def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return filter_above_group_median(d, "lang", "n_chars")
+
+
+@query(
+    "w4_rolling_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_types_5
+    FROM events
+    """,
+)
+def w4_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count over a row frame (distinct event types in
+    each user's last 5 events): Spark has no distinct window aggregate,
+    so the engine form is size(collect_set() OVER frame) — per-frame
+    state is bounded by the frame length (5), not the partition, so
+    memory stays O(frame) per row at any scale. Ties on ts are broken
+    by event_id so the frame contents are deterministic."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_5"),
+    )
