@@ -860,3 +860,47 @@ def test_tws_moments_matches_batch(spark, tmp_path):
         )
     assert got == want
     assert len(got) > 0
+
+
+def test_compaction_with_stats_skipping(spark, tmp_path):
+    """Compaction with cluster_by + stats_columns produces a compacted
+    dataset whose per-file stats prune reads: read_sink_with_skipping
+    equals the filtered read_sink exactly while opening fewer compacted
+    files, and an uncompacted tail batch still contributes rows."""
+    from pyspark.sql import functions as F
+    from usgs_lidar_spark.streaming.compact import (
+        compact_sink,
+        read_sink,
+        read_sink_with_skipping,
+    )
+
+    sink = str(tmp_path / "sink")
+    # three sealed batches + one tail batch, value ranges overlapping
+    for b in range(4):
+        spark.range(b * 1000, (b + 1) * 1000).select(
+            F.col("id"), (F.col("id") % 500).cast("double").alias("x")
+        ).write.parquet(f"{sink}/batch_id={b}")
+
+    m = compact_sink(
+        spark,
+        sink,
+        up_to_batch=2,
+        target_partitions=6,
+        cluster_by=["x"],
+        stats_columns=["x"],
+    )
+    assert m is not None and m["max_batch_id"] == 2
+
+    ranges = {"x": (100.0, 120.0)}
+    got = read_sink_with_skipping(spark, sink, ranges)
+    want = read_sink(spark, sink).filter("x >= 100.0 and x <= 120.0")
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+    # tail rows (batch 3) for the range are present
+    assert any(r["id"] >= 3000 for r in got.collect())
+    # skipping provably touches fewer compacted files than the full view
+    assert len(got.inputFiles()) < len(read_sink(spark, sink).inputFiles())
+
+    nothing = read_sink_with_skipping(spark, sink, {"x": (5000.0, 6000.0)})
+    assert nothing.count() == 0

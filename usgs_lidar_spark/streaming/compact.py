@@ -74,6 +74,8 @@ def compact_sink(
     up_to_batch: int | None = None,
     target_partitions: int | None = 1,
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    stats_columns: list[str] | None = None,
 ) -> dict | None:
     """Rewrite sealed ``batch_id`` directories into a compacted dataset
     and atomically publish it via the manifest. Returns the new manifest,
@@ -88,6 +90,13 @@ def compact_sink(
     ``partition_by``: optional hive-partition columns for the compacted
     dataset (e.g. an event-date column) — the layout a 100 TB reader
     actually wants.
+    ``cluster_by``: range-partition + sort the compacted write by these
+    columns so each output file owns a tight value slice — what makes
+    per-file stats selective.
+    ``stats_columns``: after the write, build the per-file min/max
+    sidecar (sources/stats_manifest) for these columns inside the new
+    version dir; `read_sink_with_skipping` then prunes compacted files
+    without opening their footers.
     """
     manifest = _read_manifest(sink_path)
     already = manifest["max_batch_id"] if manifest else -1
@@ -114,7 +123,12 @@ def compact_sink(
             )
         )
     df = sources[0] if len(sources) == 1 else sources[0].unionByName(sources[1])
-    if target_partitions is not None:
+    if cluster_by:
+        n = target_partitions or df.rdd.getNumPartitions()
+        df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    elif target_partitions is not None:
         df = df.repartition(target_partitions)
 
     version = (manifest["version"] + 1) if manifest else 1
@@ -125,6 +139,10 @@ def compact_sink(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(comp_root / vdir))
+    if stats_columns:
+        from usgs_lidar_spark.sources.stats_manifest import write_stats_manifest
+
+        write_stats_manifest(spark, str(comp_root / vdir), stats_columns)
 
     new_manifest = {
         "version": version,
@@ -203,3 +221,50 @@ def vacuum_sink(sink_path: str) -> dict:
                 child.unlink(missing_ok=True)
                 removed["tmp_files"] += 1
     return removed
+
+
+def read_sink_with_skipping(
+    spark: SparkSession,
+    sink_path: str,
+    ranges: dict[str, tuple[float | None, float | None]],
+) -> DataFrame:
+    """`read_sink` with manifest-pruned access to the compacted portion:
+    compacted files whose per-file stats prove no range intersection are
+    never opened; the (small) uncompacted tail is read in full. The
+    ranges are re-applied as real predicates either way, so the result
+    equals filter(read_sink(...)) exactly — skipping only changes which
+    files get touched."""
+    from usgs_lidar_spark.sources.stats_manifest import prune_files
+
+    manifest = _read_manifest(sink_path)
+    covered = manifest["max_batch_id"] if manifest else -1
+    tail = [p for b, p in sorted(_batch_dirs(sink_path).items()) if b > covered]
+    parts: list[DataFrame] = []
+    if manifest:
+        vdir = str(Path(sink_path) / "_compacted" / manifest["version_dir"])
+        keep = prune_files(spark, vdir, ranges)
+        if keep:
+            parts.append(spark.read.parquet(*keep))
+        else:
+            # everything pruned: keep the schema contribution (and the
+            # not-empty contract) with a zero-row scan of the version dir
+            parts.append(spark.read.parquet(vdir).limit(0))
+    if tail:
+        parts.append(
+            spark.read.option("basePath", sink_path).parquet(
+                *[str(p) for p in tail]
+            )
+        )
+    if not parts:
+        raise FileNotFoundError(f"empty sink: {sink_path}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    from pyspark.sql import functions as F
+
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            out = out.filter(F.col(col) >= lo)
+        if hi is not None:
+            out = out.filter(F.col(col) <= hi)
+    return out
