@@ -2203,3 +2203,15 @@ def test_profile_numeric_single_scan_and_values(spark):
 
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scan_ids) == 1
+
+
+def test_triangle_count_hand_case(spark):
+    """K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; adding a
+    pendant edge (4,5) creates none; disconnected edge (6,7) none."""
+    from usgs_lidar_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}

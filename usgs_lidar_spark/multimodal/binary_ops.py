@@ -441,3 +441,25 @@ def audio_rms_windows(media: DataFrame, window: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(rms, AUDIO_RMS_SCHEMA)
+
+
+def dedup_media_by_content(media: DataFrame) -> DataFrame:
+    """Content-hash dedup over the BINARY payload column: md5 each item
+    (JVM-side, no Python), keep the lowest media_id per digest, and
+    report the duplicate count. The media tier's version of
+    exact_dedup_hashed: only 16-byte digests + ids shuffle, payloads
+    never move — at 100 TB of media that is the entire design.
+
+    Returns (keeper_id, n_copies, content_md5) for every distinct
+    payload."""
+    return (
+        media.select(
+            F.col("media_id"), F.md5(F.col("content")).alias("content_md5")
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("media_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_id", "n_copies", "content_md5")
+    )

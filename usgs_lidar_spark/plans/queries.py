@@ -6686,3 +6686,79 @@ def w4_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_5"),
     )
+
+
+@query(
+    "mm_dedup_binary",
+    oracle="""
+    SELECT min(doc_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           md5(text) AS content_md5
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content digest: md5 over the binary payload
+    (JVM-side), min-id keeper per digest. Payloads never shuffle — only
+    16-byte digests and ids move, the whole point at media scale.
+    (DuckDB's md5 is VARCHAR-only; the texts are ASCII, so md5(text)
+    equals md5 of the UTF-8 payload — same equivalence
+    mm_binary_features documents.)"""
+    from usgs_lidar_spark.multimodal import to_media_table
+    from usgs_lidar_spark.multimodal.binary_ops import dedup_media_by_content
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_media_by_content(to_media_table(d, "doc_id", "text"))
+
+
+@query(
+    "graph_triangles_parts",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+)
+def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle membership in the co-purchase graph: id-oriented
+    wedge join + semi-join closure finds each triangle exactly once (no
+    dedup stage); counts per corner node."""
+    from usgs_lidar_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
