@@ -50,3 +50,17 @@ def test_every_registry_query_has_oracle_or_golden():
         n for n in q.QUERIES if n not in q.ORACLE and n not in goldens
     ]
     assert not unchecked, f"queries with neither oracle nor golden: {unchecked}"
+
+
+def test_hll_mergeable_tiers_accuracy(spark):
+    """The merged-tier HLL estimates stay within 5% of exact distinct
+    counts at sf0.01, and every leaf estimate is positive — the sketch
+    is wired to the right column, not just deterministic."""
+    df = q.QUERIES["sketch_hll_mergeable"](spark, SF_DIR)
+    rows = df.collect()
+    leafs = [r for r in rows if r["status"] != "ALL"]
+    assert leafs and all(r["approx_nd"] > 0 for r in leafs)
+    for r in leafs:
+        assert abs(r["approx_nd"] - r["exact_nd"]) <= max(
+            2, 0.05 * r["exact_nd"]
+        ), r

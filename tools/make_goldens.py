@@ -21,7 +21,15 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-GOLDEN_QUERIES = ("dedup_simhash64", "dedup_simhash_near", "sketch_approx_stats")
+GOLDEN_QUERIES = (
+    "dedup_simhash64",
+    "dedup_simhash_near",
+    "sketch_approx_stats",
+    # Datasketches HLL tiers: union is commutative/associative and the
+    # estimate a pure function of the value multiset -> bit-deterministic
+    # under any partitioning, same pinning contract as the trio above.
+    "sketch_hll_mergeable",
+)
 SF_DIR = "/root/testdata/sf0.01"
 FIXTURES = REPO / "tests" / "fixtures"
 

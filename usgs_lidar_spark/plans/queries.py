@@ -6762,3 +6762,45 @@ def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(edges)
+
+
+@query("sketch_hll_mergeable")
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the 100 TB rollup story that
+    approx_count_distinct alone doesn't give you: per-(year, status)
+    Datasketches HLL built once (hll_sketch_agg), then the per-year and
+    global tiers derived by UNIONING THE SKETCHES (hll_union_agg), never
+    rescanning the fact table. Exact distinct counts ride alongside at
+    this scale to expose the sketch error in the result itself.
+
+    No SQL oracle by design (Datasketches binary format; DuckDB's HLL is
+    a different sketch) — pinned instead by pytest golden equality
+    against exact counts' tolerance (test_hll_mergeable_tiers), the same
+    weak-check handling as sketch_approx_stats.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"),
+        F.col("o_orderstatus").alias("status"),
+        "o_custkey",
+    )
+    leaf = o.groupBy("year", "status").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_nd"),
+    )
+    per_year = leaf.groupBy("year").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_nd"),
+        F.sum("exact_nd").alias("sum_leaf_exact"),
+    )
+    leaf_out = leaf.select(
+        "year",
+        "status",
+        F.hll_sketch_estimate("sk").alias("approx_nd"),
+        F.col("exact_nd").cast("long").alias("exact_nd"),
+    )
+    year_out = per_year.select(
+        "year",
+        F.lit("ALL").alias("status"),
+        "approx_nd",
+        F.lit(None).cast("long").alias("exact_nd"),
+    )
+    return leaf_out.unionByName(year_out)
