@@ -123,3 +123,29 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(*key_cols, "status")
     )
+
+
+def snapshot_asof(
+    changelog: DataFrame,
+    asof_ts: str,
+    key_col: str,
+    ts_col: str,
+    op_col: str,
+    payload_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Time travel over a CDC changelog: the table state AS OF
+    ``asof_ts`` — apply_changelog restricted to operations at or before
+    the cut. One pushed-down timestamp filter ahead of the same
+    single-hash-aggregate collapse, so a historical snapshot costs the
+    same as the current one (and the filter prunes partitions/row
+    groups when the changelog is stored time-partitioned — the layout a
+    100 TB changelog would use)."""
+    return apply_changelog(
+        changelog.filter(F.col(ts_col) <= F.lit(asof_ts).cast("timestamp")),
+        key_col,
+        ts_col,
+        op_col,
+        payload_cols,
+        tie_col=tie_col,
+    )

@@ -6804,3 +6804,46 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_nd"),
     )
     return leaf_out.unionByName(year_out)
+
+
+@query(
+    "cdc_snapshot_asof",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM events
+        WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id,
+           strftime(date_trunc('microseconds', ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC time travel: the per-user state as of 2024-01-16 — the
+    changelog collapse behind a pushed-down timestamp cut (historical
+    snapshots cost the same one hash aggregate as current state)."""
+    from usgs_lidar_spark.operators.cdc import snapshot_asof
+
+    log = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    snap = snapshot_asof(
+        log, "2024-01-16 00:00:00", "user_id", "ts", "op", ["value"],
+        tie_col="event_id",
+    )
+    return snap.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    )
