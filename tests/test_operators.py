@@ -2215,3 +2215,34 @@ def test_triangle_count_hand_case(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_priority_sample_weight_proportional(spark):
+    """Exact-k contract + weight proportionality: every group returns
+    exactly k rows (or all when smaller), and across seeds the
+    high-weight stratum is sampled far more often than the low-weight
+    one (priorities scale as u/w)."""
+    from usgs_lidar_spark.operators.pipeline import priority_sample_k_per_group
+
+    rows = [(i, "g", 1000 if i <= 50 else 1) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    heavy = 0
+    for seed in range(5):
+        got = priority_sample_k_per_group(
+            df, "doc_id", "g", "w", k=10, seed=seed
+        ).collect()
+        assert len(got) == 10
+        heavy += sum(1 for r in got if r["w"] == 1000)
+    assert heavy >= 40  # 1000:1 weights -> overwhelmingly heavy picks
+    # groups smaller than k return whole group
+    small = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5)], "doc_id long, g string, w long"
+    )
+    assert priority_sample_k_per_group(small, "doc_id", "g", "w", k=10).count() == 2
+    # NULL / nonpositive weights excluded
+    bad = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 0), (3, "a", 4)],
+        "doc_id long, g string, w long",
+    )
+    out = priority_sample_k_per_group(bad, "doc_id", "g", "w", k=10).collect()
+    assert [r["doc_id"] for r in out] == [3]

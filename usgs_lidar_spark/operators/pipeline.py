@@ -524,3 +524,39 @@ def filter_above_group_median(
         else F.col(score_col).cast("double") < F.col("__median")
     )
     return j.filter(cond).withColumnRenamed("__median", "group_median")
+
+
+def priority_sample_k_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT-k weight-proportional sampling per group — priority sampling
+    (Duffield, Lund, Thorup): each row gets priority u / w with u a
+    deterministic uniform in (0,1) from the seeded MINSTD hash, and the
+    k LOWEST priorities per group win. Higher weight => smaller expected
+    priority => proportionally higher inclusion odds, with exactly k
+    survivors per group (fewer only when the group is smaller than k) —
+    the quota form `sample_weighted`'s Bernoulli thinning cannot give.
+
+    Determinism: u = (hash + 0.5) / M and priority = u / w are two
+    IEEE divisions of exactly-representable operands — correctly
+    rounded, so identical in any engine, and ties (impossible unless
+    (hash, w) collide) break by id. One rank window per group; rows
+    with NULL or non-positive weight are excluded up front (visible,
+    not silently kept)."""
+    u = (portable_hash_long(id_col, seed).cast("double") + F.lit(0.5)) / F.lit(
+        float(_LEHMER_M)
+    )
+    w = F.col(weight_col).cast("double")
+    eligible = df.filter(w.isNotNull() & (w > 0))
+    prio = (u / w).alias("priority")
+    keyed = eligible.withColumn("priority", prio)
+    win = Window.partitionBy(group_col).orderBy("priority", id_col)
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -6847,3 +6847,35 @@ def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "value",
     )
+
+
+@query(
+    "pipe_priority_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               ((CAST(((((((doc_id + 1) % 2147483647) + 2147483647)
+                       % 2147483647)
+                   * 48271 % 2147483647) * 48271 % 2147483647) AS DOUBLE)
+                 + 0.5) / 2147483647.0)
+               / CAST(n_chars AS DOUBLE) AS priority
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, priority,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY priority, doc_id) AS BIGINT)
+               AS sample_rank
+    FROM keyed QUALIFY sample_rank <= 20
+    """,
+)
+def pipe_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling per language (priority sampling,
+    u/w order statistics): 20 docs per lang with inclusion odds
+    proportional to n_chars. Deterministic on any engine — the uniform
+    is the seeded MINSTD hash and both divisions are correctly-rounded
+    IEEE ops the oracle replays identically."""
+    from usgs_lidar_spark.operators.pipeline import priority_sample_k_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return priority_sample_k_per_group(d, "doc_id", "lang", "n_chars", k=20)
