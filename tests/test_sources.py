@@ -408,3 +408,37 @@ def test_stats_manifest_conservative_on_missing_stats(spark, tmp_path):
     kept = prune_files(spark, path, {"x": (100.0, 200.0)})
     # the x-bearing file is provably out of range; the x-less file stays
     assert len(kept) == 1
+
+
+def test_bloom_manifest_point_lookup(spark, tmp_path):
+    """Point lookups through the Bloom sidecar: the key's home file is
+    always a candidate (no false negatives), most other files are
+    pruned at 1% fpp, and the lookup result equals the full-scan
+    filter. An absent key prunes everything (empty result, same
+    schema)."""
+    from usgs_lidar_spark.sources.stats_manifest import (
+        prune_files_by_key,
+        read_point_lookup,
+        write_key_bloom_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    # 16 files, ids hash-scattered (NOT sorted: min/max ranges would
+    # overlap totally — exactly the case blooms exist for)
+    spark.range(0, 16_000).selectExpr(
+        "id", "CAST(id % 101 AS DOUBLE) AS v"
+    ).repartition(16).write.parquet(path)
+    write_key_bloom_manifest(spark, path, "id", fpp=0.01)
+
+    hits = 0
+    for key in [7, 4242, 15999]:
+        cand = prune_files_by_key(spark, path, "id", key)
+        assert 1 <= len(cand) <= 4  # >=1 (no false negatives), few FPs
+        hits += len(cand)
+        got = read_point_lookup(spark, path, "id", key).collect()
+        assert [r["id"] for r in got] == [key]
+    assert hits <= 6  # 48 candidate checks, 1% fpp -> ~3 expected
+
+    missing = read_point_lookup(spark, path, "id", 999_999)
+    assert missing.count() == 0
+    assert missing.schema == spark.read.parquet(path).schema

@@ -50,7 +50,8 @@ def _list_parquet_files(path: str) -> list[str]:
         # segment match, not substring: a parent directory whose NAME
         # merely contains "_stats_manifest" (e.g. a pytest tmp dir named
         # after a test) must not hide the whole table.
-        if MANIFEST_DIR in root.split(os.sep):
+        segs = set(root.split(os.sep))
+        if MANIFEST_DIR in segs or "_bloom_manifest" in segs:
             continue
         for f in files:
             if f.endswith(".parquet") and not f.startswith("_"):
@@ -199,3 +200,112 @@ def read_with_skipping(
         if hi is not None:
             df = df.filter(F.col(col) <= hi)
     return df
+
+
+# ---------------------------------------------------------------------
+# Per-file key Bloom filters: point-lookup skipping (equality predicates
+# on high-cardinality keys that min/max ranges can't prune unless the
+# data is sorted by that key). The Delta bloom-index idea as a plain
+# parquet sidecar: one bitmap per (file, key column), built distributed,
+# consulted on the driver before any data file is opened.
+# ---------------------------------------------------------------------
+
+BLOOM_DIR = "_bloom_manifest"
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    import math
+
+    n = max(1, n)
+    m = max(8, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_hashes(value: str, m: int, k: int) -> list[int]:
+    """k positions via double hashing over the md5 of the value's UTF-8
+    bytes — pure Python, no library dependencies, stable across runs."""
+    import hashlib
+
+    d = hashlib.md5(value.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def write_key_bloom_manifest(
+    spark: SparkSession, path: str, key_col: str, fpp: float = 0.01
+) -> str:
+    """Build per-file Bloom bitmaps for ``key_col`` (one distributed
+    pass: each executor reads ITS files' key column with pyarrow and
+    sets bits locally; only (file, params, bitmap) rows move). Values
+    are hashed by their string form, so any key type works as long as
+    lookups use the same rendering."""
+    files = _list_parquet_files(path)
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(max(1, min(len(files), 64)))
+
+    def build(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fname in pdf["file"]:
+                tbl = pq.read_table(fname, columns=[key_col])
+                vals = [v for v in tbl.column(0).to_pylist() if v is not None]
+                m, k = _bloom_params(len(vals), fpp)
+                bits = 0
+                for v in vals:
+                    for pos in _bloom_hashes(str(v), m, k):
+                        bits |= 1 << pos
+                rows.append(
+                    (
+                        fname,
+                        key_col,
+                        int(m),
+                        int(k),
+                        int(len(vals)),
+                        bits.to_bytes((m + 7) // 8, "big"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["file", "column", "m", "k", "n_keys", "bitmap"]
+            )
+
+    out = os.path.join(path, BLOOM_DIR)
+    files_df.mapInPandas(
+        build, "file string, column string, m long, k long, n_keys long, bitmap binary"
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def prune_files_by_key(spark: SparkSession, path: str, key_col: str, value) -> list[str]:
+    """Files that MAY contain ``key_col == value`` per their Bloom
+    bitmaps (false positives possible — the reader re-applies the
+    predicate; false negatives impossible). The manifest is tiny and
+    membership checks run on the driver — no data file is touched."""
+    m_df = spark.read.parquet(os.path.join(path, BLOOM_DIR)).filter(
+        F.col("column") == key_col
+    )
+    keep = []
+    for r in m_df.collect():
+        bits = int.from_bytes(bytes(r["bitmap"]), "big")
+        if all(
+            (bits >> p) & 1
+            for p in _bloom_hashes(str(value), int(r["m"]), int(r["k"]))
+        ):
+            keep.append(r["file"])
+    return sorted(keep)
+
+
+def read_point_lookup(
+    spark: SparkSession, path: str, key_col: str, value
+) -> DataFrame:
+    """Equality lookup through the Bloom sidecar: scan only candidate
+    files, re-apply the predicate (bloom candidates are a superset)."""
+    keep = prune_files_by_key(spark, path, key_col, value)
+    if not keep:
+        return spark.read.parquet(path).limit(0).filter(F.col(key_col) == value)
+    return spark.read.parquet(*keep).filter(F.col(key_col) == value)
