@@ -6879,3 +6879,90 @@ def pipe_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return priority_sample_k_per_group(d, "doc_id", "lang", "n_chars", k=20)
+
+
+@query(
+    "sim_topk_sq8_rerank",
+    oracle="""
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    dims AS (
+        SELECT i,
+               min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, pos GROUP BY i
+    ),
+    dimarr AS (
+        SELECT list(mn ORDER BY i) AS mns,
+               list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                         ELSE 0.0 END ORDER BY i) AS scales
+        FROM dims
+    ),
+    recon AS (
+        SELECT e.vec_id,
+               list_transform(range(1, 65), i ->
+                 d.mns[i] + ((CASE WHEN d.scales[i] = 0.0 THEN 0.0
+                   ELSE LEAST(255.0, GREATEST(0.0,
+                     FLOOR((CAST(e.embedding[i] AS DOUBLE) - d.mns[i])
+                           / d.scales[i]))) END)
+                   + 0.5) * d.scales[i]) AS rv
+        FROM embeddings e, dimarr d
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5),
+    approx AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+        ROUND(
+          list_sum(list_transform(list_zip(c.rv, q.qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(c.rv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS asim
+        FROM recon c, q WHERE c.vec_id <> q.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY asim DESC, neighbor_id) AS rk
+        FROM approx QUALIFY rk <= 25
+    ),
+    exact AS (
+        SELECT s.query_id, s.neighbor_id,
+        ROUND(
+          list_sum(list_transform(list_zip(c.embedding, q.qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(c.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS sim
+        FROM shortlist s
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM exact QUALIFY rank <= 5
+    """,
+)
+def sim_topk_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SQ8 path: compressed-domain candidate generation
+    (top-25 by reconstructed cosine) followed by exact re-rank of the
+    short list — full vectors touched only for nq*25 rows. The oracle
+    replays BOTH stages (quantize -> approx rank -> exact rerank), so
+    the recall-recovery path carries a full value-hash check, not just
+    the pytest parity floor."""
+    from usgs_lidar_spark.operators.similarity import sq8_bounds, sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, scales = sq8_bounds(emb, "embedding")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq8_topk(
+        emb, queries_df, mins, scales, id_col="vec_id",
+        vec_col="embedding", query_id_col="query_id", k=5, rerank=25,
+    )
