@@ -2246,3 +2246,32 @@ def test_priority_sample_weight_proportional(spark):
     )
     out = priority_sample_k_per_group(bad, "doc_id", "g", "w", k=10).collect()
     assert [r["doc_id"] for r in out] == [3]
+
+
+def test_ivf_sq8_rerank_matches_ivf_exact(spark):
+    """With a full-width re-rank, IVF-SQ8 must reproduce plain IVF's
+    exact-cosine results over the same probed cells (quantization only
+    reorders the shortlist, and the shortlist covers everything)."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_sq8_topk,
+        ivf_topk,
+        sq8_bounds,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    mins, scales = sq8_bounds(emb, "embedding")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ivf_topk(emb, q, seeds, k=5, n_probe=2)
+    sq8 = ivf_sq8_topk(
+        emb, q, seeds, mins, scales, k=5, n_probe=2, rerank=10**9
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, sq8.collect())
+    )

@@ -1289,3 +1289,97 @@ def sq8_clip_metrics(
             (F.col("n_below") + F.col("n_above")).cast("double") / F.col("n").cast("double"),
         )
     )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    mins: list[float],
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 4,
+    method: str = "auto",
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-SQ8: coarse-cell restriction (each query probes its n_probe
+    nearest cells — the ivf_topk rewrite of the cross product) with
+    SQ8-compressed scoring inside the probed cells (cosine over
+    bucket-midpoint reconstructions — the sq8_topk kernel). Completes
+    the compression matrix next to ivf_pq_topk: at rest the index is
+    cells + 1 byte/dim codes; full vectors are touched only by the
+    optional exact re-rank short list (nq * rerank rows).
+
+    Everything stays map-side until the per-query top-k window: cell
+    assignment and SQ8 encode/reconstruct ride the corpus scan, probe
+    rows broadcast. Deterministic under any partitioning (same tie
+    contracts as both parents)."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cb = ivf_assign(corpus, centroids, vec_col, round_digits, method)
+    cb = (
+        sq8_encode(cb, mins, scales, vec_col)
+        .withColumn("__recon", _sq8_recon_expr("sq8_codes", mins, scales))
+        .withColumn("__cnorm", norm("__recon"))
+    )
+    qdf, sims, _qtmp = _with_centroid_sims(
+        queries, centroids, vec_col, round_digits, method
+    )
+    probes = F.slice(F.sort_array(sims, asc=False), 1, n_probe)
+    qb = qdf.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+        F.explode(probes).alias("__p"),
+    ).select(
+        query_id_col, "__qvec", "__qnorm", (-F.col("__p.negcid")).alias("__cid")
+    )
+    joined = cb.join(F.broadcast(qb), "__cid").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(
+        dot("__recon", "__qvec") / (F.col("__cnorm") * F.col("__qnorm"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    scored = (
+        joined.withColumn("sim", F.round(raw, round_digits))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    if not rerank:
+        return scored.filter(F.col("rank") <= k).select(
+            query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank"
+        )
+    shortlist = scored.filter(F.col("rank") <= rerank).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        "__qvec",
+        "__qnorm",
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
+    )
+    exact = shortlist.join(full, "neighbor_id")
+    raw2 = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(
+        dot("__cvec", "__qvec") / (F.col("__cnorm") * F.col("__qnorm"))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("sim", F.round(raw2, round_digits))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )

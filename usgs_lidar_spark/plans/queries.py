@@ -6966,3 +6966,83 @@ def sim_topk_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, mins, scales, id_col="vec_id",
         vec_col="embedding", query_id_col="query_id", k=5, rerank=25,
     )
+
+
+@query(
+    "sim_topk_ivf_sq8",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), pos AS (SELECT unnest(range(1, 65)) AS i),
+    dims AS (
+        SELECT i,
+               min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, pos GROUP BY i
+    ),
+    dimarr AS (
+        SELECT list(mn ORDER BY i) AS mns,
+               list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                         ELSE 0.0 END ORDER BY i) AS scales
+        FROM dims
+    ),
+    recon AS (
+        SELECT a.vec_id, a.cid,
+               list_transform(range(1, 65), i ->
+                 d.mns[i] + ((CASE WHEN d.scales[i] = 0.0 THEN 0.0
+                   ELSE LEAST(255.0, GREATEST(0.0,
+                     FLOOR((CAST(a.embedding[i] AS DOUBLE) - d.mns[i])
+                           / d.scales[i]))) END)
+                   + 0.5) * d.scales[i]) AS rv
+        FROM assigned a, dimarr d
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim WHERE vec_id < 5) WHERE rn <= 2
+    ), sims AS (
+        SELECT p.query_id, r.vec_id AS neighbor_id,
+               {_cos4("r.rv", "p.qv")} AS sim
+        FROM recon r JOIN probes p
+          ON r.cid = p.cid AND r.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= 5
+    """,
+)
+def sim_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composition: coarse-cell probing (2 of 8 deterministic
+    seed cells) with SQ8-compressed scoring inside the probed cells —
+    the byte-code sibling of sim_topk_ivf_pq. Oracle replays cell
+    assignment, probe selection, quantization, and the rounded-cosine
+    ranking end to end."""
+    from usgs_lidar_spark.operators.similarity import ivf_sq8_topk, sq8_bounds
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ] or [(0, [0.0])]
+    mins, scales = sq8_bounds(emb, "embedding")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_sq8_topk(
+        emb, queries_df, seeds, mins, scales, id_col="vec_id",
+        vec_col="embedding", query_id_col="query_id", k=5, n_probe=2,
+    )
