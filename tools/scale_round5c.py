@@ -145,6 +145,31 @@ def run_pagerank(li_path: str, tag: str) -> dict:
     return _finish(spark, log, tag, "pagerank_fixed", t0, n)
 
 
+def run_triangles(li_path: str, tag: str) -> dict:
+    from usgs_lidar_spark.operators.graph import triangle_count
+
+    log = WORK / f"log_tri_{tag}"
+    spark = make_session(f"tri-{tag}", log)
+    t0 = time.time()
+    li = spark.read.parquet(li_path).select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("src", "dst")
+    )
+    n = triangle_count(edges).count()
+    return _finish(spark, log, tag, "triangle_count", t0, n)
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     WORK.mkdir(parents=True, exist_ok=True)
@@ -163,6 +188,8 @@ def main() -> None:
         ),
         lambda: run_pagerank(f"{SF_DIR}/lineitem.parquet", "1x"),
         lambda: run_pagerank(str(li10), f"{factor}x"),
+        lambda: run_triangles(f"{SF_DIR}/lineitem.parquet", "1x"),
+        lambda: run_triangles(str(li10), f"{factor}x"),
     ]
     for s in scenarios:
         print(json.dumps(s()), flush=True)
