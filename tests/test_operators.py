@@ -2309,3 +2309,15 @@ def test_hillshade_flat_and_slope_direction(spark):
     for df in (tilt_px, tilt_mx):
         for r in hillshade_grid(df).collect():
             assert 0.0 <= r["hillshade"] <= 255.0
+
+
+def test_substring_spans_hashed_matches_string_form(spark):
+    """hash_grams=True shuffles 8-byte keys but must report identical
+    span statistics to the string form (collisions are 2^-64 events)."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    s = duplicate_ngram_spans(docs, n=8).collect()
+    h = duplicate_ngram_spans(docs, n=8, hash_grams=True).collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, h))

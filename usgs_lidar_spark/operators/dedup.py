@@ -613,6 +613,7 @@ def duplicate_ngram_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Substring-level duplicate detection: per document, how much of it
     is covered by token n-grams that also appear in other documents —
@@ -640,6 +641,11 @@ def duplicate_ngram_spans(
     swap the gram string for xxhash64(gram) to shuffle 8 bytes instead
     of ~n words — same plan shape (the string form stays the
     oracle-comparable default, as in exact_dedup vs exact_dedup_hashed).
+    ``hash_grams=True`` IS that swap: the gram column becomes
+    xxhash64(gram) right after construction, so the doc-frequency
+    shuffle and the semi join move 8-byte keys; a (2^-64-rare) hash
+    collision can only over-mark a window as duplicated, never lose
+    one. Results are pinned equal to the string form by test.
     """
     from usgs_lidar_spark.functions.textstats import ws_tokens
 
@@ -669,6 +675,8 @@ def duplicate_ngram_spans(
             )
         ).alias("__g"),
     ).select(id_col, F.col("__g.pos").alias("pos"), F.col("__g.gram").alias("gram"))
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
 
     dup_grams = (
         grams.select("gram", id_col)
