@@ -442,3 +442,36 @@ def test_bloom_manifest_point_lookup(spark, tmp_path):
     missing = read_point_lookup(spark, path, "id", 999_999)
     assert missing.count() == 0
     assert missing.schema == spark.read.parquet(path).schema
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write/read roundtrips values and pushes predicates into the
+    scan (the parquet contract transfers to ORC's stripe indexes)."""
+    from usgs_lidar_spark.sources.readers import read_orc, write_orc
+
+    p = str(tmp_path / "pts_orc")
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS c")
+    write_orc(df.sortWithinPartitions("id"), p)
+    back = read_orc(spark, p)
+    assert back.count() == 1000
+    q = back.filter("c = 3")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c" in plan
+    assert sorted(r["id"] for r in q.collect()) == [
+        i for i in range(1000) if i % 7 == 3
+    ]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A column added by a later writer surfaces via mergeSchema with
+    NULLs for old files — the append-only evolution a long-lived 100 TB
+    table lives through."""
+    p = str(tmp_path / "evolve")
+    spark.range(0, 10).selectExpr("id").write.parquet(f"{p}/part=a")
+    spark.range(10, 20).selectExpr("id", "id * 2 AS extra").write.parquet(
+        f"{p}/part=b"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows[5] is None and rows[15] == 30

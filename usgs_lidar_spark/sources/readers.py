@@ -146,3 +146,17 @@ def read_csv_quarantine(
         F.col(corrupt_col).alias("raw_line")
     )
     return good, quarantined
+
+
+def read_orc(spark, path: str):
+    """ORC scan — same predicate-pushdown/column-pruning contract as the
+    parquet paths (ORC carries its own stripe-level min/max indexes, so
+    the row-group-skipping story transfers)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df, path: str, mode: str = "overwrite") -> None:
+    """ORC sink for interop with Hive-era warehouses; columnar like
+    parquet, so the engine's layout guidance (partition + sort within
+    partitions) applies unchanged."""
+    df.write.mode(mode).orc(path)
