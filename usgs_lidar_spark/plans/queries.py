@@ -7083,3 +7083,72 @@ def z6_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["z6_hillshade"] = _hillshade_oracle()
+
+
+@query(
+    "ts2_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ts, value,
+               lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ), spans AS (
+        SELECT user_id, day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               date_diff('microsecond', ts, next_ts) AS dur_us
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           CAST(sum(cents * dur_us) AS DOUBLE)
+               / (100.0 * CAST(sum(dur_us) AS DOUBLE)) AS twap,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY user_id, day HAVING sum(dur_us) > 0
+    """,
+)
+def ts2_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — each reading holds
+    until the next one, so its weight is that duration (the last reading
+    of a day carries no span and is excluded): the TWAP shape irregular
+    telemetry needs, where a plain AVG over-weights bursts. Exact
+    arithmetic: integer cents x integer microseconds summed as BIGINTs
+    (order-independent), one double division at the end; one lead()
+    window + one aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    # events.ts loads as TIMESTAMP_NTZ (the nanos-normalization path);
+    # unix_micros needs TIMESTAMP. The session runs UTC, and only the
+    # DIFFERENCE is used, so the cast is offset-free either way.
+    spans = seq.withColumn(
+        "dur_us",
+        F.unix_micros(F.col("next_ts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp")),
+    )
+    return (
+        spans.groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("cents") * F.col("dur_us")).alias("__num"),
+            F.sum("dur_us").alias("__den"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .filter(F.col("__den") > 0)
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            (
+                F.col("__num").cast("double")
+                / (F.lit(100.0) * F.col("__den").cast("double"))
+            ).alias("twap"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+        )
+    )
