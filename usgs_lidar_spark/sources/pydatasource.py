@@ -1,0 +1,109 @@
+"""Spark 4 Python DataSource: the region catalog as a first-class
+`spark.read.format("lidar_catalog")` source.
+
+The reference materializes its region catalog by a driver-side loop of
+HTTP fetches appended row-at-a-time (scripts/usgs_lidar.py:263-271);
+sources/crawl.py already distributes that fetch. This module goes one
+step further and makes the catalog a REAL data source in the Spark 4
+Python DataSource API (pyspark.sql.datasource, 4.0+; filter pushdown
+4.1+):
+
+  * `partitions()` shards the catalog's per-region JSON files into
+    input partitions, so the scan parallelizes like any file source;
+  * `pushFilters()` accepts EqualTo/In filters on `region` and prunes
+    WHOLE FILES before anything is read (region == filename — the same
+    partition-pruning contract hive layouts get from directory keys);
+    every other filter is returned to Spark for post-scan evaluation;
+  * `read()` parses its partition's files and yields typed rows.
+
+The on-disk layout stands in for the remote catalog service: one JSON
+object per `<region>.json` file (tests write fixtures; a production
+binding would fetch from the catalog endpoint inside `read()` with the
+same partitioning — the crawl module's connection-reuse guidance
+applies unchanged).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+CATALOG_SCHEMA = (
+    "region string, year int, n_points bigint, "
+    "minx double, miny double, maxx double, maxy double"
+)
+
+_FIELDS = ["region", "year", "n_points", "minx", "miny", "maxx", "maxy"]
+
+
+@dataclass
+class _Shard(InputPartition):
+    files: tuple[str, ...]
+
+
+class CatalogReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self._path = options["path"]
+        self._n_partitions = int(options.get("numPartitions", "4"))
+        self._regions: set[str] | None = None  # None = no pushdown
+
+    # -- filter pushdown (Spark 4.1): region equality/membership prunes
+    #    whole files by name; everything else stays with Spark.
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("region",):
+                self._regions = {str(f.value)}
+            elif isinstance(f, In) and f.attribute == ("region",):
+                self._regions = {str(v) for v in f.value}
+            else:
+                yield f
+
+    def _files(self) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self._path)):
+            if not name.endswith(".json"):
+                continue
+            region = name[: -len(".json")]
+            if self._regions is not None and region not in self._regions:
+                continue
+            out.append(os.path.join(self._path, name))
+        return out
+
+    def partitions(self):
+        files = self._files()
+        n = max(1, min(self._n_partitions, len(files)))
+        chunks = [tuple(files[i::n]) for i in range(n)]
+        return [_Shard(c) for c in chunks if c]
+
+    def read(self, partition: _Shard) -> Iterator[tuple]:
+        for fname in partition.files:
+            with open(fname, "r", encoding="utf-8") as fh:
+                doc = json.load(fh)
+            yield tuple(doc.get(k) for k in _FIELDS)
+
+
+class LidarCatalogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lidar_catalog"
+
+    def schema(self) -> str:
+        return CATALOG_SCHEMA
+
+    def reader(self, schema) -> CatalogReader:
+        return CatalogReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the format with a session: idempotent, call any time."""
+    spark.dataSource.register(LidarCatalogDataSource)
