@@ -541,3 +541,42 @@ def test_python_datasource_filter_pushdown_prunes_files(spark, tmp_path):
         .filter("region = 'CO_Denver' AND n_points > 1")
     )
     assert [r["year"] for r in df.collect()] == [2015]
+
+
+def test_python_datasource_streaming_tail(spark, tmp_path):
+    """The streaming side of the catalog source: an availableNow pass
+    serves existing shards; dropping a NEW shard and running again
+    delivers exactly the new region (offset = served-file set), through
+    the same checkpoint."""
+    import json as _json
+    from usgs_lidar_spark.sources import pydatasource
+
+    path, rows = _write_catalog_fixture(tmp_path)
+    pydatasource.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_pass():
+        q = (
+            spark.readStream.format("lidar_catalog").option("path", path).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_pass()
+    got1 = {r["region"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {x["region"] for x in rows}
+
+    (tmp_path / "catalog" / "TX_Austin.json").write_text(
+        _json.dumps(dict(region="TX_Austin", year=2020, n_points=5,
+                         minx=0.0, miny=0.0, maxx=1.0, maxy=1.0))
+    )
+    run_pass()
+    got2 = spark.read.parquet(out).collect()
+    assert len(got2) == len(rows) + 1  # no duplicates of the old shards
+    assert {r["region"] for r in got2} == got1 | {"TX_Austin"}

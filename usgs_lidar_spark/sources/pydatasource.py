@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 CATALOG_SCHEMA = (
@@ -103,7 +104,50 @@ class LidarCatalogDataSource(DataSource):
     def reader(self, schema) -> CatalogReader:
         return CatalogReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "CatalogStreamReader":
+        return CatalogStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the format with a session: idempotent, call any time."""
     spark.dataSource.register(LidarCatalogDataSource)
+
+
+class CatalogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of the catalog directory: the offset is the sorted
+    list position of the last file already served, so newly-dropped
+    region shards arrive in the next micro-batch and a checkpoint
+    restart replays deterministically (`readBetweenOffsets` re-reads the
+    exact slice). Designed for the catalog's scale — thousands of
+    regions, one small JSON each — where a per-file offset list in the
+    checkpoint is perfectly fine."""
+
+    def __init__(self, options) -> None:
+        self._path = options["path"]
+
+    def _files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self._path) if f.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"served": []}
+
+    def _rows(self, names: list[str]) -> Iterator[tuple]:
+        for name in names:
+            with open(os.path.join(self._path, name), encoding="utf-8") as fh:
+                doc = json.load(fh)
+            yield tuple(doc.get(k) for k in _FIELDS)
+
+    def read(self, start: dict):
+        served = set(start["served"])
+        new = [f for f in self._files() if f not in served]
+        end = {"served": sorted(served | set(new))}
+        # a LIST, not a generator: Spark's prefetch cache shallow-copies
+        # the returned iterator for replay (datasource_internal.getCache),
+        # which a generator cannot survive.
+        return list(self._rows(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        replay = sorted(set(end["served"]) - set(start["served"]))
+        return list(self._rows(replay))
