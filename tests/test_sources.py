@@ -580,3 +580,28 @@ def test_python_datasource_streaming_tail(spark, tmp_path):
     got2 = spark.read.parquet(out).collect()
     assert len(got2) == len(rows) + 1  # no duplicates of the old shards
     assert {r["region"] for r in got2} == got1 | {"TX_Austin"}
+
+
+def test_python_datasource_writer_roundtrip(spark, tmp_path):
+    """The write path: a DataFrame saved with format('lidar_catalog')
+    lands as one JSON shard per region via tmp-file + rename two-phase
+    commit, and reads back identically through the same format."""
+    from usgs_lidar_spark.sources import pydatasource
+
+    path = str(tmp_path / "cat_out")
+    pydatasource.register(spark)
+    df = spark.createDataFrame(
+        [("AA_One", 2001, 10, 0.0, 0.0, 1.0, 1.0),
+         ("BB_Two", 2002, 20, 1.0, 1.0, 2.0, 2.0)],
+        "region string, year int, n_points bigint, "
+        "minx double, miny double, maxx double, maxy double",
+    )
+    df.write.format("lidar_catalog").option("path", path).mode("append").save()
+    import os as _os
+
+    names = sorted(f for f in _os.listdir(path) if f.endswith(".json"))
+    assert names == ["AA_One.json", "BB_Two.json"]
+    assert not any(f.endswith(".tmp") for f in _os.listdir(path))
+
+    back = spark.read.format("lidar_catalog").option("path", path).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -35,8 +35,10 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     In,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 CATALOG_SCHEMA = (
@@ -107,6 +109,9 @@ class LidarCatalogDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "CatalogStreamReader":
         return CatalogStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "CatalogWriter":
+        return CatalogWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Register the format with a session: idempotent, call any time."""
@@ -151,3 +156,53 @@ class CatalogStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         replay = sorted(set(end["served"]) - set(start["served"]))
         return list(self._rows(replay))
+
+
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    files: tuple[str, ...]
+
+
+class CatalogWriter(DataSourceWriter):
+    """Batch write path of the catalog format: each task writes its
+    partition's regions as `.<region>.json.tmp` files and reports them
+    in its commit message; only `commit()` (driver, after every task
+    succeeded) renames them into place — a task-level two-phase commit,
+    so a failed/straggling task can never publish partial shards.
+    `abort()` removes the temporaries."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self._path = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _WroteFiles:
+        os.makedirs(self._path, exist_ok=True)
+        written = []
+        for row in iterator:
+            doc = {k: row[k] for k in _FIELDS}
+            tmp = os.path.join(self._path, f".{doc['region']}.json.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(doc, fh)
+            written.append(tmp)
+        return _WroteFiles(tuple(written))
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for name in list(os.listdir(self._path)):
+                if name.endswith(".json"):
+                    os.remove(os.path.join(self._path, name))
+        for m in messages:
+            for tmp in m.files:
+                final = os.path.join(
+                    os.path.dirname(tmp),
+                    os.path.basename(tmp)[1:][: -len(".tmp")],
+                )
+                os.replace(tmp, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            for tmp in m.files:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
