@@ -7152,3 +7152,71 @@ def ts2_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_spans").cast("long").alias("n_spans"),
         )
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), med AS (
+        SELECT event_type,
+               quantile_cont(cents, 0.5) AS med_cents
+        FROM base GROUP BY event_type
+    ), dev AS (
+        SELECT b.event_id, b.user_id, b.event_type, b.cents, m.med_cents,
+               abs(CAST(b.cents AS DOUBLE) - m.med_cents) AS adev
+        FROM base b JOIN med m ON b.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.user_id, d.event_type,
+           CAST(d.cents AS DOUBLE) / 100.0 AS value,
+           d.med_cents / 100.0 AS type_median,
+           m.mad_cents / 100.0 AS type_mad
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE m.mad_cents > 0 AND d.adev > 6.0 * m.mad_cents
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from their
+    type's MEDIAN by more than 6x the median absolute deviation — the
+    MAD form survives the heavy tails that inflate stddev and mute
+    z-scores. Two exact-percentile aggregates over integer cents (the
+    interpolated midpoint of two longs is the identical double in any
+    engine), each a one-row-per-type frame broadcast back onto the
+    scan; zero-MAD types (constant values) are excluded explicitly."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = base.groupBy("event_type").agg(
+        F.percentile(F.col("cents"), F.lit(0.5)).alias("med_cents")
+    )
+    dev = base.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad_cents")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter(
+            (F.col("mad_cents") > 0)
+            & (F.col("adev") > F.lit(6.0) * F.col("mad_cents"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.col("cents").cast("double") / 100.0).alias("value"),
+            (F.col("med_cents") / 100.0).alias("type_median"),
+            (F.col("mad_cents") / 100.0).alias("type_mad"),
+        )
+    )
