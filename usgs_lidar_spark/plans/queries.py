@@ -7220,3 +7220,85 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mad_cents") / 100.0).alias("type_mad"),
         )
     )
+
+
+@query(
+    "graph_2hop_reach",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), seeds AS (
+        SELECT DISTINCT src AS node FROM e WHERE src % 100 = 0
+    ), hop1 AS (
+        SELECT DISTINCT e.dst AS node FROM e SEMI JOIN seeds s ON e.src = s.node
+    ), frontier AS (
+        SELECT node FROM hop1
+        UNION SELECT node FROM seeds
+    ), hop2 AS (
+        SELECT DISTINCT e.dst AS node FROM e SEMI JOIN frontier f ON e.src = f.node
+    ), reach AS (
+        SELECT node FROM frontier UNION SELECT node FROM hop2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_reachable,
+           CAST((SELECT count(*) FROM seeds) AS BIGINT) AS n_seeds,
+           CAST((SELECT count(*) FROM hop1) AS BIGINT) AS n_hop1
+    FROM reach
+    """,
+)
+def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS: parts reachable within 2 hops of the seed set (part
+    ids divisible by 100) over the symmetric co-purchase graph. Each hop
+    is one SEMI join frontier expansion + distinct — the per-round cost
+    model of any distributed BFS; rounds are fixed so the whole traversal
+    is one declarative plan (unbounded reachability is
+    connected_components' job)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("src", "dst")
+    )
+    seeds = e.filter(F.col("src") % 100 == 0).select(
+        F.col("src").alias("node")
+    ).distinct()
+    hop1 = (
+        e.join(seeds, e["src"] == seeds["node"], "left_semi")
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    frontier = hop1.union(seeds).distinct()
+    hop2 = (
+        e.join(frontier, e["src"] == frontier["node"], "left_semi")
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    reach = frontier.union(hop2).distinct()
+    # tier counts ride broadcast 1-row frames — no driver round-trip
+    return (
+        reach.agg(F.count(F.lit(1)).alias("n_reachable"))
+        .crossJoin(
+            F.broadcast(seeds.agg(F.count(F.lit(1)).alias("n_seeds")))
+        )
+        .crossJoin(
+            F.broadcast(hop1.agg(F.count(F.lit(1)).alias("n_hop1")))
+        )
+    )
