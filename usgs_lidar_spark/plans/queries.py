@@ -7302,3 +7302,69 @@ def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(hop1.agg(F.count(F.lit(1)).alias("n_hop1")))
         )
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               sum(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) AS s_scaled
+        FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           ln(n_tokens) - (CAST(s_scaled AS DOUBLE) / 1000000.0)
+                          / CAST(n_tokens AS DOUBLE) AS entropy,
+           CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS type_token_ratio
+    FROM per_doc
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy per document (plus type-token ratio) —
+    the information-theoretic quality signal: template/repetitive docs
+    score low even when repetition_metrics' exact-duplicate windows miss
+    them. Uses H = ln(n) - (1/n) * sum(c * ln(c)): each c*ln(c) term is
+    rounded to a scaled BIGINT before summation, so the per-doc sum is
+    partition-order-independent and both engines agree bit-for-bit (a
+    raw double sum over hash-grouped terms would drift with order).
+    Empty docs are excluded (entropy of nothing is undefined, not 0)."""
+    from usgs_lidar_spark.functions.textstats import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(
+            F.round(
+                F.col("c").cast("double")
+                * F.log(F.col("c").cast("double"))
+                * 1000000
+            ).cast("long")
+        ).alias("s_scaled"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (
+            F.log(F.col("n_tokens").cast("double"))
+            - (F.col("s_scaled").cast("double") / 1000000.0)
+            / F.col("n_tokens").cast("double")
+        ).alias("entropy"),
+        (
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("type_token_ratio"),
+    )
