@@ -2321,3 +2321,42 @@ def test_substring_spans_hashed_matches_string_form(spark):
     s = duplicate_ngram_spans(docs, n=8).collect()
     h = duplicate_ngram_spans(docs, n=8, hash_grams=True).collect()
     assert sorted(map(tuple, s)) == sorted(map(tuple, h))
+
+
+def test_connected_components_incremental_merges_old_components(spark):
+    """A new vertex bridging two OLD components merges them under the
+    global min label; untouched components keep their labels; isolated
+    new vertices label themselves. Equals from-scratch CC on the union."""
+    from usgs_lidar_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    # base: components {1,2}, {5,6}, {8} labeled by their mins
+    old_edges = [(1, 2), (5, 6)]
+    old_vs = [1, 2, 5, 6, 8]
+    old_labels = connected_components(
+        spark.createDataFrame([(v,) for v in old_vs], "id long"),
+        spark.createDataFrame(old_edges, "src long, dst long"),
+    ).select("id", F.col("cluster_id").alias("label"))
+    # new vertex 10 bridges 2 and 6; new vertex 11 is isolated
+    new_vs = spark.createDataFrame([(10,), (11,)], "id long")
+    new_edges = spark.createDataFrame(
+        [(10, 2), (10, 6)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components_incremental(
+            old_labels, new_vs, new_edges
+        ).collect()
+    }
+    want_pairs = connected_components(
+        spark.createDataFrame([(v,) for v in old_vs + [10, 11]], "id long"),
+        spark.createDataFrame(
+            old_edges + [(10, 2), (10, 6)], "src long, dst long"
+        ),
+    ).collect()
+    want = {r["id"]: r["cluster_id"] for r in want_pairs}
+    assert got == want
+    assert got[6] == 1 and got[10] == 1  # merged under global min
+    assert got[8] == 8 and got[11] == 11

@@ -353,3 +353,73 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return per_corner.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def connected_components_incremental(
+    old_labels: DataFrame,
+    new_vertices: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental CC maintenance: fold newly-arrived vertices and their
+    incident edges into an EXISTING labeling without re-clustering the
+    base graph.
+
+    The algebra: an old component is already contracted to its min-id
+    label, so it can participate in new connectivity as a SINGLE
+    super-node. Map each new edge's endpoints through the old labels
+    (new vertices map to themselves), run connected_components over
+    that contracted graph — whose size is O(touched labels + new
+    vertices), independent of the base corpus — and compose the two
+    mappings. Because old labels are component-min ids and new ids map
+    to themselves, the composed label is the min id of the MERGED
+    component: bit-identical to a from-scratch CC over the union graph
+    (the parity the oracle checks), while the base side costs one
+    equi-join remap and zero re-clustering.
+
+    ``new_edges`` must contain every pair with at least one new
+    endpoint (pairwise candidate generators like MinHash banding give
+    exactly this: a pair's candidacy depends only on its two rows).
+    Returns (id, label) for ALL vertices (base + new).
+    """
+    base = old_labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    fresh = new_vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    label0 = base.unionByName(fresh)
+
+    lab = label0.select(
+        F.col("id").alias("__n"), F.col("label").alias("__l")
+    )
+    e = (
+        new_edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .join(lab, F.col("u") == F.col("__n"))
+        .select(F.col("__l").alias("u"), "v")
+        .join(lab, F.col("v") == F.col("__n"))
+        .select("u", F.col("__l").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    touched = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    sub = connected_components(
+        touched,
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        max_iter=max_iter,
+    ).select(F.col("id").alias("__sl"), F.col("cluster_id").alias("__sc"))
+    return (
+        label0.join(sub, label0["label"] == F.col("__sl"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__sc"), F.col("label")).alias("label"),
+        )
+    )

@@ -7368,3 +7368,85 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
         ).alias("type_token_ratio"),
     )
+
+
+@query(
+    "dedup_cluster_collapse_incremental",
+    oracle=f"""
+    WITH RECURSIVE {{shingle_cte}},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY cluster_id)
+    SELECT cc.doc_id, cc.cluster_id, csize.cluster_size,
+           cc.doc_id = cc.cluster_id AS is_kept
+    FROM cc JOIN csize USING (cluster_id)
+    """,
+)
+def dedup_cluster_collapse_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental cluster maintenance end to end: the corpus's first
+    400 docs are the already-clustered base (labels computed once); the
+    rest arrive as a batch whose MinHash pairs are folded in via
+    connected_components_incremental — old components participate as
+    contracted super-nodes, so the merge step's cost is O(new edges +
+    touched components), never a base re-cluster. The oracle is the
+    FULL-graph recursive-CTE closure: incremental must equal
+    from-scratch bit-for-bit (labels are component-min ids, canonical
+    under merging)."""
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+    from usgs_lidar_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400)
+    old_pairs = minhash_lsh_pairs(
+        old, "text", "doc_id", k=8, num_perm=64, bands=32,
+        threshold=0.6, max_df=20,
+    )
+    old_labels = connected_components(
+        old.select(F.col("doc_id").alias("id")),
+        old_pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+    ).select("id", F.col("cluster_id").alias("label"))
+
+    all_pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=8, num_perm=64, bands=32,
+        threshold=0.6, max_df=20,
+    )
+    new_edges = all_pairs.filter(
+        (F.col("id_a") >= 400) | (F.col("id_b") >= 400)
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+    labels = connected_components_incremental(
+        old_labels, new.select(F.col("doc_id").alias("id")), new_edges
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("label")).alias("is_kept"),
+        )
+    )
+
+
+ORACLE["dedup_cluster_collapse_incremental"] = ORACLE[
+    "dedup_cluster_collapse_incremental"
+].replace("{shingle_cte}", _SHINGLE_CTE)
