@@ -385,6 +385,18 @@ def connected_components_incremental(
     endpoint (pairwise candidate generators like MinHash banding give
     exactly this: a pair's candidacy depends only on its two rows).
     Returns (id, label) for ALL vertices (base + new).
+
+    Two properties measured at 10x (SCALE.md): (1) the from-scratch
+    parity holds EXACTLY when both sides see the same edge set; if the
+    candidate generator's df-caps were computed on the base corpus
+    alone, a shingle crossing the cap as the corpus grows changes which
+    pairs exist at all — a shingling property, not a CC one (the
+    clustering of edges-as-discovered-at-ingest is still internally
+    consistent). (2) the merge step's win over re-clustering is
+    asymptotic: contracted-CC rounds carry the same fixed per-round
+    job overhead, so on small/dense graphs full CC can be quicker —
+    incremental pays off when the base is large relative to the
+    arrival batch, which is the production shape.
     """
     base = old_labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("label")
