@@ -2360,3 +2360,28 @@ def test_connected_components_incremental_merges_old_components(spark):
     assert got == want
     assert got[6] == 1 and got[10] == 1  # merged under global min
     assert got[8] == 8 and got[11] == 11
+
+
+def test_mixture_schedule_proportional_prefixes(spark):
+    """Reading in priority order consumes sources ~proportionally to
+    their weights at every prefix; per-source positions are dense; and
+    unknown sources are excluded, not silently weighted."""
+    from usgs_lidar_spark.operators.pipeline import mixture_schedule
+
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(100)]
+    rows += [(5000, "zzz")]  # not in the mixture
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_schedule(df, "doc_id", "source", {"a": 3.0, "b": 1.0})
+    ordered = sorted(out.collect(), key=lambda r: (r["priority"], r["doc_id"]))
+    assert len(ordered) == 200  # zzz excluded
+    # prefix proportionality: after 40 steps, ~30 a's and ~10 b's
+    prefix = ordered[:40]
+    n_a = sum(1 for r in prefix if r["source"] == "a")
+    assert 28 <= n_a <= 32
+    for src in ("a", "b"):
+        pos = sorted(r["src_pos"] for r in ordered if r["source"] == src)
+        assert pos == list(range(100))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_schedule(df, "doc_id", "source", {"a": 0.0})

@@ -560,3 +560,58 @@ def priority_sample_k_per_group(
         keyed.withColumn("sample_rank", F.row_number().over(win).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def mixture_schedule(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted interleave across sources — the mixing
+    schedule LLM training uses ("2 parts web to 1 part code"), as an
+    ORDERING rather than a downsample (pipe_target_mix drops rows to
+    hit a mix; this keeps everything and schedules consumption).
+
+    Each source's rows are MINSTD-shuffled, then row r of a source with
+    weight w gets priority (r + 0.5) / w — weighted fair queueing:
+    reading in priority order consumes sources proportionally to their
+    weights at every prefix, deterministically (one IEEE division of
+    exact operands; ties broken by id). A source exhausts when its rows
+    run out and the others continue at their relative rates — the
+    standard epoch-boundary behavior.
+
+    One rank window per source (parallel across sources; sub-salt a
+    gigantic source the same way the salted aggregates do), then the
+    priority is a map-side expression. Rows from sources missing in
+    ``weights`` are excluded visibly (a mixture that silently inherits
+    weight 1.0 is a config bug, not a default).
+
+    Returns (id, source, src_pos, priority) — consumers sort by
+    (priority, id); materializing a global position is one extra
+    global-ordering window the caller can add when it truly needs it.
+    """
+    entries = [(k, float(v)) for k, v in weights.items()]
+    if not entries or any(v <= 0 for _, v in entries):
+        raise ValueError("weights must be a non-empty map of positive floats")
+    wmap = F.create_map(
+        *[x for k, v in entries for x in (F.lit(k), F.lit(v))]
+    )
+    eligible = df.filter(F.col(source_col).isin([k for k, _ in entries]))
+    win = Window.partitionBy(source_col).orderBy(
+        portable_hash_long(id_col, seed), id_col
+    )
+    keyed = eligible.withColumn(
+        "src_pos", (F.row_number().over(win) - 1).cast("long")
+    ).withColumn(
+        "priority",
+        (F.col("src_pos").cast("double") + F.lit(0.5))
+        / wmap[F.col(source_col)],
+    )
+    return keyed.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        "src_pos",
+        "priority",
+    )

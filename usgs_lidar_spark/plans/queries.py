@@ -7450,3 +7450,37 @@ def dedup_cluster_collapse_incremental(
 ORACLE["dedup_cluster_collapse_incremental"] = ORACLE[
     "dedup_cluster_collapse_incremental"
 ].replace("{shingle_cte}", _SHINGLE_CTE)
+
+
+@query(
+    "pipe_mixture_schedule",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ((((((doc_id + 1) % 2147483647) + 2147483647)
+                             % 2147483647)
+                         * 48271 % 2147483647) * 48271 % 2147483647),
+                            doc_id) - 1 AS BIGINT) AS src_pos
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT doc_id, source, src_pos,
+           (CAST(src_pos AS DOUBLE) + 0.5)
+           / (CASE source WHEN 'src0' THEN 3.0
+                          WHEN 'src1' THEN 2.0
+                          ELSE 1.0 END) AS priority
+    FROM keyed
+    """,
+)
+def pipe_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixing schedule over three sources (3:2:1): MINSTD
+    in-source shuffle, priority = (pos + 0.5)/weight — weighted fair
+    queueing, so every prefix of the priority order consumes sources
+    proportionally. Deterministic on any engine/partitioning."""
+    from usgs_lidar_spark.operators.pipeline import mixture_schedule
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_schedule(
+        d, "doc_id", "source", {"src0": 3.0, "src1": 2.0, "src2": 1.0}
+    )
