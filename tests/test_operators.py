@@ -2385,3 +2385,32 @@ def test_mixture_schedule_proportional_prefixes(spark):
 
     with _pytest.raises(ValueError):
         mixture_schedule(df, "doc_id", "source", {"a": 0.0})
+
+
+def test_embed_standardize_whitens(spark):
+    """Standardized vectors have ~zero per-dim mean and unit std (up to
+    the 1e-6 fixed-point rounding of the stats), zero-variance dims are
+    centered without dividing, and the op is map-only on the corpus."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        embed_moments,
+        embed_standardize,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    stats = {r["dim"]: r for r in embed_moments(emb).collect()}
+    d = len(stats)
+    means = [stats[i]["mean"] for i in range(d)]
+    stds = [stats[i]["std"] for i in range(d)]
+    out = embed_standardize(emb, means, stds)
+    re_stats = embed_moments(out, "embedding_std").collect()
+    for r in re_stats:
+        assert abs(r["mean"]) < 1e-4
+        if stds[r["dim"]] > 0:
+            assert abs(r["std"] - 1.0) < 1e-3
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()  # map-only

@@ -1383,3 +1383,75 @@ def ivf_sq8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")
     )
+
+
+#: Fixed-point scale for embedding moments: 6 decimals per component.
+_STD_SCALE = 10**6
+
+
+def embed_moments(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension mean and population std of an embedding column in
+    EXACT arithmetic: components are rounded to 1e-6 fixed point and
+    both the sum and the sum of squares accumulate as BIGINTs — order-
+    independent under any partitioning, so the stats (and anything
+    standardized with them) hash-match across engines. One posexplode +
+    per-dim aggregate, d rows out.
+
+    Overflow bound: |x| <= 1e3 gives x^2-scaled terms <= 1e18/row-dim;
+    BIGINT holds ~9.2e18, so corpora up to ~9 rows/dim at that extreme
+    — in practice embeddings are O(1)-normalized (here |x| < 1), terms
+    are <= 1e12 and ~9e6 rows/dim fit; for more, shard the sum by a
+    second key and re-aggregate (same algebra, documented remedy).
+
+    Returns (dim, n, mean, std) with dim 0-based.
+    """
+    ex = corpus.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+    ).select(
+        "dim", F.round(F.col("x") * _STD_SCALE).cast("long").alias("xs")
+    )
+    agg = ex.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xs").alias("s1"),
+        F.sum(F.col("xs") * F.col("xs")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / (
+        F.col("n").cast("double") * _STD_SCALE
+    )
+    ex2 = F.col("s2").cast("double") / (
+        F.col("n").cast("double") * _STD_SCALE * _STD_SCALE
+    )
+    return agg.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(F.lit(0.0), ex2 - mean * mean)).alias("std"),
+    )
+
+
+def embed_standardize(
+    df: DataFrame,
+    means: list[float],
+    stds: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "embedding_std",
+) -> DataFrame:
+    """Map-side per-dimension standardization (x - mean)/std against
+    broadcast-as-literals stats (collected d scalars — the IVF-seeding
+    contract); zero-variance dims pass through centered only. The
+    corpus never shuffles; downstream ANN operators consume ``out_col``
+    unchanged."""
+    means_lit = F.array(*[F.lit(float(v)) for v in means])
+    stds_lit = F.array(*[F.lit(float(v)) for v in stds])
+    return df.withColumn(
+        out_col,
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.arrays_zip(means_lit, stds_lit),
+            lambda x, ms: F.when(ms["1"] == 0.0, x - ms["0"]).otherwise(
+                (x - ms["0"]) / ms["1"]
+            ),
+        ),
+    )

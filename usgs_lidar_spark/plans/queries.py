@@ -7484,3 +7484,36 @@ def pipe_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_schedule(
         d, "doc_id", "source", {"src0": 3.0, "src1": 2.0, "src2": 1.0}
     )
+
+
+@query(
+    "sim_embed_moments",
+    oracle="""
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    ex AS (
+        SELECT i - 1 AS dim,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xs
+        FROM embeddings, pos
+    ), agg AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               sum(xs) AS s1, sum(xs * xs) AS s2
+        FROM ex GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000) AS mean,
+           sqrt(greatest(0.0,
+               CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000 * 1000000)
+               - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000))
+                 * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000))))
+               AS std
+    FROM agg
+    """,
+)
+def sim_embed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding mean/std in exact fixed-point moments
+    (1e-6 components, BIGINT sums — order-independent, engine-exact):
+    the statistics feeding embed_standardize's map-side whitening."""
+    from usgs_lidar_spark.operators.similarity import embed_moments
+
+    return embed_moments(_t(spark, sf_dir, "embeddings"), "embedding")
