@@ -7517,3 +7517,52 @@ def sim_embed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.similarity import embed_moments
 
     return embed_moments(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+@query(
+    "text_langid_confusion",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS tokens
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, lang,
+            CAST(len(list_filter(tokens, t -> list_contains(['the','and','of','to','in','is','that','it'], t))) AS BIGINT) AS en_hits,
+            CAST(len(list_filter(tokens, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], t))) AS BIGINT) AS de_hits,
+            CAST(len(list_filter(tokens, t -> list_contains(['le','la','et','les','des','est','une','dans'], t))) AS BIGINT) AS fr_hits,
+            CAST(len(list_filter(tokens, t -> list_contains(['el','la','de','que','y','los','es','una'], t))) AS BIGINT) AS es_hits
+        FROM toks
+    ), pred AS (
+        SELECT lang AS true_lang,
+           CASE WHEN en_hits > 0 AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                WHEN de_hits > 0 AND de_hits > en_hits AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                WHEN fr_hits > 0 AND fr_hits > en_hits AND fr_hits > de_hits AND fr_hits >= es_hits THEN 'fr'
+                WHEN es_hits > 0 AND es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es'
+                ELSE 'und' END AS pred_lang
+        FROM hits
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the lang-id heuristic's
+    confusion matrix against the corpus's labeled `lang` column — one
+    extra aggregate over the already-oracled predictor, the shape every
+    model-quality dashboard needs (per-class precision/recall fall out
+    of this table). The heuristic's known blind spots (markers shared
+    across languages, 'und' on zero hits) become visible counts instead
+    of anecdotes."""
+    from usgs_lidar_spark.functions import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            TS.lang_id("text").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
