@@ -605,3 +605,42 @@ def test_python_datasource_writer_roundtrip(spark, tmp_path):
 
     back = spark.read.format("lidar_catalog").option("path", path).load()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_python_datasource_stream_writer_end_to_end(spark, tmp_path):
+    """Full circle through the Python DataSource: a stream of catalog
+    rows written with format('lidar_catalog') lands as committed JSON
+    shards (no temporaries), readable back through the batch reader."""
+    from usgs_lidar_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    src = tmp_path / "rows_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("NM_One", 2021, 7, 0.0, 0.0, 1.0, 1.0),
+         ("NV_Two", 2022, 8, 1.0, 1.0, 2.0, 2.0)],
+        "region string, year int, n_points bigint, "
+        "minx double, miny double, maxx double, maxy double",
+    ).coalesce(1).write.parquet(str(src / "batch0"))
+
+    out = str(tmp_path / "cat_stream_out")
+    stream = spark.readStream.schema(
+        "region string, year int, n_points bigint, "
+        "minx double, miny double, maxx double, maxy double"
+    ).parquet(str(src / "batch0"))
+    q = (
+        stream.writeStream.format("lidar_catalog")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os as _os
+
+    names = sorted(f for f in _os.listdir(out) if not f.startswith("."))
+    assert names == ["NM_One.json", "NV_Two.json"]
+    assert not any(f.endswith(".tmp") for f in _os.listdir(out))
+    back = spark.read.format("lidar_catalog").option("path", out).load()
+    assert back.count() == 2

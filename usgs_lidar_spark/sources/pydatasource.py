@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     In,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -111,6 +112,9 @@ class LidarCatalogDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "CatalogWriter":
         return CatalogWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "CatalogStreamWriter":
+        return CatalogStreamWriter(self.options)
 
 
 def register(spark) -> None:
@@ -201,6 +205,51 @@ class CatalogWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
+            for tmp in m.files:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
+
+
+class CatalogStreamWriter(DataSourceStreamWriter):
+    """Streaming write path: each micro-batch's tasks stage their
+    regions as `.<region>.json.<epoch>.tmp` and the per-batch commit()
+    renames them into place — the same task-level two-phase publish as
+    the batch writer, per epoch. A replayed batch (restart between the
+    task writes and the rename) re-stages and re-renames the SAME final
+    names, so the sink is idempotent under exactly-once retries;
+    abort() drops that epoch's temporaries."""
+
+    def __init__(self, options) -> None:
+        self._path = options["path"]
+
+    def write(self, iterator) -> _WroteFiles:
+        os.makedirs(self._path, exist_ok=True)
+        written = []
+        for row in iterator:
+            doc = {k: row[k] for k in _FIELDS}
+            tmp = os.path.join(self._path, f".{doc['region']}.json.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(doc, fh)
+            written.append(tmp)
+        return _WroteFiles(tuple(written))
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp in m.files:
+                final = os.path.join(
+                    os.path.dirname(tmp),
+                    os.path.basename(tmp)[1:][: -len(".tmp")],
+                )
+                os.replace(tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
             for tmp in m.files:
                 try:
                     os.remove(tmp)
