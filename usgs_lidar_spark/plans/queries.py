@@ -7566,3 +7566,112 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "pipe_end_to_end_v3",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ), base AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(greatest(len(t) - 7, 0) AS BIGINT) AS n_grams, t
+        FROM toks
+    ), grams AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               array_to_string(t[u.i:u.i+7], ' ') AS gram
+        FROM base, LATERAL (
+            SELECT unnest(range(1, CAST(n_grams AS INTEGER) + 1)) AS i
+        ) u
+        WHERE n_grams > 0
+    ), dupg AS (
+        SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+        GROUP BY gram HAVING count(*) >= 2
+    ), dup_pos AS (
+        SELECT g.doc_id, g.pos FROM grams g SEMI JOIN dupg d ON g.gram = d.gram
+    ), spans AS (
+        SELECT doc_id, pos, pos + 7 AS end_,
+               coalesce(max(pos + 7) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev_end
+        FROM dup_pos
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(greatest(end_ - greatest(pos - 1, prev_end), 0))
+                    AS BIGINT) AS covered
+        FROM spans GROUP BY doc_id
+    ), survivors AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        JOIN base b ON d.doc_id = b.doc_id
+        LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        WHERE b.n_tokens > 0
+          AND CAST(coalesce(p.covered, 0) AS DOUBLE)
+              / CAST(b.n_tokens AS DOUBLE) < 0.5
+    ), med AS (
+        SELECT lang, quantile_cont(CAST(n_chars AS BIGINT), 0.5) AS m
+        FROM survivors GROUP BY lang
+    ), kept AS (
+        SELECT s.doc_id, s.lang, s.source, s.n_chars
+        FROM survivors s JOIN med ON s.lang = med.lang
+        WHERE CAST(s.n_chars AS DOUBLE) >= med.m
+    ), keyed AS (
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ((((((doc_id + 1) % 2147483647) + 2147483647)
+                             % 2147483647)
+                         * 48271 % 2147483647) * 48271 % 2147483647),
+                            doc_id) - 1 AS BIGINT) AS src_pos
+        FROM kept WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT doc_id, lang, source, src_pos,
+           (CAST(src_pos AS DOUBLE) + 0.5)
+           / (CASE source WHEN 'src0' THEN 3.0
+                          WHEN 'src1' THEN 2.0
+                          ELSE 1.0 END) AS priority
+    FROM keyed
+    """,
+)
+def pipe_end_to_end_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5-continuation pipeline composed end to end under ONE
+    oracle: substring-span dedup gate (drop docs with >= 50% of tokens
+    under cross-doc duplicated 8-gram windows) -> per-language median
+    quality pruning over the survivors -> weighted mixture schedule
+    (3:2:1 over three sources). Each stage is individually oracled
+    (dedup_substring_spans / pipe_quality_filter /
+    pipe_mixture_schedule); this pins that they COMPOSE — thresholds
+    computed on post-dedup survivors, the schedule over post-filter
+    rows — which is where pipeline bugs actually live."""
+    from usgs_lidar_spark.operators.dedup import duplicate_ngram_spans
+    from usgs_lidar_spark.operators.pipeline import (
+        filter_above_group_median,
+        mixture_schedule,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicate_ngram_spans(d, "text", "doc_id", n=8, min_docs=2)
+    survivors = (
+        d.join(
+            spans.select("doc_id", "n_tokens", "dup_token_fraction"),
+            "doc_id",
+        )
+        .filter(
+            (F.col("n_tokens") > 0) & (F.col("dup_token_fraction") < 0.5)
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    kept = filter_above_group_median(survivors, "lang", "n_chars").drop(
+        "group_median"
+    )
+    sched = mixture_schedule(
+        kept, "doc_id", "source", {"src0": 3.0, "src1": 2.0, "src2": 1.0}
+    )
+    lang_lookup = kept.select("doc_id", "lang")
+    return sched.join(lang_lookup, "doc_id").select(
+        "doc_id", "lang", "source", "src_pos", "priority"
+    )
