@@ -309,3 +309,41 @@ def test_pagerank_mass_and_positivity(spark, und, iters):
         for r in pagerank_fixed(df.repartition(7), iterations=iters).collect()
     }
     assert out == out2
+
+
+@given(
+    wa=st.integers(min_value=1, max_value=5),
+    wb=st.integers(min_value=1, max_value=5),
+    na=st.integers(min_value=10, max_value=40),
+    nb=st.integers(min_value=10, max_value=40),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mixture_schedule_prefix_proportionality(spark, wa, wb, na, nb):
+    """For any weights and source sizes: priorities order deterministically,
+    per-source positions are dense, and while BOTH sources remain
+    unexhausted every priority-order prefix consumes them within one
+    round of the weight ratio (weighted fair queueing's lag bound)."""
+    from usgs_lidar_spark.operators.pipeline import mixture_schedule
+
+    rows = [(i, "a") for i in range(na)] + [(1000 + i, "b") for i in range(nb)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_schedule(
+        df, "doc_id", "source", {"a": float(wa), "b": float(wb)}
+    ).collect()
+    ordered = sorted(out, key=lambda r: (r["priority"], r["doc_id"]))
+    for src, n in (("a", na), ("b", nb)):
+        assert sorted(
+            r["src_pos"] for r in ordered if r["source"] == src
+        ) == list(range(n))
+    seen_a = seen_b = 0
+    for r in ordered:
+        if r["source"] == "a":
+            seen_a += 1
+        else:
+            seen_b += 1
+        if seen_a >= na or seen_b >= nb:
+            break  # one source exhausted; proportionality no longer applies
+        total_w = wa + wb
+        k = seen_a + seen_b
+        assert abs(seen_a - k * wa / total_w) <= max(wa, wb) + 1
