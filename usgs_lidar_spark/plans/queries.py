@@ -7675,3 +7675,88 @@ def pipe_end_to_end_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sched.join(lang_lookup, "doc_id").select(
         "doc_id", "lang", "source", "src_pos", "priority"
     )
+
+
+@query(
+    "text_bigram_pmi",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ), uni AS (
+        SELECT unnest(t) AS tok FROM toks
+    ), ucnt AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ucnt),
+    bi AS (
+        SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+        FROM toks, LATERAL (
+            SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        ) u
+        WHERE len(t) >= 2
+    ), bcnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+        FROM bi GROUP BY w1, w2 HAVING count(*) >= 5
+    )
+    SELECT b.w1, b.w2, b.cab, a.c AS c1, c.c AS c2,
+           ln((CAST(b.cab AS DOUBLE) * CAST(t.n AS DOUBLE))
+              / (CAST(a.c AS DOUBLE) * CAST(c.c AS DOUBLE))) AS pmi
+    FROM bcnt b
+    JOIN ucnt a ON b.w1 = a.tok
+    JOIN ucnt c ON b.w2 = c.tok
+    CROSS JOIN tot t
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information for adjacent
+    token bigrams seen >= 5 times — PMI = ln(c_ab * N / (c_a * c_b)),
+    the statistic that separates genuine phrases from chance adjacency.
+    Bigrams come from one zip of the token array with its tail (no
+    self-join over positions); the unigram table joins back twice
+    (AQE broadcasts it at dimension size) and the corpus total rides a
+    broadcast one-row frame. The ln runs on identical exact-count
+    ratios in both engines — deterministic, the TWI precedent."""
+    from usgs_lidar_spark.functions.textstats import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(ws_tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bi = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    uni = (
+        d.select(F.explode(ws_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    a = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bcnt.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "cab",
+            "c1",
+            "c2",
+            F.log(
+                (F.col("cab").cast("double") * F.col("n").cast("double"))
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("pmi"),
+        )
+    )
