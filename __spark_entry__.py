@@ -63,6 +63,9 @@ _SENTINELS = (
     "dedup_minhash_lsh",
     "sim_topk_ivf",
     "pipe_end_to_end",
+    # r5's one red driver row, rewritten BIGINT-only in r6; pinned until
+    # green two consecutive rounds (VERDICT r5 item 1).
+    "sim_ivf_drift",
 )
 
 

@@ -2305,10 +2305,18 @@ def test_hillshade_flat_and_slope_direction(spark):
     )
     s_px = hillshade_grid(tilt_px).agg(F.avg("hillshade")).collect()[0][0]
     s_mx = hillshade_grid(tilt_mx).agg(F.avg("hillshade")).collect()[0][0]
-    assert s_px != s_mx  # opposite tilts illuminate differently
+    # Light from the NW: the WEST-facing slope (z rises toward +x=east,
+    # normal points -x) catches the sun; the east-facing one is darker.
+    assert s_px > s_mx
     for df in (tilt_px, tilt_mx):
         for r in hillshade_grid(df).collect():
             assert 0.0 <= r["hillshade"] <= 255.0
+    # Exact closed-form pins: z=x is a 45° west-facing slope. Sun due
+    # WEST (az 270) at alt 45 hits it head-on -> shade exactly 255; sun
+    # due EAST (az 90) grazes at 90° -> exactly 0.
+    for az, want in ((270.0, 255.0), (90.0, 0.0)):
+        got = hillshade_grid(tilt_px, azimuth_deg=az).collect()
+        assert got and all(abs(r["hillshade"] - want) < 1e-9 for r in got)
 
 
 def test_substring_spans_hashed_matches_string_form(spark):

@@ -373,8 +373,13 @@ def ivf_drift_metrics(
 
     One pass: both assignments are map-only expression argmaxes attached
     to the same scan, followed by a single groupBy(cid) aggregate; shuffle
-    volume is one row per cell. Returns (cid, n, mean_csim, n_moved,
-    moved_frac)."""
+    volume is one row per cell. Returns (cid, n, sum_csim_e4, mean_csim,
+    n_moved, moved_frac) — `sum_csim_e4` is the EXACT scaled-integer sum
+    of per-row quantization cosines (BIGINT, order-independent,
+    bit-reproducible across engines/layouts); `mean_csim`/`moved_frac`
+    are the derived DOUBLE conveniences (sum_csim_e4/(1e4*n), n_moved/n)
+    for human consumption. Cross-engine comparisons should use the
+    integer columns."""
     scale = 10**round_digits
     both = ivf_assign(
         ivf_assign(
@@ -391,15 +396,18 @@ def ivf_drift_metrics(
         both.groupBy(F.col("__cid_old").alias("cid"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (
-                F.sum(F.round(F.col("__csim_old") * scale).cast("long"))
-                / (F.lit(float(scale)) * F.count(F.lit(1)))
-            ).alias("mean_csim"),
+            F.sum(F.round(F.col("__csim_old") * scale).cast("long"))
+            .alias("sum_csim_e4"),
             F.sum(
                 F.when(F.col("__cid") != F.col("__cid_old"), 1).otherwise(0)
             ).cast("long").alias("n_moved"),
         )
+        .withColumn(
+            "mean_csim",
+            F.col("sum_csim_e4") / (F.lit(float(scale)) * F.col("n")),
+        )
         .withColumn("moved_frac", F.col("n_moved") / F.col("n"))
+        .select("cid", "n", "sum_csim_e4", "mean_csim", "n_moved", "moved_frac")
     )
 
 

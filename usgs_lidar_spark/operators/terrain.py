@@ -273,12 +273,16 @@ def hillshade_grid(
     algebraically reduced so NO trigonometric function ever touches
     data:
 
-        shade = (cos z + sin z * (-cos a * dz/dx + sin a * dz/dy))
+        shade = (cos z + sin z * (-sin a * dz/dx - cos a * dz/dy))
                 / sqrt(1 + tan_beta^2),   clamped to [0, 1], x255
 
-    (cos/sin of the constant sun angles are Python-computed literals;
-    the identity uses cos(slope) = 1/sqrt(1+t^2), sin(slope)*cos(a -
-    aspect) = (-cos a * dzdx + sin a * dzdy)/sqrt(1+t^2)). Only +,*,/
+    For an x=east / y=north (y-up) grid with azimuth clockwise from
+    north, the sun unit vector is (sin a sin z, cos a sin z, cos z) and
+    the upward surface normal is (-dzdx, -dzdy, 1)/sqrt(1+t^2); shade is
+    their dot product, i.e. cos(slope) = 1/sqrt(1+t^2) and
+    sin(slope)*cos(a - aspect) = (-sin a * dzdx - cos a * dzdy)
+    /sqrt(1+t^2). (cos/sin of the constant sun angles are
+    Python-computed literals.) Only +,*,/
     and sqrt run on data, so the result is bit-reproducible in any
     engine — the determinism trap with atan2/cos/sin libm variance
     never opens. Same 3x3 neighbor-offer stencil as twi_grid; one
@@ -302,7 +306,7 @@ def hillshade_grid(
     t2 = dzdx * dzdx + dzdy * dzdy
     raw = (
         F.lit(cos_z)
-        + F.lit(sin_z) * (F.lit(-cos_a) * dzdx + F.lit(sin_a) * dzdy)
+        + F.lit(sin_z) * (F.lit(-sin_a) * dzdx + F.lit(-cos_a) * dzdy)
     ) / F.sqrt(F.lit(1.0) + t2)
     shade = F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw)) * F.lit(255.0)
     return interior.select(ix, iy, shade.alias("hillshade"))

@@ -2488,22 +2488,23 @@ def sim_ivf_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings e CROSS JOIN cnew c) WHERE rn = 1
     )
     SELECT aold.cid, count(*) AS n,
-           CAST(SUM(CAST(ROUND(aold.csim * 10000) AS BIGINT)) AS DOUBLE)
-               / (10000.0 * count(*)) AS mean_csim,
-           SUM(CASE WHEN anew.cid <> aold.cid THEN 1 ELSE 0 END) AS n_moved,
-           CAST(SUM(CASE WHEN anew.cid <> aold.cid THEN 1 ELSE 0 END)
-                AS DOUBLE) / count(*) AS moved_frac
+           SUM(CAST(ROUND(aold.csim * 10000) AS BIGINT)) AS sum_csim_e4,
+           SUM(CASE WHEN anew.cid <> aold.cid THEN 1 ELSE 0 END) AS n_moved
     FROM aold JOIN anew USING (vec_id)
     GROUP BY aold.cid
     """,
 )
 def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebuild-decision metrics for an incrementally-maintained IVF
-    index: per current cell, occupancy, exact mean cosine-to-centroid,
-    and how many vectors a candidate quantizer (here: a disjoint seed
-    set, deterministically reproducible by the oracle; in production a
-    kmeans_refine output) would reassign. Both assignments ride the same
-    scan — one groupBy shuffle of one row per cell."""
+    index: per current cell, occupancy, exact scaled-integer sum of
+    cosine-to-centroid, and how many vectors a candidate quantizer
+    (here: a disjoint seed set, deterministically reproducible by the
+    oracle; in production a kmeans_refine output) would reassign. Both
+    assignments ride the same scan — one groupBy shuffle of one row per
+    cell. Output is BIGINT-only (the library's derived DOUBLE ratio
+    columns are projected away, and the quantizer strategy is pinned to
+    `expr`) so the cross-engine value hash is bit-stable by
+    construction across any environment/layout."""
     from usgs_lidar_spark.operators.similarity import ivf_drift_metrics
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2518,7 +2519,9 @@ def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ] or [(lo, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
 
-    return ivf_drift_metrics(emb, seeds(0, 8), seeds(8, 16))
+    return ivf_drift_metrics(
+        emb, seeds(0, 8), seeds(8, 16), method="expr"
+    ).select("cid", "n", "sum_csim_e4", "n_moved")
 
 
 @query(
@@ -7057,8 +7060,10 @@ def _hillshade_oracle() -> str:
     ca, sa = math.cos(a), math.sin(a)
     dzdx = "((v_p0 - v_m0) / 2.0)"
     dzdy = "((v_0p - v_0m) / 2.0)"
+    # Sun-vector dot surface-normal for a y-up/north grid (azimuth
+    # clockwise from north): (-sin a * dzdx - cos a * dzdy).
     raw = (
-        f"(({cz!r}) + ({sz!r}) * (({-ca!r}) * {dzdx} + ({sa!r}) * {dzdy}))"
+        f"(({cz!r}) + ({sz!r}) * (({-sa!r}) * {dzdx} + ({-ca!r}) * {dzdy}))"
         f" / sqrt(1.0 + ({dzdx} * {dzdx} + {dzdy} * {dzdy}))"
     )
     return f"""
