@@ -535,6 +535,23 @@ def test_python_datasource_filter_pushdown_prunes_files(spark, tmp_path):
     assert list(r2.pushFilters([In(("region",), ("CO_Denver", "WA_Seattle"))])) == []
     assert sum(len(p.files) for p in r2.partitions()) == 2
 
+    # Two pushed region predicates AND together: consumed sets must
+    # INTERSECT (last-wins would wrongly resurrect CO_Denver here).
+    r3 = CatalogReader({"path": path})
+    assert list(r3.pushFilters([
+        In(("region",), ("CO_Denver", "WA_Seattle")),
+        In(("region",), ("WA_Seattle", "IA_FullState")),
+    ])) == []
+    files3 = [f for p in r3.partitions() for f in p.files]
+    assert len(files3) == 1 and files3[0].endswith("WA_Seattle.json")
+    # Contradictory EqualTo + In -> empty intersection -> zero files.
+    r4 = CatalogReader({"path": path})
+    assert list(r4.pushFilters([
+        EqualTo(("region",), "CO_Denver"),
+        In(("region",), ("WA_Seattle",)),
+    ])) == []
+    assert r4.partitions() == [] or all(not p.files for p in r4.partitions())
+
     pydatasource.register(spark)
     df = (
         spark.read.format("lidar_catalog").option("path", path).load()

@@ -904,3 +904,92 @@ def test_compaction_with_stats_skipping(spark, tmp_path):
 
     nothing = read_sink_with_skipping(spark, sink, {"x": (5000.0, 6000.0)})
     assert nothing.count() == 0
+
+
+def test_stats_skipping_preserves_hive_partition_columns(spark, tmp_path):
+    """compact_sink(partition_by + stats_columns): the pruned compacted
+    read must keep the hive partition column alive (basePath anchor) —
+    without it unionByName(allowMissingColumns) silently nulls it and
+    filters on the partition column corrupt results."""
+    from pyspark.sql import functions as F
+    from usgs_lidar_spark.sources.stats_manifest import read_with_skipping
+    from usgs_lidar_spark.streaming.compact import (
+        compact_sink,
+        read_sink,
+        read_sink_with_skipping,
+    )
+
+    sink = str(tmp_path / "sink")
+    for b in range(2):
+        spark.range(b * 1000, (b + 1) * 1000).select(
+            F.col("id"),
+            (F.col("id") % 500).cast("double").alias("x"),
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("par"),
+        ).write.parquet(f"{sink}/batch_id={b}")
+    m = compact_sink(
+        spark,
+        sink,
+        up_to_batch=0,
+        target_partitions=4,
+        partition_by=["par"],
+        cluster_by=["x"],
+        stats_columns=["x"],
+    )
+    assert m is not None
+
+    got = read_sink_with_skipping(spark, sink, {"x": (100.0, 120.0)})
+    assert "par" in got.columns
+    # compacted rows (id < 1000) carry their real partition value — the
+    # nulled-column failure mode returns NULL here.
+    compacted = [r for r in got.collect() if r["id"] < 1000]
+    assert compacted and all(
+        r["par"] == ("even" if r["id"] % 2 == 0 else "odd") for r in compacted
+    )
+    want = read_sink(spark, sink).filter("x >= 100.0 and x <= 120.0")
+    assert sorted((r["id"], r["par"]) for r in got.collect()) == sorted(
+        (r["id"], r["par"]) for r in want.collect()
+    )
+    # and a filter on the partition column composes with skipping
+    evens = got.filter("par = 'even'").collect()
+    assert evens and all(r["id"] % 2 == 0 for r in evens)
+
+    # the plain stats-manifest read path over a hive-partitioned table
+    # keeps the partition column too
+    tbl = str(tmp_path / "tbl")
+    spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 500).cast("double").alias("x"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("par"),
+    ).repartitionByRange(4, "x").write.partitionBy("par").parquet(tbl)
+    from usgs_lidar_spark.sources.stats_manifest import write_stats_manifest
+
+    write_stats_manifest(spark, tbl, ["x"])
+    out = read_with_skipping(spark, tbl, {"x": (0.0, 10.0)})
+    assert "par" in out.columns
+    rows = out.collect()
+    assert rows and all(
+        r["par"] == ("even" if r["id"] % 2 == 0 else "odd") for r in rows
+    )
+
+
+def test_to_cents_half_up_matches_f_round(spark):
+    """The stateful-stream cents scaler must agree with the engine-wide
+    F.round (HALF_UP, away from zero) convention — including exact
+    .5-cent values where numpy/pandas round() goes half-to-even."""
+    from pyspark.sql import functions as F
+    from usgs_lidar_spark.streaming.stateful import to_cents_half_up
+
+    vals = [0.125, -0.125, 0.135, -0.135, 1.005, 2.675, -2.675, 0.0, 3.0]
+    got = list(to_cents_half_up(vals))
+    want = [
+        r["c"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round(F.col("v") * 100).cast("long").alias("c"))
+        .collect()
+    ]
+    assert got == want
+    # the exact-half cases really do exercise the divergence
+    import numpy as np
+
+    assert list(np.round(np.array([0.125]) * 100).astype("int64")) != [13]
+    assert got[:2] == [13, -13]

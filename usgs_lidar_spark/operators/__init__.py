@@ -36,6 +36,9 @@ from usgs_lidar_spark.operators.similarity import (  # noqa: F401
     cosine_range_search_lsh,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    embed_moments,
+    embed_standardize,
+    ivf_sq8_topk,
     sq8_bounds,
     sq8_clip_metrics,
     sq8_encode,

@@ -470,7 +470,6 @@ def curriculum_order(
         F.max(F.col(score_col).cast("long")).alias("__mx"),
     )
     b = df.crossJoin(F.broadcast(stats))
-    width = F.col("__mx") - F.col("__mn") + F.lit(1)
     stage = F.expr(
         f"((CAST({score_col} AS BIGINT) - __mn) * {n_stages}) div (__mx - __mn + 1)"
     )

@@ -62,15 +62,24 @@ class CatalogReader(DataSourceReader):
         self._regions: set[str] | None = None  # None = no pushdown
 
     # -- filter pushdown (Spark 4.1): region equality/membership prunes
-    #    whole files by name; everything else stays with Spark.
+    #    whole files by name; everything else stays with Spark. Multiple
+    #    pushed region predicates (e.g. region IN ('a','b') AND region IN
+    #    ('b','c'), or EqualTo AND In) are ANDed, so the consumed sets must
+    #    INTERSECT — overwriting would report both consumed while honoring
+    #    only the last, returning rows that violate the first.
     def pushFilters(self, filters):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("region",):
-                self._regions = {str(f.value)}
+                self._narrow({str(f.value)})
             elif isinstance(f, In) and f.attribute == ("region",):
-                self._regions = {str(v) for v in f.value}
+                self._narrow({str(v) for v in f.value})
             else:
                 yield f
+
+    def _narrow(self, regions: set[str]) -> None:
+        self._regions = (
+            regions if self._regions is None else self._regions & regions
+        )
 
     def _files(self) -> list[str]:
         out = []

@@ -191,7 +191,10 @@ def read_with_skipping(
     table's schema when everything is pruned."""
     keep = prune_files(spark, path, ranges)
     if keep:
-        df = spark.read.parquet(*keep)
+        # basePath anchors partition discovery: without it, reading an
+        # explicit file list from a hive-partitioned table silently drops
+        # the partition columns (and any filter on them would break).
+        df = spark.read.option("basePath", path).parquet(*keep)
     else:
         df = spark.read.parquet(path).limit(0)
     for col, (lo, hi) in ranges.items():
@@ -308,4 +311,9 @@ def read_point_lookup(
     keep = prune_files_by_key(spark, path, key_col, value)
     if not keep:
         return spark.read.parquet(path).limit(0).filter(F.col(key_col) == value)
-    return spark.read.parquet(*keep).filter(F.col(key_col) == value)
+    # basePath keeps hive partition columns alive on explicit-file reads.
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*keep)
+        .filter(F.col(key_col) == value)
+    )

@@ -244,7 +244,11 @@ def read_sink_with_skipping(
         vdir = str(Path(sink_path) / "_compacted" / manifest["version_dir"])
         keep = prune_files(spark, vdir, ranges)
         if keep:
-            parts.append(spark.read.parquet(*keep))
+            # basePath: compact_sink allows partition_by + stats_columns
+            # together, so the pruned file list can live under hive dirs;
+            # without the anchor those partition columns would be dropped
+            # and unionByName(allowMissingColumns) would null them.
+            parts.append(spark.read.option("basePath", vdir).parquet(*keep))
         else:
             # everything pruned: keep the schema contribution (and the
             # not-empty contract) with a zero-row scan of the version dir

@@ -17,12 +17,23 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, value_sum double"
+
+
+def to_cents_half_up(values) -> "np.ndarray":
+    """Scale doubles to int64 cents with HALF-UP-AWAY-FROM-ZERO ties —
+    the engine-wide F.round convention. pandas/numpy ``round`` is
+    half-to-even, which diverges exactly on .5-cent values and would
+    make stateful-stream moments drift from their batch parity
+    computation (ADVICE r5)."""
+    v = np.asarray(values, dtype="float64")
+    return np.copysign(np.floor(np.abs(v) * 100 + 0.5), v).astype("int64")
 STATE_SCHEMA = "n long, cents long"
 
 
@@ -38,7 +49,7 @@ def track_user_activity(events: DataFrame) -> DataFrame:
             n, cents = 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(round(pdf["value"].mul(100).round()).sum())
+            cents += int(to_cents_half_up(pdf["value"]).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {

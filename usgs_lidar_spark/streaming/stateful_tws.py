@@ -34,6 +34,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from usgs_lidar_spark.streaming.stateful import to_cents_half_up
+
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, value_sum double, value_mean double, "
     "value_var double"
@@ -59,7 +61,7 @@ def _moments_processor():
             else:
                 n, cents, cents_sq = 0, 0, 0
             for pdf in rows:
-                c = pdf["value"].mul(100).round().astype("int64")
+                c = to_cents_half_up(pdf["value"])
                 n += len(pdf)
                 cents += int(c.sum())
                 cents_sq += int((c * c).sum())
