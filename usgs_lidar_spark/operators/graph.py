@@ -322,30 +322,70 @@ def pagerank_fixed(
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Per-node triangle counts on an UNDIRECTED graph given as oriented
-    unique edges (src < dst). The classic two-join enumeration with
-    degree-independent orientation: every triangle {a < b < c} is found
-    exactly once as (a,b)+(b,c)+(a,c), so no dedup pass and no double
-    counting.
+    """Per-node triangle counts on an UNDIRECTED graph given as unique
+    edges (one row per unordered pair; src < dst by convention, but any
+    unique orientation is accepted).
 
-    Scale shape: both joins are equi-joins on a node key; the fan-out of
-    the wedge join (a,b)x(b,c) is sum-of-squares of neighbor counts on
-    the ORIENTED graph — orientation by id caps it at (d/2)^2-ish per
-    node vs d^2 on the raw graph; orienting by (degree, id) instead is
-    the standard further cap for power-law graphs, same plan. Returns
-    (node, n_triangles) for every node in at least one triangle."""
-    # The edge list feeds three join legs; checkpoint it once so the
-    # (possibly expensive) edge derivation isn't re-expanded per leg —
-    # same lineage contract as pagerank_fixed. Corners come from ONE
-    # explode over the triangle frame, not a 3-way self-union that
-    # would triple the wedge/semi subtree in the plan (37 shuffle
-    # exchanges measured before these two changes, 5 after).
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
-    wedge = e.join(
-        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    DEGREE-ORDERED orientation (the standard power-law cap): every edge
+    is re-oriented to point from its lower-(degree, id) endpoint to its
+    higher one, wedges are pairs of OUT-edges of a shared low node, and
+    a semi-join against the oriented closing edge finds each triangle
+    {a ≺ b ≺ c} exactly once as (a→b, a→c) + (b→c) — no dedup pass, no
+    double counting. Out-degree under this orientation is bounded by
+    O(sqrt(m)) on ANY graph (arboricity bound), so total wedge fan-out
+    is ≤ m^1.5 even when a hub's raw degree is huge — vs d(b)^2 per hub
+    for id-ordering, the superlinear wall VERDICT r5 measured (24.5 s /
+    796 MB shuffle at 10x on the dense co-purchase graph). The price is
+    one linear degree aggregate + two linear degree-attach equi-joins.
+    Returns (node, n_triangles) for every node in at least one
+    triangle."""
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Lexicographic (deg, id) structs compare directly — no global rank
+    # (a global row_number would funnel every node through one task).
+    withd = (
+        e0.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+    )
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    lo_first = ku < kv
+    oriented = withd.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, kv).otherwise(ku).alias("kb"),
+    )
+    # The oriented edge list feeds three join legs; checkpoint it once so
+    # the (possibly expensive) edge derivation + degree joins aren't
+    # re-expanded per leg — same lineage contract as pagerank_fixed.
+    # Corners come from ONE explode over the triangle frame, not a 3-way
+    # self-union that would triple the wedge/semi subtree in the plan.
+    e = oriented.localCheckpoint()
+    wedge = (
+        e.join(
+            e.select(
+                F.col("a"), F.col("b").alias("c"), F.col("kb").alias("kc")
+            ),
+            "a",
+        )
+        # each unordered out-pair once; the closing edge b—c is then
+        # oriented exactly (b -> c) because kb ≺ kc
+        .filter(F.col("kb") < F.col("kc"))
+        .select("a", "b", "c")
     )
     tri = wedge.join(
-        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+        "left_semi",
     )
     per_corner = tri.select(
         F.explode(F.array("a", "b", "c")).alias("node")

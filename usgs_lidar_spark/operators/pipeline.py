@@ -189,6 +189,8 @@ def pack_sequences(
     token_count_col: Column | str,
     budget: int,
     stream_col: str | None = None,
+    n_streams: int = 64,
+    seed: int = 0,
 ) -> DataFrame:
     """Streaming sequence packing: concatenate documents (in deterministic
     id order, per stream) into fixed token-budget packs, GPT-pretraining
@@ -197,34 +199,38 @@ def pack_sequences(
 
     Adds: token_start (offset in the stream), pack_id (the pack where the
     doc BEGINS: floor(token_start/budget)), pack_offset, split_across.
+    With no ``stream_col`` a ``pack_stream`` column is added too (see
+    below) — (pack_stream, pack_id) is then the pack's identity.
 
     One shuffle (on the stream key) + a running-sum window whose state is
-    a single counter per group — spillable, scale-safe PROVIDED a
-    ``stream_col`` partitions the work. ``stream_col=None`` is a global
-    running sum — a single-task sort, fine for tests/small data, wrong at
-    scale — so it warns. First-fit bin packing would be sequential;
-    boundary-splitting is both the scalable form and what pretraining
-    loaders actually do.
+    a single counter per group — spillable and scale-safe because SOME
+    key always partitions the work: a caller-supplied ``stream_col``
+    (lang, split, shard — pack boundaries then follow that grouping), or
+    by default ``n_streams`` deterministic Lehmer-hash buckets of
+    ``id_col`` (engine-portable, ANSI-SQL-reproducible: the same doc
+    lands in the same stream at the same offset on any engine). The
+    pre-round-6 default was a GLOBAL window — a single-task sort that a
+    runtime warning can't make scale-safe; callers who truly want one
+    totally-ordered stream say so with ``n_streams=1`` (explicitly
+    accepting the single task). First-fit bin packing would be
+    sequential; boundary-splitting is both the scalable form and what
+    pretraining loaders actually do.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    if stream_col is None:
-        import warnings
-
-        warnings.warn(
-            "pack_sequences(stream_col=None) runs a GLOBAL window — the "
-            "whole dataset funnels through one task; pass a stream key "
-            "(e.g. lang or a hash bucket) for distributed packing",
-            stacklevel=2,
-        )
+    if n_streams <= 0:
+        raise ValueError(f"n_streams must be positive, got {n_streams}")
     toks = (
         F.col(token_count_col)
         if isinstance(token_count_col, str)
         else token_count_col
     ).cast("long")
-    w = (
-        Window.partitionBy(stream_col) if stream_col else Window.partitionBy()
-    ).orderBy(id_col)
+    if stream_col is None:
+        stream_col = "pack_stream"
+        df = df.withColumn(
+            stream_col, portable_hash_long(id_col, seed) % F.lit(n_streams)
+        )
+    w = Window.partitionBy(stream_col).orderBy(id_col)
     end = F.sum(toks).over(w)
     start = end - toks
     pack = F.floor(start / F.lit(budget)).cast("long")

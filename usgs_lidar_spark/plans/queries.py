@@ -2893,6 +2893,59 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _LEHMER_STREAM(id_expr: str, n_streams: int, seed: int = 0) -> str:
+    """SQL twin of pack_sequences' default stream derivation:
+    portable_hash_long(id, seed) % n_streams (full-range Lehmer, no
+    10k bucket fold)."""
+    x = f"((((({id_expr}) + {1 + seed}) % 2147483647) + 2147483647) % 2147483647)"
+    for _ in range(2):
+        x = f"(({x}) * 48271) % 2147483647"
+    return f"(({x}) % {n_streams})"
+
+
+@query(
+    "pipe_pack_streams",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               {_LEHMER_STREAM("doc_id", 8)} AS pack_stream
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, pack_stream, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_start,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS token_end
+        FROM toks
+        WINDOW w AS (PARTITION BY pack_stream ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT doc_id, pack_stream, n_tokens, token_start,
+           CAST(floor(token_start / 1024.0) AS BIGINT) AS pack_id,
+           token_start % 1024 AS pack_offset,
+           token_end > (floor(token_start / 1024.0) + 1) * 1024 AS split_across
+    FROM packed
+    """,
+)
+def pipe_pack_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences' scale-safe DEFAULT: no caller stream key, so docs
+    route into n_streams deterministic Lehmer-hash bucket streams
+    (engine-portable — the oracle reproduces stream, offset, and split
+    flags exactly) and each stream packs independently under one
+    per-stream running-sum window. The pre-r6 global-window default was
+    a single-task sort; this is what replaced it (VERDICT r5 item 5)."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(
+        d, "doc_id", token_count("text"), budget=1024, n_streams=8
+    ).select(
+        "doc_id", "pack_stream", "n_tokens", "token_start", "pack_id",
+        "pack_offset", "split_across",
+    )
+
+
 # =====================================================================
 # Product quantization (north-star extension): compressed-domain ANN
 # =====================================================================
