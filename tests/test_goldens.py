@@ -64,3 +64,19 @@ def test_hll_mergeable_tiers_accuracy(spark):
         assert abs(r["approx_nd"] - r["exact_nd"]) <= max(
             2, 0.05 * r["exact_nd"]
         ), r
+
+
+def test_goldens_audit_artifact_current():
+    """GOLDENS.json (the per-round audit artifact tools/golden_audit.py
+    writes) must reference the CURRENT committed fixtures and report
+    every golden as passing — a stale or red artifact fails the suite."""
+    import hashlib
+
+    audit = json.loads((FIXTURES.parent.parent / "GOLDENS.json").read_text())
+    assert set(audit["results"]) == set(GOLDEN_QUERIES)
+    for name, rec in audit["results"].items():
+        raw = (FIXTURES / f"golden_{name}.json").read_bytes()
+        assert rec["fixture_sha256"] == hashlib.sha256(raw).hexdigest()[:16], (
+            f"{name}: GOLDENS.json is stale — rerun tools/golden_audit.py"
+        )
+        assert rec["pass"] is True
