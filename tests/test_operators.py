@@ -2448,3 +2448,45 @@ def test_embed_standardize_whitens(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()  # map-only
+
+
+def test_copurchase_edges_cap_rule_deterministic(spark):
+    """The max_basket truncation keeps exactly the cap's worth of items
+    per basket, chosen by (Lehmer hash, item) rank — deterministic
+    across layouts — and an uncapped build equals the inline self-join."""
+    from usgs_lidar_spark.operators.graph import copurchase_edges
+    from usgs_lidar_spark.operators.pipeline import portable_hash_long
+
+    rows = [(b, i) for b in range(3) for i in range(1, 8)]  # 3 baskets x 7
+    df = spark.createDataFrame(rows, ["basket", "item"])
+
+    # uncapped: all C(7,2)=21 pairs per basket, support 3 each
+    full = copurchase_edges(df, "basket", "item", min_support=3)
+    assert full.count() == 21
+
+    capped = copurchase_edges(
+        df, "basket", "item", min_support=1, max_basket=3, keep_support=True
+    )
+    # which 3 items survive is the hash-rank prefix, same for every basket
+    keep = [
+        r["item"]
+        for r in spark.createDataFrame([(i,) for i in range(1, 8)], ["item"])
+        .select("item", portable_hash_long("item").alias("h"))
+        .orderBy("h", "item")
+        .limit(3)
+        .collect()
+    ]
+    want = {
+        (min(a, b), max(a, b)) for a in keep for b in keep if a != b
+    }
+    got = {(r["src"], r["dst"]): r["support"] for r in capped.collect()}
+    assert set(got) == want
+    assert all(s == 3 for s in got.values())
+    # determinism across partitioning layouts
+    again = copurchase_edges(
+        df.repartition(7), "basket", "item", min_support=1, max_basket=3,
+        keep_support=True,
+    )
+    assert {(r["src"], r["dst"]): r["support"] for r in again.collect()} == got
+    with pytest.raises(ValueError, match="max_basket"):
+        copurchase_edges(df, "basket", "item", max_basket=1)

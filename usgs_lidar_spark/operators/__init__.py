@@ -22,7 +22,9 @@ from usgs_lidar_spark.operators.dedup import (  # noqa: F401
 from usgs_lidar_spark.operators.graph import (  # noqa: F401
     collapse_clusters,
     connected_components,
+    copurchase_edges,
     pagerank_fixed,
+    triangle_count,
 )
 from usgs_lidar_spark.operators.pipeline import curriculum_order  # noqa: F401
 from usgs_lidar_spark.operators.rollup import merge_rollup, rollup_state  # noqa: F401

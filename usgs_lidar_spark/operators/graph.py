@@ -321,6 +321,70 @@ def pagerank_fixed(
     )
 
 
+def copurchase_edges(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int | None = None,
+    seed: int = 0,
+    keep_support: bool = False,
+) -> DataFrame:
+    """Co-occurrence edge list from (basket, item) rows: one (src, dst)
+    row per unordered item pair sharing >= ``min_support`` baskets, with
+    src < dst (``keep_support`` adds the support count column). The within-basket self-join is quadratic in basket size —
+    a single hot basket with 10^5 items yields 5*10^9 pairs, the
+    superlinear input-construction wall VERDICT r5 measured on the
+    pagerank/triangle queries.
+
+    ``max_basket`` caps that: baskets larger than the cap contribute
+    only their ``max_basket`` items, chosen by a DETERMINISTIC,
+    ORACLE-REPRODUCIBLE rule — rank items within each basket by
+    (portable Lehmer hash of the item, item) and keep the first
+    ``max_basket``. Hash order (not plain item order) makes the kept
+    subset pseudo-random, so the truncation subsamples the basket
+    instead of biasing toward low ids, while any ANSI engine replays the
+    exact same choice (same two-round Lehmer arithmetic as
+    operators/pipeline.portable_hash_long). Per-basket pair fan-out is
+    then bounded by C(max_basket, 2) — linear in input rows — at the
+    cost of undercounting support for pairs whose co-occurrences sit in
+    capped baskets (the standard frequent-itemset truncation trade; cap
+    ABOVE the p99.9 basket size so it only touches pathological
+    baskets)."""
+    from pyspark.sql import Window
+
+    from usgs_lidar_spark.operators.pipeline import portable_hash_long
+
+    li = df.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+    ).distinct()
+    if max_basket is not None:
+        if max_basket < 2:
+            raise ValueError(f"max_basket must be >= 2, got {max_basket}")
+        w = Window.partitionBy("__basket").orderBy(
+            portable_hash_long("__item", seed), F.col("__item")
+        )
+        li = (
+            li.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_basket)
+            .drop("__rn")
+        )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__basket") == F.col("b.__basket"))
+            & (F.col("a.__item") < F.col("b.__item")),
+        )
+        .groupBy(
+            F.col("a.__item").alias("src"), F.col("b.__item").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("src", "dst", *(["support"] if keep_support else []))
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts on an UNDIRECTED graph given as unique
     edges (one row per unordered pair; src < dst by convention, but any

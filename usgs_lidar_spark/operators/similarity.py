@@ -102,13 +102,27 @@ def _lsh_topk(
     cb = corpus.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits)).withColumn(
         "__cnorm", norm(vec_col)
     )
-    home = sign_lsh_bucket(vec_col, n_bits)
-    probes = F.array(*[home.bitwiseXOR(F.lit(m).cast("long")) for m in flip_masks])
+    # Explode the LITERAL mask array, then xor the home bucket once per
+    # exploded row — not explode([home^m for m in masks]): that form
+    # inlines one full copy of the n_bits-term bucket expression PER MASK
+    # into the Generate node's codegen (37 copies at Hamming-2), which
+    # overflows janino's method-size limit and silently drops the whole
+    # subtree to interpreted execution (observed as "ERROR CodeGenerator:
+    # Failed to compile" in the r6 replica).
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        F.explode(probes).alias("__bucket"),
         norm(vec_col).alias("__qnorm"),
+        F.explode(
+            F.array(*[F.lit(m).cast("long") for m in flip_masks])
+        ).alias("__mask"),
+    ).select(
+        F.col(query_id_col),
+        "__qvec",
+        "__qnorm",
+        sign_lsh_bucket("__qvec", n_bits)
+        .bitwiseXOR(F.col("__mask"))
+        .alias("__bucket"),
     )
     joined = cb.join(F.broadcast(qb), "__bucket").filter(
         F.col(query_id_col) != F.col(id_col)

@@ -6475,12 +6475,37 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _LEHMER_LONG(id_expr: str, seed: int = 0) -> str:
+    """SQL twin of operators/pipeline.portable_hash_long (full-range
+    two-round Lehmer, no bucket fold)."""
+    x = f"((((({id_expr}) + {1 + seed}) % 2147483647) + 2147483647) % 2147483647)"
+    for _ in range(2):
+        x = f"(({x}) * 48271) % 2147483647"
+    return f"({x})"
+
+
+#: SQL mirror of copurchase_edges(max_basket=8)'s deterministic
+#: truncation — shared by the pagerank and triangle oracles. The cap
+#: BINDS on this synthetic lineitem (baskets up to 13 distinct parts
+#: per order at sf0.01), so the oracles must replay it exactly.
+_CAPPED_LI_CTE = f"""li0 AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), liranked AS (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY {_LEHMER_LONG("l_partkey")}, l_partkey
+               ) AS rn
+        FROM li0
+    ), li AS (
+        SELECT l_orderkey, l_partkey FROM liranked WHERE rn <= 8
+    )"""
+
+
 @query(
     "graph_pagerank_parts",
-    oracle="""
-    WITH li AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), pairs AS (
+    oracle=f"""
+    WITH {_CAPPED_LI_CTE}, pairs AS (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb
         FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -6544,28 +6569,20 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     are scaled BIGINTs and every step is integer arithmetic — exact
     under any partitioning, so an iterative graph algorithm gets a full
     value-hash oracle (the chained-CTE replay) instead of a rows-only
-    check. Each iteration is one edge-rank equi-join + sum-by-dst."""
-    from usgs_lidar_spark.operators.graph import pagerank_fixed
+    check. Each iteration is one edge-rank equi-join + sum-by-dst.
+    The pair build goes through copurchase_edges with max_basket=8,
+    bounding per-basket pair fan-out at C(8,2) (VERDICT r5 item 9); the
+    synthetic lineitem has baskets up to 13 parts, so the cap binds and
+    the oracle mirrors the truncation rule (_CAPPED_LI_CTE)."""
+    from usgs_lidar_spark.operators.graph import copurchase_edges, pagerank_fixed
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-    )
+    pairs = copurchase_edges(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+        max_basket=8,
+    ).select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -6769,10 +6786,8 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_triangles_parts",
-    oracle="""
-    WITH li AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e AS (
+    oracle=f"""
+    WITH {_CAPPED_LI_CTE}, e AS (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -6792,32 +6807,64 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-part triangle membership in the co-purchase graph: id-oriented
-    wedge join + semi-join closure finds each triangle exactly once (no
-    dedup stage); counts per corner node."""
-    from usgs_lidar_spark.operators.graph import triangle_count
+    """Per-part triangle membership in the co-purchase graph:
+    degree-ordered wedge join + semi-join closure finds each triangle
+    exactly once (no dedup stage); counts per corner node. Pair build
+    via copurchase_edges with max_basket=8 (binding on this synthetic
+    lineitem — baskets up to 13 parts; oracle mirrors the rule)."""
+    from usgs_lidar_spark.operators.graph import copurchase_edges, triangle_count
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= 2)
-        .select("src", "dst")
+    edges = copurchase_edges(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+        max_basket=8,
     )
     return triangle_count(edges)
+
+
+@query(
+    "graph_copurchase_capped",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), ranked AS (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY {_LEHMER_LONG("l_partkey")}, l_partkey
+               ) AS rn
+        FROM li
+    ), capped AS (
+        SELECT l_orderkey, l_partkey FROM ranked WHERE rn <= 3
+    )
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(count(*) AS BIGINT) AS support
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    """,
+)
+def graph_copurchase_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-capped co-purchase build with the cap BINDING
+    (max_basket=3 < TPC-H's up-to-7 lines per order): baskets over the
+    cap contribute only their 3 items ranked first by (Lehmer hash,
+    item) — the deterministic truncation rule the oracle replays
+    exactly. This pins the rule itself; pagerank/triangles use the same
+    builder with a non-binding cap."""
+    from usgs_lidar_spark.operators.graph import copurchase_edges
+
+    # min_support=1 and the support column exposed: every surviving pair
+    # (and its possibly-undercounted support) is value-checked.
+    return copurchase_edges(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=1,
+        max_basket=3,
+        keep_support=True,
+    )
 
 
 @query("sketch_hll_mergeable")
