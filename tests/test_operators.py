@@ -2490,3 +2490,51 @@ def test_copurchase_edges_cap_rule_deterministic(spark):
     assert {(r["src"], r["dst"]): r["support"] for r in again.collect()} == got
     with pytest.raises(ValueError, match="max_basket"):
         copurchase_edges(df, "basket", "item", max_basket=1)
+
+
+def test_tfidf_topk_hand_case(spark):
+    """Integer-idf retrieval on a hand corpus: rare-term matches outrank
+    common-term matches, scores are exactly tf * (1e9 div df) sums, ties
+    break by id, absent terms contribute nothing, and the posting index
+    agrees with hand counts."""
+    from usgs_lidar_spark.operators.retrieval import (
+        IDF_SCALE,
+        term_doc_index,
+        tfidf_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry DURIAN"),
+            (4, "banana banana banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    # df: apple=1, banana=3, cherry=2, durian=1 (lowercased)
+    out = {
+        r["doc_id"]: (r["n_hit_terms"], r["score"], r["rank"])
+        for r in tfidf_topk(
+            docs, ["durian", "banana", "missing"], k=10
+        ).collect()
+    }
+    idf_b = IDF_SCALE // 3
+    want = {
+        3: (1, IDF_SCALE, 1),          # rare durian beats any banana pile
+        4: (1, 3 * idf_b, 2),
+        1: (1, 1 * idf_b, 3),          # tie with doc 2 on score -> id order
+        2: (1, 1 * idf_b, 4),
+    }
+    assert out == want
+
+    idx = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in term_doc_index(docs).collect()
+    }
+    assert idx[("apple", 1)] == 2 and idx[("cherry", 3)] == 3
+    assert idx[("durian", 3)] == 1  # lowercased
+    with pytest.raises(ValueError, match="query_terms"):
+        tfidf_topk(docs, [])
+    with pytest.raises(ValueError, match="k must"):
+        tfidf_topk(docs, ["apple"], k=0)

@@ -7805,9 +7805,7 @@ def pipe_end_to_end_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
         FROM bi GROUP BY w1, w2 HAVING count(*) >= 5
     )
-    SELECT b.w1, b.w2, b.cab, a.c AS c1, c.c AS c2,
-           ln((CAST(b.cab AS DOUBLE) * CAST(t.n AS DOUBLE))
-              / (CAST(a.c AS DOUBLE) * CAST(c.c AS DOUBLE))) AS pmi
+    SELECT b.w1, b.w2, b.cab, a.c AS c1, c.c AS c2, t.n
     FROM bcnt b
     JOIN ucnt a ON b.w1 = a.tok
     JOIN ucnt c ON b.w2 = c.tok
@@ -7821,8 +7819,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams come from one zip of the token array with its tail (no
     self-join over positions); the unigram table joins back twice
     (AQE broadcasts it at dimension size) and the corpus total rides a
-    broadcast one-row frame. The ln runs on identical exact-count
-    ratios in both engines — deterministic, the TWI precedent."""
+    broadcast one-row frame. The ORACLED surface is the exact integer
+    sufficient statistics (cab, c1, c2, N) — PMI itself is ln over their
+    ratio, a float whose cross-engine hash can turn on a libm ulp (the
+    failure class sim_ivf_drift hit in r5), and it is exactly derivable
+    from the returned counts: pmi = ln(cab*n / (c1*c2))."""
     from usgs_lidar_spark.functions.textstats import ws_tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -7853,15 +7854,79 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bcnt.join(a, "w1")
         .join(b, "w2")
         .crossJoin(F.broadcast(tot))
-        .select(
-            "w1",
-            "w2",
-            "cab",
-            "c1",
-            "c2",
-            F.log(
-                (F.col("cab").cast("double") * F.col("n").cast("double"))
-                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
-            ).alias("pmi"),
-        )
+        .select("w1", "w2", "cab", "c1", "c2", "n")
     )
+
+
+# =====================================================================
+# Keyword retrieval (operators/retrieval.py) — round 6
+# =====================================================================
+
+#: Fixed probe query for the retrieval oracles: one rare term (df~25 at
+#: sf0.01), two common ones, and one absent from the corpus entirely.
+_SEARCH_TERMS = ["dup", "join", "vector", "quantum"]
+
+
+@query(
+    "search_tfidf_topk",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ), postings AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM toks
+        WHERE term IN ({", ".join(f"'{t}'" for t in sorted(_SEARCH_TERMS))})
+        GROUP BY 1, 2
+    ), dfs AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY 1
+    ), scored AS (
+        SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+               CAST(sum(p.tf * (1000000000 // d.df)) AS BIGINT) AS score
+        FROM postings p JOIN dfs d USING (term) GROUP BY 1
+    )
+    SELECT doc_id, n_hit_terms, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+)
+def search_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-terms document retrieval under INTEGER-exact TF-IDF
+    (operators/retrieval.tfidf_topk): score = sum tf * (1e9 div df) —
+    monotone in df exactly like ln(N/df) but bit-reproducible in any
+    64-bit-integer engine (no libm). One corpus pass: postings filtered
+    to the query's terms under the scan, df joined back broadcast,
+    TakeOrdered top-10 with the (score DESC, id ASC) tie contract. A
+    term absent from the corpus ('quantum') contributes nothing rather
+    than erroring."""
+    from usgs_lidar_spark.operators.retrieval import tfidf_topk
+
+    return tfidf_topk(
+        _t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10
+    )
+
+
+@query(
+    "search_term_postings",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    )
+    SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE term IN ('dup', 'merge')
+    GROUP BY 1, 2
+    """,
+)
+def search_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-index posting list (operators/retrieval.
+    term_doc_index) restricted to two probe terms — the materializable
+    index a repeated-query workload would write bucketed by term; one
+    explode + one (term, doc) aggregate, text never shuffles."""
+    from usgs_lidar_spark.operators.retrieval import term_doc_index
+
+    idx = term_doc_index(_t(spark, sf_dir, "documents"))
+    return idx.filter(F.col("term").isin(["dup", "merge"]))
