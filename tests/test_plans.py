@@ -223,6 +223,15 @@ HEADLINE_DIGESTS = {
     # checkpoints). Rank-vs-edge joins stay SMJ by design: at scale
     # neither side is broadcastable.
     "graph_pagerank_parts": {"shuffle_exchange": 13, "SortMergeJoin": 9},
+    # Round-6 headliners. Triangles: the ORIENTED edge frame (degree
+    # attach + re-orientation) is localCheckpointed at construction; the
+    # returned plan is wedge self-join on the low endpoint + (b,c)
+    # closure semi-join (both data x data -> SMJ by design) + the
+    # corner-explode aggregate. pipe_pack_streams: the Lehmer stream
+    # derivation is map-only; the ONE shuffle is the per-stream
+    # running-sum window.
+    "graph_triangles_parts": {"shuffle_exchange": 5, "SortMergeJoin": 2},
+    "pipe_pack_streams": {"shuffle_exchange": 1},
 }
 
 
@@ -316,4 +325,53 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, tmp_pat
         assert j.count() == 50_000 // 13 + (1 if 3 < 50_000 % 13 else 0)
     finally:
         for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Scale posture: when a selective dim side is too big to broadcast
+    (the 100 TB regime — autoBroadcastJoinThreshold forced off here),
+    Spark's runtime bloom-filter optimization must inject a
+    bloom_filter_agg/might_contain pair that pre-filters the fact scan
+    with the dim's join keys. The engine leaves the optimization ON
+    (Spark default) and this pins that a plain equi-join actually
+    receives it — a silent conf regression would drop fact-side row
+    pruning at scale."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # sf0.01's fact scan is tiny; drop the application-side floor so
+        # the optimizer treats it as bloom-worthy (at real scale the
+        # default 10GB floor is what makes this fire).
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        # and the filter sits on the FACT (lineitem) side's key
+        assert "l_orderkey" in plan.split("might_contain")[1][:200]
+    finally:
+        for k, v in saved.items():
             spark.conf.set(k, v)

@@ -49,6 +49,10 @@ QUERIES_UNDER_TEST = [
     "sim_topk_ivf",
     "flagship_voxel_subsample",
     "f3_point_in_polygon",
+    # round 6: the re-planned graph pair (degree-ordered triangles,
+    # degree-capped co-purchase build)
+    "graph_triangles_parts",
+    "graph_pagerank_parts",
 ]
 
 

@@ -76,9 +76,12 @@ def tfidf_topk(
     df(t) counts documents containing t in the WHOLE corpus (computed
     from the filtered postings — a term absent from the corpus simply
     contributes no postings). The query term set is deduplicated
-    (set-of-words semantics) and ships as a literal isin() filter under
-    the scan, so this is one corpus pass: postings → [tf by (term, doc),
-    df by term] → broadcast df join → per-doc sum → TakeOrdered(k)."""
+    (set-of-words semantics) and ships as a literal isin() filter right
+    above the scan, so this is ONE corpus pass: postings → tf by
+    (term, doc) → df attached by a count window over term (deriving df
+    as a separate aggregate would re-expand the lineage into a second
+    full corpus scan — the postings are tiny, the scan is not) →
+    per-doc sum → TakeOrdered(k)."""
     terms = sorted({t.lower() if lowercase else t for t in query_terms})
     if not terms:
         raise ValueError("query_terms must be non-empty")
@@ -93,12 +96,11 @@ def tfidf_topk(
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_by_term = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
     idf: Column = F.expr(f"{IDF_SCALE} div df")
     scored = (
-        postings.join(F.broadcast(df_by_term), "term")
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_hit_terms"),

@@ -37,6 +37,14 @@ def get_spark(
         ``timestamp_micros`` (see catalog.load_table).
       * Arrow enabled — every pandas UDF / mapInPandas transfer is
         columnar-batched, never per-row pickling.
+      * Runtime bloom-filter joins stay at the Spark default (ON): when
+        a selective dim side is too large to broadcast, the optimizer
+        injects bloom_filter_agg/might_contain to pre-filter the fact
+        scan (pinned by tests/test_plans.py::
+        test_runtime_bloom_filter_injects_on_shuffle_join). On a real
+        cluster the relevant knobs are runtime.bloomFilter.
+        creationSideThreshold (dim build cap) and
+        applicationSideScanSizeThreshold (fact floor, default 10GB).
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
