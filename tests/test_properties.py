@@ -367,3 +367,42 @@ def test_mixture_schedule_prefix_proportionality(spark, wa, wb, na, nb):
         total_w = wa + wb
         k = seen_a + seen_b
         assert abs(seen_a - k * wa / total_w) <= max(wa, wb) + 1
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # basket
+            st.integers(min_value=0, max_value=12),  # item
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.integers(min_value=2, max_value=6),
+)
+@settings(**SET)
+def test_copurchase_cap_is_sound_subset(spark, rows, cap):
+    """On any input, the capped build is a SOUND truncation: every capped
+    edge exists uncapped, its support never exceeds the uncapped support,
+    and no basket contributes more than C(cap, 2) pairs."""
+    from usgs_lidar_spark.operators.graph import copurchase_edges
+
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    full = {
+        (r["src"], r["dst"]): r["support"]
+        for r in copurchase_edges(
+            df, "basket", "item", min_support=1, keep_support=True
+        ).collect()
+    }
+    capped = {
+        (r["src"], r["dst"]): r["support"]
+        for r in copurchase_edges(
+            df, "basket", "item", min_support=1, max_basket=cap,
+            keep_support=True,
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    assert all(capped[e] <= full[e] for e in capped)
+    # per-basket contribution bound: total pair-slots <= n_baskets*C(cap,2)
+    n_baskets = len({b for b, _ in rows})
+    assert sum(capped.values()) <= n_baskets * cap * (cap - 1) // 2
