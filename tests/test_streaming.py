@@ -993,3 +993,90 @@ def test_to_cents_half_up_matches_f_round(spark):
 
     assert list(np.round(np.array([0.125]) * 100).astype("int64")) != [13]
     assert got[:2] == [13, -13]
+
+
+def test_stream_stream_left_join_eviction(spark, tmp_path):
+    """Left-outer stream-stream interval join: matched pairs emit like
+    the inner join, and a click's NULL-purchase row emits exactly when
+    the watermark PROVES no purchase can still match (eviction time) —
+    not before. Three mtime-ordered micro-batches: A carries a matched
+    click, an unmatched click, and their purchases' window; B advances
+    the watermark past A's horizon (evicting + emitting A's unmatched
+    click); C is a far-future heartbeat so B's own click is provably
+    still young (inside watermark) when the stream ends — it must NOT
+    have a null row."""
+    import os
+
+    import pandas as pd
+
+    from usgs_lidar_spark.streaming.events import click_purchase_join_stream
+
+    def nanos(s: str) -> int:
+        return int(pd.Timestamp(s).value)
+
+    def write(path, rows):
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).to_parquet(path, index=False)
+
+    events_dir = tmp_path / "ssj_left"
+    events_dir.mkdir()
+    write(
+        events_dir / "a.parquet",
+        [
+            (1, nanos("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+            (2, nanos("2024-01-01 10:10:00"), 1, "purchase", 5.0, "{}"),
+            (3, nanos("2024-01-01 10:00:00"), 2, "click", 1.0, "{}"),
+        ],
+    )
+    # B: BOTH sides' watermarks -> 14:00 - 1h = 13:00 > 10:30 (A's click
+    # horizon). The global watermark is the MIN across the two
+    # withWatermark branches and each branch only sees its own
+    # event_type, so the advancer must include a purchase AND a click
+    # (disjoint users — nothing new matches). Click 3 then evicts in the
+    # next batch and emits its null row.
+    write(
+        events_dir / "b.parquet",
+        [
+            (4, nanos("2024-01-01 15:30:00"), 3, "click", 1.0, "{}"),
+            (6, nanos("2024-01-01 14:00:00"), 8, "purchase", 2.0, "{}"),
+        ],
+    )
+    # C: heartbeat pair advancing the final watermark to 16:00 - 1h =
+    # 15:00 (availableNow runs a terminating flush batch at that
+    # watermark, evicting click 3). Click 4 at 15:30 expires only past
+    # 16:00, above the final watermark — unmatched but provably still
+    # young, so it must NOT get a null row.
+    write(
+        events_dir / "c.parquet",
+        [
+            (5, nanos("2024-01-01 16:00:00"), 9, "click", 0.0, "{}"),
+            (7, nanos("2024-01-01 16:00:00"), 10, "purchase", 0.0, "{}"),
+        ],
+    )
+    now = os.path.getmtime(events_dir / "c.parquet")
+    os.utime(events_dir / "a.parquet", (now - 200, now - 200))
+    os.utime(events_dir / "b.parquet", (now - 100, now - 100))
+
+    stream = read_events_stream(spark, str(events_dir), max_files_per_trigger=1)
+    q = (
+        click_purchase_join_stream(stream, how="leftOuter")
+        .writeStream.format("memory")
+        .queryName("t_ssj_left")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM t_ssj_left").collect()
+    pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in rows
+        if r["purchase_id"] is not None
+    }
+    nulls = {r["click_id"] for r in rows if r["purchase_id"] is None}
+    assert pairs == {(1, 2)}
+    assert 3 in nulls, rows          # evicted unmatched click emitted NULL
+    assert 4 not in nulls, rows      # young click must not be declared dead
+    assert 1 not in nulls            # matched click never gets a null row

@@ -154,6 +154,7 @@ def click_purchase_join_stream(
     events: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval self-join: match each click with the same
     user's purchases inside ``[click_ts, click_ts + horizon]`` — the
@@ -170,7 +171,13 @@ def click_purchase_join_stream(
 
     The join key is user_id (hash-partitioned state, spreads across
     executors); the time range is the residual predicate that enables
-    eviction. Inner join, so append output emits each match exactly once.
+    eviction. ``how="inner"`` (default) emits each match exactly once in
+    append mode. ``how="leftOuter"`` additionally emits a NULL-purchase
+    row for a click once the watermark proves no future purchase can
+    match it (click_ts + horizon < watermark) — i.e., the null row is
+    emitted AT EVICTION TIME, so clicks near the head of the stream
+    never produce one until enough event time passes (the semantics
+    test_stream_stream_left_join_eviction pins).
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -195,6 +202,7 @@ def click_purchase_join_stream(
         (clicks["user_id"] == purchases["p_user"])
         & (purchases["p_ts"] >= clicks["c_ts"])
         & (purchases["p_ts"] <= clicks["c_ts"] + F.expr(f"INTERVAL {horizon}")),
+        how,
     )
     return j.select(
         "user_id",
