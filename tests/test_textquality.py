@@ -103,3 +103,32 @@ def test_corpus_freq_score_exact_and_tier_invariant(spark):
         for r in corpus_freq_score(df, hot_vocab=1).collect()
     }
     assert got == all_hot == all_tail
+
+
+def test_threshold_sweep_hand_case(spark):
+    """Suffix-sum semantics: each bucket row reports keeps at
+    score >= bucket/resolution, weights sum correctly, and the lowest
+    bucket keeps everything."""
+    import pytest
+    from pyspark.sql import functions as F
+    from usgs_lidar_spark.operators.textquality import threshold_sweep
+
+    rows = [(0.25, 10), (0.25, 20), (0.71, 5), (0.99, 1)]
+    df = spark.createDataFrame(rows, ["q", "w"])
+    out = {
+        r["score_bucket"]: (r["n_docs"], r["n_kept"], r["weight_kept"])
+        for r in threshold_sweep(df, "q", "w").collect()
+    }
+    assert out == {
+        990: (1, 1, 1),
+        710: (1, 2, 6),
+        250: (2, 4, 36),
+    }
+    # weight defaults to 1 per doc
+    unweighted = {
+        r["score_bucket"]: r["weight_kept"]
+        for r in threshold_sweep(df, "q").collect()
+    }
+    assert unweighted == {990: 1, 710: 2, 250: 4}
+    with pytest.raises(ValueError, match="resolution"):
+        threshold_sweep(df, "q", resolution=0)

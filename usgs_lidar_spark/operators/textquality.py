@@ -210,3 +210,53 @@ def corpus_freq_score(
         ),
         (F.col("rare_n").cast("double") / F.col("n_tokens")).alias("rare_frac"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: Column | str,
+    weight_col: Column | str | None = None,
+    resolution: int = 1000,
+) -> DataFrame:
+    """Filter-calibration sweep: for every observed score bucket, what a
+    ``score >= threshold`` filter would KEEP — document count and
+    (optionally) a weight such as token count. The tuning table a
+    quality-filtering pipeline reads to pick its cutoff ("0.55 keeps 71%
+    of docs / 64% of tokens").
+
+    Scores bucket to ``floor(score * resolution)`` integer units first,
+    so all downstream arithmetic is exact-integer; per-bucket partial
+    aggregation shuffles at most ``resolution+1`` rows regardless of
+    corpus size, and the suffix-sum window then runs over that bounded
+    bucket domain — a single-task sort of <= resolution rows, which is
+    the intended shape (the DATA never passes through it). Returns
+    (bucket, threshold-inclusive keep stats): ``score_bucket``,
+    ``n_docs`` in the bucket, ``n_kept`` and ``weight_kept`` at
+    ``score >= bucket/resolution``."""
+    from pyspark.sql import Window
+
+    if resolution <= 0:
+        raise ValueError(f"resolution must be positive, got {resolution}")
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    w = (
+        F.lit(1)
+        if weight_col is None
+        else (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+    )
+    bucketed = df.select(
+        F.floor(s * resolution).cast("long").alias("score_bucket"),
+        w.cast("long").alias("__w"),
+    )
+    per_bucket = bucketed.groupBy("score_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("__wsum"),
+    )
+    suffix = Window.orderBy(F.col("score_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "score_bucket",
+        "n_docs",
+        F.sum("n_docs").over(suffix).alias("n_kept"),
+        F.sum("__wsum").over(suffix).alias("weight_kept"),
+    )

@@ -7930,3 +7930,72 @@ def search_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = term_doc_index(_t(spark, sf_dir, "documents"))
     return idx.filter(F.col("term").isin(["dup", "merge"]))
+
+
+@query(
+    "pipe_threshold_sweep",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS tokens
+        FROM documents
+    ), stats AS (
+        SELECT doc_id,
+               len(tokens) AS n_tokens,
+               CASE WHEN len(tokens) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tokens, t -> list_contains(
+                         ['the','and','of','to','in','is','that','it'], t)))
+                         AS DOUBLE) / len(tokens) END AS stop_ratio,
+               CASE WHEN len(tokens) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(tokens, t -> length(t)))
+                         AS DOUBLE) / len(tokens) END AS avg_token_len
+        FROM toks
+    ), scored AS (
+        SELECT CAST(floor(((stop_ratio * 0.4)
+                   + (least(n_tokens, 100) / 100.0 * 0.3)
+                   + (least(avg_token_len, 10.0) / 10.0 * 0.3)) * 1000)
+                   AS BIGINT) AS score_bucket,
+               CAST(n_tokens AS BIGINT) AS w
+        FROM stats
+    ), per_bucket AS (
+        SELECT score_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS wsum
+        FROM scored GROUP BY score_bucket
+    )
+    SELECT score_bucket, n_docs,
+           CAST(sum(n_docs) OVER sfx AS BIGINT) AS n_kept,
+           CAST(sum(wsum) OVER sfx AS BIGINT) AS weight_kept
+    FROM per_bucket
+    WINDOW sfx AS (ORDER BY score_bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pipe_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter calibration (operators/textquality.threshold_sweep):
+    per observed permille score bucket, how many documents and tokens a
+    `quality >= threshold` filter keeps — the table a pipeline reads to
+    choose its cutoff. The quality expression is text_quality_score's,
+    bucketed to integers BEFORE any aggregation, so the sweep itself is
+    exact-integer; the suffix-sum window runs over the bounded bucket
+    domain (<= 1001 rows), never the corpus."""
+    from usgs_lidar_spark.functions import textstats as TS
+    from usgs_lidar_spark.operators.textquality import threshold_sweep
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TS.ws_tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = TS.stopword_ratio("text")
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    avg_token_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        tok_len_sum.cast("double") / n_tokens
+    )
+    quality = (
+        (stop_ratio * 0.4)
+        + (F.least(n_tokens, F.lit(100)) / 100.0 * 0.3)
+        + (F.least(avg_token_len, F.lit(10.0)) / 10.0 * 0.3)
+    )
+    scored = d.select(quality.alias("q"), n_tokens.alias("w"))
+    return threshold_sweep(scored, "q", "w")
