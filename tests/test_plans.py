@@ -139,7 +139,12 @@ HEADLINE_DIGESTS = {
     },
     # Iterative CC: digest covers the returned (final-join) stage; the
     # per-iteration plans are pinned behaviorally in test_operators.
-    "dedup_cluster_collapse": {"shuffle_exchange": 2, "SortMergeJoin": 1},
+    # Re-audited r6 after the touched-vertices-only iteration change:
+    # the ONE-TIME singleton split (touched distinct + left-anti vs the
+    # vertex set + union) now sits in the returned lineage alongside the
+    # collapse join — all |V|-bounded, none per-round; per-round shuffles
+    # HALVED (changed-count folded into the label aggregate).
+    "dedup_cluster_collapse": {"shuffle_exchange": 6, "SortMergeJoin": 3},
     "sim_topk_bruteforce": {
         "shuffle_exchange": 1,
         "BroadcastExchange": 1,
