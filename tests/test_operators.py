@@ -2538,3 +2538,51 @@ def test_tfidf_topk_hand_case(spark):
         tfidf_topk(docs, [])
     with pytest.raises(ValueError, match="k must"):
         tfidf_topk(docs, ["apple"], k=0)
+
+
+def test_ivf_index_persistence_parity_and_pruning(spark, tmp_path):
+    """write_ivf_index -> ivf_topk_from_index equals the in-memory
+    ivf_topk exactly, the probe scan opens ONLY the probed cells'
+    partition directories, and the quantizer sidecar round-trips."""
+    import re
+
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 8").collect()
+    ]
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+    assert read_ivf_centroids(spark, path) == sorted(cents)
+
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = ivf_topk(emb, queries, cents, k=5, n_probe=2)
+    disk = ivf_topk_from_index(spark, path, queries, k=5, n_probe=2)
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, disk.collect())
+    )
+
+    # pruning: the scan carries a literal PartitionFilters cid IN (...)
+    # restricted to the probed cells — a strict subset of the index's
+    # cells, bounded by n_queries * n_probe. (inputFiles() ignores
+    # partition filters, so assert on the executed plan.)
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    probed = {int(x) for x in m.group(1).split(",")}
+    all_cells = {
+        int(mm.group(1))
+        for f in spark.read.parquet(path).inputFiles()
+        if (mm := re.search(r"cid=(\d+)/", f))
+    }
+    assert probed and probed < all_cells
+    assert len(probed) <= 3 * 2  # n_queries * n_probe upper bound

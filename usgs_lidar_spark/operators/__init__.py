@@ -42,6 +42,9 @@ from usgs_lidar_spark.operators.similarity import (  # noqa: F401
     embed_moments,
     embed_standardize,
     ivf_sq8_topk,
+    ivf_topk_from_index,
+    read_ivf_centroids,
+    write_ivf_index,
     sq8_bounds,
     sq8_clip_metrics,
     sq8_encode,

@@ -482,6 +482,105 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    method: str = "auto",
+) -> None:
+    """Materialize the IVF index as a CELL-PARTITIONED parquet dataset:
+    one hive partition per coarse cell (`cid=<n>/`), plus the quantizer
+    as a `_centroids` parquet sidecar (leading underscore — readers of
+    the data dirs ignore it). The layout IS the index: a probe of
+    n_probe cells becomes a partition-pruned scan that never opens the
+    other cells' files — the on-disk analog of the in-memory cell
+    equi-join, and what turns a 100 TB corpus probe into reading
+    ~n_probe/k of the bytes. Repeated-query serving reads this instead
+    of re-assigning the corpus per query batch (`ivf_append` handles
+    incremental growth; rewrite the touched partitions)."""
+    spark = corpus.sparkSession
+    assigned = ivf_assign(corpus, centroids, vec_col, round_digits, method)
+    assigned.withColumnRenamed("__cid", "cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cid bigint, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """The quantizer sidecar back as the driver-side centroid list
+    (k rows — kilobytes by contract), sorted by cid."""
+    return sorted(
+        (int(r["cid"]), list(r["cvec"]))
+        for r in spark.read.parquet(f"{path}/_centroids").collect()
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 4,
+    method: str = "auto",
+) -> DataFrame:
+    """`ivf_topk` against a `write_ivf_index` dataset: identical ranking
+    contract (parity test-pinned), but the corpus side is the stored
+    cell-partitioned layout restricted to the UNION OF PROBED CELLS with
+    a literal isin() — Spark's partition pruning then skips every other
+    cell's directory at plan time (asserted via inputFiles in the test).
+    The probed-cell set is collected driver-side; it is bounded by
+    n_queries * n_probe and the query matrix is small by the module's
+    contract (see cosine_topk_bruteforce_arrow's max_queries note)."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    centroids = read_ivf_centroids(spark, path)
+    qdf, sims, _qtmp = _with_centroid_sims(
+        queries, centroids, vec_col, round_digits, method
+    )
+    probes = F.slice(F.sort_array(sims, asc=False), 1, n_probe)
+    qb = qdf.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+        F.explode(probes).alias("__p"),
+    ).select(
+        query_id_col, "__qvec", "__qnorm", (-F.col("__p.negcid")).alias("__cid")
+    )
+    cells = sorted(
+        {int(r["__cid"]) for r in qb.select("__cid").distinct().collect()}
+    )
+    cb = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(cells))
+        .withColumnRenamed("cid", "__cid")
+        .withColumn("__cnorm", norm(vec_col))
+    )
+    joined = cb.join(F.broadcast(qb), "__cid").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__qnorm") == 0), F.lit(0.0)
+    ).otherwise(dot(vec_col, "__qvec") / (F.col("__cnorm") * F.col("__qnorm")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("sim", F.round(raw, round_digits))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
+
+
 def kmeans_refine(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
