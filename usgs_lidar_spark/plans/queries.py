@@ -7999,3 +7999,65 @@ def pipe_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = d.select(quality.alias("q"), n_tokens.alias("w"))
     return threshold_sweep(scored, "q", "w")
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), trig AS (
+        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT e1, e2, e3, n,
+           CAST(row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS BIGINT)
+               AS rank
+    FROM trig QUALIFY rank <= 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most common consecutive
+    event-type TRIGRAMS across all user sessions — the product-analytics
+    "what do users actually do" query (the 3-step generalization of the
+    first-order transition matrix). One user-keyed sequence window, a
+    trigram count whose domain is at most |event_types|^3 cells, and a
+    TakeOrdered top-10 with full-column tie-break — no corpus-sized sort
+    anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    trig = (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        trig.orderBy(
+            F.col("n").desc(), F.col("e1"), F.col("e2"), F.col("e3")
+        )
+        .limit(10)
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "n",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("n").desc(), F.col("e1"), F.col("e2"), F.col("e3")
+                )
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    )
