@@ -132,3 +132,30 @@ def test_threshold_sweep_hand_case(spark):
     assert unweighted == {990: 1, 710: 2, 250: 4}
     with pytest.raises(ValueError, match="resolution"):
         threshold_sweep(df, "q", resolution=0)
+
+
+def test_redact_pii_hand_cases(spark):
+    """Typed placeholders replace every match, per-kind counts are
+    computed on the original text, NULL text stays NULL with zero
+    counts, and non-PII lookalikes survive."""
+    import pytest
+    from usgs_lidar_spark.operators.redact import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-1.org and d@e.io now"),
+        (2, "ip 192.168.0.1 phone 555-123-4567 and 555 123 4567"),
+        (3, "version 1.2.3 is not an ip, 12-34-56 not a phone"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r["id"]: r.asDict() for r in redact_pii(df, "t").collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_redactions"] == 2
+    assert out[1]["text_redacted"] == "mail [PII-email] and [PII-email] now"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phone"] == 2
+    assert out[2]["text_redacted"] == (
+        "ip [PII-ipv4] phone [PII-phone] and [PII-phone]"
+    )
+    assert out[3]["n_redactions"] == 0 and out[3]["text_redacted"] == rows[2][1]
+    assert out[4]["text_redacted"] is None and out[4]["n_redactions"] == 0
+    with pytest.raises(ValueError, match="patterns"):
+        redact_pii(df, "t", patterns={})

@@ -27,6 +27,7 @@ from usgs_lidar_spark.operators.graph import (  # noqa: F401
     triangle_count,
 )
 from usgs_lidar_spark.operators.pipeline import curriculum_order  # noqa: F401
+from usgs_lidar_spark.operators.redact import PII_PATTERNS, redact_pii  # noqa: F401
 from usgs_lidar_spark.operators.retrieval import term_doc_index, tfidf_topk  # noqa: F401
 from usgs_lidar_spark.operators.rollup import merge_rollup, rollup_state  # noqa: F401
 from usgs_lidar_spark.operators.textquality import (  # noqa: F401

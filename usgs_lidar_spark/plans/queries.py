@@ -8061,3 +8061,75 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
+
+
+@query(
+    "pipe_pii_redaction",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@mail-' || lang
+                    || '.com ip 10.0.' || (doc_id % 256)
+                    || '.7 call 555-123-' || lpad(CAST(doc_id % 10000
+                       AS VARCHAR), 4, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[PII-email]', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '[PII-ipv4]', 'g'),
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+             '[PII-phone]', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+               AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t,
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+               AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(t,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+             + len(regexp_extract_all(t,
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+               AS BIGINT) AS n_redactions
+    FROM injected
+    """,
+)
+def pipe_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/redact.redact_pii) over a corpus with
+    deterministic synthetic PII injected per document (the testdata
+    corpus is PII-free word salad, so the query plants one email, one
+    IPv4 and one phone per doc from doc_id/lang — both engines build the
+    identical string). Redaction and per-kind counts are pure JVM-side
+    regex in a dialect subset with identical Java/RE2 semantics — no
+    UDF, map-only, zero shuffle. Note DuckDB's regexp_replace needs the
+    'g' flag to match Spark's replace-all."""
+    from usgs_lidar_spark.operators.redact import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id"),
+            F.lit("@mail-"),
+            F.col("lang"),
+            F.lit(".com ip 10.0."),
+            (F.col("doc_id") % 256),
+            F.lit(".7 call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return redact_pii(injected, "t").select(
+        "doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone",
+        "n_redactions",
+    )
