@@ -1080,3 +1080,70 @@ def test_stream_stream_left_join_eviction(spark, tmp_path):
     assert 3 in nulls, rows          # evicted unmatched click emitted NULL
     assert 4 not in nulls, rows      # young click must not be declared dead
     assert 1 not in nulls            # matched click never gets a null row
+
+
+def test_streaming_ivf_index_maintenance(spark, tmp_path):
+    """foreachBatch-maintained persisted IVF index: the base index plus
+    streamed micro-batch appends must be row-for-row identical to a
+    from-scratch write over the full corpus (the ivf_append invariant,
+    now through the on-disk layout), and serving through the appended
+    index matches serving through the rebuilt one."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+    from usgs_lidar_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb_path = f"{SF_SMALL}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 8").collect()
+    ]
+    # base index over the first 300 vectors
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb.filter("vec_id < 300"), cents, idx)
+
+    # stream the remainder in as micro-batches via foreachBatch
+    stream_dir = tmp_path / "stream_src"
+    stream_dir.mkdir()
+    emb.filter("vec_id >= 300").write.mode("overwrite").parquet(
+        str(tmp_path / "tail")
+    )
+    for i, f in enumerate(sorted((tmp_path / "tail").glob("*.parquet"))):
+        _sh.copy(f, stream_dir / f"part-{i}.parquet")
+    stream = spark.readStream.schema(emb.schema).parquet(str(stream_dir))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: append_to_ivf_index(batch, idx)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rebuilt = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, cents, rebuilt)
+    a = sorted(
+        map(tuple, spark.read.parquet(idx).select("vec_id", "cid").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(rebuilt).select("vec_id", "cid").collect(),
+        )
+    )
+    assert a == b and len(a) == emb.count()
+
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk_from_index(spark, idx, queries, k=5, n_probe=2)
+    want = ivf_topk_from_index(spark, rebuilt, queries, k=5, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

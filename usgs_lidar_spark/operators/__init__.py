@@ -43,6 +43,7 @@ from usgs_lidar_spark.operators.similarity import (  # noqa: F401
     embed_moments,
     embed_standardize,
     ivf_sq8_topk,
+    append_to_ivf_index,
     ivf_topk_from_index,
     read_ivf_centroids,
     write_ivf_index,

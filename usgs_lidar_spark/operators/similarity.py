@@ -511,6 +511,30 @@ def write_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    method: str = "auto",
+) -> None:
+    """Incrementally grow a `write_ivf_index` dataset: assign ONLY the
+    new batch with the STORED quantizer (sidecar) and append its rows
+    into the existing cell partitions — the persisted twin of
+    `ivf_append` (same invariant: indistinguishable from a full
+    re-assign with the same centroids, so the index is never wrong, only
+    staler; watch `ivf_drift_metrics` for the rebuild signal). This is
+    the `foreachBatch` body for a streaming corpus: each micro-batch
+    costs one map-only assignment + an append write touching only the
+    batch's cells' directories."""
+    spark = new_vectors.sparkSession
+    centroids = read_ivf_centroids(spark, path)
+    assigned = ivf_assign(new_vectors, centroids, vec_col, round_digits, method)
+    assigned.withColumnRenamed("__cid", "cid").write.mode(
+        "append"
+    ).partitionBy("cid").parquet(path)
+
+
 def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
     """The quantizer sidecar back as the driver-side centroid list
     (k rows — kilobytes by contract), sorted by cid."""
