@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from usgs_lidar_spark.functions.vectors import cosine, sign_lsh_bucket
+from usgs_lidar_spark.functions.vectors import sign_lsh_bucket
 
 
 def cosine_topk_bruteforce(
