@@ -8133,3 +8133,171 @@ def pipe_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone",
         "n_redactions",
     )
+
+
+@query(
+    "pipe_end_to_end_v4",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@mail-' || lang
+                    || '.com ip 10.0.' || (doc_id % 256)
+                    || '.7 call 555-123-' || lpad(CAST(doc_id % 10000
+                       AS VARCHAR), 4, '0') AS t
+        FROM documents
+    ), red AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[PII-email]', 'g'),
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                   '[PII-ipv4]', 'g'),
+                 '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+                 '[PII-phone]', 'g') AS tr
+        FROM injected
+    ), toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(tr) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(tr), '\s+') END AS tokens
+        FROM red
+    ), stats AS (
+        SELECT doc_id,
+               len(tokens) AS n_tokens,
+               CASE WHEN len(tokens) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tokens, t -> list_contains(
+                         ['the','and','of','to','in','is','that','it'], t)))
+                         AS DOUBLE) / len(tokens) END AS stop_ratio,
+               CASE WHEN len(tokens) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(tokens, t -> length(t)))
+                         AS DOUBLE) / len(tokens) END AS avg_token_len
+        FROM toks
+    ), scored AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS w,
+               CAST(floor(((stop_ratio * 0.4)
+                   + (least(n_tokens, 100) / 100.0 * 0.3)
+                   + (least(avg_token_len, 10.0) / 10.0 * 0.3)) * 1000)
+                   AS BIGINT) AS score_bucket
+        FROM stats
+    ), per_bucket AS (
+        SELECT score_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS wsum
+        FROM scored GROUP BY score_bucket
+    ), sweep AS (
+        SELECT score_bucket,
+               CAST(sum(n_docs) OVER sfx AS BIGINT) AS n_kept
+        FROM per_bucket
+        WINDOW sfx AS (ORDER BY score_bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (SELECT max(n_kept) AS N FROM sweep),
+    cut AS (
+        SELECT max(CASE WHEN s.n_kept * 10 >= 6 * t.N
+                        THEN s.score_bucket END) AS c
+        FROM sweep s, tot t
+    ), kept AS (
+        SELECT doc_id, w FROM scored, cut WHERE score_bucket >= cut.c
+    ), streams AS (
+        SELECT doc_id, w,
+               (((((((doc_id) + 1) % 2147483647) + 2147483647) % 2147483647)
+                 * 48271 % 2147483647) * 48271 % 2147483647) % 4
+                   AS pack_stream
+        FROM kept
+    ), packed AS (
+        SELECT pack_stream, doc_id, w,
+               CAST(sum(w) OVER pw - w AS BIGINT) AS token_start
+        FROM streams
+        WINDOW pw AS (PARTITION BY pack_stream ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT pack_stream, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS total_tokens,
+           CAST(max(floor(token_start / 512.0)) + 1 AS BIGINT) AS n_packs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM packed GROUP BY pack_stream
+    """,
+)
+def pipe_end_to_end_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUND-6 pipeline composed end to end under one oracle:
+    PII-redact the (synthetically injected) corpus -> score quality on
+    the REDACTED text -> pick the keep-threshold FROM THE DATA via the
+    threshold sweep (largest permille bucket still keeping >= 60% of
+    docs, exact-integer comparison) -> pack the survivors into 512-token
+    sequences on the scale-safe default Lehmer streams. Each stage is
+    individually oracled (pipe_pii_redaction / pipe_threshold_sweep /
+    pipe_pack_streams); this pins that they COMPOSE — quality computed
+    post-redaction, the cutoff computed on the sweep of the actual
+    corpus, packing over the post-filter survivors — where pipeline bugs
+    actually live."""
+    from usgs_lidar_spark.functions import textstats as TS
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+    from usgs_lidar_spark.operators.redact import redact_pii
+    from usgs_lidar_spark.operators.textquality import threshold_sweep
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id"),
+            F.lit("@mail-"),
+            F.col("lang"),
+            F.lit(".com ip 10.0."),
+            (F.col("doc_id") % 256),
+            F.lit(".7 call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    red = redact_pii(injected, "t")
+    toks = TS.ws_tokens("text_redacted")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = TS.stopword_ratio("text_redacted")
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    avg_token_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        tok_len_sum.cast("double") / n_tokens
+    )
+    quality = (
+        (stop_ratio * 0.4)
+        + (F.least(n_tokens, F.lit(100)) / 100.0 * 0.3)
+        + (F.least(avg_token_len, F.lit(10.0)) / 10.0 * 0.3)
+    )
+    # The sweep gets the RAW quality double (its own floor(q*1000) then
+    # matches scored's bucket exactly); re-deriving q from the integer
+    # bucket (bucket/1000.0*1000) can mis-floor by one ulp for some
+    # bucket values.
+    scored = red.select(
+        "doc_id",
+        n_tokens.alias("w"),
+        quality.alias("q"),
+        F.floor(quality * 1000).cast("long").alias("score_bucket"),
+    )
+    sweep = threshold_sweep(scored.select("doc_id", "q", "w"), "q", "w")
+    total = sweep.agg(F.max("n_kept").alias("N"))
+    cut = (
+        sweep.crossJoin(F.broadcast(total))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("n_kept") * 10 >= 6 * F.col("N"),
+                    F.col("score_bucket"),
+                )
+            ).alias("c")
+        )
+    )
+    kept = scored.crossJoin(F.broadcast(cut)).filter(
+        F.col("score_bucket") >= F.col("c")
+    )
+    packed = pack_sequences(
+        kept.select("doc_id", "w"), "doc_id", "w", budget=512, n_streams=4
+    )
+    return packed.groupBy("pack_stream").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("total_tokens"),
+        (F.max(F.floor(F.col("token_start") / 512.0)) + 1)
+        .cast("long")
+        .alias("n_packs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
