@@ -2586,3 +2586,82 @@ def test_ivf_index_persistence_parity_and_pruning(spark, tmp_path):
     }
     assert probed and probed < all_cells
     assert len(probed) <= 3 * 2  # n_queries * n_probe upper bound
+
+
+def test_bm25_topk_hand_case(spark):
+    """Integer-exact BM25 on a hand corpus: every score reproduced from
+    the documented rational formulas (k1=6/5, b=3/4, inv_avgdl at q6),
+    TF saturation present (tf doubling < score doubling), long docs
+    penalized vs short at equal tf, ties break by id."""
+    from usgs_lidar_spark.operators.retrieval import (
+        BM25_Q6,
+        IDF_SCALE,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),            # dl=3
+            (2, "banana cherry"),                 # dl=2
+            (3, "cherry cherry cherry DURIAN"),   # dl=4
+        ],
+        ["doc_id", "text"],
+    )
+    n_docs, total = 3, 9
+    inv_avgdl = (n_docs * BM25_Q6) // total
+
+    def contrib(tf, dl, df):
+        den = 10 * tf * BM25_Q6 + 3 * BM25_Q6 + 9 * dl * inv_avgdl
+        frac = (22 * tf * BM25_Q6 * BM25_Q6) // den
+        return (IDF_SCALE // df) * frac
+
+    # query {banana, durian}: df banana=2 (docs 1,2), durian=1 (doc 3)
+    want = {
+        1: (1, contrib(1, 3, 2)),
+        2: (1, contrib(1, 2, 2)),
+        3: (1, contrib(1, 4, 1)),
+    }
+    out = {
+        r["doc_id"]: (r["n_hit_terms"], r["score"])
+        for r in bm25_topk(docs, ["banana", "DURIAN"], k=10).collect()
+    }
+    assert out == want
+    # rare durian outranks either banana doc; shorter banana doc (2)
+    # outranks the longer one (1) at equal tf/df
+    assert want[3][1] > want[2][1] > want[1][1]
+    # TF saturation: doubling tf from 1 -> 2 must NOT double the fraction
+    assert contrib(2, 3, 2) < 2 * contrib(1, 3, 2)
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(docs, [])
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(docs, ["apple"], k=0)
+
+
+def test_phrase_match_hand_cases(spark):
+    """Consecutive-phrase semantics: overlapping matches both count, an
+    intervening token breaks adjacency, a repeated first term does not
+    fool the window, matching is case-insensitive, first_pos is the
+    earliest 0-based offset."""
+    from usgs_lidar_spark.operators.retrieval import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),     # phrase (a b a): overlapping at 0 and 2
+            (2, "a c b"),         # interrupted -> no (a b)
+            (3, "a a b"),         # (a b) once, at pos 1
+            (4, "x A B y"),       # case-insensitive (a b) at pos 1
+        ],
+        ["doc_id", "text"],
+    )
+    out3 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(docs, ["a", "b", "a"]).collect()
+    }
+    assert out3 == {1: (2, 0)}
+    out2 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(docs, ["a", "b"]).collect()
+    }
+    assert out2 == {1: (2, 0), 3: (1, 1), 4: (1, 1)}
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_match(docs, ["solo"])

@@ -28,7 +28,12 @@ from usgs_lidar_spark.operators.graph import (  # noqa: F401
 )
 from usgs_lidar_spark.operators.pipeline import curriculum_order  # noqa: F401
 from usgs_lidar_spark.operators.redact import PII_PATTERNS, redact_pii  # noqa: F401
-from usgs_lidar_spark.operators.retrieval import term_doc_index, tfidf_topk  # noqa: F401
+from usgs_lidar_spark.operators.retrieval import (  # noqa: F401
+    bm25_topk,
+    phrase_match,
+    term_doc_index,
+    tfidf_topk,
+)
 from usgs_lidar_spark.operators.rollup import merge_rollup, rollup_state  # noqa: F401
 from usgs_lidar_spark.operators.textquality import (  # noqa: F401
     chunk_documents,

@@ -29,6 +29,8 @@ Design rules shared with the rest of the engine:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,11 @@ from usgs_lidar_spark.functions.textstats import ws_tokens
 
 #: Integer-idf scale: idf(term) = IDF_SCALE div df(term).
 IDF_SCALE = 10**9
+
+#: Fixed-point scale for the BM25 rational arithmetic (see bm25_topk):
+#: 1/avgdl enters at this resolution; everything downstream is exact
+#: 64-bit integer arithmetic.
+BM25_Q6 = 10**6
 
 
 def term_doc_index(
@@ -120,5 +127,175 @@ def tfidf_topk(
             .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
             .cast("long")
             .alias("rank"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-k documents under an integer-exact BM25-style ranking —
+    TF-saturation + document-length normalization with the engine's
+    reciprocal integer idf, bit-reproducible in any 64-bit-integer
+    engine.
+
+    Classic BM25 (k1 = 1.2, b = 0.75) scores
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Both floating-point hazards are removed without changing the shape:
+
+    * idf is the engine's reciprocal form ``IDF_SCALE div df`` (same
+      monotone-decreasing-in-df role as ln(N/df), no libm — see module
+      docstring), exactly as in `tfidf_topk`.
+    * With k1 = 6/5 and b = 3/4 the TF fraction is the exact rational
+      44·tf·avgdl / (40·tf·avgdl + 12·avgdl + 36·dl) — evaluated here
+      with 1/avgdl pinned once at BM25_Q6 fixed-point resolution
+      (``inv_avgdl_q6 = (N·10^6) div S``), after which numerator,
+      denominator, and the final ``div`` are pure int64 ops:
+
+        den_q7  = 10·tf·10^6 + 3·10^6 + 9·dl·inv_avgdl_q6   # 10^7·denom
+        frac_q6 = (22·tf·10^12) div den_q7                   # ≤ 2.2·10^6
+        score   = Σ_t (IDF_SCALE div df) · frac_q6           # ≤ 2.2·10^15/term
+
+    Int64 envelope: the largest intermediate is 22·tf·10^12, safe for
+    tf < 4·10^5 occurrences of one term in one document — beyond any
+    real document that survives quality filtering (and far beyond the
+    synthetic corpus).
+
+    Scale shape is identical to `tfidf_topk`: the query's terms filter
+    the postings right above the scan (only matching postings shuffle,
+    the corpus text never moves); corpus stats (N docs, S total tokens)
+    are one map-side aggregate broadcast back; df comes from a count
+    window over the (tiny) filtered postings; top-k is TakeOrdered.
+    Returns (id_col, n_hit_terms, score, rank) for the k best
+    (score DESC, id ASC); only documents hitting ≥1 term appear.
+    """
+    terms = sorted({t.lower() if lowercase else t for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    # One corpus pass for the postings: dl comes from the SAME select
+    # (size of the full token array), the explode sees only the query's
+    # terms, so shuffled volume = matching postings.
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.size(tok).cast("long").alias("dl"),
+            F.explode(
+                F.filter(tok, lambda t: F.array_contains(term_arr, t))
+            ).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Corpus length stats: map-side agg, two scalars, broadcast back.
+    stats = docs.select(F.size(tok).cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    scored = (
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "inv_avgdl_q6", F.expr(f"(n_docs * {BM25_Q6}) div total_tokens")
+        )
+        .withColumn(
+            "den_q7",
+            F.expr(f"10 * tf * {BM25_Q6} + 3 * {BM25_Q6}"
+                   " + 9 * dl * inv_avgdl_q6"),
+        )
+        .withColumn(
+            "frac_q6", F.expr(f"(22 * tf * {BM25_Q6} * {BM25_Q6}) div den_q7")
+        )
+        .withColumn("contrib", F.expr(f"({IDF_SCALE} div df) * frac_q6"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("contrib").alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "n_hit_terms",
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact consecutive-phrase search over the corpus: documents whose
+    token stream contains ``phrase`` as adjacent whitespace tokens, with
+    per-document match counts.
+
+    Positional postings (posexplode) are filtered to the phrase's term
+    SET right above the scan — only those terms' (id, pos) rows shuffle,
+    once, into a per-document window ordered by position. A match at a
+    row means: this row is the phrase's first term, and for each i the
+    i-th following FILTERED row carries term i at original position
+    pos+i. Any non-phrase token in between breaks the position
+    arithmetic (lead(pos, i) != pos + i) and any out-of-order phrase
+    token breaks the term equality — so the lead-window test is exactly
+    consecutive-subsequence containment, without a self-join per term.
+    Overlapping occurrences each count.
+
+    Returns (id_col, n_matches, first_pos) — first_pos is the 0-based
+    token offset of the earliest match — for matching documents only.
+    """
+    terms = [t.lower() if lowercase else t for t in phrase]
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    term_set = sorted(set(terms))
+    pos = (
+        docs.select(
+            F.col(id_col), F.posexplode(tok).alias("pos", "term")
+        )
+        .filter(F.col("term").isin(term_set))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [
+        F.lead(c, i).over(w).alias(f"{c}{i}")
+        for i in range(1, len(terms))
+        for c in ("term", "pos")
+    ]
+    led = pos.select(id_col, "pos", "term", *leads)
+    conds = [F.col("term") == terms[0]]
+    for i, t in enumerate(terms[1:], start=1):
+        conds.append(F.col(f"term{i}") == t)
+        conds.append(F.col(f"pos{i}") == F.col("pos") + i)
+    return (
+        led.filter(reduce(lambda a, b: a & b, conds))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
         )
     )

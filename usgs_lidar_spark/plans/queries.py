@@ -8301,3 +8301,172 @@ def pipe_end_to_end_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_packs"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@query(
+    "search_bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        string_split_regex(trim(text), '\s+'),
+                        t -> lower(t)) END AS tokens
+        FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(tokens)) AS BIGINT) AS total_tokens
+        FROM toks
+    ), consts AS (
+        SELECT CAST((n_docs * 1000000) // total_tokens AS BIGINT)
+                   AS inv_avgdl_q6
+        FROM stats
+    ), post0 AS (
+        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+               unnest(list_filter(tokens,
+                   t -> t IN ('merge', 'spark', 'stream', 'vector')))
+                   AS term
+        FROM toks
+    ), postings AS (
+        SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        FROM post0 GROUP BY term, doc_id, dl
+    ), with_df AS (
+        SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        FROM postings
+    ), scored AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_hit_terms,
+               CAST(sum((1000000000 // df) *
+                    ((22 * tf * 1000000 * 1000000) //
+                     (10 * tf * 1000000 + 3 * 1000000
+                      + 9 * dl * inv_avgdl_q6))) AS BIGINT) AS score
+        FROM with_df, consts
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_hit_terms, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25-style retrieval (operators/retrieval.bm25_topk):
+    TF-saturation + length normalization as exact int64 rationals
+    (k1=6/5, b=3/4, 1/avgdl at fixed q6 resolution), reciprocal integer
+    idf — zero libm, so the DuckDB oracle reproduces every score bit.
+    Query = {merge, spark, stream, vector}, top-10 (score DESC, id)."""
+    from usgs_lidar_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["merge", "spark", "stream", "vector"],
+        k=10,
+    )
+
+
+@query(
+    "search_phrase_match",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        string_split_regex(trim(text), '\s+'),
+                        t -> lower(t)) END AS tokens
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS term,
+               generate_subscripts(tokens, 1) AS p
+        FROM toks
+    ), m AS (
+        SELECT a.doc_id, a.p
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                   AND b.term = 'hash'
+        JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+                   AND c.term = 'agg'
+        WHERE a.term = 'table'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(p) - 1 AS BIGINT) AS first_pos
+    FROM m GROUP BY doc_id
+    """,
+)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-phrase search ("table hash agg") via filtered
+    positional postings + a per-document lead window
+    (operators/retrieval.phrase_match). The oracle deliberately uses a
+    DIFFERENT algorithm — a positional self-join — so the window
+    formulation's adjacency arithmetic is checked against an independent
+    derivation, not an echo of itself."""
+    from usgs_lidar_spark.operators.retrieval import phrase_match
+
+    return phrase_match(
+        _t(spark, sf_dir, "documents"), ["table", "hash", "agg"]
+    )
+
+
+@query(
+    "events_ewma_dyadic",
+    oracle=r"""
+    WITH c AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), w AS (
+        SELECT user_id, event_id,
+               list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)
+                   AS win
+        FROM c
+    )
+    SELECT user_id, event_id,
+           CAST(list_sum(list_transform(win,
+                (x, i) -> x * (CAST(1 AS BIGINT) << (31 - len(win) + i))))
+                AS BIGINT) AS ewma_q32
+    FROM w
+    """,
+)
+def events_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value,
+    EXACT: alpha = 1/2 truncated at 32 trailing events makes every
+    weight a dyadic rational, so the numerator scaled by 2^32 is a pure
+    int64 —
+
+        ewma_q32(row n) = sum_{i} cents_i * 2^(31 - m + i)
+
+    over the trailing window of m <= 32 events (i 1-based oldest-first;
+    newest weight 2^31 = 1/2 of scale). No double ever enters: cents
+    (exact 2-decimal money) times power-of-two weights sums far inside
+    int64 (cents <= ~10^6, * 2^31 * 32 terms ~ 7*10^16). Cross-engine
+    bit-identical where a float EWMA would differ in the last ulp.
+
+    Plan: one shuffle (user partition), a ROWS-frame collect_list whose
+    order is the frame order (ts, event_id — total order), then a
+    map-side higher-order aggregate. Window is 32 elements max, so the
+    per-row array is O(1) regardless of corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-31, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.collect_list(cents).over(w).alias("win"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "aggregate(transform(win, (x, i) ->"
+                " x * shiftleft(CAST(1 AS BIGINT), 32 - size(win) + i)),"
+                " CAST(0 AS BIGINT), (a, b) -> a + b)"
+            ).alias("ewma_q32"),
+        )
+    )
