@@ -2665,3 +2665,36 @@ def test_phrase_match_hand_cases(spark):
     assert out2 == {1: (2, 0), 3: (1, 1), 4: (1, 1)}
     with pytest.raises(ValueError, match="phrase"):
         phrase_match(docs, ["solo"])
+
+
+def test_rrf_fuse_hand_case(spark):
+    """Integer RRF: contributions are exactly RRF_SCALE // (60 + rank),
+    items absent from a ranker contribute 0, an item ranked mid-list by
+    BOTH rankers outscores a single ranker's #1, ties break by id."""
+    from usgs_lidar_spark.operators.retrieval import RRF_SCALE, rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (30, 2), (40, 3)], ["doc_id", "rank"]
+    )
+    out = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    c = lambda r: RRF_SCALE // (60 + r)
+    want_scores = {
+        10: c(1),           # only ranker a
+        20: c(2) + c(1),
+        30: c(3) + c(2),
+        40: c(3),           # only ranker b
+    }
+    assert {d: s for d, (s, _) in out.items()} == want_scores
+    # both-ranker items beat either solo #1
+    assert out[20][1] == 1 and out[30][1] == 2
+    assert out[10][1] == 3 and out[40][1] == 4  # c(1) > c(3), no tie
+    with pytest.raises(ValueError, match="rankings"):
+        rrf_fuse([a])
+    with pytest.raises(ValueError, match="k must"):
+        rrf_fuse([a, b], k=0)

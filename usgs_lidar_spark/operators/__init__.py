@@ -31,6 +31,7 @@ from usgs_lidar_spark.operators.redact import PII_PATTERNS, redact_pii  # noqa: 
 from usgs_lidar_spark.operators.retrieval import (  # noqa: F401
     bm25_topk,
     phrase_match,
+    rrf_fuse,
     term_doc_index,
     tfidf_topk,
 )

@@ -299,3 +299,68 @@ def phrase_match(
             F.min("pos").cast("long").alias("first_pos"),
         )
     )
+
+
+#: Integer RRF contribution scale: contrib = RRF_SCALE div (rrf_k + rank).
+RRF_SCALE = 10**6
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankers, integer-exact.
+
+    Classic RRF scores Σ_r 1/(rrf_k + rank_r(d)) — an irrational-free
+    but float-summed formula. Here each contribution is the integer
+    ``RRF_SCALE div (rrf_k + rank)`` (same strictly-decreasing-in-rank
+    shape, rrf_k = 60 per the convention popularized by the original
+    paper), an item absent from a ranker contributes exactly 0, and the
+    fused score is an int64 sum — bit-reproducible in any engine, like
+    the rest of the retrieval tier's scoring.
+
+    Each input frame must carry (id_col, rank_col) with ranks that are
+    themselves deterministic (the engine's rankers tie-break on id).
+    Inputs are top-k short lists — tens of rows each — so the fusion's
+    full-outer joins are trivially broadcastable; at scale the expensive
+    work is INSIDE the rankers, which keep their own candidates-only
+    shapes. Returns the fused top-k: (id_col, score, rank) ranked
+    (score DESC, id ASC).
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs >= 2 rankings")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    contribs = []
+    for i, r in enumerate(rankings):
+        contribs.append(
+            r.select(
+                F.col(id_col),
+                F.expr(f"{RRF_SCALE} div ({rrf_k} + {rank_col})")
+                .cast("long")
+                .alias(f"__c{i}"),
+            )
+        )
+    fused = reduce(
+        lambda a, b: a.join(b, on=id_col, how="full_outer"), contribs
+    )
+    score = reduce(
+        lambda a, b: a + b,
+        [F.coalesce(F.col(f"__c{i}"), F.lit(0)) for i in range(len(contribs))],
+    ).alias("score")
+    scored = fused.select(id_col, score)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+            .cast("long")
+            .alias("rank"),
+        )
+    )

@@ -8470,3 +8470,97 @@ def events_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_q32"),
         )
     )
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        string_split_regex(trim(text), '\\s+'),
+                        t -> lower(t)) END AS tokens
+        FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(tokens)) AS BIGINT) AS total_tokens
+        FROM toks
+    ), consts AS (
+        SELECT CAST((n_docs * 1000000) // total_tokens AS BIGINT)
+                   AS inv_avgdl_q6
+        FROM stats
+    ), post0 AS (
+        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+               unnest(list_filter(tokens,
+                   t -> t IN ('merge', 'spark', 'stream', 'vector')))
+                   AS term
+        FROM toks
+    ), postings AS (
+        SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        FROM post0 GROUP BY term, doc_id, dl
+    ), with_df AS (
+        SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        FROM postings
+    ), scored_kw AS (
+        SELECT doc_id,
+               CAST(sum((1000000000 // df) *
+                    ((22 * tf * 1000000 * 1000000) //
+                     (10 * tf * 1000000 + 3 * 1000000
+                      + 9 * dl * inv_avgdl_q6))) AS BIGINT) AS kscore
+        FROM with_df, consts
+        GROUP BY doc_id
+    ), kw AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY kscore DESC, doc_id) AS r
+        FROM scored_kw ORDER BY kscore DESC, doc_id LIMIT 20
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id = 0
+    ), c AS (SELECT vec_id, embedding FROM embeddings),
+    sims AS (
+        SELECT c.vec_id AS doc_id,
+        {_COSINE_SQL}
+        FROM c, q WHERE c.vec_id <> q.query_id
+    ), vec AS (
+        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+        FROM sims ORDER BY sim DESC, doc_id LIMIT 20
+    ), fused AS (
+        SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+               coalesce(1000000 // (60 + kw.r), 0)
+                   + coalesce(1000000 // (60 + vec.r), 0) AS score
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM fused ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid keyword + vector retrieval with integer-exact
+    reciprocal-rank fusion (operators/retrieval.rrf_fuse): the BM25
+    top-20 for {merge, spark, stream, vector} fused with the exact
+    cosine top-20 neighbors of document 0's embedding, each
+    contribution = 10^6 div (60 + rank), absent-from-a-ranker = 0.
+    Both rankers keep their own candidates-only scale shapes; the
+    fusion itself joins two 20-row short lists. Oracle recomposes the
+    whole thing — BM25 CTEs + cosine CTEs + fusion — independently."""
+    from usgs_lidar_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = bm25_topk(
+        docs, ["merge", "spark", "stream", "vector"], k=20
+    ).select("doc_id", "rank")
+    queries_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = cosine_topk_bruteforce(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=20,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([kw, vec], id_col="doc_id", k=10)
