@@ -95,6 +95,10 @@ HEADLINE = [
     # scale-safe bucketed packing default.
     "graph_triangles_parts",
     "pipe_pack_streams",
+    # round 6 (cont.) additions: the retrieval tier — integer-exact BM25
+    # and the hybrid keyword+vector RRF fusion (BM25 + cosine ANN).
+    "search_bm25_topk",
+    "search_hybrid_rrf",
 ]
 
 

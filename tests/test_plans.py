@@ -237,6 +237,26 @@ HEADLINE_DIGESTS = {
     # running-sum window.
     "graph_triangles_parts": {"shuffle_exchange": 5, "SortMergeJoin": 2},
     "pipe_pack_streams": {"shuffle_exchange": 1},
+    # Round-6 (cont.) headliners. BM25: postings agg + df window + doc
+    # agg over query-filtered postings only, plus the single-partition
+    # corpus-stats aggregate whose 1-row result broadcasts back (the
+    # BNLJ); top-k is TakeOrdered. Hybrid RRF: the BM25 legs + the
+    # cosine ranker's one top-k window; the full-outer fusion of two
+    # <=20-row short lists is the SMJ (full outer cannot broadcast —
+    # and at 20 rows a side, needn't).
+    "search_bm25_topk": {
+        "shuffle_exchange": 4,
+        "BroadcastExchange": 1,
+        "BroadcastNestedLoopJoin": 1,
+        "TakeOrderedAndProject": 1,
+    },
+    "search_hybrid_rrf": {
+        "shuffle_exchange": 7,
+        "BroadcastExchange": 2,
+        "SortMergeJoin": 1,
+        "BroadcastNestedLoopJoin": 2,
+        "TakeOrderedAndProject": 2,
+    },
 }
 
 
