@@ -2698,3 +2698,64 @@ def test_rrf_fuse_hand_case(spark):
         rrf_fuse([a])
     with pytest.raises(ValueError, match="k must"):
         rrf_fuse([a, b], k=0)
+
+
+def test_global_rank_matches_single_task_window(spark):
+    """Distributed two-phase rank == the naive global row_number under
+    the same total order, at several input partitionings."""
+    from pyspark.sql import Window
+
+    from usgs_lidar_spark.operators.ranking import global_rank
+
+    rows = [(i % 7, 1000 - i, i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["grp", "val", "uid"])
+    want = {
+        r["uid"]: r["rank"]
+        for r in df.select(
+            "uid",
+            F.row_number()
+            .over(Window.orderBy("val", "uid"))
+            .cast("long")
+            .alias("rank"),
+        ).collect()
+    }
+    for nparts in (1, 3, 13):
+        got = {
+            r["uid"]: r["rank"]
+            for r in global_rank(
+                df.repartition(nparts), ["val", "uid"], num_partitions=5
+            ).select("uid", "rank").collect()
+        }
+        assert got == want, f"input parts={nparts}"
+    with pytest.raises(ValueError, match="order_cols"):
+        global_rank(df, [])
+
+
+def test_histogram_equidepth_hand_case(spark):
+    """Equi-depth invariants on a hand frame: bucket sizes differ by at
+    most 1, buckets partition the rank order (hi of bucket b <= lo of
+    b+1), total rows preserved, and n < buckets degrades to n
+    single-row buckets."""
+    from usgs_lidar_spark.operators.ranking import histogram_equidepth
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate([5, 1, 9, 3, 3, 7, 2, 8, 6, 4])],
+        ["val", "uid"],
+    )
+    out = sorted(
+        (r["bucket"], r["n_rows"], r["lo"], r["hi"])
+        for r in histogram_equidepth(df, "val", ["uid"], buckets=4).collect()
+    )
+    # 10 rows into 4 buckets: ((r-1)*4) div 10 -> sizes 3,2,3,2
+    assert [b for b, *_ in out] == [0, 1, 2, 3]
+    assert [n for _, n, *_ in out] == [3, 2, 3, 2]
+    assert sum(n for _, n, *_ in out) == 10
+    for (_, _, _, hi), (_, _, lo, _) in zip(out, out[1:]):
+        assert hi <= lo
+    small = histogram_equidepth(
+        spark.createDataFrame([(1, 0), (2, 1)], ["val", "uid"]),
+        "val", ["uid"], buckets=4,
+    ).collect()
+    assert sorted(r["n_rows"] for r in small) == [1, 1]
+    with pytest.raises(ValueError, match="buckets"):
+        histogram_equidepth(df, "val", ["uid"], buckets=0)

@@ -28,6 +28,10 @@ from usgs_lidar_spark.operators.graph import (  # noqa: F401
 )
 from usgs_lidar_spark.operators.pipeline import curriculum_order  # noqa: F401
 from usgs_lidar_spark.operators.redact import PII_PATTERNS, redact_pii  # noqa: F401
+from usgs_lidar_spark.operators.ranking import (  # noqa: F401
+    global_rank,
+    histogram_equidepth,
+)
 from usgs_lidar_spark.operators.retrieval import (  # noqa: F401
     bm25_topk,
     phrase_match,

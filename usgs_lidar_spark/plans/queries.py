@@ -8564,3 +8564,50 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id_col="query_id", k=20,
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([kw, vec], id_col="doc_id", k=10)
+
+
+@query(
+    "a10_equidepth_histogram",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, l_orderkey,
+                                       l_linenumber) AS BIGINT) AS r,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM v
+    )
+    SELECT CAST(((r - 1) * 16) // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo,
+           CAST(max(cents) AS BIGINT) AS hi
+    FROM ranked GROUP BY 1
+    """,
+)
+def a10_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 16-bucket equi-depth histogram of l_extendedprice (cents) —
+    the ANALYZE-style optimizer statistic — computed DISTRIBUTED-exact
+    via operators/ranking.global_rank: range repartition, bounded
+    per-partition count collect, per-slice row_number + broadcast
+    offsets. No single-task global window anywhere; the oracle uses the
+    naive global row_number (fine in DuckDB) so the two derivations are
+    independent. Tie-break (l_orderkey, l_linenumber) makes the order
+    total, so bucket contents are layout-independent."""
+    from usgs_lidar_spark.operators.ranking import histogram_equidepth
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return histogram_equidepth(
+        li, "cents", ["l_orderkey", "l_linenumber"], buckets=16
+    ).select(
+        "bucket",
+        "n_rows",
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+    )
