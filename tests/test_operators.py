@@ -2723,12 +2723,14 @@ def test_global_rank_matches_single_task_window(spark):
         got = {
             r["uid"]: r["rank"]
             for r in global_rank(
-                df.repartition(nparts), ["val", "uid"], num_partitions=5
+                df.repartition(nparts), ["val", "uid"], num_buckets=5
             ).select("uid", "rank").collect()
         }
         assert got == want, f"input parts={nparts}"
     with pytest.raises(ValueError, match="order_cols"):
         global_rank(df, [])
+    with pytest.raises(ValueError, match="num_buckets"):
+        global_rank(df, ["val", "uid"], num_buckets=1)
 
 
 def test_histogram_equidepth_hand_case(spark):

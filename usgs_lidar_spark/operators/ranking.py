@@ -7,19 +7,29 @@ convenient, but Spark executes it as ONE task holding the whole dataset
 correctness tool that dies at scale. The scalable exact construction is
 the classic two-phase rank:
 
-1. range-repartition by the order key (a parallel range exchange — the
-   same machinery as a distributed sort), so partition i holds only
-   keys strictly below partition i+1's;
-2. count rows per partition — a #partitions-sized aggregate collected
-   to the driver (bounded by cluster parallelism, NOT data size — the
-   same bounded-collect class as the engine's file manifests);
-3. rank locally within each partition (row_number partitioned by the
-   range-partition id — every task ranks its own slice) and add the
-   broadcast prefix-sum offset of the partitions before it.
+1. split the value domain into range buckets whose boundaries are
+   approximate quantiles collected ONCE to the driver as literals —
+   bucket membership is then a PURE FUNCTION OF THE ROW'S VALUE
+   (#boundaries < value), never of physical placement. This is the
+   load-bearing design point: an earlier draft keyed the offsets on
+   ``spark_partition_id()`` after ``repartitionByRange``, and AQE's
+   partition coalescing renumbered the physical partitions BETWEEN the
+   count job and the rank job, silently corrupting ranks at sf0.1
+   (600 K rows ranked into 546 K distinct ranks). Approximation of the
+   boundaries affects only load balance, never rank values;
+2. count rows per bucket — a #buckets-sized aggregate collected to the
+   driver (bounded by a knob, NOT data size — the same bounded-collect
+   class as the engine's file manifests);
+3. rank within each bucket (row_number partitioned by the bucket —
+   every task ranks its own slice in parallel) and add the broadcast
+   prefix-sum offset of the buckets below.
 
-The result is bit-identical to the global window at any partitioning —
-range boundaries only decide WHERE a row is ranked, never what its rank
-is, because the order is total (callers must include a tie-break).
+Equal leading values always share a bucket (same pure function), so the
+tie-break columns order them inside one slice and the result is
+bit-identical to the naive global window at ANY partitioning. Heavy
+duplicate values make a hot bucket — the same skew a distributed sort
+has on that data; raise num_buckets or pre-aggregate if a single value
+dominates.
 
 Not in the reference (its sort surface is a driver-side pandas
 sort_values, ``scripts/usgs_lidar.py:400-439``); this is engine
@@ -38,44 +48,61 @@ def global_rank(
     df: DataFrame,
     order_cols: list[str],
     rank_col: str = "rank",
-    num_partitions: int | None = None,
+    num_buckets: int = 64,
 ) -> DataFrame:
     """Exact 1-based global row_number under the TOTAL order
     ``order_cols`` (ascending), computed with no single-task stage.
 
     ``order_cols`` must be a total order (include a unique tie-break
     column) — with ties the ranking would depend on physical placement.
-    Adds ``rank_col``; all input columns pass through.
+    The LEADING order column must be numeric (its approximate quantiles
+    seed the range buckets). Adds ``rank_col``; all input columns pass
+    through.
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
+    if num_buckets <= 1:
+        raise ValueError(f"num_buckets must be > 1, got {num_buckets}")
+    first = order_cols[0]
     cols = [F.col(c) for c in order_cols]
-    ranged = (
-        df.repartitionByRange(*cols)
-        if num_partitions is None
-        else df.repartitionByRange(num_partitions, *cols)
-    ).withColumn("__pid", F.spark_partition_id())
-    # Partition counts: #partitions rows, bounded by parallelism.
+    # Boundary literals: one approximate-quantile pass, <= num_buckets-1
+    # doubles on the driver. Exactness does not depend on them.
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(df.approxQuantile(first, qs, 0.001)))
+    if bounds:
+        # Flat comparison chain, not a higher-order function: a lambda
+        # over a literal array referencing the outer column trips
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1 when the
+        # frame is rewired through the broadcast join below; <=
+        # num_buckets-1 plain comparisons codegen cleanly.
+        v = F.col(first).cast("double")
+        bucket = sum(
+            ((v > F.lit(float(b))).cast("int") for b in bounds), F.lit(0)
+        )
+    else:
+        bucket = F.lit(0)
+    bdf = df.withColumn("__b", bucket)
+    # Bucket counts: <= num_buckets rows, bounded by the knob.
     pc = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid")
+        (r["__b"], r["cnt"])
+        for r in bdf.groupBy("__b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
     offsets, acc = [], 0
-    for pid, cnt in pc:
-        offsets.append((pid, acc))
+    for b, cnt in pc:
+        offsets.append((b, acc))
         acc += cnt
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets or [], "__pid int, __offset long")
-    w = Window.partitionBy("__pid").orderBy(*cols)
+    off_df = spark.createDataFrame(offsets or [], "__b int, __offset long")
+    w = Window.partitionBy("__b").orderBy(*cols)
     return (
-        ranged.join(F.broadcast(off_df), "__pid")
+        bdf.join(F.broadcast(off_df), "__b")
         .withColumn(
             rank_col,
             (F.col("__offset") + F.row_number().over(w)).cast("long"),
         )
-        .drop("__pid", "__offset")
+        .drop("__b", "__offset")
     )
 
 
