@@ -8611,3 +8611,87 @@ def a10_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo").cast("long").alias("lo"),
         F.col("hi").cast("long").alias("hi"),
     )
+
+
+@query(
+    "pipe_top_quartile_cut",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS tokens
+        FROM documents
+    ), stats AS (
+        SELECT doc_id, lang,
+               len(tokens) AS n_tokens,
+               CASE WHEN len(tokens) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tokens, t -> list_contains(
+                         ['the','and','of','to','in','is','that','it'], t)))
+                         AS DOUBLE) / len(tokens) END AS stop_ratio,
+               CASE WHEN len(tokens) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(tokens, t -> length(t)))
+                         AS DOUBLE) / len(tokens) END AS avg_token_len
+        FROM toks
+    ), scored AS (
+        SELECT doc_id, lang,
+               CAST(floor(((stop_ratio * 0.4)
+                   + (least(n_tokens, 100) / 100.0 * 0.3)
+                   + (least(avg_token_len, 10.0) / 10.0 * 0.3)) * 1000)
+                   AS BIGINT) AS sb
+        FROM stats
+    ), ranked AS (
+        SELECT doc_id, lang, sb,
+               CAST(row_number() OVER (ORDER BY sb, doc_id) AS BIGINT) AS r,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM scored
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(sb) AS BIGINT) AS min_bucket,
+           CAST(max(sb) AS BIGINT) AS max_bucket,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM ranked WHERE r * 4 > 3 * n
+    GROUP BY lang
+    """,
+)
+def pipe_top_quartile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-quartile curation cut: keep the documents whose quality
+    score ranks in the top 25% of the CORPUS — by exact global rank
+    (operators/ranking.global_rank), not a bucketed threshold. Where
+    pipe_threshold_sweep answers "what does a cutoff keep",
+    this answers "cut at an exact fraction" with a rank*4 > 3*n integer
+    comparison and the total (score, doc_id) order deciding boundary
+    ties deterministically. No single-task window; the oracle uses the
+    naive global row_number. Output is the per-lang census of the kept
+    quartile plus an id checksum."""
+    from usgs_lidar_spark.functions import textstats as TS
+    from usgs_lidar_spark.operators.ranking import global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TS.ws_tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = TS.stopword_ratio("text")
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    avg_token_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        tok_len_sum.cast("double") / n_tokens
+    )
+    quality = (
+        (stop_ratio * 0.4)
+        + (F.least(n_tokens, F.lit(100)) / 100.0 * 0.3)
+        + (F.least(avg_token_len, F.lit(10.0)) / 10.0 * 0.3)
+    )
+    scored = d.select(
+        "doc_id", "lang", F.floor(quality * 1000).cast("long").alias("sb")
+    )
+    ranked = global_rank(scored, ["sb", "doc_id"], rank_col="r")
+    total = ranked.agg(F.max("r").alias("n"))
+    kept = ranked.crossJoin(F.broadcast(total)).filter(
+        F.col("r") * 4 > 3 * F.col("n")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("sb").alias("min_bucket"),
+        F.max("sb").alias("max_bucket"),
+        F.sum("doc_id").alias("id_sum"),
+    )
