@@ -406,3 +406,28 @@ def test_copurchase_cap_is_sound_subset(spark, rows, cap):
     # per-basket contribution bound: total pair-slots <= n_baskets*C(cap,2)
     n_baskets = len({b for b, _ in rows})
     assert sum(capped.values()) <= n_baskets * cap * (cap - 1) // 2
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=80
+    ),
+    nb=st.sampled_from([2, 3, 17, 1024]),
+)
+@settings(**SET)
+def test_global_rank_permutation_property(spark, vals, nb):
+    """On ANY value multiset (heavy duplicates, negatives, single-value
+    point masses included) and ANY bucket count, distributed global_rank
+    is exactly the rank the sorted order dictates: ranks are a 1..n
+    permutation and sorting by rank reproduces the (val, uid) sort."""
+    from usgs_lidar_spark.operators.ranking import global_rank
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["val", "uid"])
+    got = sorted(
+        (r["rank"], r["val"], r["uid"])
+        for r in global_rank(df, ["val", "uid"], num_buckets=nb).collect()
+    )
+    want = sorted((v, i) for i, v in enumerate(vals))
+    assert [rk for rk, _, _ in got] == list(range(1, len(vals) + 1))
+    assert [(v, u) for _, v, u in got] == want
