@@ -8662,7 +8662,13 @@ def pipe_top_quartile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison and the total (score, doc_id) order deciding boundary
     ties deterministically. No single-task window; the oracle uses the
     naive global row_number. Output is the per-lang census of the kept
-    quartile plus an id checksum."""
+    quartile plus an id checksum.
+
+    Scale note: global_rank's parallelism is bounded by the leading
+    value's cardinality — the permille score here has <= 1001 distinct
+    values, so at extreme corpus sizes one bucket's row_number slice is
+    ~n/1001 rows; rank on a finer score resolution (floor(q * 10^6))
+    when n/1001 stops fitting a task."""
     from usgs_lidar_spark.functions import textstats as TS
     from usgs_lidar_spark.operators.ranking import global_rank
 
