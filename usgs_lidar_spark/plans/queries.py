@@ -8701,3 +8701,111 @@ def pipe_top_quartile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sb").alias("max_bucket"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@query(
+    "search_hybrid_rrf3",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        string_split_regex(trim(text), '\\s+'),
+                        t -> lower(t)) END AS tokens
+        FROM documents
+    ), post0 AS (
+        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+               unnest(list_filter(tokens,
+                   t -> t IN ('merge', 'spark', 'stream', 'vector')))
+                   AS term
+        FROM toks
+    ), postings AS (
+        SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        FROM post0 GROUP BY term, doc_id, dl
+    ), with_df AS (
+        SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        FROM postings
+    ), t_scored AS (
+        SELECT doc_id,
+               CAST(sum(tf * (1000000000 // df)) AS BIGINT) AS tscore
+        FROM with_df GROUP BY doc_id
+    ), kw1 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY tscore DESC, doc_id) AS r
+        FROM t_scored ORDER BY tscore DESC, doc_id LIMIT 20
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(tokens)) AS BIGINT) AS total_tokens
+        FROM toks
+    ), consts AS (
+        SELECT CAST((n_docs * 1000000) // total_tokens AS BIGINT)
+                   AS inv_avgdl_q6
+        FROM stats
+    ), b_scored AS (
+        SELECT doc_id,
+               CAST(sum((1000000000 // df) *
+                    ((22 * tf * 1000000 * 1000000) //
+                     (10 * tf * 1000000 + 3 * 1000000
+                      + 9 * dl * inv_avgdl_q6))) AS BIGINT) AS bscore
+        FROM with_df, consts
+        GROUP BY doc_id
+    ), kw2 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bscore DESC, doc_id) AS r
+        FROM b_scored ORDER BY bscore DESC, doc_id LIMIT 20
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id = 0
+    ), c AS (SELECT vec_id, embedding FROM embeddings),
+    sims AS (
+        SELECT c.vec_id AS doc_id,
+        {_COSINE_SQL}
+        FROM c, q WHERE c.vec_id <> q.query_id
+    ), vec AS (
+        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+        FROM sims ORDER BY sim DESC, doc_id LIMIT 20
+    ), fused AS (
+        SELECT coalesce(kw1.doc_id, kw2.doc_id, vec.doc_id) AS doc_id,
+               coalesce(1000000 // (60 + kw1.r), 0)
+                   + coalesce(1000000 // (60 + kw2.r), 0)
+                   + coalesce(1000000 // (60 + vec.r), 0) AS score
+        FROM kw1
+        FULL JOIN kw2 ON kw1.doc_id = kw2.doc_id
+        FULL JOIN vec
+          ON coalesce(kw1.doc_id, kw2.doc_id) = vec.doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM fused ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def search_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-ranker reciprocal-rank fusion — TF-IDF, BM25, and exact
+    cosine, all over the same query ({merge, spark, stream, vector} +
+    document 0's embedding) — pinning rrf_fuse's N-way full-outer chain
+    (coalesced ids, absent-ranker zero contributions) beyond the 2-way
+    case. The keyword rankers share one postings scan; each leg stays
+    candidates-only; the fusion joins three 20-row short lists."""
+    from usgs_lidar_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        tfidf_topk,
+    )
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    terms = ["merge", "spark", "stream", "vector"]
+    kw1 = tfidf_topk(docs, terms, k=20).select("doc_id", "rank")
+    kw2 = bm25_topk(docs, terms, k=20).select("doc_id", "rank")
+    queries_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = cosine_topk_bruteforce(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=20,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([kw1, kw2, vec], id_col="doc_id", k=10)
