@@ -2761,3 +2761,39 @@ def test_histogram_equidepth_hand_case(spark):
     assert sorted(r["n_rows"] for r in small) == [1, 1]
     with pytest.raises(ValueError, match="buckets"):
         histogram_equidepth(df, "val", ["uid"], buckets=0)
+
+
+def test_global_rank_string_leading_column(spark):
+    """String leading columns rank via the order-preserving 7-byte
+    prefix key: result equals the naive global window under binary
+    collation, including empty strings, shared long prefixes (bucket
+    ties split by the full sort), multibyte UTF-8, and prefixes that
+    differ only past the 7-byte cut."""
+    from pyspark.sql import Window
+
+    from usgs_lidar_spark.operators.ranking import global_rank
+
+    words = [
+        "", "a", "ab", "b", "banana", "bananza", "prefix-same-1",
+        "prefix-same-2", "zebra", "Zebra", "éclair", "中文",
+        "prefix-same-11", "aa", "a b",
+    ]
+    rows = [(w, i) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, ["s", "uid"])
+    want = {
+        r["uid"]: r["rank"]
+        for r in df.select(
+            "uid",
+            F.row_number()
+            .over(Window.orderBy("s", "uid"))
+            .cast("long")
+            .alias("rank"),
+        ).collect()
+    }
+    got = {
+        r["uid"]: r["rank"]
+        for r in global_rank(df, ["s", "uid"], num_buckets=4)
+        .select("uid", "rank")
+        .collect()
+    }
+    assert got == want

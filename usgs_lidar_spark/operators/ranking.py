@@ -61,10 +61,11 @@ def global_rank(
 
     ``order_cols`` must be a total order (include a unique tie-break
     column) — with ties the ranking would depend on physical placement.
-    The LEADING order column must be numeric and non-null (its min/max
-    seed the width_bucket split; a null leading value would drop out of
-    the bucket equi-join). Adds ``rank_col``; all input columns pass
-    through.
+    The LEADING order column must be numeric or string, and non-null (a
+    null leading value would drop out of the bucket equi-join). Numeric
+    leads split on their min/max directly; string leads split on an
+    order-preserving 7-byte-prefix integer key (binary collation).
+    Adds ``rank_col``; all input columns pass through.
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
@@ -72,24 +73,47 @@ def global_rank(
         raise ValueError(f"num_buckets must be > 1, got {num_buckets}")
     first = order_cols[0]
     cols = [F.col(c) for c in order_cols]
+    if dict(df.dtypes).get(first) == "string":
+        # Order-preserving numeric key for a string leading column: the
+        # first 7 UTF-8 BYTES, zero-padded, read as a big-endian
+        # integer. UTF-8 byte order equals codepoint order, so the key
+        # is monotone under the engines' binary collation (Spark
+        # UTF8_BINARY, DuckDB default) even when the 7-byte cut splits
+        # a multibyte character — prefix bytes compare first either
+        # way. 7 bytes (2^56) stays inside the long domain; strings
+        # sharing a 7-byte prefix share a bucket and are split by the
+        # full sort below, exactly like numeric ties.
+        key = F.expr(
+            f"cast(conv(hex(rpad(substring(encode({first}, 'UTF-8'),"
+            f" 1, 7), 7, X'00')), 16, 10) as bigint)"
+        )
+    else:
+        key = F.col(first).cast("double")
     # Domain literals: one min/max pass, two scalars on the driver.
     # Exactness does not depend on them — only load balance does.
     mm = df.agg(
-        F.min(F.col(first).cast("double")).alias("mn"),
-        F.max(F.col(first).cast("double")).alias("mx"),
+        F.min(key.cast("double")).alias("mn"),
+        F.max(key.cast("double")).alias("mx"),
     ).collect()[0]
     mn, mx = mm["mn"], mm["mx"]
     if mn is None:
         bucket = F.lit(0).cast("long")  # empty input
     else:
-        # mx + 1 keeps the top edge exclusive-safe (width_bucket's
-        # upper bound is exclusive; equal min==max degenerates to one
-        # bucket, which is correct, just unparallel).
+        # mx * 1.001 + 1 keeps the top edge exclusive-safe at any
+        # magnitude (width_bucket's upper bound is exclusive, and for
+        # keys above 2^53 a plain +1 vanishes in double rounding);
+        # equal min==max degenerates to one bucket, which is correct,
+        # just unparallel. Bucket = monotone pure function of the key,
+        # so double rounding of huge keys can only merge neighbors,
+        # never reorder them.
+        hi = float(mx) * 1.001 + 1.0 if mx >= 0 else float(mx) * 0.999 + 1.0
         bucket = F.expr(
-            f"width_bucket(cast({first} as double), {mn!r}, "
-            f"{float(mx) + 1.0!r}, {num_buckets})"
+            f"width_bucket(cast(__gr_key as double), {mn!r}, "
+            f"{hi!r}, {num_buckets})"
         )
-    bdf = df.withColumn("__b", bucket)
+    bdf = df.withColumn("__gr_key", key).withColumn("__b", bucket).drop(
+        "__gr_key"
+    )
     # Bucket counts: <= num_buckets rows, bounded by the knob.
     pc = sorted(
         (r["__b"], r["cnt"])
