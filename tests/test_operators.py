@@ -2797,3 +2797,23 @@ def test_global_rank_string_leading_column(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bm25_pruned_parity(spark):
+    """Max-score pruned BM25 is row-identical to the exhaustive form —
+    on a rare+common mix where θ actually prunes (k < matching docs),
+    and on a tiny-seed case (fewer seeds than k -> θ=0, pruning
+    self-disables). Same scores, same (score DESC, id) tie contract."""
+    from usgs_lidar_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_pruned,
+    )
+
+    rows = [(i, ("common " * (1 + i % 3)) + ("rare" if i % 17 == 0 else ""))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for terms, k in ((["rare", "common"], 3), (["rare"], 50),
+                     (["common", "absent"], 5)):
+        a = [tuple(r) for r in bm25_topk(docs, terms, k=k).collect()]
+        b = [tuple(r) for r in bm25_topk_pruned(docs, terms, k=k).collect()]
+        assert a == b, (terms, k)

@@ -34,6 +34,7 @@ from usgs_lidar_spark.operators.ranking import (  # noqa: F401
 )
 from usgs_lidar_spark.operators.retrieval import (  # noqa: F401
     bm25_topk,
+    bm25_topk_pruned,
     phrase_match,
     rrf_fuse,
     term_doc_index,

@@ -364,3 +364,145 @@ def rrf_fuse(
             .alias("rank"),
         )
     )
+
+
+def bm25_topk_pruned(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    lowercase: bool = True,
+) -> DataFrame:
+    """`bm25_topk` with max-score candidate pruning (the WAND /
+    block-max family's batch form) — identical results, smaller scored
+    set.
+
+    Two phases over the same one-pass postings frame:
+
+    1. Seed threshold: the exact BM25 scores of documents matching the
+       RAREST query term (fewest postings — the cheapest candidate set
+       with the highest per-doc contributions); θ = the k-th best seed
+       score (0 if fewer than k seeds — pruning then disables itself).
+    2. Upper-bound prune: UB_t = max contribution of term t over its
+       postings; a document's bound is Σ UB_t over the terms it
+       matches. Documents with bound < θ cannot displace the k-th seed
+       under ANY tie-break (strict inequality), so they drop before
+       the per-document aggregation. Survivors are scored exactly.
+
+    Every phase is postings-sized (never corpus-sized): UB is a
+    #terms-row aggregate, the seed set is one term's postings, and the
+    prune is a broadcast semi-filter on the postings frame. At 100 TB
+    the win is scoring-set shrinkage on queries mixing rare and common
+    terms — common-term-only documents fall under θ. Results are pinned
+    row-identical to `bm25_topk` (same scores, same tie contract) by
+    `test_bm25_pruned_parity`.
+    """
+    terms = sorted({t.lower() if lowercase else t for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.size(tok).cast("long").alias("dl"),
+            F.explode(
+                F.filter(tok, lambda t: F.array_contains(term_arr, t))
+            ).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = docs.select(F.size(tok).cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    contribs = (
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "inv_avgdl_q6", F.expr(f"(n_docs * {BM25_Q6}) div total_tokens")
+        )
+        .withColumn(
+            "den_q7",
+            F.expr(f"10 * tf * {BM25_Q6} + 3 * {BM25_Q6}"
+                   " + 9 * dl * inv_avgdl_q6"),
+        )
+        .withColumn(
+            "frac_q6", F.expr(f"(22 * tf * {BM25_Q6} * {BM25_Q6}) div den_q7")
+        )
+        .withColumn("contrib", F.expr(f"({IDF_SCALE} div df) * frac_q6"))
+        .select("term", id_col, "df", "contrib")
+    )
+    # Cache: seeds, bounds, and the final aggregation all read this
+    # postings-sized frame.
+    contribs = contribs.localCheckpoint(eager=False)
+    # Phase 1 — θ from the rarest term's docs, scored exactly.
+    rarest = (
+        contribs.groupBy("term")
+        .agg(F.min("df").alias("df"))
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .limit(1)
+        .select("term")
+    )
+    seed_scores = (
+        contribs.join(F.broadcast(rarest), "term")
+        .select(id_col)
+        .distinct()
+        .join(contribs, id_col)
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    theta = (
+        seed_scores.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .agg(
+            F.when(F.count(F.lit(1)) >= k, F.min("score"))
+            .otherwise(F.lit(0))
+            .alias("theta")
+        )
+    )
+    # Phase 2 — per-term upper bounds; per-doc bound over a NARROW
+    # (term, id, ub) projection; only survivor docs' postings reach the
+    # exact-score aggregation (left-semi). The bound pass is an extra
+    # postings-sized-but-narrow shuffle — the trade that pays when
+    # survivors << matching docs (rare+common term mixes) and costs ~2x
+    # narrow shuffle volume when θ prunes nothing.
+    ub = contribs.groupBy("term").agg(F.max("contrib").alias("ub"))
+    keep = (
+        contribs.select("term", id_col)
+        .join(F.broadcast(ub), "term")
+        .groupBy(id_col)
+        .agg(F.sum("ub").alias("bound"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("bound") >= F.col("theta"))
+        .select(id_col)
+    )
+    survivors = (
+        contribs.join(keep, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("contrib").alias("score"),
+        )
+    )
+    return (
+        survivors.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "n_hit_terms",
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
