@@ -37,13 +37,20 @@ def main() -> int:
 
     cores = os.environ.get("REPLICA_CORES", "8")
     shuffle = os.environ.get("REPLICA_SHUFFLE", "8")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
         .appName("driver-replica")
-        .getOrCreate()
     )
+    # REPLICA_NO_AQE=1: re-verify the whole surface with adaptive
+    # execution OFF — results must be bit-identical either way (AQE
+    # re-plans physical partitioning at runtime; round 6's global_rank
+    # partition-id bug is the class of failure this sweep exists to
+    # catch).
+    if os.environ.get("REPLICA_NO_AQE"):
+        builder = builder.config("spark.sql.adaptive.enabled", "false")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     if not ONLY:

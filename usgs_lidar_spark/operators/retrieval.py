@@ -114,21 +114,7 @@ def tfidf_topk(
             F.sum(F.col("tf") * idf).alias("score"),
         )
     )
-    # limit-k first (TakeOrdered — per-partition heads, k-row merge);
-    # the rank window then orders <= k rows, not the corpus.
-    return (
-        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(
-            id_col,
-            "n_hit_terms",
-            "score",
-            F.row_number()
-            .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
-            .cast("long")
-            .alias("rank"),
-        )
-    )
+    return _rank_topk(scored, id_col, k, ["n_hit_terms", "score"])
 
 
 def bm25_topk(
@@ -176,18 +162,37 @@ def bm25_topk(
     Returns (id_col, n_hit_terms, score, rank) for the k best
     (score DESC, id ASC); only documents hitting ≥1 term appear.
     """
+    contribs = _bm25_contribs(docs, query_terms, text_col, id_col, lowercase)
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    scored = contribs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        F.sum("contrib").alias("score"),
+    )
+    return _rank_topk(scored, id_col, k, ["n_hit_terms", "score"])
+
+
+def _bm25_contribs(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str,
+    id_col: str,
+    lowercase: bool,
+) -> DataFrame:
+    """The shared integer-exact BM25 scoring frame: one (term, id_col,
+    df, contrib) row per matching posting, built in ONE corpus pass —
+    dl comes from the same select (size of the full token array), the
+    explode sees only the query's terms (shuffled volume = matching
+    postings), corpus length stats are a map-side aggregate broadcast
+    back as two scalars, df is a count window over the filtered
+    postings. Formulas documented at `bm25_topk`."""
     terms = sorted({t.lower() if lowercase else t for t in query_terms})
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    if k <= 0:
-        raise ValueError(f"k must be positive, got {k}")
     tok = ws_tokens(text_col)
     if lowercase:
         tok = F.transform(tok, F.lower)
     term_arr = F.array(*[F.lit(t) for t in terms])
-    # One corpus pass for the postings: dl comes from the SAME select
-    # (size of the full token array), the explode sees only the query's
-    # terms, so shuffled volume = matching postings.
     postings = (
         docs.select(
             F.col(id_col),
@@ -199,12 +204,11 @@ def bm25_topk(
         .groupBy("term", id_col, "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # Corpus length stats: map-side agg, two scalars, broadcast back.
     stats = docs.select(F.size(tok).cast("long").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
     )
-    scored = (
+    return (
         postings.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
         )
@@ -221,21 +225,25 @@ def bm25_topk(
             "frac_q6", F.expr(f"(22 * tf * {BM25_Q6} * {BM25_Q6}) div den_q7")
         )
         .withColumn("contrib", F.expr(f"({IDF_SCALE} div df) * frac_q6"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_hit_terms"),
-            F.sum("contrib").alias("score"),
-        )
+        .select("term", id_col, "df", "contrib")
     )
+
+
+def _rank_topk(
+    scored: DataFrame, id_col: str, k: int, extra_cols: list[str]
+) -> DataFrame:
+    """The retrieval tier's shared top-k tail: TakeOrdered on
+    (score DESC, id ASC) — per-partition heads, k-row driver merge,
+    never a full sort — then a rank window over the <= k survivors."""
+    order = [F.col("score").desc(), F.col(id_col).asc()]
     return (
-        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        scored.orderBy(*order)
         .limit(k)
         .select(
             id_col,
-            "n_hit_terms",
-            "score",
+            *extra_cols,
             F.row_number()
-            .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+            .over(Window.orderBy(*order))
             .cast("long")
             .alias("rank"),
         )
@@ -352,18 +360,7 @@ def rrf_fuse(
         [F.coalesce(F.col(f"__c{i}"), F.lit(0)) for i in range(len(contribs))],
     ).alias("score")
     scored = fused.select(id_col, score)
-    return (
-        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(
-            id_col,
-            "score",
-            F.row_number()
-            .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
-            .cast("long")
-            .alias("rank"),
-        )
-    )
+    return _rank_topk(scored, id_col, k, ["score"])
 
 
 def bm25_topk_pruned(
@@ -398,49 +395,9 @@ def bm25_topk_pruned(
     row-identical to `bm25_topk` (same scores, same tie contract) by
     `test_bm25_pruned_parity`.
     """
-    terms = sorted({t.lower() if lowercase else t for t in query_terms})
-    if not terms:
-        raise ValueError("query_terms must be non-empty")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    tok = ws_tokens(text_col)
-    if lowercase:
-        tok = F.transform(tok, F.lower)
-    term_arr = F.array(*[F.lit(t) for t in terms])
-    postings = (
-        docs.select(
-            F.col(id_col),
-            F.size(tok).cast("long").alias("dl"),
-            F.explode(
-                F.filter(tok, lambda t: F.array_contains(term_arr, t))
-            ).alias("term"),
-        )
-        .groupBy("term", id_col, "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    stats = docs.select(F.size(tok).cast("long").alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
-    )
-    contribs = (
-        postings.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "inv_avgdl_q6", F.expr(f"(n_docs * {BM25_Q6}) div total_tokens")
-        )
-        .withColumn(
-            "den_q7",
-            F.expr(f"10 * tf * {BM25_Q6} + 3 * {BM25_Q6}"
-                   " + 9 * dl * inv_avgdl_q6"),
-        )
-        .withColumn(
-            "frac_q6", F.expr(f"(22 * tf * {BM25_Q6} * {BM25_Q6}) div den_q7")
-        )
-        .withColumn("contrib", F.expr(f"({IDF_SCALE} div df) * frac_q6"))
-        .select("term", id_col, "df", "contrib")
-    )
+    contribs = _bm25_contribs(docs, query_terms, text_col, id_col, lowercase)
     # Cache: seeds, bounds, and the final aggregation all read this
     # postings-sized frame.
     contribs = contribs.localCheckpoint(eager=False)
@@ -493,16 +450,4 @@ def bm25_topk_pruned(
             F.sum("contrib").alias("score"),
         )
     )
-    return (
-        survivors.orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(
-            id_col,
-            "n_hit_terms",
-            "score",
-            F.row_number()
-            .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
-            .cast("long")
-            .alias("rank"),
-        )
-    )
+    return _rank_topk(survivors, id_col, k, ["n_hit_terms", "score"])
