@@ -2817,3 +2817,43 @@ def test_bm25_pruned_parity(spark):
         a = [tuple(r) for r in bm25_topk(docs, terms, k=k).collect()]
         b = [tuple(r) for r in bm25_topk_pruned(docs, terms, k=k).collect()]
         assert a == b, (terms, k)
+
+
+def test_term_index_serving_parity(spark, tmp_path):
+    """write_term_index -> bm25_topk_from_index equals the on-the-fly
+    bm25_topk row-for-row, df derived from the read postings matches
+    the corpus df, and the probe scan partition-prunes to the query
+    terms' hash buckets (strict subset of the index's buckets)."""
+    import re
+
+    from usgs_lidar_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_from_index,
+        write_term_index,
+    )
+
+    rows = [
+        (i, f"word{i % 13} filler common shared word{(i * 7) % 13}")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "term_index")
+    write_term_index(docs, path, n_buckets=16)
+
+    terms = ["word3", "common", "word11"]
+    want = [tuple(r) for r in bm25_topk(docs, terms, k=7).collect()]
+    served = bm25_topk_from_index(spark, path, terms, k=7, n_buckets=16)
+    assert [tuple(r) for r in served.collect()] == want
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[.*tb#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    probed = {int(x) for x in m.group(1).split(",")}
+    all_buckets = {
+        int(mm.group(1))
+        for f in spark.read.parquet(path).inputFiles()
+        if (mm := re.search(r"tb=(\d+)/", f))
+    }
+    assert probed and probed < all_buckets
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_topk_from_index(spark, path, [])

@@ -34,11 +34,13 @@ from usgs_lidar_spark.operators.ranking import (  # noqa: F401
 )
 from usgs_lidar_spark.operators.retrieval import (  # noqa: F401
     bm25_topk,
+    bm25_topk_from_index,
     bm25_topk_pruned,
     phrase_match,
     rrf_fuse,
     term_doc_index,
     tfidf_topk,
+    write_term_index,
 )
 from usgs_lidar_spark.operators.rollup import merge_rollup, rollup_state  # noqa: F401
 from usgs_lidar_spark.operators.textquality import (  # noqa: F401

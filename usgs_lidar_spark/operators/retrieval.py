@@ -208,12 +208,18 @@ def _bm25_contribs(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
     )
+    with_df = postings.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(stats))
+    return _bm25_formula(with_df).select("term", id_col, "df", "contrib")
+
+
+def _bm25_formula(frame: DataFrame) -> DataFrame:
+    """Apply the integer-exact BM25 contribution formula (documented at
+    `bm25_topk`) to a frame carrying (tf, dl, df, n_docs,
+    total_tokens); adds `contrib`."""
     return (
-        postings.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
+        frame.withColumn(
             "inv_avgdl_q6", F.expr(f"(n_docs * {BM25_Q6}) div total_tokens")
         )
         .withColumn(
@@ -225,7 +231,6 @@ def _bm25_contribs(
             "frac_q6", F.expr(f"(22 * tf * {BM25_Q6} * {BM25_Q6}) div den_q7")
         )
         .withColumn("contrib", F.expr(f"({IDF_SCALE} div df) * frac_q6"))
-        .select("term", id_col, "df", "contrib")
     )
 
 
@@ -451,3 +456,102 @@ def bm25_topk_pruned(
         )
     )
     return _rank_topk(survivors, id_col, k, ["n_hit_terms", "score"])
+
+
+#: Term-bucket count for the persisted inverted index: terms hash into
+#: this many hive partitions (vocabulary-many dirs would be unusable).
+INDEX_TERM_BUCKETS = 256
+
+
+def write_term_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    n_buckets: int = INDEX_TERM_BUCKETS,
+) -> None:
+    """Materialize the FULL inverted index as a term-bucket-partitioned
+    parquet dataset: postings (term, id, dl, tf) under hive partitions
+    ``tb=pmod(xxhash64(term), n_buckets)``, plus corpus length stats
+    (n_docs, total_tokens) as a ``_corpus_stats`` parquet sidecar
+    (underscore prefix — data readers skip it, same convention as the
+    IVF index's ``_centroids``).
+
+    The layout IS the index: a query's terms map to <= |terms| buckets,
+    so serving reads ~|terms|/n_buckets of the bytes (partition
+    pruning) and the exact `term IN (...)` filter pushes into the
+    parquet scan inside each bucket. df is NOT stored — all of a term's
+    postings live in its one bucket, so df falls out of the read
+    postings exactly, which keeps appends cheap (df is never stale).
+    Repeated-query serving (`bm25_topk_from_index`) reads this instead
+    of re-tokenizing the corpus per query."""
+    spark = docs.sparkSession
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.size(tok).cast("long").alias("dl"),
+            F.explode(tok).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", F.expr(f"pmod(xxhash64(term), {n_buckets})"))
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(path)
+    docs.select(F.size(tok).cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    n_buckets: int = INDEX_TERM_BUCKETS,
+) -> DataFrame:
+    """`bm25_topk` served from a `write_term_index` dataset — the
+    corpus is never rescanned or re-tokenized: the query's terms prune
+    to their hash buckets' partition directories, the exact term filter
+    pushes into those scans, df is derived from the read postings (each
+    term's postings are complete within its bucket), corpus stats come
+    from the sidecar. Row-identical to the on-the-fly ranker
+    (`test_term_index_serving_parity`)."""
+    terms = sorted({t.lower() if lowercase else t for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    idx = spark.read.option("basePath", path).parquet(path)
+    # Partition pruning: tb IN (buckets of the query's terms) is a
+    # literal predicate on the hive partition column; the exact term
+    # filter then pushes into the pruned scans.
+    bucket_of = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "t string")
+        .select("t", F.expr(f"pmod(xxhash64(t), {n_buckets})").alias("b"))
+        .collect()
+    }
+    probe = (
+        idx.filter(F.col("tb").isin(sorted({int(b) for b in bucket_of.values()})))
+        .filter(F.col("term").isin(terms))
+    )
+    stats = spark.read.parquet(f"{path}/_corpus_stats")
+    with_df = probe.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(stats))
+    scored = (
+        _bm25_formula(with_df)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("contrib").alias("score"),
+        )
+    )
+    return _rank_topk(scored, id_col, k, ["n_hit_terms", "score"])
