@@ -2857,3 +2857,38 @@ def test_term_index_serving_parity(spark, tmp_path):
     assert probed and probed < all_buckets
     with pytest.raises(ValueError, match="query_terms"):
         bm25_topk_from_index(spark, path, [])
+
+
+def test_term_index_append_parity(spark, tmp_path):
+    """Appending a batch to the term index == rebuilding it over the
+    union corpus: served BM25 rows identical, sidecar stats advanced by
+    the batch's exact deltas."""
+    from usgs_lidar_spark.operators.retrieval import (
+        append_to_term_index,
+        bm25_topk_from_index,
+        write_term_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"word{i % 5} shared common") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"word{i % 5} fresh shared") for i in range(15)],
+        ["doc_id", "text"],
+    )
+    inc = str(tmp_path / "inc_index")
+    full = str(tmp_path / "full_index")
+    write_term_index(base, inc, n_buckets=8)
+    append_to_term_index(batch, inc, n_buckets=8)
+    write_term_index(base.unionByName(batch), full, n_buckets=8)
+
+    terms = ["word2", "fresh", "common"]
+    a = [tuple(r) for r in
+         bm25_topk_from_index(spark, inc, terms, k=10, n_buckets=8).collect()]
+    b = [tuple(r) for r in
+         bm25_topk_from_index(spark, full, terms, k=10, n_buckets=8).collect()]
+    assert a == b
+    si = spark.read.parquet(f"{inc}/_corpus_stats").collect()[0]
+    sf = spark.read.parquet(f"{full}/_corpus_stats").collect()[0]
+    assert tuple(si) == tuple(sf)

@@ -33,6 +33,7 @@ from usgs_lidar_spark.operators.ranking import (  # noqa: F401
     histogram_equidepth,
 )
 from usgs_lidar_spark.operators.retrieval import (  # noqa: F401
+    append_to_term_index,
     bm25_topk,
     bm25_topk_from_index,
     bm25_topk_pruned,

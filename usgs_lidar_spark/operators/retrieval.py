@@ -555,3 +555,57 @@ def bm25_topk_from_index(
         )
     )
     return _rank_topk(scored, id_col, k, ["n_hit_terms", "score"])
+
+
+def append_to_term_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    n_buckets: int = INDEX_TERM_BUCKETS,
+) -> None:
+    """Incrementally grow a `write_term_index` dataset: the new batch's
+    postings append into their term buckets and the ``_corpus_stats``
+    sidecar is advanced by the batch's exact (n_docs, token) deltas —
+    integer sums, so the result is indistinguishable from a full
+    rebuild over the union corpus (`test_term_index_append_parity`).
+    df needs no maintenance at all: it is derived from the read
+    postings at serve time, and a (term, doc) posting appears exactly
+    once across base + batches (disjoint doc ids are the caller's
+    contract, as in any append-only corpus feed)."""
+    spark = new_docs.sparkSession
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    (
+        new_docs.select(
+            F.col(id_col),
+            F.size(tok).cast("long").alias("dl"),
+            F.explode(tok).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", F.expr(f"pmod(xxhash64(term), {n_buckets})"))
+        .write.mode("append")
+        .partitionBy("tb")
+        .parquet(path)
+    )
+    old = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    batch = (
+        new_docs.select(F.size(tok).cast("long").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        )
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(old["n_docs"]) + int(batch["n_docs"]),
+                int(old["total_tokens"]) + int(batch["total_tokens"] or 0),
+            )
+        ],
+        "n_docs bigint, total_tokens bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
