@@ -1147,3 +1147,55 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_streaming_term_index_maintenance(spark, tmp_path):
+    """foreachBatch-maintained persisted inverted index: base index +
+    streamed micro-batch appends serve BM25 row-identically to a
+    from-scratch index over the full corpus, and the sidecar stats
+    advance to the exact union values (the append_to_term_index
+    invariant, through the streaming path)."""
+    import shutil as _sh
+
+    from usgs_lidar_spark.operators.retrieval import (
+        append_to_term_index,
+        bm25_topk_from_index,
+        write_term_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "term_idx")
+    write_term_index(docs.filter("doc_id < 30"), idx, n_buckets=8)
+
+    stream_dir = tmp_path / "stream_src"
+    stream_dir.mkdir()
+    docs.filter("doc_id >= 30").write.mode("overwrite").parquet(
+        str(tmp_path / "tail")
+    )
+    for i, f in enumerate(sorted((tmp_path / "tail").glob("*.parquet"))):
+        _sh.copy(f, stream_dir / f"part-{i}.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(stream_dir))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: append_to_term_index(batch, idx, n_buckets=8)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rebuilt = str(tmp_path / "term_full")
+    write_term_index(docs, rebuilt, n_buckets=8)
+    terms = ["merge", "spark", "vector"]
+    a = [tuple(r) for r in
+         bm25_topk_from_index(spark, idx, terms, k=10, n_buckets=8).collect()]
+    b = [tuple(r) for r in
+         bm25_topk_from_index(spark, rebuilt, terms, k=10,
+                              n_buckets=8).collect()]
+    assert a == b
+    si = spark.read.parquet(f"{idx}/_corpus_stats").collect()[0]
+    sr = spark.read.parquet(f"{rebuilt}/_corpus_stats").collect()[0]
+    assert tuple(si) == tuple(sr)
