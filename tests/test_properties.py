@@ -431,3 +431,35 @@ def test_global_rank_permutation_property(spark, vals, nb):
     want = sorted((v, i) for i, v in enumerate(vals))
     assert [rk for rk, _, _ in got] == list(range(1, len(vals) + 1))
     assert [(v, u) for _, v, u in got] == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab c".split() + ["a", "b"]),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=10,
+    ),
+    phrase=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2,
+                    max_size=3),
+)
+@settings(**SET)
+def test_phrase_match_equals_python_reference(spark, docs, phrase):
+    """The lead-window phrase matcher equals a brute-force Python scan
+    over the token lists on random corpora — match counts, first
+    positions, and absence of non-matching docs."""
+    from usgs_lidar_spark.operators.retrieval import phrase_match
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {}
+    m = len(phrase)
+    for i, toks in enumerate(docs):
+        hits = [p for p in range(len(toks) - m + 1)
+                if toks[p:p + m] == phrase]
+        if hits:
+            want[i] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(df, phrase).collect()
+    }
+    assert got == want
