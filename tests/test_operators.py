@@ -2892,3 +2892,34 @@ def test_term_index_append_parity(spark, tmp_path):
     si = spark.read.parquet(f"{inc}/_corpus_stats").collect()[0]
     sf = spark.read.parquet(f"{full}/_corpus_stats").collect()[0]
     assert tuple(si) == tuple(sf)
+
+
+def test_proximity_match_hand_cases(spark):
+    """Proximity semantics: any-order co-occurrence within the span,
+    order-insensitivity vs phrase, window boundary inclusive, error on
+    degenerate inputs."""
+    from usgs_lidar_spark.operators.retrieval import proximity_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b x a"),        # span 3, reversed order
+            (2, "a x x x b"),    # span 5
+            (3, "a a a"),        # never covers both terms
+            (4, "x a b x"),      # adjacent
+        ],
+        ["doc_id", "text"],
+    )
+    got3 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in proximity_match(docs, ["a", "b"], window=3).collect()
+    }
+    assert got3 == {1: (1, 0), 4: (1, 1)}
+    got5 = {
+        r["doc_id"]
+        for r in proximity_match(docs, ["a", "b"], window=5).collect()
+    }
+    assert got5 == {1, 2, 4}
+    with pytest.raises(ValueError, match="distinct"):
+        proximity_match(docs, ["a"], window=3)
+    with pytest.raises(ValueError, match="window"):
+        proximity_match(docs, ["a", "b"], window=1)

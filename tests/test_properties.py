@@ -463,3 +463,40 @@ def test_phrase_match_equals_python_reference(spark, docs, phrase):
         for r in phrase_match(df, phrase).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "x"]),
+                 min_size=0, max_size=14),
+        min_size=1, max_size=8,
+    ),
+    window=st.integers(min_value=2, max_value=6),
+)
+@settings(**SET)
+def test_proximity_match_equals_python_reference(spark, docs, window):
+    """The lead-window proximity matcher equals a brute-force Python
+    scan: every minimal cluster of consecutive filtered postings is
+    tested for span <= window and full term coverage."""
+    from usgs_lidar_spark.operators.retrieval import proximity_match
+
+    tset = ["a", "b"]
+    m = len(tset)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {}
+    for i, toks in enumerate(docs):
+        P = [(p, t) for p, t in enumerate(toks) if t in tset]
+        hits = [
+            P[j][0]
+            for j in range(len(P) - m + 1)
+            if P[j + m - 1][0] - P[j][0] <= window - 1
+            and {t for _, t in P[j:j + m]} == set(tset)
+        ]
+        if hits:
+            want[i] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in proximity_match(df, tset, window).collect()
+    }
+    assert got == want

@@ -38,6 +38,7 @@ from usgs_lidar_spark.operators.retrieval import (  # noqa: F401
     bm25_topk_from_index,
     bm25_topk_pruned,
     phrase_match,
+    proximity_match,
     rrf_fuse,
     term_doc_index,
     tfidf_topk,

@@ -609,3 +609,65 @@ def append_to_term_index(
         ],
         "n_docs bigint, total_tokens bigint",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
+
+
+def proximity_match(
+    docs: DataFrame,
+    terms: list[str],
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Unordered proximity search: documents where all of ``terms``
+    (distinct) co-occur within a span of at most ``window`` tokens, in
+    ANY order — the relaxation of `phrase_match` for "these words near
+    each other" curation queries.
+
+    Same scale shape as the phrase matcher: positional postings
+    filtered to the term set above the scan, one per-document window
+    ordered by position. A hit at a filtered row means the next m-1
+    FILTERED rows (m = #distinct terms) together with it span <=
+    ``window`` tokens and carry all m distinct terms — i.e., every
+    minimal m-posting cluster is tested once, so n_matches counts
+    distinct left-anchored dense clusters and first_pos is the
+    earliest cluster's start. Deterministic, and pinned against a
+    brute-force Python reference on random corpora
+    (`test_proximity_match_equals_python_reference`).
+    """
+    tset = sorted({t.lower() if lowercase else t for t in terms})
+    m = len(tset)
+    if m < 2:
+        raise ValueError("terms must contain >= 2 distinct terms")
+    if window < m:
+        raise ValueError(f"window must be >= {m} (the term count)")
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    pos = (
+        docs.select(
+            F.col(id_col), F.posexplode(tok).alias("pos", "term")
+        )
+        .filter(F.col("term").isin(tset))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [
+        F.lead(c, i).over(w).alias(f"{c}{i}")
+        for i in range(1, m)
+        for c in ("term", "pos")
+    ]
+    led = pos.select(id_col, "pos", "term", *leads)
+    term_cols = [F.col("term")] + [F.col(f"term{i}") for i in range(1, m)]
+    span_ok = (F.col(f"pos{m - 1}") - F.col("pos")) <= (window - 1)
+    conds = [F.col(f"pos{m - 1}").isNotNull(), span_ok]
+    for i in range(m):
+        for j in range(i + 1, m):
+            conds.append(term_cols[i] != term_cols[j])
+    return (
+        led.filter(reduce(lambda a, b: a & b, conds))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
