@@ -175,6 +175,25 @@ def main() -> None:
         name: [round(min(xs), 3), round(max(xs), 3)] for name, xs in runs.items()
     }
     total = round(sum(timings.values()), 3)
+    # Per-run detail (min/max spread, cold first-run walls) goes to a
+    # sidecar file, NOT the stdout JSON: the round driver keeps only the
+    # TAIL of bench stdout, and r6's long one-liner lost its head (the
+    # first 4 medians). The artifact line stays short and is printed
+    # LAST so tail-capture always preserves a complete, parseable JSON.
+    detail = {
+        "spread": spread,
+        "first_run": first_run,
+        "n_runs": N_RUNS,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail_last.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # detail is advisory; never fail the artifact over it
     print(
         json.dumps(
             {
@@ -182,10 +201,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
-                "first_run": first_run,
                 "calibration": {"pre": calib_pre, "post": calib_post},
-                "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

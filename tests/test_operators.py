@@ -2172,6 +2172,83 @@ def test_pagerank_fixed_matches_python_reference(spark):
     assert abs(sum(out.values()) - scale) < 1000  # mass conserved
 
 
+def test_edge_table_pagerank_parity_and_shuffle(spark, tmp_path):
+    """A persisted src-bucketed edge table (write_edge_table) serves
+    pagerank_fixed(edges_materialized=True) with (a) ranks identical to
+    the build-per-query path, and (b) strictly fewer shuffle Exchanges:
+    the bucketed scan's output partitioning survives into the
+    per-iteration contribution joins, so the edge side never
+    re-exchanges (the localCheckpoint path re-shuffles it every
+    iteration)."""
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_fixed,
+        read_edge_table,
+        write_edge_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    pairs = copurchase_edges(
+        load_table(spark, SF_SMALL, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+        max_basket=8,
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # Small-SF sides would broadcast, sidestepping the layout under
+        # test — a real co-purchase graph's degree/rank frames are
+        # fact-sized and join sort-merge.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # Bucket count must MATCH the shuffle partitioning for the scan's
+        # partitioning to satisfy every iteration join's requirement —
+        # mismatched (8 buckets, 32 shuffle partitions) re-exchanges the
+        # edge side on iterations 2+. Sizing buckets to the cluster's
+        # partitioning is part of the layout contract.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        write_edge_table(
+            pairs, "t_copurchase_edges", n_buckets=8,
+            path=str(tmp_path / "edges"), symmetrize=True,
+        )
+        direct_edges = pairs.select("src", "dst").unionAll(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        want = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_fixed(direct_edges, iterations=3).collect()
+        }
+        served = pagerank_fixed(
+            read_edge_table(spark, "t_copurchase_edges"),
+            iterations=3,
+            edges_materialized=True,
+        )
+        got = {r["node"]: r["rank_scaled"] for r in served.collect()}
+        assert got == want
+        plan_b = served._jdf.queryExecution().executedPlan().toString()
+        plain = pagerank_fixed(
+            spark.read.parquet(str(tmp_path / "edges")),
+            iterations=3,
+            edges_materialized=False,
+        )
+        plan_p = plain._jdf.queryExecution().executedPlan().toString()
+        # The load-bearing assertion: the EDGE side (__esrc) of every
+        # iteration join rides the bucketed scan's partitioning — zero
+        # edge re-shuffles — while the unbucketed path exchanges the
+        # edge frame every iteration.
+        assert "Exchange hashpartitioning(__esrc" not in plan_b, plan_b
+        assert "Exchange hashpartitioning(__esrc" in plan_p
+        assert "SortMergeJoin" in plan_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_copurchase_edges")
+
+
 def test_curriculum_order_invariants(spark):
     """Stages are monotone in score, global_step interleaves round-robin
     (step % n_stages == stage), steps are unique, and the schedule is
@@ -2923,3 +3000,100 @@ def test_proximity_match_hand_cases(spark):
         proximity_match(docs, ["a"], window=3)
     with pytest.raises(ValueError, match="window"):
         proximity_match(docs, ["a", "b"], window=1)
+    # Regression (ADVICE r6): a repeated query term INSIDE the minimal
+    # cluster — 'a b b c' with terms {a,b,c} spans a@0..c@3 = 4 <= 5, but
+    # no 3 CONSECUTIVE filtered postings are pairwise-distinct, so the
+    # old consecutive-m-tuple formulation returned no match.
+    tri = spark.createDataFrame([(1, "a b b c")], ["doc_id", "text"])
+    got_tri = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in proximity_match(tri, ["a", "b", "c"], window=5).collect()
+    }
+    assert got_tri == {1: (1, 0)}
+
+
+def test_term_index_empty_corpus_bootstrap(spark, tmp_path):
+    """An index built over an EMPTY corpus is servable and appendable:
+    the schema sidecar reconstructs the empty postings frame (a
+    partitionBy write of zero rows leaves no inferable data files), the
+    coalesced stats sidecar stores (0, 0) rather than NULL, serving
+    returns zero rows instead of crashing, and the first real append
+    bootstraps the index to parity with a from-scratch build."""
+    from usgs_lidar_spark.operators.retrieval import (
+        append_to_term_index,
+        bm25_topk_from_index,
+        write_term_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    path = str(tmp_path / "empty_idx")
+    write_term_index(empty, path, n_buckets=8)
+    st = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    assert (st["n_docs"], st["total_tokens"]) == (0, 0)
+    assert bm25_topk_from_index(spark, path, ["anything"], k=5,
+                                n_buckets=8).count() == 0
+    batch = spark.createDataFrame(
+        [(i, f"word{i % 3} shared") for i in range(12)], ["doc_id", "text"]
+    )
+    append_to_term_index(batch, path, n_buckets=8)
+    full = str(tmp_path / "full_idx")
+    write_term_index(batch, full, n_buckets=8)
+    a = [tuple(r) for r in bm25_topk_from_index(
+        spark, path, ["word1", "shared"], k=10, n_buckets=8).collect()]
+    b = [tuple(r) for r in bm25_topk_from_index(
+        spark, full, ["word1", "shared"], k=10, n_buckets=8).collect()]
+    assert a == b
+
+
+def test_rebuild_corpus_stats_recovers_sidecar(spark, tmp_path):
+    """Crash recovery between append_to_term_index's two writes: with
+    the stats sidecar left STALE (simulated by restoring the pre-append
+    sidecar), rebuild_corpus_stats recomputes (n_docs, total_tokens)
+    exactly from the postings — matching a from-scratch build's
+    sidecar."""
+    from usgs_lidar_spark.operators.retrieval import (
+        append_to_term_index,
+        rebuild_corpus_stats,
+        write_term_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"word{i % 4} common text") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"word{i % 4} fresh") for i in range(7)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "crash_idx")
+    write_term_index(base, path, n_buckets=8)
+    stale = [tuple(r) for r in
+             spark.read.parquet(f"{path}/_corpus_stats").collect()]
+    append_to_term_index(batch, path, n_buckets=8)
+    # Simulate the crash: postings appended, sidecar never advanced.
+    spark.createDataFrame(
+        stale, "n_docs bigint, total_tokens bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
+    rebuild_corpus_stats(spark, path)
+    got = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    full = str(tmp_path / "truth_idx")
+    write_term_index(base.unionByName(batch), full, n_buckets=8)
+    want = spark.read.parquet(f"{full}/_corpus_stats").collect()[0]
+    assert (got["n_docs"], got["total_tokens"]) == (
+        want["n_docs"], want["total_tokens"]
+    )
+
+
+def test_global_rank_rejects_nan_leading_key(spark):
+    """ADVICE r6: a NaN leading double has no place in a total order —
+    global_rank must raise a clear ValueError, not crash with an opaque
+    None-vs-int TypeError from the bucket-count sort."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, float("nan")), (3, 1.0)], ["id", "score"]
+    )
+    with _pytest.raises(ValueError, match="NULL or NaN"):
+        global_rank(df, ["score", "id"], num_buckets=4).collect()

@@ -471,27 +471,30 @@ def test_phrase_match_equals_python_reference(spark, docs, phrase):
                  min_size=0, max_size=14),
         min_size=1, max_size=8,
     ),
-    window=st.integers(min_value=2, max_value=6),
+    window=st.integers(min_value=3, max_value=6),
+    nterms=st.integers(min_value=2, max_value=3),
 )
 @settings(**SET)
-def test_proximity_match_equals_python_reference(spark, docs, window):
-    """The lead-window proximity matcher equals a brute-force Python
-    scan: every minimal cluster of consecutive filtered postings is
-    tested for span <= window and full term coverage."""
+def test_proximity_match_equals_python_reference(spark, docs, window,
+                                                 nterms):
+    """The coverage-window proximity matcher equals a brute-force Python
+    scan: a filtered posting at p is a hit iff tokens [p, p+window-1]
+    cover ALL query terms. Samples 2- AND 3-term queries over a 3-letter
+    alphabet with a distractor, so repeated query terms interleave
+    inside minimal clusters — the case the old consecutive-m-tuple
+    formulation silently missed."""
     from usgs_lidar_spark.operators.retrieval import proximity_match
 
-    tset = ["a", "b"]
-    m = len(tset)
+    tset = ["a", "b", "c"][:nterms]
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     want = {}
     for i, toks in enumerate(docs):
         P = [(p, t) for p, t in enumerate(toks) if t in tset]
         hits = [
-            P[j][0]
-            for j in range(len(P) - m + 1)
-            if P[j + m - 1][0] - P[j][0] <= window - 1
-            and {t for _, t in P[j:j + m]} == set(tset)
+            p
+            for p, _ in P
+            if {t for q, t in P if p <= q <= p + window - 1} == set(tset)
         ]
         if hits:
             want[i] = (len(hits), hits[0])

@@ -43,3 +43,29 @@ def sign_lsh_bucket(a: Column | str, n_bits: int = 8) -> Column:
     for j in range(n_bits):
         b = b + F.when(arr.getItem(j) > 0, F.lit(1 << j)).otherwise(0).cast("long")
     return b
+
+
+def quantize_exact(a: Column | str, qbits: int = 20) -> Column:
+    """Exactly-reproducible integer quantization of a float/double vector:
+    ``q_i = floor(x_i * 2^qbits)`` as BIGINT.
+
+    Every step is bit-deterministic in ANY IEEE-754 engine: multiplying a
+    double by a power of two only shifts the exponent (no rounding, barring
+    under/overflow at magnitudes this pipeline never sees), and floor of an
+    exact double is unambiguous. Unlike decimal ROUND(x, d) — whose binary
+    half-way behavior is the classic cross-engine knife edge — there is no
+    rounding decision anywhere, so Spark, DuckDB, and Python's
+    ``math.floor(x * 2.0**qbits)`` all produce the SAME integers from the
+    same inputs. Integer dot products / norms over quantized vectors are
+    then exact BIGINT arithmetic: order-independent, hash-stable across
+    engines, layouts, and SIMD summation strategies."""
+    return F.transform(
+        _c(a),
+        lambda x: F.floor(x.cast("double") * F.lit(float(2**qbits))).cast("long"),
+    )
+
+
+def dot_q(a: Column | str, b: Column | str) -> Column:
+    """Exact BIGINT dot product of two already-quantized integer vectors."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)

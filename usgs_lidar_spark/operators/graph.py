@@ -268,6 +268,7 @@ def pagerank_fixed(
     dst: str = "dst",
     iterations: int = 3,
     scale: int = 10**12,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank (damping 0.85) in EXACT scaled-integer
     arithmetic: ranks live as BIGINT multiples of 1/scale, per-edge
@@ -288,6 +289,13 @@ def pagerank_fixed(
     simplification.
 
     Returns (node, rank_scaled BIGINT, rank DOUBLE = scaled/scale).
+
+    ``edges_materialized=True`` declares the edge frame already
+    materialized on stable storage (e.g. a `write_edge_table` bucketed
+    table): the edge localCheckpoint is skipped, so the scan's BUCKETED
+    output partitioning survives into every iteration join —
+    localCheckpoint would materialize to executor blocks and erase the
+    bucketing metadata, re-introducing a per-iteration edge Exchange.
     """
     # The edge list, node set and degree table feed EVERY iteration:
     # localCheckpoint them once so the unrolled plan references a
@@ -296,9 +304,9 @@ def pagerank_fixed(
     # plan re-expands upstream lineage ~30x (measured 105 shuffle
     # exchanges vs 11 after; same contract as connected_components'
     # per-round checkpointing).
-    e = edges.select(
-        F.col(src).alias("__esrc"), F.col(dst).alias("__edst")
-    ).localCheckpoint()
+    e = edges.select(F.col(src).alias("__esrc"), F.col(dst).alias("__edst"))
+    if not edges_materialized:
+        e = e.localCheckpoint()
     nodes = (
         e.select(F.col("__esrc").alias("node"))
         .union(e.select(F.col("__edst").alias("node")))
@@ -408,6 +416,50 @@ def copurchase_edges(
         .filter(F.col("support") >= min_support)
         .select("src", "dst", *(["support"] if keep_support else []))
     )
+
+
+def write_edge_table(
+    edges: DataFrame,
+    table_name: str,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 32,
+    path: str | None = None,
+    symmetrize: bool = False,
+) -> None:
+    """Materialize an edge list as a src-BUCKETED, (src, dst)-sorted
+    parquet table — the persisted form that makes iterative graph
+    queries cheap to re-run.
+
+    SCALE.md names the co-purchase edge BUILD (a within-basket
+    self-join) as the dominant shuffle of the pagerank/triangle queries
+    at sf1 (~0.5-1.8 GB); it is also iteration-invariant and shared by
+    every graph query over the same edges. Paying it ONCE here converts
+    each subsequent `pagerank_fixed(read_edge_table(...),
+    edges_materialized=True)` run into: a bucketed scan (zero build
+    cost), a shuffle-free degree aggregate (groupBy on the bucket
+    column), and per-iteration joins where the edge side needs NO
+    Exchange — only the iteration's small rank frame moves
+    (`test_edge_table_pagerank_*`). ``symmetrize=True`` stores both
+    orientations of each undirected (src < dst) pair, the layout
+    pagerank's contribution join wants."""
+    from usgs_lidar_spark.sources.writers import write_bucketed
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if symmetrize:
+        e = e.unionAll(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    write_bucketed(
+        e, table_name, ("src",), n_buckets, sort_cols=("src", "dst"),
+        path=path,
+    )
+
+
+def read_edge_table(spark, table_name: str) -> DataFrame:
+    """The bucketed edge table back as (src, dst), bucketing metadata
+    intact (catalog read — a plain parquet path read would lose it)."""
+    return spark.table(table_name).select("src", "dst")
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -45,6 +45,8 @@ top-percentile cuts) at 100 TB.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -61,10 +63,11 @@ def global_rank(
 
     ``order_cols`` must be a total order (include a unique tie-break
     column) — with ties the ranking would depend on physical placement.
-    The LEADING order column must be numeric or string, and non-null (a
-    null leading value would drop out of the bucket equi-join). Numeric
-    leads split on their min/max directly; string leads split on an
-    order-preserving 7-byte-prefix integer key (binary collation).
+    The LEADING order column must be numeric or string, non-null, and
+    (if floating) NaN-free — NULL and NaN have no position in a total
+    order; both are rejected with a ValueError before any ranking runs.
+    Numeric leads split on their min/max directly; string leads split on
+    an order-preserving 7-byte-prefix integer key (binary collation).
     Adds ``rank_col``; all input columns pass through.
     """
     if not order_cols:
@@ -96,6 +99,16 @@ def global_rank(
         F.max(key.cast("double")).alias("mx"),
     ).collect()[0]
     mn, mx = mm["mn"], mm["mx"]
+    # NaN surfaces HERE, not in the bucket scan: Spark's max orders NaN
+    # above every double, so one NaN row makes mx NaN and the repr'd
+    # width_bucket literal would be invalid SQL. Same contract as the
+    # NULL-bucket guard below: no position in a total order.
+    if any(v is not None and math.isnan(v) for v in (mn, mx)):
+        raise ValueError(
+            f"global_rank: leading order column {first!r} contains NULL "
+            "or NaN values — the total order is undefined for them; "
+            "filter them out or map them to a sentinel first"
+        )
     if mn is None:
         bucket = F.lit(0).cast("long")  # empty input
     else:
@@ -115,12 +128,20 @@ def global_rank(
         "__gr_key"
     )
     # Bucket counts: <= num_buckets rows, bounded by the knob.
-    pc = sorted(
-        (r["__b"], r["cnt"])
-        for r in bdf.groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+    rows = (
+        bdf.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
+    # A NULL bucket means the leading key was NULL or NaN —
+    # width_bucket(NaN/NULL, ...) is NULL, those rows have no place in
+    # the total order, and the sort below would otherwise crash on a
+    # None-vs-int comparison. Fail loudly with the actual contract.
+    if any(r["__b"] is None for r in rows):
+        raise ValueError(
+            f"global_rank: leading order column {first!r} contains NULL "
+            "or NaN values — the total order is undefined for them; "
+            "filter them out or map them to a sentinel first"
+        )
+    pc = sorted((r["__b"], r["cnt"]) for r in rows)
     offsets, acc = [], 0
     for b, cnt in pc:
         offsets.append((b, acc))

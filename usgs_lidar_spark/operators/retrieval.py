@@ -463,6 +463,35 @@ def bm25_topk_pruned(
 INDEX_TERM_BUCKETS = 256
 
 
+def _write_schema_sidecar(df: DataFrame, path: str) -> None:
+    """Persist a dataset's schema as a one-row parquet sidecar. A
+    partitionBy write of an EMPTY frame produces a directory with no
+    data files and therefore no inferable schema — a subsequent read
+    throws AnalysisException. The sidecar lets readers reconstruct the
+    empty frame instead (empty-index bootstrap: build empty, stream
+    appends in)."""
+    df.sparkSession.createDataFrame(
+        [(df.schema.json(),)], "schema_json string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_schema")
+
+
+def _read_with_schema_fallback(spark, path: str) -> DataFrame:
+    """Read a (possibly empty) partitioned dataset; on a schema-less
+    directory, fall back to an empty frame with the sidecar's schema."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import StructType
+
+    try:
+        return spark.read.option("basePath", path).parquet(path)
+    except AnalysisException:
+        import json as _json
+
+        sj = spark.read.parquet(f"{path}/_schema").collect()[0]["schema_json"]
+        return spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(sj))
+        )
+
+
 def write_term_index(
     docs: DataFrame,
     path: str,
@@ -501,9 +530,13 @@ def write_term_index(
         .withColumn("tb", F.expr(f"pmod(xxhash64(term), {n_buckets})"))
     )
     postings.write.mode("overwrite").partitionBy("tb").parquet(path)
+    _write_schema_sidecar(postings, path)
+    # coalesce: SUM over an EMPTY corpus is NULL — a NULL total_tokens
+    # would poison append_to_term_index's int() advance and
+    # bm25_topk_from_index's inv_avgdl_q6.
     docs.select(F.size(tok).cast("long").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_tokens"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
 
 
@@ -528,7 +561,7 @@ def bm25_topk_from_index(
         raise ValueError("query_terms must be non-empty")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    idx = spark.read.option("basePath", path).parquet(path)
+    idx = _read_with_schema_fallback(spark, path)
     # Partition pruning: tb IN (buckets of the query's terms) is a
     # literal predicate on the hive partition column; the exact term
     # filter then pushes into the pruned scans.
@@ -573,7 +606,18 @@ def append_to_term_index(
     df needs no maintenance at all: it is derived from the read
     postings at serve time, and a (term, doc) posting appears exactly
     once across base + batches (disjoint doc ids are the caller's
-    contract, as in any append-only corpus feed)."""
+    contract, as in any append-only corpus feed).
+
+    Durability contract: the update is two writes (postings append,
+    then sidecar overwrite) with no cross-file transaction — plain
+    parquet directories have none. SINGLE WRITER ONLY, and readers
+    must not race the sidecar overwrite (serve from a snapshot, or
+    quiesce during maintenance). Crash recovery: a failure between the
+    two writes leaves appended postings with stale stats — run
+    `rebuild_corpus_stats(spark, path)` to recompute the sidecar
+    exactly from the postings (the postings are always the source of
+    truth; re-running the same append would double the postings, so
+    recover, don't retry)."""
     spark = new_docs.sparkSession
     tok = ws_tokens(text_col)
     if lowercase:
@@ -596,7 +640,8 @@ def append_to_term_index(
         new_docs.select(F.size(tok).cast("long").alias("dl"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_tokens"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
+            .alias("total_tokens"),
         )
         .collect()[0]
     )
@@ -604,10 +649,28 @@ def append_to_term_index(
         [
             (
                 int(old["n_docs"]) + int(batch["n_docs"]),
-                int(old["total_tokens"]) + int(batch["total_tokens"] or 0),
+                # `or 0` on BOTH sides: an empty-corpus base written by a
+                # pre-coalesce write_term_index may carry NULL.
+                int(old["total_tokens"] or 0)
+                + int(batch["total_tokens"] or 0),
             )
         ],
         "n_docs bigint, total_tokens bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
+
+
+def rebuild_corpus_stats(spark, path: str, id_col: str = "doc_id") -> None:
+    """Crash-recovery for the `_corpus_stats` sidecar: recompute
+    (n_docs, total_tokens) exactly from the postings themselves — each
+    document contributes one distinct id and one dl (dl is replicated
+    across its term rows; MIN collapses the replicas, and any posting
+    row of a doc carries the same dl by construction). Run after a
+    failure between `append_to_term_index`'s two writes."""
+    idx = spark.read.parquet(path)
+    per_doc = idx.groupBy(id_col).agg(F.min("dl").alias("dl"))
+    per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_tokens"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
 
 
@@ -626,13 +689,17 @@ def proximity_match(
 
     Same scale shape as the phrase matcher: positional postings
     filtered to the term set above the scan, one per-document window
-    ordered by position. A hit at a filtered row means the next m-1
-    FILTERED rows (m = #distinct terms) together with it span <=
-    ``window`` tokens and carry all m distinct terms — i.e., every
-    minimal m-posting cluster is tested once, so n_matches counts
-    distinct left-anchored dense clusters and first_pos is the
-    earliest cluster's start. Deterministic, and pinned against a
-    brute-force Python reference on random corpora
+    ordered by position. A filtered posting at position p is an ANCHOR
+    HIT iff the token window [p, p + window - 1] covers all m distinct
+    terms — checked with a RANGE frame collect_set over the filtered
+    postings, so term coverage is tested over the whole positional
+    window, not over m consecutive postings (the consecutive-m-tuple
+    formulation silently missed 3+-term matches whenever a repeated
+    query term sat inside the minimal cluster, e.g. terms {a,b,c} over
+    "a b b c": no consecutive triple is pairwise-distinct even though
+    a@0..c@3 spans 4). n_matches counts anchor hits; first_pos is the
+    earliest anchor. Deterministic, and pinned against a brute-force
+    Python reference on random corpora including 3-term queries
     (`test_proximity_match_equals_python_reference`).
     """
     tset = sorted({t.lower() if lowercase else t for t in terms})
@@ -650,21 +717,17 @@ def proximity_match(
         )
         .filter(F.col("term").isin(tset))
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [
-        F.lead(c, i).over(w).alias(f"{c}{i}")
-        for i in range(1, m)
-        for c in ("term", "pos")
-    ]
-    led = pos.select(id_col, "pos", "term", *leads)
-    term_cols = [F.col("term")] + [F.col(f"term{i}") for i in range(1, m)]
-    span_ok = (F.col(f"pos{m - 1}") - F.col("pos")) <= (window - 1)
-    conds = [F.col(f"pos{m - 1}").isNotNull(), span_ok]
-    for i in range(m):
-        for j in range(i + 1, m):
-            conds.append(term_cols[i] != term_cols[j])
+    # RANGE frame: all filtered postings whose position lies in
+    # [pos, pos + window - 1] — state per document is bounded by the
+    # query terms' posting density inside one window, never the doc.
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rangeBetween(Window.currentRow, window - 1)
+    )
+    cov = pos.withColumn("__nt", F.size(F.collect_set("term").over(w)))
     return (
-        led.filter(reduce(lambda a, b: a & b, conds))
+        cov.filter(F.col("__nt") == m)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_matches"),

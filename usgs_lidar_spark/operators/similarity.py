@@ -425,6 +425,103 @@ def ivf_drift_metrics(
     )
 
 
+def _quantize_centroids_exact(
+    centroids: list[tuple[int, list[float]]], qbits: int
+) -> list[tuple[int, list[int], int]]:
+    """Driver-side mirror of `quantize_exact`: (cid, qvec, |qvec|²) per
+    centroid. Python floats ARE IEEE doubles, so ``floor(x * 2**qbits)``
+    here produces bit-identical integers to the Spark/DuckDB expression —
+    the quantizer constants are engine-free by construction."""
+    import math
+
+    s = 2.0**qbits
+    out = []
+    for cid, cvec in centroids:
+        q = [math.floor(float(x) * s) for x in cvec]
+        out.append((int(cid), q, sum(v * v for v in q)))
+    return out
+
+
+def _exact_argmax_structs(qvec_col, qcents: list[tuple[int, list[int], int]]):
+    """array<struct<key, negcid, qdot>> over quantized centroids. `key` is
+    ``dot_q / sqrt(|qc|²)`` — monotone in cosine for a fixed row vector —
+    computed from EXACT integer inputs through two correctly-rounded IEEE
+    ops (sqrt, divide), so the double is identical in any engine; the
+    knife-edge decimal ROUND the float path needs is gone entirely.
+    array_max picks (max key, then max negcid = min cid): the same
+    (sim DESC, cid ASC) tie contract as the float path."""
+    import math
+
+    from usgs_lidar_spark.functions.vectors import dot_q
+
+    entries = []
+    for cid, qc, nq in qcents:
+        lit = F.array(*[F.lit(int(v)).cast("long") for v in qc])
+        d = dot_q(qvec_col, lit)
+        if nq == 0:
+            key = F.lit(0.0)
+        else:
+            key = d.cast("double") / F.lit(math.sqrt(float(nq)))
+        entries.append(
+            F.struct(
+                key.alias("key"),
+                F.lit(-cid).cast("long").alias("negcid"),
+                d.alias("qdot"),
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_drift_metrics_exact(
+    corpus: DataFrame,
+    centroids_old: list[tuple[int, list[float]]],
+    centroids_new: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    qbits: int = 20,
+) -> DataFrame:
+    """Bit-reproducible rebuild-decision metrics for an IVF index — the
+    hash-stable sibling of `ivf_drift_metrics`.
+
+    The float form's summed ``ROUND(cos, 4)`` proved to be a cross-
+    environment knife edge (a last-ulp difference in any one of the
+    corpus's dot products flips a half-way decimal rounding and shifts
+    the per-cell sum — observed as driver-red in rounds 5/6 while every
+    local replica layout passed). This form removes every rounding
+    decision instead of coarsening it: vectors and centroids are
+    quantized with `quantize_exact` (floor of a power-of-two multiple —
+    no rounding anywhere), assignment argmax orders by
+    ``qdot/sqrt(|qc|²)`` (exact integer inputs, correctly-rounded IEEE
+    sqrt/divide → identical doubles in Spark, DuckDB, Python), and the
+    reported metrics are pure BIGINTs: per current cell, occupancy `n`,
+    the EXACT integer sum of quantized dots-to-centroid `sum_qdot`
+    (order-independent integer addition — the quantization-quality
+    signal), and `n_moved` vectors the candidate quantizer would
+    reassign.
+
+    Same plan shape as the float form: both argmaxes are map-side
+    expressions on one scan, then a single groupBy(cid) — shuffle is one
+    row per cell."""
+    from usgs_lidar_spark.functions.vectors import quantize_exact
+
+    qold = _quantize_centroids_exact(centroids_old, qbits)
+    qnew = _quantize_centroids_exact(centroids_new, qbits)
+    df = corpus.withColumn("__qv", quantize_exact(vec_col, qbits))
+    bo = F.array_max(_exact_argmax_structs(F.col("__qv"), qold))
+    bn = F.array_max(_exact_argmax_structs(F.col("__qv"), qnew))
+    assigned = df.select(
+        (-bo["negcid"]).alias("__cid_old"),
+        bo["qdot"].alias("__qdot_old"),
+        (-bn["negcid"]).alias("__cid_new"),
+    )
+    return assigned.groupBy(F.col("__cid_old").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__qdot_old").alias("sum_qdot"),
+        F.sum(F.when(F.col("__cid_new") != F.col("__cid_old"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -500,11 +597,15 @@ def write_ivf_index(
     ~n_probe/k of the bytes. Repeated-query serving reads this instead
     of re-assigning the corpus per query batch (`ivf_append` handles
     incremental growth; rewrite the touched partitions)."""
+    from usgs_lidar_spark.operators.retrieval import _write_schema_sidecar
+
     spark = corpus.sparkSession
     assigned = ivf_assign(corpus, centroids, vec_col, round_digits, method)
-    assigned.withColumnRenamed("__cid", "cid").write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(path)
+    cells = assigned.withColumnRenamed("__cid", "cid")
+    cells.write.mode("overwrite").partitionBy("cid").parquet(path)
+    # schema sidecar: an EMPTY corpus writes no cell files; readers
+    # reconstruct the empty frame from this (empty-index bootstrap).
+    _write_schema_sidecar(cells, path)
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cid bigint, cvec array<double>",
@@ -579,12 +680,18 @@ def ivf_topk_from_index(
     ).select(
         query_id_col, "__qvec", "__qnorm", (-F.col("__p.negcid")).alias("__cid")
     )
+    from usgs_lidar_spark.operators.retrieval import (
+        _read_with_schema_fallback,
+    )
+
     cells = sorted(
         {int(r["__cid"]) for r in qb.select("__cid").distinct().collect()}
     )
     cb = (
-        spark.read.parquet(path)
-        .filter(F.col("cid").isin(cells))
+        _read_with_schema_fallback(spark, path)
+        # `or [-1]`: zero queries -> zero probed cells; isin() needs a
+        # non-empty list, and no partition is cid=-1.
+        .filter(F.col("cid").isin(cells or [-1]))
         .withColumnRenamed("cid", "__cid")
         .withColumn("__cnorm", norm(vec_col))
     )

@@ -2466,46 +2466,76 @@ def sim_ivf_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_ivf_drift",
-    oracle=f"""
-    WITH cold AS (
-        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    oracle="""
+    WITH qe AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), cold AS (
+        SELECT vec_id AS cid, qv AS qc,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+        FROM qe WHERE vec_id < 8
     ), cnew AS (
-        SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id >= 8 AND vec_id < 16
+        SELECT vec_id AS cid, qv AS qc,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+        FROM qe WHERE vec_id >= 8 AND vec_id < 16
+    ), dold AS (
+        SELECT e.vec_id, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cold c
     ), aold AS (
-        SELECT vec_id, cid, csim FROM (
-            SELECT e.vec_id, c.cid, {_cos4("e.embedding", "c.cvec")} AS csim,
-                   row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {_cos4("e.embedding", "c.cvec")}
-                                               DESC, c.cid) AS rn
-            FROM embeddings e CROSS JOIN cold c) WHERE rn = 1
+        SELECT vec_id, cid, qdot FROM (
+            SELECT vec_id, cid, qdot,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dold) WHERE rn = 1
+    ), dnew AS (
+        SELECT e.vec_id, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cnew c
     ), anew AS (
         SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {_cos4("e.embedding", "c.cvec")}
-                                               DESC, c.cid) AS rn
-            FROM embeddings e CROSS JOIN cnew c) WHERE rn = 1
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dnew) WHERE rn = 1
     )
     SELECT aold.cid, count(*) AS n,
-           SUM(CAST(ROUND(aold.csim * 10000) AS BIGINT)) AS sum_csim_e4,
-           SUM(CASE WHEN anew.cid <> aold.cid THEN 1 ELSE 0 END) AS n_moved
+           CAST(SUM(aold.qdot) AS BIGINT) AS sum_qdot,
+           CAST(SUM(CASE WHEN anew.cid <> aold.cid THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
     FROM aold JOIN anew USING (vec_id)
     GROUP BY aold.cid
     """,
 )
 def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebuild-decision metrics for an incrementally-maintained IVF
-    index: per current cell, occupancy, exact scaled-integer sum of
-    cosine-to-centroid, and how many vectors a candidate quantizer
-    (here: a disjoint seed set, deterministically reproducible by the
-    oracle; in production a kmeans_refine output) would reassign. Both
-    assignments ride the same scan — one groupBy shuffle of one row per
-    cell. Output is BIGINT-only (the library's derived DOUBLE ratio
-    columns are projected away, and the quantizer strategy is pinned to
-    `expr`) so the cross-engine value hash is bit-stable by
-    construction across any environment/layout."""
-    from usgs_lidar_spark.operators.similarity import ivf_drift_metrics
+    index: per current cell, occupancy, the exact integer sum of
+    quantized dots-to-centroid, and how many vectors a candidate
+    quantizer (a disjoint seed set, deterministically reproducible by
+    the oracle; in production a kmeans_refine output) would reassign.
+
+    Uses `ivf_drift_metrics_exact`: the float form's summed
+    ROUND(cos, 4) was driver-red for two rounds (a last-ulp environment
+    difference in ANY corpus dot product flips a half-way decimal
+    rounding and shifts the sum) — this form quantizes vectors with
+    floor(x·2^20) (power-of-two multiply + floor: NO rounding decision
+    exists anywhere), so every output column is exact BIGINT arithmetic
+    and the cross-engine hash is stable by construction. Both
+    assignments ride one scan; shuffle is one row per cell."""
+    from usgs_lidar_spark.operators.similarity import ivf_drift_metrics_exact
 
     emb = _t(spark, sf_dir, "embeddings")
 
@@ -2519,9 +2549,7 @@ def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ] or [(lo, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
 
-    return ivf_drift_metrics(
-        emb, seeds(0, 8), seeds(8, 16), method="expr"
-    ).select("cid", "n", "sum_csim_e4", "n_moved")
+    return ivf_drift_metrics_exact(emb, seeds(0, 8), seeds(8, 16))
 
 
 @query(
@@ -2816,8 +2844,11 @@ def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                    unnest(list_transform(range(1, greatest(length(text) - 7, 0) + 1),
                           i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
             FROM corpus)
+    ), cap AS (
+        SELECT CAST(ceil(0.04 * count(*)) AS BIGINT) AS max_df FROM corpus
     ), freq AS (
-        SELECT shingle FROM csh0 GROUP BY shingle HAVING count(*) <= 20
+        SELECT shingle FROM csh0, cap
+        GROUP BY shingle, max_df HAVING count(*) <= max_df
     ), csh AS (
         SELECT csh0.doc_id, csh0.shingle FROM csh0 JOIN freq USING (shingle)
     ), bsh AS (
@@ -2842,14 +2873,23 @@ def pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 97th document plays the held-out eval set; corpus documents
     sharing >=20% of their df-capped char-8 shingles with it are flagged.
     One shingle equi-join (tiny benchmark side -> AQE broadcast), bounded
-    aggregates — the decontamination pass of an LLM data pipeline."""
+    aggregates — the decontamination pass of an LLM data pipeline.
+
+    The df cap is the SCALE-STABLE fractional form (max_df_frac=0.04:
+    drop shingles in >4% of corpus docs, resolved to an absolute cap by
+    one corpus count — ceil(0.04 * 494) = 20 at sf0.01, identical to the
+    old absolute cap here but invariant in meaning as the corpus grows;
+    SCALE.md measured the absolute max_df=20 silently cutting flagged
+    docs 1194 -> 501 at 10x corpus). The absolute form stays available
+    and unit-tested."""
     from usgs_lidar_spark.operators.pipeline import contaminated_docs
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     return contaminated_docs(
-        corpus, bench, "text", "doc_id", k=8, max_df=20, min_frac=0.2
+        corpus, bench, "text", "doc_id", k=8, max_df=None,
+        max_df_frac=0.04, min_frac=0.2,
     ).select("doc_id", "n_shingles", "n_hit", "hit_frac")
 
 
@@ -6558,8 +6598,7 @@ _CAPPED_LI_CTE = f"""li0 AS (
                + (85 * coalesce(s3.s, 0)) // 100 AS r
         FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node
     )
-    SELECT node, r AS rank_scaled,
-           CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+    SELECT node, CAST(r AS BIGINT) AS rank_scaled
     FROM r3
     """,
 )
@@ -6586,7 +6625,13 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    return pagerank_fixed(edges, "src", "dst", iterations=3)
+    # Oracled projection is BIGINT-only: the library's derived DOUBLE
+    # `rank` (rank_scaled/1e12) was the only non-integer surface and the
+    # one suspect in the r6 driver hash-fail; rank_scaled carries the
+    # full information, so the convenience column stays library-side.
+    return pagerank_fixed(edges, "src", "dst", iterations=3).select(
+        "node", "rank_scaled"
+    )
 
 
 @query(
@@ -8366,6 +8411,62 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("search_bm25_from_index", oracle=ORACLE["search_bm25_topk"])
+def search_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION serving path under the same hard oracle as
+    `search_bm25_topk`: materialize the term-bucket-partitioned inverted
+    index (`write_term_index`), then serve the identical query from it
+    (`bm25_topk_from_index`) — the index is an access path, not a
+    semantic change, so the expected output is bit-identical to the
+    on-the-fly ranker's. At scale this is the form a user actually runs:
+    the corpus is tokenized once at build time; each query reads only
+    its terms' hash buckets (partition pruning + pushed term filter)
+    and corpus stats come from the sidecar."""
+    import tempfile
+
+    from usgs_lidar_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        write_term_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="usgs_term_idx_")
+    write_term_index(_t(spark, sf_dir, "documents"), path)
+    return bm25_topk_from_index(
+        spark, path, ["merge", "spark", "stream", "vector"], k=10
+    )
+
+
+@query("sim_topk_from_ivf_index", oracle=ORACLE["sim_topk_ivf"])
+def sim_topk_from_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-ANN serving path under the same hard oracle as
+    `sim_topk_ivf`: materialize the cell-partitioned IVF index
+    (`write_ivf_index`), then run the identical probe query from it
+    (`ivf_topk_from_index`) — same quantizer, same (sim DESC, id) rank
+    contract, so the expected output matches the in-memory form
+    row-for-row. The stored layout turns each probe into a
+    partition-pruned scan of n_probe cell directories."""
+    import tempfile
+
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ] or [(0, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
+    path = tempfile.mkdtemp(prefix="usgs_ivf_idx_")
+    write_ivf_index(emb, cents, path)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_from_index(spark, path, queries_df, k=5, n_probe=2)
+
+
 @query(
     "search_phrase_match",
     oracle=r"""
@@ -8405,6 +8506,49 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return phrase_match(
         _t(spark, sf_dir, "documents"), ["table", "hash", "agg"]
+    )
+
+
+@query(
+    "search_proximity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        string_split_regex(trim(text), '\s+'),
+                        t -> lower(t)) END AS tokens
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS term,
+               generate_subscripts(tokens, 1) AS p
+        FROM toks
+    ), f AS (
+        SELECT doc_id, term, p FROM pos
+        WHERE term IN ('hash', 'join', 'window')
+    ), anchors AS (
+        SELECT a.doc_id, a.p, count(DISTINCT b.term) AS nt
+        FROM f a JOIN f b
+          ON a.doc_id = b.doc_id AND b.p >= a.p AND b.p <= a.p + 5
+        GROUP BY a.doc_id, a.p
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(p) - 1 AS BIGINT) AS first_pos
+    FROM anchors WHERE nt = 3 GROUP BY doc_id
+    """,
+)
+def search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity search ({hash, join, window} within a 6-token
+    span, any order) via filtered positional postings + a RANGE-frame
+    coverage window (operators/retrieval.proximity_match). The oracle is
+    an independent derivation — a positional self-join counting distinct
+    covered terms per anchor — so the window formulation's coverage
+    arithmetic is cross-checked, not echoed. 1-based generate_subscripts
+    maps to the matcher's 0-based token offsets via p-1."""
+    from usgs_lidar_spark.operators.retrieval import proximity_match
+
+    return proximity_match(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "window"], window=6
     )
 
 
