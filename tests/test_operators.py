@@ -3084,6 +3084,83 @@ def test_rebuild_corpus_stats_recovers_sidecar(spark, tmp_path):
     )
 
 
+def test_rebuild_corpus_stats_counts_zero_token_docs(spark, tmp_path):
+    """ADVICE r7: blank-text docs leave no explode rows, so a postings
+    groupBy alone undercounts n_docs after crash recovery. The term=''
+    marker rows make them recoverable: rebuild over a corpus with empty
+    docs matches a from-scratch sidecar, serving parity is unaffected,
+    and recovery on a still-empty index is a no-op, not an
+    AnalysisException."""
+    from usgs_lidar_spark.operators.retrieval import (
+        append_to_term_index,
+        bm25_topk,
+        bm25_topk_from_index,
+        rebuild_corpus_stats,
+        write_term_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "word0 common"), (3, "word1 common x")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "zt_idx")
+    write_term_index(docs, path, n_buckets=8)
+    built = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    assert (built["n_docs"], built["total_tokens"]) == (4, 5)
+    # Serving parity with the on-the-fly ranker (empty docs shift
+    # avgdl/n_docs identically on both paths, markers never score).
+    terms = ["common", "word1"]
+    want = [tuple(r) for r in bm25_topk(docs, terms, k=5).collect()]
+    got = [tuple(r) for r in
+           bm25_topk_from_index(spark, path, terms, k=5,
+                                n_buckets=8).collect()]
+    assert got == want
+    # Crash recovery: append a batch with zero-token docs, restore the
+    # stale sidecar, rebuild — n_docs must include the empty batch.
+    # ("\t" is NOT zero-token: trim strips only spaces, so tab-only
+    # text yields empty-STRING tokens with dl=2 — a real posting, which
+    # also pins that such docs don't collide with the ' ' marker.)
+    batch = spark.createDataFrame([(10, ""), (11, "\t")],
+                                  ["doc_id", "text"])
+    append_to_term_index(batch, path, n_buckets=8)
+    spark.createDataFrame(
+        [tuple(built)], "n_docs bigint, total_tokens bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
+    rebuild_corpus_stats(spark, path)
+    rec = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    truth = str(tmp_path / "zt_truth_idx")
+    write_term_index(docs.unionByName(batch), truth, n_buckets=8)
+    want_st = spark.read.parquet(f"{truth}/_corpus_stats").collect()[0]
+    assert (rec["n_docs"], rec["total_tokens"]) == (
+        want_st["n_docs"], want_st["total_tokens"]
+    ) == (6, 7)
+    # Empty-index recovery: schema-fallback read, (0, 0) stats.
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    epath = str(tmp_path / "empty_rec_idx")
+    write_term_index(empty, epath, n_buckets=8)
+    rebuild_corpus_stats(spark, epath)
+    est = spark.read.parquet(f"{epath}/_corpus_stats").collect()[0]
+    assert (est["n_docs"], est["total_tokens"]) == (0, 0)
+
+
+def test_global_rank_rejects_all_null_leading_key(spark):
+    """ADVICE r7: min/max ignore NULLs, so an ALL-NULL leading key used
+    to fall into the empty-input branch (bucket 0) and rank silently —
+    it must raise the same ValueError as the partial-NULL case."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id bigint, score double"
+    )
+    with _pytest.raises(ValueError, match="NULL or NaN"):
+        global_rank(df, ["score", "id"]).collect()
+    # Empty input still takes the trivial branch and returns empty.
+    empty = spark.createDataFrame([], "id bigint, score double")
+    assert global_rank(empty, ["score", "id"]).count() == 0
+
+
 def test_global_rank_rejects_nan_leading_key(spark):
     """ADVICE r6: a NaN leading double has no place in a total order —
     global_rank must raise a clear ValueError, not crash with an opaque

@@ -66,6 +66,14 @@ def quantize_exact(a: Column | str, qbits: int = 20) -> Column:
 
 
 def dot_q(a: Column | str, b: Column | str) -> Column:
-    """Exact BIGINT dot product of two already-quantized integer vectors."""
+    """Exact BIGINT dot product of two already-quantized integer vectors.
+
+    Overflow envelope: each product is <= 2^(2*qbits) for unit-scale
+    inputs, so the dot is <= dim * 2^(2*qbits) (~2^46 at qbits=20,
+    dim=64) — safely inside int64 per row. Downstream SUMs over many
+    rows are the caller's responsibility: Spark wraps silently past
+    2^63 while DuckDB promotes to HUGEINT, so a cross-engine hash
+    breaks exactly at the wrap. See `ivf_drift_metrics_exact` for the
+    worked per-cell cardinality bound."""
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)

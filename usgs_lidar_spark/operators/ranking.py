@@ -97,8 +97,19 @@ def global_rank(
     mm = df.agg(
         F.min(key.cast("double")).alias("mn"),
         F.max(key.cast("double")).alias("mx"),
+        F.count(F.lit(1)).alias("n_rows"),
     ).collect()[0]
     mn, mx = mm["mn"], mm["mx"]
+    # min/max ignore NULLs, so mn is None both for EMPTY input and for
+    # an all-NULL leading key. Only the former may take the trivial
+    # single-bucket branch below; the latter must hit the same loud
+    # contract as the partial-NULL case (which the bucket scan catches).
+    if mn is None and mm["n_rows"] > 0:
+        raise ValueError(
+            f"global_rank: leading order column {first!r} contains NULL "
+            "or NaN values — the total order is undefined for them; "
+            "filter them out or map them to a sentinel first"
+        )
     # NaN surfaces HERE, not in the bucket scan: Spark's max orders NaN
     # above every double, so one NaN row makes mx NaN and the repr'd
     # width_bucket literal would be invalid SQL. Same contract as the

@@ -514,21 +514,23 @@ def write_term_index(
     postings live in its one bucket, so df falls out of the read
     postings exactly, which keeps appends cheap (df is never stale).
     Repeated-query serving (`bm25_topk_from_index`) reads this instead
-    of re-tokenizing the corpus per query."""
+    of re-tokenizing the corpus per query.
+
+    Zero-token documents (blank text) leave no explode rows, yet they
+    count in n_docs — so each writes one MARKER row ``(term=' ',
+    tf=0, dl=0)`` into the dataset. Real tokens are split on ``\\s+``
+    and therefore never CONTAIN whitespace (though tab-only text does
+    yield empty-STRING tokens — trim strips only spaces), so the
+    one-space marker term is disjoint from real postings by
+    construction; markers make the postings directory the COMPLETE
+    source of truth (``rebuild_corpus_stats`` recovers n_docs exactly
+    after a crash, empty docs included), and serving never scores them.
+    One row per empty doc, dl=0 — negligible storage."""
     spark = docs.sparkSession
     tok = ws_tokens(text_col)
     if lowercase:
         tok = F.transform(tok, F.lower)
-    postings = (
-        docs.select(
-            F.col(id_col),
-            F.size(tok).cast("long").alias("dl"),
-            F.explode(tok).alias("term"),
-        )
-        .groupBy("term", id_col, "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("tb", F.expr(f"pmod(xxhash64(term), {n_buckets})"))
-    )
+    postings = _postings_with_markers(docs, tok, id_col, n_buckets)
     postings.write.mode("overwrite").partitionBy("tb").parquet(path)
     _write_schema_sidecar(postings, path)
     # coalesce: SUM over an EMPTY corpus is NULL — a NULL total_tokens
@@ -538,6 +540,34 @@ def write_term_index(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_tokens"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
+
+
+def _postings_with_markers(
+    docs: DataFrame, tok, id_col: str, n_buckets: int
+) -> DataFrame:
+    """The persisted-index posting frame (term, id_col, dl, tf, tb):
+    real postings from the tokenized text, plus one ``term=' '`` marker
+    row per zero-token document (see `write_term_index` — markers make
+    n_docs recoverable from the postings alone; the one-space term is
+    unproducible because real tokens never contain whitespace)."""
+    real = (
+        docs.select(
+            F.col(id_col),
+            F.size(tok).cast("long").alias("dl"),
+            F.explode(tok).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    markers = docs.filter(F.size(tok) == 0).select(
+        F.lit(" ").alias("term"),
+        F.col(id_col),
+        F.lit(0).cast("long").alias("dl"),
+        F.lit(0).cast("long").alias("tf"),
+    )
+    return real.unionByName(markers).withColumn(
+        "tb", F.expr(f"pmod(xxhash64(term), {n_buckets})")
+    )
 
 
 def bm25_topk_from_index(
@@ -574,6 +604,11 @@ def bm25_topk_from_index(
     probe = (
         idx.filter(F.col("tb").isin(sorted({int(b) for b in bucket_of.values()})))
         .filter(F.col("term").isin(terms))
+        # Zero-token-doc marker rows (term=' ') are corpus-stat
+        # bookkeeping, never scorable postings — and a pathological
+        # ' ' query term matches nothing, exactly as in the on-the-fly
+        # ranker (real tokens never contain whitespace).
+        .filter(F.col("term") != F.lit(" "))
     )
     stats = spark.read.parquet(f"{path}/_corpus_stats")
     with_df = probe.withColumn(
@@ -623,14 +658,7 @@ def append_to_term_index(
     if lowercase:
         tok = F.transform(tok, F.lower)
     (
-        new_docs.select(
-            F.col(id_col),
-            F.size(tok).cast("long").alias("dl"),
-            F.explode(tok).alias("term"),
-        )
-        .groupBy("term", id_col, "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("tb", F.expr(f"pmod(xxhash64(term), {n_buckets})"))
+        _postings_with_markers(new_docs, tok, id_col, n_buckets)
         .write.mode("append")
         .partitionBy("tb")
         .parquet(path)
@@ -664,9 +692,13 @@ def rebuild_corpus_stats(spark, path: str, id_col: str = "doc_id") -> None:
     (n_docs, total_tokens) exactly from the postings themselves — each
     document contributes one distinct id and one dl (dl is replicated
     across its term rows; MIN collapses the replicas, and any posting
-    row of a doc carries the same dl by construction). Run after a
-    failure between `append_to_term_index`'s two writes."""
-    idx = spark.read.parquet(path)
+    row of a doc carries the same dl by construction). Zero-token docs
+    are recoverable too: build/append write a ``term=' '`` marker row
+    per empty doc (dl=0), so the distinct-id count sees every doc. The
+    schema-fallback read makes recovery on a still-empty index a no-op
+    rebuild of the empty stats row rather than an AnalysisException.
+    Run after a failure between `append_to_term_index`'s two writes."""
+    idx = _read_with_schema_fallback(spark, path)
     per_doc = idx.groupBy(id_col).agg(F.min("dl").alias("dl"))
     per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -500,7 +500,22 @@ def ivf_drift_metrics_exact(
 
     Same plan shape as the float form: both argmaxes are map-side
     expressions on one scan, then a single groupBy(cid) — shuffle is one
-    row per cell."""
+    row per cell. The two argmax structs are evaluated exactly once per
+    row behind an explode(array(struct(...))) Generate barrier —
+    extracting three fields from them in a plain projection lets
+    CollapseProject inline the whole 8-dot chain per field (3x the
+    argmax text in the plan; runtime subexpression elimination mostly
+    recovers it, but the barrier makes single evaluation structural,
+    plan-provable, and ~1.5x faster on a cold JIT — A/B in BENCH_NOTES).
+
+    Int64 envelope (exactness bound): per-row qdot is <= dim * 2^(2*qbits)
+    (~2^46 at qbits=20, dim=64 for unit-scale inputs), so SUM(qdot) stays
+    inside int64 for up to ~2^17 ~= 131k rows per cell at worst-case
+    magnitudes — and ~2^26 (~67M rows/cell) for typical |x| <= 0.1
+    embedding components. Beyond that Spark's long wraps silently while
+    DuckDB's HUGEINT->BIGINT cast errors; lower qbits (the sum bound
+    scales as 2^-2*qbits per bit removed) or shard cells before trusting
+    the cross-engine hash at larger cell cardinalities."""
     from usgs_lidar_spark.functions.vectors import quantize_exact
 
     qold = _quantize_centroids_exact(centroids_old, qbits)
@@ -509,9 +524,13 @@ def ivf_drift_metrics_exact(
     bo = F.array_max(_exact_argmax_structs(F.col("__qv"), qold))
     bn = F.array_max(_exact_argmax_structs(F.col("__qv"), qnew))
     assigned = df.select(
-        (-bo["negcid"]).alias("__cid_old"),
-        bo["qdot"].alias("__qdot_old"),
-        (-bn["negcid"]).alias("__cid_new"),
+        F.explode(F.array(F.struct(bo.alias("o"), bn.alias("n")))).alias(
+            "__best"
+        )
+    ).select(
+        (-F.col("__best.o.negcid")).alias("__cid_old"),
+        F.col("__best.o.qdot").alias("__qdot_old"),
+        (-F.col("__best.n.negcid")).alias("__cid_new"),
     )
     return assigned.groupBy(F.col("__cid_old").alias("cid")).agg(
         F.count(F.lit(1)).alias("n"),

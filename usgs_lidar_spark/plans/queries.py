@@ -46,6 +46,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _cached_index_path(
+    sf_dir: str, kind: str, source_table: str, marker_sidecar: str
+) -> tuple[str, bool]:
+    """Deterministic per-(sf_dir, source snapshot) scratch path for a
+    materialized index, so the index-served queries measure SERVING, not
+    build-per-call, and repeated bench runs don't leak one orphan tempdir
+    per invocation (ADVICE r7). The key folds in the source parquet's
+    (mtime, size) so a regenerated testdata tree can never serve a stale
+    index. Returns (path, is_complete): complete iff the index writer's
+    LAST sidecar write left its `_SUCCESS` marker (`write_term_index`
+    ends with `_corpus_stats`, `write_ivf_index` with `_centroids` — a
+    crashed partial build fails the check and is rebuilt in place)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{source_table}.parquet")
+    try:
+        st = os.stat(src)
+        snap = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        snap = "missing"
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{kind}|{snap}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(
+        tempfile.gettempdir(), "usgs_lidar_index_cache", f"{kind}_{key}"
+    )
+    complete = os.path.exists(
+        os.path.join(path, marker_sidecar, "_SUCCESS")
+    )
+    return path, complete
+
+
 def dec_sum(col, digits: int = 2) -> F.Column:
     """Order-independent SUM of a fixed-point decimal column.
 
@@ -8421,16 +8455,20 @@ def search_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     on-the-fly ranker's. At scale this is the form a user actually runs:
     the corpus is tokenized once at build time; each query reads only
     its terms' hash buckets (partition pruning + pushed term filter)
-    and corpus stats come from the sidecar."""
-    import tempfile
-
+    and corpus stats come from the sidecar. The index builds ONCE into
+    a deterministic per-(sf_dir, source snapshot) cache path and later
+    invocations reuse it — repeated bench runs measure the serving
+    path, and no per-call tempdirs accumulate."""
     from usgs_lidar_spark.operators.retrieval import (
         bm25_topk_from_index,
         write_term_index,
     )
 
-    path = tempfile.mkdtemp(prefix="usgs_term_idx_")
-    write_term_index(_t(spark, sf_dir, "documents"), path)
+    path, complete = _cached_index_path(
+        sf_dir, "term_idx", "documents", "_corpus_stats"
+    )
+    if not complete:
+        write_term_index(_t(spark, sf_dir, "documents"), path)
     return bm25_topk_from_index(
         spark, path, ["merge", "spark", "stream", "vector"], k=10
     )
@@ -8444,23 +8482,27 @@ def sim_topk_from_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`ivf_topk_from_index`) — same quantizer, same (sim DESC, id) rank
     contract, so the expected output matches the in-memory form
     row-for-row. The stored layout turns each probe into a
-    partition-pruned scan of n_probe cell directories."""
-    import tempfile
-
+    partition-pruned scan of n_probe cell directories. The index builds
+    ONCE into a deterministic per-(sf_dir, source snapshot) cache path
+    and later invocations reuse it — repeated bench runs measure the
+    serving path, and no per-call tempdirs accumulate."""
     from usgs_lidar_spark.operators.similarity import (
         ivf_topk_from_index,
         write_ivf_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < 8)
-        .select("vec_id", "embedding")
-        .collect()
-    ] or [(0, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
-    path = tempfile.mkdtemp(prefix="usgs_ivf_idx_")
-    write_ivf_index(emb, cents, path)
+    path, complete = _cached_index_path(
+        sf_dir, "ivf_idx", "embeddings", "_centroids"
+    )
+    if not complete:
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .collect()
+        ] or [(0, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
+        write_ivf_index(emb, cents, path)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -8953,3 +8995,67 @@ def search_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id_col="query_id", k=20,
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([kw1, kw2, vec], id_col="doc_id", k=10)
+
+
+@query("graph_pagerank_from_edges", oracle=ORACLE["graph_pagerank_parts"])
+def graph_pagerank_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-graph serving path under the same hard oracle as
+    `graph_pagerank_parts`: materialize the co-purchase edge list as a
+    src-BUCKETED (src, dst)-sorted table (`write_edge_table`,
+    symmetrize=True), then run `pagerank_fixed(...,
+    edges_materialized=True)` over the bucketed scan — an access path,
+    not a semantic change, so the expected ranks are bit-identical to
+    the build-per-query form.
+
+    This is the shape SCALE.md flags for the graph headliners: the
+    within-basket self-join edge BUILD (~0.5-1.8 GB shuffle at sf1) is
+    iteration-invariant and shared by every graph query over the same
+    edges — paying it once at write time leaves serving with a zero
+    build cost bucketed scan, a shuffle-free degree aggregate, and
+    per-iteration joins that never re-exchange the edge side
+    (`test_edge_table_pagerank_parity_and_shuffle`). The table builds
+    ONCE into a deterministic per-(sf_dir, source snapshot) external
+    path; later invocations in the same session reuse the catalog
+    entry, and later processes re-register the existing files as an
+    external bucketed table (DDL) without rebuilding."""
+    import os
+
+    from usgs_lidar_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_fixed,
+        read_edge_table,
+        write_edge_table,
+    )
+
+    path, complete = _cached_index_path(
+        sf_dir, "pr_edges", "lineitem", ""
+    )
+    tbl = os.path.basename(path)
+    if not spark.catalog.tableExists(tbl):
+        if complete:
+            # Re-register the existing bucketed files (written by a
+            # previous process's saveAsTable) as an external table; the
+            # spec must match write_edge_table's layout exactly or the
+            # bucket metadata would lie about the file contents.
+            spark.sql(
+                f"CREATE TABLE {tbl} (src BIGINT, dst BIGINT) "
+                "USING PARQUET CLUSTERED BY (src) "
+                "SORTED BY (src, dst) INTO 32 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
+            pairs = copurchase_edges(
+                _t(spark, sf_dir, "lineitem"),
+                "l_orderkey",
+                "l_partkey",
+                min_support=2,
+                max_basket=8,
+            )
+            write_edge_table(
+                pairs, tbl, n_buckets=32, path=path, symmetrize=True
+            )
+    return pagerank_fixed(
+        read_edge_table(spark, tbl),
+        iterations=3,
+        edges_materialized=True,
+    ).select("node", "rank_scaled")
