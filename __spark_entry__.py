@@ -87,6 +87,17 @@ def _verification_rotation_order(names: list[str]) -> list[str]:
     rotation and pinned first so it is re-verified EVERY round. If the
     committed CORRECTNESS files are absent (fresh checkout), this degrades
     to sentinels + plain registration order.
+
+    Only a GOOD row counts as verified: a full rows+schema+hash match,
+    or the designed ``err: no_oracle`` outcome of the golden-pinned
+    queries (treating THAT as unverified would rotate them in every
+    round, burning a no-oracle driver row each time). A red row leaves
+    the query's last-verified round at its previous green — so a query
+    whose latest driver appearance FAILED re-queues near the front of
+    the next window instead of waiting a full rotation cycle behind the
+    queries its own failure round out-ranked (the r7→r8 lesson:
+    graph_pagerank_parts, red in r6 and fixed in r7, had slipped to
+    position 117 because the red row "counted").
     """
     key = tuple(names)
     if key in _ROTATION_CACHE:
@@ -101,8 +112,17 @@ def _verification_rotation_order(names: list[str]) -> list[str]:
         except (OSError, ValueError):
             continue
         rnd = int(m.group(1))
-        for name in recorded:
-            last_round[name] = max(rnd, last_round.get(name, 0))
+        for name, row in recorded.items():
+            good = isinstance(row, dict) and (
+                (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                )
+                or row.get("err") == "no_oracle"
+            )
+            if good:
+                last_round[name] = max(rnd, last_round.get(name, 0))
     reg_pos = {n: i for i, n in enumerate(names)}
     sentinels = [n for n in _SENTINELS if n in reg_pos]
     rest = [n for n in names if n not in set(sentinels)]

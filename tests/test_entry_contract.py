@@ -51,17 +51,57 @@ def test_rotation_sentinels_pinned_first():
 
 def test_rotation_prefers_least_recently_verified():
     """Non-sentinel never-verified names sort before multi-round-green
-    ones; ties keep registration order."""
+    ones; ties keep registration order. Only a GOOD row (full match or
+    the designed no_oracle outcome) counts as verified — a query whose
+    latest driver appearance FAILED keeps its previous green round and
+    so re-queues near the front (r8 fix: graph_pagerank_parts' red r6
+    row had pushed it out of the next window)."""
     names = list(q.QUERIES)
     order = entry._verification_rotation_order(names)
     last_round: dict[str, int] = {}
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         rnd = int(f.stem.split("_r")[1])
-        for name in json.loads(f.read_text()):
-            last_round[name] = max(rnd, last_round.get(name, 0))
+        for name, row in json.loads(f.read_text()).items():
+            good = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ) or row.get("err") == "no_oracle"
+            if good:
+                last_round[name] = max(rnd, last_round.get(name, 0))
     tail = order[len(entry._SENTINELS) :]
     keys = [last_round.get(n, -1) for n in tail]
     assert keys == sorted(keys), "rotation tail not least-recently-verified"
+
+
+def test_rotation_requeues_failed_query(tmp_path):
+    """A red row must NOT count as verification: the failed query
+    re-queues with never-verified priority, while a no_oracle row (the
+    golden-pinned queries' designed outcome) still counts as verified."""
+    good = {"rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None}
+    red = dict(good, hash_match=False)
+    golden = dict(good, hash_match=False, err="no_oracle")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_red": good, "q_green": good, "q_golden": golden})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_red": red})
+    )
+    names = [*entry._SENTINELS, "q_green", "q_red", "q_golden", "q_new"]
+    orig = entry._REPO
+    entry._ROTATION_CACHE.clear()
+    entry._REPO = str(tmp_path)
+    try:
+        order = entry._verification_rotation_order(names)
+    finally:
+        entry._REPO = orig
+        entry._ROTATION_CACHE.clear()
+    tail = order[len(entry._SENTINELS):]
+    # q_new never verified (-1) first by registration... but q_red's
+    # last GOOD round is r1, same as green/golden; q_red must not be
+    # ranked as if verified in r2.
+    assert tail == ["q_new", "q_green", "q_red", "q_golden"]
 
 
 def test_rotation_without_artifacts_degrades_to_registration_order(tmp_path):

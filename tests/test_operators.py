@@ -2249,6 +2249,29 @@ def test_edge_table_pagerank_parity_and_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_copurchase_edges")
 
 
+def test_pagerank_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_mode='reliable' (DataFrame.checkpoint to the
+    fault-tolerant dir — the real-cluster toggle where executor-local
+    blocks die with their executor) produces ranks identical to the
+    default local mode; an unknown mode raises."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.graph import pagerank_fixed
+
+    und = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {r["node"]: r["rank_scaled"]
+            for r in pagerank_fixed(df, iterations=3).collect()}
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank_fixed(
+               df, iterations=3, checkpoint_mode="reliable").collect()}
+    assert got == want
+    with _pytest.raises(ValueError, match="checkpoint_mode"):
+        pagerank_fixed(df, checkpoint_mode="remote")
+
+
 def test_curriculum_order_invariants(spark):
     """Stages are monotone in score, global_step interleaves round-robin
     (step % n_stages == stage), steps are unique, and the schedule is

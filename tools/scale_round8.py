@@ -124,6 +124,28 @@ def pagerank_ab(sf_dir: str, tag: str) -> None:
     )
 
 
+def triangles_ab(sf_dir: str, tag: str) -> None:
+    """graph_triangles_parts (build-per-call) vs graph_triangles_from_edges
+    (served from the SAME cached edge table pagerank uses — run
+    pagerank_ab first so the cache is warm and this measures serve-only)."""
+    from usgs_lidar_spark.plans.queries import QUERIES
+
+    for name, qname in (
+        ("triangles_build_per_call", "graph_triangles_parts"),
+        ("triangles_edge_table_serve_only", "graph_triangles_from_edges"),
+    ):
+        print(
+            json.dumps(
+                timed(
+                    name,
+                    tag,
+                    lambda s, qn=qname: QUERIES[qn](s, sf_dir).count(),
+                )
+            ),
+            flush=True,
+        )
+
+
 def index_serving(sf_dir: str, tag: str) -> None:
     from usgs_lidar_spark.plans.queries import QUERIES, _cached_index_path
 
@@ -147,9 +169,14 @@ def index_serving(sf_dir: str, tag: str) -> None:
 def main() -> None:
     WORK.mkdir(parents=True, exist_ok=True)
     build_sf1()
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     for sf_dir, tag in ((str(SF01), "1x"), (str(SF1), "10x")):
-        pagerank_ab(sf_dir, tag)
-        index_serving(sf_dir, tag)
+        if only in (None, "pagerank"):
+            pagerank_ab(sf_dir, tag)
+        if only in (None, "triangles"):
+            triangles_ab(sf_dir, tag)
+        if only in (None, "index"):
+            index_serving(sf_dir, tag)
 
 
 if __name__ == "__main__":

@@ -269,6 +269,7 @@ def pagerank_fixed(
     iterations: int = 3,
     scale: int = 10**12,
     edges_materialized: bool = False,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Fixed-iteration PageRank (damping 0.85) in EXACT scaled-integer
     arithmetic: ranks live as BIGINT multiples of 1/scale, per-edge
@@ -296,9 +297,32 @@ def pagerank_fixed(
     output partitioning survives into every iteration join —
     localCheckpoint would materialize to executor blocks and erase the
     bucketing metadata, re-introducing a per-iteration edge Exchange.
+
+    ``checkpoint_mode``: ``"local"`` (default) materializes the
+    iteration-invariant frames to EXECUTOR BLOCKS — fast, but on a real
+    cluster those blocks die with their executor, and a lost block
+    fails the job (localCheckpoint severs lineage, so there is nothing
+    to recompute from). ``"reliable"`` uses `DataFrame.checkpoint()`
+    to the fault-tolerant checkpoint directory instead (caller must
+    have set ``spark.sparkContext.setCheckpointDir`` to shared
+    storage) — the right toggle for long multi-tenant cluster runs
+    where executor loss is routine; costs one distributed write per
+    checkpointed frame. Both modes produce identical results; this is
+    purely a durability/latency trade.
     """
+    if checkpoint_mode not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint_mode must be 'local' or 'reliable',"
+            f" got {checkpoint_mode!r}"
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_mode == "reliable":
+            return df.checkpoint()
+        return df.localCheckpoint()
+
     # The edge list, node set and degree table feed EVERY iteration:
-    # localCheckpoint them once so the unrolled plan references a
+    # checkpoint them once so the unrolled plan references a
     # materialized scan instead of re-deriving the (possibly expensive)
     # edge construction per iteration — without this, a 3-iteration
     # plan re-expands upstream lineage ~30x (measured 105 shuffle
@@ -306,18 +330,17 @@ def pagerank_fixed(
     # per-round checkpointing).
     e = edges.select(F.col(src).alias("__esrc"), F.col(dst).alias("__edst"))
     if not edges_materialized:
-        e = e.localCheckpoint()
+        e = _ckpt(e)
     nodes = (
         e.select(F.col("__esrc").alias("node"))
         .union(e.select(F.col("__edst").alias("node")))
         .distinct()
     )
     n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    nodes = nodes.crossJoin(F.broadcast(n_row)).localCheckpoint()
-    deg = (
+    nodes = _ckpt(nodes.crossJoin(F.broadcast(n_row)))
+    deg = _ckpt(
         e.groupBy(F.col("__esrc").alias("node"))
         .agg(F.count(F.lit(1)).alias("__d"))
-        .localCheckpoint()
     )
     ranks = nodes.select(
         "node",

@@ -9059,3 +9059,204 @@ def graph_pagerank_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=3,
         edges_materialized=True,
     ).select("node", "rank_scaled")
+
+
+@query("graph_triangles_from_edges", oracle=ORACLE["graph_triangles_parts"])
+def graph_triangles_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting served from the SAME persisted co-purchase edge
+    table as `graph_pagerank_from_edges`, under `graph_triangles_parts`'
+    oracle — the second graph headliner whose dominant cost is the
+    shared, iteration-invariant edge BUILD (SCALE.md: the within-basket
+    self-join). The table stores both orientations (pagerank's layout);
+    the unique (src < dst) pairs triangle_count wants fall out of a
+    bucketed-scan filter with no extra shuffle. Degree re-orientation
+    inside triangle_count shuffles either way, so the serving win here
+    is exactly the build cost — measured in tools/scale_round8.py
+    (build median 13.8 s vs serve 8.2 s at the sf1 point, interleaved
+    n=3). The localCheckpoint matters: triangle_count references its
+    edge input ~6x (degree agg, two orientation joins, two wedge sides,
+    closing semi-join) and bucketing buys those joins nothing after the
+    degree re-orientation reshuffles anyway — without it the table
+    re-scans per reference (407 MB read from a 21 MB table, measured)."""
+    import os
+
+    from usgs_lidar_spark.operators.graph import (
+        copurchase_edges,
+        read_edge_table,
+        triangle_count,
+        write_edge_table,
+    )
+
+    path, complete = _cached_index_path(
+        sf_dir, "pr_edges", "lineitem", ""
+    )
+    tbl = os.path.basename(path)
+    if not spark.catalog.tableExists(tbl):
+        if complete:
+            spark.sql(
+                f"CREATE TABLE {tbl} (src BIGINT, dst BIGINT) "
+                "USING PARQUET CLUSTERED BY (src) "
+                "SORTED BY (src, dst) INTO 32 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
+            pairs = copurchase_edges(
+                _t(spark, sf_dir, "lineitem"),
+                "l_orderkey",
+                "l_partkey",
+                min_support=2,
+                max_basket=8,
+            )
+            write_edge_table(
+                pairs, tbl, n_buckets=32, path=path, symmetrize=True
+            )
+    uniq = (
+        read_edge_table(spark, tbl)
+        .filter(F.col("src") < F.col("dst"))
+        .localCheckpoint()
+    )
+    return triangle_count(uniq)
+
+
+@query(
+    "search_hybrid_rrf4",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        string_split_regex(trim(text), '\\s+'),
+                        t -> lower(t)) END AS tokens
+        FROM documents
+    ), post0 AS (
+        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+               unnest(list_filter(tokens,
+                   t -> t IN ('merge', 'spark', 'stream', 'vector')))
+                   AS term
+        FROM toks
+    ), postings AS (
+        SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        FROM post0 GROUP BY term, doc_id, dl
+    ), with_df AS (
+        SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        FROM postings
+    ), t_scored AS (
+        SELECT doc_id,
+               CAST(sum(tf * (1000000000 // df)) AS BIGINT) AS tscore
+        FROM with_df GROUP BY doc_id
+    ), kw1 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY tscore DESC, doc_id) AS r
+        FROM t_scored ORDER BY tscore DESC, doc_id LIMIT 20
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(tokens)) AS BIGINT) AS total_tokens
+        FROM toks
+    ), consts AS (
+        SELECT CAST((n_docs * 1000000) // total_tokens AS BIGINT)
+                   AS inv_avgdl_q6
+        FROM stats
+    ), b_scored AS (
+        SELECT doc_id,
+               CAST(sum((1000000000 // df) *
+                    ((22 * tf * 1000000 * 1000000) //
+                     (10 * tf * 1000000 + 3 * 1000000
+                      + 9 * dl * inv_avgdl_q6))) AS BIGINT) AS bscore
+        FROM with_df, consts
+        GROUP BY doc_id
+    ), kw2 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bscore DESC, doc_id) AS r
+        FROM b_scored ORDER BY bscore DESC, doc_id LIMIT 20
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id = 0
+    ), c AS (SELECT vec_id, embedding FROM embeddings),
+    sims AS (
+        SELECT c.vec_id AS doc_id,
+        {_COSINE_SQL}
+        FROM c, q WHERE c.vec_id <> q.query_id
+    ), vec AS (
+        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+        FROM sims ORDER BY sim DESC, doc_id LIMIT 20
+    ), pos AS (
+        SELECT doc_id, unnest(tokens) AS term,
+               generate_subscripts(tokens, 1) AS p
+        FROM toks
+    ), pm AS (
+        SELECT a.doc_id, a.p
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                   AND b.term = 'hash'
+        JOIN pos c2 ON a.doc_id = c2.doc_id AND c2.p = a.p + 2
+                   AND c2.term = 'agg'
+        WHERE a.term = 'table'
+    ), p_scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS pscore
+        FROM pm GROUP BY doc_id
+    ), ph AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY pscore DESC, doc_id) AS r
+        FROM p_scored ORDER BY pscore DESC, doc_id LIMIT 20
+    ), fused AS (
+        SELECT coalesce(kw1.doc_id, kw2.doc_id, vec.doc_id, ph.doc_id)
+                   AS doc_id,
+               coalesce(1000000 // (60 + kw1.r), 0)
+                   + coalesce(1000000 // (60 + kw2.r), 0)
+                   + coalesce(1000000 // (60 + vec.r), 0)
+                   + coalesce(1000000 // (60 + ph.r), 0) AS score
+        FROM kw1
+        FULL JOIN kw2 ON kw1.doc_id = kw2.doc_id
+        FULL JOIN vec
+          ON coalesce(kw1.doc_id, kw2.doc_id) = vec.doc_id
+        FULL JOIN ph
+          ON coalesce(kw1.doc_id, kw2.doc_id, vec.doc_id) = ph.doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM fused ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def search_hybrid_rrf4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-ranker RRF with a PHRASE-BOOST leg (VERDICT r7 stretch):
+    TF-IDF + BM25 + exact cosine (the `search_hybrid_rrf3` legs,
+    unchanged) + exact-phrase matches for "table hash agg" ranked by
+    occurrence count (n_matches DESC, doc_id) — documents containing
+    the literal phrase get a reciprocal-rank boost on top of their
+    bag-of-words scores, the classic precision lever hybrid stacks add
+    last. Every leg keeps its candidates-only shape (the phrase leg is
+    `phrase_match`'s filtered positional postings); the fusion joins
+    four <= 20-row short lists, integer contributions throughout."""
+    from usgs_lidar_spark.operators.retrieval import (
+        _rank_topk,
+        bm25_topk,
+        phrase_match,
+        rrf_fuse,
+        tfidf_topk,
+    )
+    from usgs_lidar_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    terms = ["merge", "spark", "stream", "vector"]
+    kw1 = tfidf_topk(docs, terms, k=20).select("doc_id", "rank")
+    kw2 = bm25_topk(docs, terms, k=20).select("doc_id", "rank")
+    queries_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = cosine_topk_bruteforce(
+        emb, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=20,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    ph = _rank_topk(
+        phrase_match(docs, ["table", "hash", "agg"]).select(
+            "doc_id", F.col("n_matches").alias("score")
+        ),
+        "doc_id",
+        20,
+        [],
+    ).select("doc_id", "rank")
+    return rrf_fuse([kw1, kw2, vec, ph], id_col="doc_id", k=10)
