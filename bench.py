@@ -99,6 +99,13 @@ HEADLINE = [
     # and the hybrid keyword+vector RRF fusion (BM25 + cosine ANN).
     "search_bm25_topk",
     "search_hybrid_rrf",
+    # round 8 additions: the persisted serving paths (index/edge-table
+    # builds are cached per sf-dir snapshot, so steady-state runs
+    # measure SERVING — the first warmup pass pays any build).
+    "search_bm25_from_index",
+    "sim_topk_from_ivf_index",
+    "graph_pagerank_from_edges",
+    "graph_triangles_from_edges",
 ]
 
 

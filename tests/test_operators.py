@@ -3197,3 +3197,121 @@ def test_global_rank_rejects_nan_leading_key(spark):
     )
     with _pytest.raises(ValueError, match="NULL or NaN"):
         global_rank(df, ["score", "id"], num_buckets=4).collect()
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    """BPE pair statistics over the word-frequency dict: each distinct
+    word's adjacent character pairs weighted by corpus frequency;
+    1-char words contribute nothing (the sequence(1,0)-is-descending
+    trap); deterministic (n DESC, pair) rank."""
+    from usgs_lidar_spark.operators.textquality import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ba a"), (2, "abc a")], ["doc_id", "text"]
+    )
+    # words: ab:2, ba:1, a:2, abc:1 -> pairs: ab = 2(ab)+1(abc) = 3,
+    # ba = 1, bc = 1(abc)
+    got = [(r["pair"], r["n"], r["rank"])
+           for r in bpe_pair_counts(docs, top_k=10).collect()]
+    assert got == [("ab", 3, 1), ("ba", 1, 2), ("bc", 1, 3)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top_k"):
+        bpe_pair_counts(docs, top_k=0)
+
+
+def test_ivf_pq_index_parity_pruning_and_compression(spark, tmp_path):
+    """write_ivf_pq_index -> ivf_pq_topk_from_index equals the
+    in-memory ivf_pq_topk row-for-row; the probe scan partition-prunes
+    to the probed cells; and AT REST the index stores PQ codes only —
+    no vector column survives into the data files (the compressed
+    serving contract)."""
+    import re
+
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_pq_topk_from_index,
+        pq_codebooks_from_rows,
+        write_ivf_pq_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = [v for _, v in rows[:8]]
+    cents = [(i, v) for i, v in enumerate(seeds)]
+    cbs = pq_codebooks_from_rows(seeds, n_sub=4)
+    path = str(tmp_path / "ivf_pq_idx")
+    write_ivf_pq_index(emb, cents, cbs, path)
+
+    # ONE query so its 2 probed cells are a strict subset of the 8 —
+    # more queries legitimately cover every cell on this tiny corpus.
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, queries, cents, cbs, k=5, n_probe=2
+        ).collect()
+    )
+    served = ivf_pq_topk_from_index(spark, path, queries, k=5, n_probe=2)
+    assert sorted(tuple(r) for r in served.collect()) == want
+
+    # Partition pruning: the scan carries a literal PartitionFilters
+    # cid IN (...) restricted to the probed cells — a strict subset of
+    # the index's cells. (inputFiles() ignores partition filters, so
+    # assert on the executed plan, as in the plain-IVF index test.)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    touched = {int(x) for x in m.group(1).split(",")}
+    all_cells = {
+        int(m.group(1))
+        for f in spark.read.parquet(path).inputFiles()
+        if (m := re.search(r"cid=(\d+)/", f))
+    }
+    assert touched and touched < all_cells
+    assert len(touched) <= 2  # 1 query * n_probe
+    # Compressed at rest: data files carry (vec_id, pq_codes), never the
+    # embedding vector.
+    stored = spark.read.parquet(path)
+    assert "pq_codes" in stored.columns
+    assert "embedding" not in stored.columns
+
+
+def test_ivf_pq_index_append_parity(spark, tmp_path):
+    """Appending a batch to the PQ index (stored quantizers re-encode
+    only the batch) == rebuilding the whole index over the union
+    corpus: served ADC rows identical."""
+    from usgs_lidar_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        ivf_pq_topk_from_index,
+        pq_codebooks_from_rows,
+        write_ivf_pq_index,
+    )
+
+    rows = [
+        (i, [float((i * 5 + j * 3) % 13) - 6.0 for j in range(8)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = emb.filter(F.col("vec_id") < 40)
+    batch = emb.filter(F.col("vec_id") >= 40)
+    seeds = [v for _, v in rows[:8]]
+    cents = [(i, v) for i, v in enumerate(seeds)]
+    cbs = pq_codebooks_from_rows(seeds, n_sub=4)
+    inc = str(tmp_path / "inc_pq")
+    full = str(tmp_path / "full_pq")
+    write_ivf_pq_index(base, cents, cbs, inc)
+    append_to_ivf_pq_index(batch, inc)
+    write_ivf_pq_index(emb, cents, cbs, full)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(tuple(r) for r in ivf_pq_topk_from_index(
+        spark, inc, queries, k=5, n_probe=3).collect())
+    b = sorted(tuple(r) for r in ivf_pq_topk_from_index(
+        spark, full, queries, k=5, n_probe=3).collect())
+    assert a == b and a

@@ -152,6 +152,11 @@ def index_serving(sf_dir: str, tag: str) -> None:
     for q, kind, src, marker in (
         ("search_bm25_from_index", "term_idx", "documents", "_corpus_stats"),
         ("sim_topk_from_ivf_index", "ivf_idx", "embeddings", "_centroids"),
+        # Compressed ANN serving: same probes, but the at-rest index
+        # stores PQ codes instead of float vectors — compare
+        # index_total_mb with the full-vector ivf_idx row above.
+        ("sim_topk_ivf_pq_from_index", "ivf_pq_idx", "embeddings",
+         "_codebooks"),
     ):
         path, complete = _cached_index_path(sf_dir, kind, src, marker)
         if not complete:

@@ -1726,3 +1726,150 @@ def embed_standardize(
             ),
         ),
     )
+
+
+def write_ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    method: str = "auto",
+) -> None:
+    """Materialize the IVF-PQ index: cell-partitioned like
+    `write_ivf_index`, but AT REST each vector is its PQ code array
+    (n_sub small ints) instead of the full float vector — the
+    compressed-domain layout where a 64-float embedding stores as 4
+    codes, the 100 TB at-rest story (a 16x+ byte reduction before
+    parquet encoding, and the probe scan reads codes, never vectors).
+    Sidecars: `_centroids` (coarse quantizer, as in write_ivf_index)
+    and `_codebooks` ((j, code, cvec) sub-codebook rows) — written
+    LAST, so its _SUCCESS marks the index complete. Full vectors are
+    touched exactly once, at encode time; serving never reads them."""
+    from usgs_lidar_spark.operators.retrieval import _write_schema_sidecar
+
+    spark = corpus.sparkSession
+    enc = pq_encode(
+        ivf_assign(corpus, centroids, vec_col, round_digits, method),
+        codebooks,
+        vec_col=vec_col,
+    )
+    cells = enc.select(
+        F.col(id_col), F.col("__cid").alias("cid"), "pq_codes"
+    )
+    cells.write.mode("overwrite").partitionBy("cid").parquet(path)
+    _write_schema_sidecar(cells, path)
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cid bigint, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    spark.createDataFrame(
+        [
+            (j, int(c), [float(x) for x in v])
+            for j, cb in enumerate(codebooks)
+            for c, v in cb
+        ],
+        "j int, code int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+
+
+def read_pq_codebooks(spark, path: str) -> list[list[tuple[int, list[float]]]]:
+    """The `_codebooks` sidecar back as pq_encode's list-of-subspace
+    structure (n_sub * n_codes rows — kilobytes by contract)."""
+    rows = sorted(
+        (int(r["j"]), int(r["code"]), list(r["cvec"]))
+        for r in spark.read.parquet(f"{path}/_codebooks").collect()
+    )
+    n_sub = max(j for j, _, _ in rows) + 1
+    return [
+        [(c, v) for j, c, v in rows if j == jj] for jj in range(n_sub)
+    ]
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 4,
+    method: str = "auto",
+) -> DataFrame:
+    """`ivf_pq_topk` served from a `write_ivf_pq_index` dataset: the
+    probe prunes to its cells' partition directories AND the pruned
+    scan reads PQ codes only — no corpus vector is ever read or
+    re-encoded at serve time. Identical ranking contract to the
+    in-memory composition (same centroids/codebooks => same codes =>
+    same ADC sums; parity test-pinned). The LUT is rebuilt per query
+    batch from the codebook sidecar — kilobytes of driver math, the
+    standard ADC serving cost."""
+    from usgs_lidar_spark.operators.retrieval import (
+        _read_with_schema_fallback,
+    )
+
+    centroids = read_ivf_centroids(spark, path)
+    codebooks = read_pq_codebooks(spark, path)
+    qdf, sims, _qtmp = _with_centroid_sims(
+        queries, centroids, vec_col, round_digits, method
+    )
+    probes = F.slice(F.sort_array(sims, asc=False), 1, n_probe)
+    qcells = qdf.select(
+        F.col(query_id_col), F.explode(probes).alias("__p")
+    ).select(query_id_col, (-F.col("__p.negcid")).alias("__cid"))
+    cells = sorted(
+        {int(r["__cid"]) for r in qcells.select("__cid").distinct().collect()}
+    )
+    exploded = (
+        _read_with_schema_fallback(spark, path)
+        .filter(F.col("cid").isin(cells or [-1]))
+        .withColumnRenamed("cid", "__cid")
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "__cid",
+            F.posexplode("pq_codes").alias("j", "code"),
+        )
+    )
+    lut = _pq_lut(queries, codebooks, query_id_col, vec_col)
+    scored = (
+        exploded.join(F.broadcast(qcells), "__cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .join(F.broadcast(lut), [query_id_col, "j", "code"])
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("d_scaled").alias("adc_scaled"))
+    )
+    return _adc_rank(scored, query_id_col, k)
+
+
+def append_to_ivf_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    method: str = "auto",
+) -> None:
+    """Incrementally grow a `write_ivf_pq_index` dataset: assign AND
+    encode only the new batch with the STORED quantizers (both
+    sidecars), appending codes into the batch's cell partitions — the
+    compressed twin of `append_to_ivf_index`, and a `foreachBatch` body
+    for a streaming corpus. Same staleness contract as every
+    fixed-quantizer append: the result is indistinguishable from a full
+    rebuild with the same centroids/codebooks (codes are a pure
+    function of vector + codebooks), so the index is never wrong, only
+    staler — watch drift metrics for the rebuild signal."""
+    spark = new_vectors.sparkSession
+    centroids = read_ivf_centroids(spark, path)
+    codebooks = read_pq_codebooks(spark, path)
+    enc = pq_encode(
+        ivf_assign(new_vectors, centroids, vec_col, round_digits, method),
+        codebooks,
+        vec_col=vec_col,
+    )
+    enc.select(
+        F.col(id_col), F.col("__cid").alias("cid"), "pq_codes"
+    ).write.mode("append").partitionBy("cid").parquet(path)

@@ -27,7 +27,7 @@ similarity modules do.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from usgs_lidar_spark.functions.textstats import ws_tokens
 
@@ -259,4 +259,64 @@ def threshold_sweep(
         "n_docs",
         F.sum("n_docs").over(suffix).alias("n_kept"),
         F.sum("__wsum").over(suffix).alias("weight_kept"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 30,
+    lowercase: bool = True,
+) -> DataFrame:
+    """One byte-pair-encoding merge-round statistic at corpus scale:
+    adjacent character-pair frequencies, aggregated over the
+    WORD-FREQUENCY dictionary rather than the raw text — the classic
+    BPE preprocessing trick (count each distinct word once, weight by
+    its corpus frequency) that bounds the expensive character stage by
+    |vocab|, not corpus tokens. This is the statistic a tokenizer
+    trainer computes to pick its next merge; at 100 TB the first
+    aggregate's shuffle is the vocabulary (tens of millions of rows,
+    map-side combined from trillions of tokens) and the second is the
+    pair domain (|vocab| * avg word length rows in, ~|alphabet|^2 rows
+    out, map-side combined again). No per-document state, no UDF.
+
+    Returns the ``top_k`` pairs as (pair, n, rank), ranked
+    (n DESC, pair ASC) — deterministic, TakeOrdered, never a full sort.
+    1-character words contribute no pairs (the CASE guard matters:
+    Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty)."""
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    words = (
+        docs.select(F.explode(tok).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    scored = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("n")
+    )
+    order = [F.col("n").desc(), F.col("pair").asc()]
+    return (
+        scored.orderBy(*order)
+        .limit(top_k)
+        .select(
+            "pair",
+            "n",
+            F.row_number().over(Window.orderBy(*order))
+            .cast("long")
+            .alias("rank"),
+        )
     )

@@ -9260,3 +9260,105 @@ def search_hybrid_rrf4(spark: SparkSession, sf_dir: str) -> DataFrame:
         [],
     ).select("doc_id", "rank")
     return rrf_fuse([kw1, kw2, vec, ph], id_col="doc_id", k=10)
+
+
+@query("search_bm25_pruned", oracle=ORACLE["search_bm25_topk"])
+def search_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAND-family max-score pruned BM25 ranker under the SAME hard
+    oracle as `search_bm25_topk` — `bm25_topk_pruned` is row-identical
+    to the exhaustive ranker by contract (θ from the rarest term's
+    exact top-k, per-term upper bounds, left-semi survivor scoring;
+    unit-pinned by `test_bm25_pruned_parity`), so the driver's
+    value-hash proves the pruning is lossless on the real corpus, not
+    just the unit fixtures. Same query, same k as the exhaustive form."""
+    from usgs_lidar_spark.operators.retrieval import bm25_topk_pruned
+
+    return bm25_topk_pruned(
+        _t(spark, sf_dir, "documents"),
+        ["merge", "spark", "stream", "vector"],
+        k=10,
+    )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        string_split_regex(trim(text), '\s+'),
+                        t -> lower(t)) END AS tokens
+        FROM documents
+    ), words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(tokens) AS w FROM toks)
+        GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+        FROM words, unnest(range(1, CAST(length(w) AS BIGINT))) AS t(i)
+        WHERE length(w) >= 2
+    ), scored AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+               AS rank
+    FROM scored ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction statistic: the top-30 adjacent
+    character pairs a BPE trainer would consider for its next merge,
+    counted over the word-frequency dictionary (each distinct word's
+    pairs weighted by its corpus frequency) — the aggregation trick
+    that makes vocab training corpus-size-independent past the first
+    token count. `operators/textquality.bpe_pair_counts`; integer
+    counts, (n DESC, pair) deterministic rank."""
+    from usgs_lidar_spark.operators.textquality import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=30)
+
+
+@query("sim_topk_ivf_pq_from_index", oracle=ORACLE["sim_topk_ivf_pq"])
+def sim_topk_ivf_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED persisted-ANN serving path under the same hard
+    oracle as `sim_topk_ivf_pq`: materialize the IVF-PQ index
+    (`write_ivf_pq_index` — cells as hive partitions, vectors stored as
+    PQ code arrays, codebooks as a sidecar), then serve the identical
+    probe query from it (`ivf_pq_topk_from_index`). The probe scan is
+    partition-pruned to its cells AND reads codes only — at 100 TB this
+    form reads ~n_probe/k of a 16x-smaller-at-rest dataset, with full
+    vectors touched exactly once, at build time. Same builds-once
+    snapshot cache as the other index-served queries."""
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+        pq_codebooks_from_rows,
+        write_ivf_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path, complete = _cached_index_path(
+        sf_dir, "ivf_pq_idx", "embeddings", "_codebooks"
+    )
+    if not complete:
+        seeds = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .collect()
+        ] or [[0.0] * 4]  # empty-corpus placeholder (see sim_topk_ivf_pq)
+        write_ivf_pq_index(
+            emb,
+            [(i, v) for i, v in enumerate(seeds)],
+            pq_codebooks_from_rows(seeds, n_sub=4),
+            path,
+        )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk_from_index(
+        spark, path, queries_df, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", k=5, n_probe=2,
+    )
