@@ -3315,3 +3315,70 @@ def test_ivf_pq_index_append_parity(spark, tmp_path):
     b = sorted(tuple(r) for r in ivf_pq_topk_from_index(
         spark, full, queries, k=5, n_probe=3).collect())
     assert a == b and a
+
+
+def test_negative_samples_deterministic_and_bounded(spark):
+    """Hash-ring negative sampling: output set is a pure function of
+    (corpus, anchors, k, seed) — invariant under repartitioning; never
+    returns the anchor itself; <= k negatives per anchor; empty corpus
+    yields zero probes (no mod-by-zero under ANSI); k validated."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.pipeline import negative_samples
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    anchors = docs.filter(F.col("doc_id") < 5)
+    a = sorted(map(tuple, negative_samples(docs, anchors, k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            negative_samples(
+                docs.repartition(7), anchors.repartition(3), k=3
+            ).collect(),
+        )
+    )
+    assert a == b and a
+    per_anchor = {}
+    for anchor, neg in a:
+        assert neg != anchor
+        per_anchor.setdefault(anchor, set()).add(neg)
+    assert set(per_anchor) <= {0, 1, 2, 3, 4}
+    assert all(1 <= len(v) <= 3 for v in per_anchor.values())
+    # different seed -> different (here: disjoint-ish) sample set
+    c = sorted(map(tuple, negative_samples(docs, anchors, k=3,
+                                           seed=9).collect()))
+    assert c != a
+    empty = spark.createDataFrame([], "doc_id long")
+    assert negative_samples(empty, anchors, k=3).count() == 0
+    with _pytest.raises(ValueError, match="k must"):
+        negative_samples(docs, anchors, k=0)
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """k-NN vote semantics: majority label wins; a split vote breaks to
+    the SMALLER label deterministically; self is never a neighbor."""
+    from usgs_lidar_spark.operators.similarity import knn_classify
+
+    # 2D embeddings: two tight clusters on the axes.
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.99, 0.01], 0), (2, [0.98, 0.02], 0),
+        (3, [0.0, 1.0], 1), (4, [0.01, 0.99], 1), (5, [0.02, 0.98], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.filter(F.col("vec_id").isin([0, 3])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {r["query_id"]: (r["pred_label"], r["n_votes"])
+           for r in knn_classify(emb, q, k=2).collect()}
+    # query 0's two nearest are 1,2 (label 0); query 3's are 4,5 (label 1)
+    assert got == {0: (0, 2), 3: (1, 2)}
+    # k=4 -> votes split 2-2 for query 0 (neighbors 1,2 label 0 and two
+    # of the other cluster label 1)... actually 4 nearest of q0 are
+    # 1,2 (label 0) then 5,4 (label 1): tie 2-2 -> smaller label wins.
+    got4 = {r["query_id"]: r["pred_label"]
+            for r in knn_classify(emb, q, k=4).collect()}
+    assert got4[0] == 0

@@ -1199,3 +1199,58 @@ def test_streaming_term_index_maintenance(spark, tmp_path):
     si = spark.read.parquet(f"{idx}/_corpus_stats").collect()[0]
     sr = spark.read.parquet(f"{rebuilt}/_corpus_stats").collect()[0]
     assert tuple(si) == tuple(sr)
+
+
+def test_streaming_ivf_pq_index_maintenance(spark, tmp_path):
+    """foreachBatch-maintained COMPRESSED index: streamed micro-batch
+    appends (stored quantizers re-encode only the batch) leave the
+    IVF-PQ index row-for-row identical to a from-scratch build over the
+    full corpus — codes are a pure function of vector + codebooks, so
+    maintenance can never drift the stored representation."""
+    import shutil as _sh
+
+    from usgs_lidar_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        pq_codebooks_from_rows,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    cents = [(i, v) for i, v in enumerate(seeds)]
+    cbs = pq_codebooks_from_rows(seeds, n_sub=4)
+    idx = str(tmp_path / "ivf_pq_idx")
+    write_ivf_pq_index(emb.filter("vec_id < 300"), cents, cbs, idx)
+
+    stream_dir = tmp_path / "stream_src"
+    stream_dir.mkdir()
+    emb.filter("vec_id >= 300").write.mode("overwrite").parquet(
+        str(tmp_path / "tail")
+    )
+    for i, f in enumerate(sorted((tmp_path / "tail").glob("*.parquet"))):
+        _sh.copy(f, stream_dir / f"part-{i}.parquet")
+    stream = spark.readStream.schema(emb.schema).parquet(str(stream_dir))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: append_to_ivf_pq_index(batch, idx)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rebuilt = str(tmp_path / "ivf_pq_full")
+    write_ivf_pq_index(emb, cents, cbs, rebuilt)
+    a = sorted(
+        (r["vec_id"], r["cid"], tuple(r["pq_codes"]))
+        for r in spark.read.parquet(idx).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cid"], tuple(r["pq_codes"]))
+        for r in spark.read.parquet(rebuilt).collect()
+    )
+    assert a == b and a

@@ -620,3 +620,76 @@ def mixture_schedule(
         "src_pos",
         "priority",
     )
+
+
+def negative_samples(
+    docs: DataFrame,
+    anchors: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic pseudo-random NEGATIVE sampling for contrastive /
+    embedding training pairs: each anchor receives up to ``k`` corpus
+    documents chosen by a hash ring — reproducible on any engine, on
+    any partitioning, with no cross join and no corpus-sized per-anchor
+    work.
+
+    The ring: every doc gets a dense position 1..n under the
+    (portable Lehmer hash, id) total order — computed with
+    `global_rank`, so there is NO single-task window at any corpus
+    size. Each anchor then probes positions
+    ``lehmer(anchor*1000003 + i, seed+1) mod n`` for i = 1..k and the
+    probe joins back to the ring on position (one equi-join keyed on
+    the ring position; the probe side is |anchors|*k rows).
+
+    Deterministic contract: the output SET is a pure function of
+    (corpus ids, anchor ids, k, seed). Probe collisions collapse via
+    DISTINCT and an accidental self-hit is dropped, so an anchor may
+    receive fewer than k negatives with probability O(k^2/n) — the
+    standard hash-ring trade, replayed identically by the SQL oracle.
+    Returns (anchor_id, neg_id)."""
+    from usgs_lidar_spark.operators.ranking import global_rank
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    ring = global_rank(
+        docs.select(
+            F.col(id_col).alias("neg_id"),
+            portable_hash_long(F.col(id_col), seed).alias("__hkey"),
+        ),
+        ["__hkey", "neg_id"],
+        rank_col="__pos",
+    ).select("neg_id", "__pos")
+    n_row = ring.agg(F.count(F.lit(1)).alias("__n"))
+    probes = (
+        anchors.select(F.col(id_col).alias("anchor_id"))
+        .crossJoin(F.broadcast(n_row))
+        # Empty corpus: n = 0 must yield zero probes BEFORE the pmod
+        # below evaluates (ANSI mode raises on mod-by-zero).
+        .filter(F.col("__n") > 0)
+        .select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__i"),
+            "__n",
+        )
+        .select(
+            "anchor_id",
+            (
+                F.pmod(
+                    portable_hash_long(
+                        F.col("anchor_id") * F.lit(1000003) + F.col("__i"),
+                        seed + 1,
+                    ),
+                    F.col("__n"),
+                )
+                + 1
+            ).alias("__pos"),
+        )
+    )
+    return (
+        probes.join(ring, "__pos")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_id")
+        .distinct()
+    )

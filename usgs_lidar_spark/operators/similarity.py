@@ -1873,3 +1873,53 @@ def append_to_ivf_pq_index(
     enc.select(
         F.col(id_col), F.col("__cid").alias("cid"), "pq_codes"
     ).write.mode("append").partitionBy("cid").parquet(path)
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """k-NN majority-vote classification over exact cosine neighbors —
+    the standard embedding-quality probe (does the representation
+    cluster by label?) run as a query over the corpus itself.
+
+    Neighbors come from `cosine_topk_bruteforce` (broadcast queries,
+    per-query window top-k, self excluded); each neighbor contributes
+    one vote for its label and the prediction is the (votes DESC,
+    label ASC) winner — deterministic ties, integer votes, so the
+    result hash-matches any engine. Scale shape: the vote join attaches
+    labels to nq*k neighbor rows (never the corpus), the vote aggregate
+    and argmax window are nq*|labels|-bounded. Returns
+    (query_id_col, pred_label, n_votes)."""
+    nb = cosine_topk_bruteforce(
+        corpus, queries, id_col, vec_col, query_id_col, k, round_digits
+    )
+    votes = (
+        nb.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("__nl"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy(query_id_col, "__nl")
+        .agg(F.count(F.lit(1)).alias("__votes"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__votes").desc(), F.col("__nl").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            query_id_col,
+            F.col("__nl").alias("pred_label"),
+            F.col("__votes").cast("long").alias("n_votes"),
+        )
+    )

@@ -9362,3 +9362,113 @@ def sim_topk_ivf_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, queries_df, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", k=5, n_probe=2,
     )
+
+
+@query(
+    "pipe_negative_samples",
+    oracle=f"""
+    WITH ring AS (
+        SELECT doc_id AS neg_id,
+               row_number() OVER (
+                   ORDER BY {_LEHMER_LONG("doc_id")}, doc_id
+               ) AS pos
+        FROM documents
+    ), n AS (SELECT count(*) AS n FROM documents),
+    probes AS (
+        SELECT d.doc_id AS anchor_id,
+               ({_LEHMER_LONG("d.doc_id * 1000003 + i.i", seed=1)})
+                   % n.n + 1 AS pos
+        FROM documents d
+        CROSS JOIN n
+        CROSS JOIN (SELECT unnest(range(1, 5)) AS i) i
+        WHERE d.doc_id < 20 AND n.n > 0
+    )
+    SELECT DISTINCT p.anchor_id, r.neg_id
+    FROM probes p JOIN ring r USING (pos)
+    WHERE r.neg_id <> p.anchor_id
+    """,
+)
+def pipe_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-ring negative sampling
+    (`operators/pipeline.negative_samples`): 4 pseudo-random corpus
+    negatives per anchor (anchors = doc_id < 20) for contrastive-pair
+    construction — engine-reproducible (two-round Lehmer ring
+    positions, `global_rank` dense ranks with no single-task window,
+    one position-keyed equi-join; the probe side is |anchors|*k rows,
+    the corpus never cross-joins)."""
+    from usgs_lidar_spark.operators.pipeline import negative_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_samples(
+        docs, docs.filter(F.col("doc_id") < 20), k=4
+    )
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+        {_COSINE_SQL}
+        FROM c, q WHERE c.vec_id <> q.query_id
+    ), nb AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS r
+            FROM sims) WHERE r <= 5
+    ), votes AS (
+        SELECT nb.query_id, e.label AS nl, count(*) AS v
+        FROM nb JOIN embeddings e ON nb.neighbor_id = e.vec_id
+        GROUP BY 1, 2
+    ), pred AS (
+        SELECT query_id, nl AS pred_label FROM (
+            SELECT query_id, nl,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY v DESC, nl) AS rn
+            FROM votes) WHERE rn = 1
+    )
+    SELECT CAST(t.label AS BIGINT) AS true_label,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred p JOIN embeddings t ON p.query_id = t.vec_id
+    GROUP BY t.label
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: 5-NN majority-vote classification of
+    the first 50 vectors against the labeled corpus
+    (`operators/similarity.knn_classify` — deterministic (votes DESC,
+    label ASC) winner over exact cosine neighbors), aggregated to a
+    per-true-label accuracy report (true_label, n_eval, n_correct) —
+    all integer columns, hash-stable. The neighbor stage is the
+    already-oracled brute-force ranking; labels attach to nq*k rows."""
+    from usgs_lidar_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eval_q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pred = knn_classify(emb, eval_q, k=5)
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy(F.col("true_label").cast("long").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.col("pred_label") == F.col("true_label"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
