@@ -3382,3 +3382,29 @@ def test_knn_classify_majority_and_tiebreak(spark):
     got4 = {r["query_id"]: r["pred_label"]
             for r in knn_classify(emb, q, k=4).collect()}
     assert got4[0] == 0
+
+
+def test_temperature_mix_sqrt_quotas_and_determinism(spark):
+    """T=2 mixing: quotas ∝ sqrt(n) (tail groups upweighted vs
+    proportional), sum(quota) <= budget, n_kept == min(quota, n),
+    kept set invariant under repartitioning, budget validated."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.pipeline import temperature_mix_sqrt
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rep = {r["lang"]: r for r in
+           temperature_mix_sqrt(docs, budget=40).collect()}
+    big, small = rep["big"], rep["small"]
+    assert big["n_docs"] == 90 and small["n_docs"] == 10
+    # proportional would give small 4/40; sqrt-weights give it more
+    assert small["quota"] > 4
+    assert big["quota"] + small["quota"] <= 40
+    assert big["n_kept"] == big["quota"]
+    assert small["n_kept"] == small["quota"]
+    again = {r["lang"]: r["kept_id_sum"] for r in
+             temperature_mix_sqrt(docs.repartition(7), budget=40).collect()}
+    assert again == {g: r["kept_id_sum"] for g, r in rep.items()}
+    with _pytest.raises(ValueError, match="budget"):
+        temperature_mix_sqrt(docs, budget=0)

@@ -693,3 +693,78 @@ def negative_samples(
         .select("anchor_id", "neg_id")
         .distinct()
     )
+
+
+def temperature_mix_sqrt(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source mixing at T = 2 (alpha = 1/2): each
+    group's sampling quota is proportional to sqrt(group size) — the
+    classic training-data recipe that upweights tail sources relative
+    to proportional sampling without flattening to uniform.
+
+    Exactness discipline: the weight is ``floor(sqrt(n) * 2^20)`` as
+    BIGINT — sqrt is a correctly-rounded IEEE op and the power-of-two
+    multiply + floor adds no rounding decision (`quantize_exact`'s
+    argument), so weights, the integer quota
+    ``budget * w div sum(w)``, and therefore the SELECTED SET are
+    bit-reproducible in any engine. Selection within a group is the
+    deterministic Lehmer order (hash, id) with row_number <= quota —
+    one partitioned window, parallel across groups. Quotas sum to at
+    most ``budget`` (integer-division truncation, documented).
+
+    Returns the per-group report (group, n_docs, quota, n_kept,
+    kept_id_sum) — kept_id_sum pins the selected set itself, not just
+    its size, for cross-engine verification."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    sizes = docs.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    weights = sizes.withColumn(
+        "__w",
+        F.floor(F.sqrt(F.col("__n").cast("double")) * F.lit(float(2**20)))
+        .cast("long"),
+    )
+    tot = weights.agg(F.sum("__w").alias("__wsum"))
+    quotas = weights.crossJoin(F.broadcast(tot)).select(
+        "__g",
+        "__n",
+        F.expr(f"CAST({budget} AS BIGINT) * __w div __wsum").alias("__q"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash_long(F.col(id_col), seed), F.col(id_col)
+    )
+    kept = (
+        docs.select(group_col, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .join(
+            F.broadcast(quotas.select(F.col("__g").alias(group_col), "__q")),
+            group_col,
+        )
+        .filter(F.col("__rn") <= F.col("__q"))
+    )
+    report = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(id_col).cast("long").alias("kept_id_sum"),
+    )
+    return (
+        quotas.select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("long").alias("n_docs"),
+            F.col("__q").cast("long").alias("quota"),
+        )
+        .join(report, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            "quota",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("long")
+            .alias("kept_id_sum"),
+        )
+    )

@@ -9472,3 +9472,57 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_correct"),
         )
     )
+
+
+@query(
+    "pipe_temperature_mix",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT lang AS g, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ), weights AS (
+        SELECT g, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)
+                   AS w
+        FROM sizes
+    ), tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM weights),
+    quotas AS (
+        SELECT g, n,
+               CAST(CAST(200 AS BIGINT) * w // wsum AS BIGINT) AS q
+        FROM weights, tot
+    ), ranked AS (
+        SELECT lang AS g, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_LEHMER_LONG("doc_id")}, doc_id
+               ) AS rn
+        FROM documents
+    ), kept AS (
+        SELECT r.g, r.doc_id
+        FROM ranked r JOIN quotas q ON r.g = q.g
+        WHERE r.rn <= q.q
+    )
+    SELECT q.g AS lang, q.n AS n_docs, q.q AS quota,
+           CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.sid, 0) AS BIGINT) AS kept_id_sum
+    FROM quotas q
+    LEFT JOIN (
+        SELECT g, count(*) AS cnt, sum(doc_id) AS sid
+        FROM kept GROUP BY g
+    ) k ON q.g = k.g
+    """,
+)
+def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (T = 2, alpha = 1/2) source mixing over the
+    skewed per-language corpus: quotas proportional to sqrt(group size)
+    upweight tail languages vs proportional sampling
+    (`operators/pipeline.temperature_mix_sqrt`, budget 200). Weights
+    are floor(sqrt(n)*2^20) BIGINTs (correctly-rounded sqrt +
+    power-of-two multiply: no rounding decision), quotas integer
+    division, selection the per-group Lehmer order — the REPORT pins
+    the selected set via kept_id_sum, all bit-reproducible."""
+    from usgs_lidar_spark.operators.pipeline import temperature_mix_sqrt
+
+    return temperature_mix_sqrt(
+        _t(spark, sf_dir, "documents"), budget=200, group_col="lang"
+    )
