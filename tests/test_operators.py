@@ -3408,3 +3408,174 @@ def test_temperature_mix_sqrt_quotas_and_determinism(spark):
     assert again == {g: r["kept_id_sum"] for g, r in rep.items()}
     with _pytest.raises(ValueError, match="budget"):
         temperature_mix_sqrt(docs, budget=0)
+
+
+def test_skipgram_pairs_vs_bruteforce(spark):
+    """Pair counts equal a brute-force Python skip-gram counter
+    (unordered canonical pairs, window offsets 1..w, repeats counted),
+    and ranking is deterministic (n DESC, w1, w2)."""
+    from collections import Counter
+
+    from usgs_lidar_spark.operators.textquality import skipgram_pairs
+
+    texts = ["a b c d a b", "b a", "", "x", "c c c"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref: Counter = Counter()
+    for t in texts:
+        ws = t.split()
+        for i in range(len(ws)):
+            for d in range(1, 3):
+                if i + d < len(ws):
+                    ref[tuple(sorted((ws[i], ws[i + d])))] += 1
+    got = skipgram_pairs(docs, window=2, top_k=100).collect()
+    assert {(r["w1"], r["w2"]): r["n"] for r in got} == dict(ref)
+    ranks = [r["rank"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ranks == list(range(1, len(got) + 1))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        skipgram_pairs(docs, window=0)
+
+
+def test_hashed_feature_score_vs_bruteforce(spark):
+    """Scores equal a Python reimplementation of the polynomial
+    hashing-trick + weight lookup; zero-token docs keep a (0, 0) row."""
+    from usgs_lidar_spark.operators.textquality import (
+        _FEAT_MOD,
+        hashed_feature_score,
+    )
+
+    texts = {0: "The cat THE", 1: "", 2: "zq yy"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    wmap = {f: (f * 13) % 7 - 3 for f in range(0, 32, 2)}  # sparse weights
+    weights = spark.createDataFrame(
+        list(wmap.items()), "feature_id long, weight long"
+    )
+
+    def feat(w: str) -> int:
+        acc = 0
+        for ch in w:
+            acc = (acc * 31 + ord(ch)) % _FEAT_MOD
+        return acc % 32
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"])
+        for r in hashed_feature_score(docs, weights, n_features=32).collect()
+    }
+    for d, t in texts.items():
+        toks = t.lower().split()
+        want = sum(wmap.get(feat(w), 0) for w in toks)
+        assert got[d] == (len(toks), want), d
+
+
+def test_bigram_surprisal_vs_bruteforce_and_lm_split(spark):
+    """Self-scored surprisal equals the Python integer reference, and
+    scoring NEW docs against a separate LM corpus handles unseen
+    bigrams/contexts (bc=0 / ctx=0 smoothing paths)."""
+    from collections import Counter
+
+    from usgs_lidar_spark.operators.textquality import bigram_surprisal
+
+    lm_texts = {0: "the cat sat on the mat", 1: "the cat ran"}
+    new_texts = {10: "the cat sat", 11: "unseen words here", 12: ""}
+
+    def build(counts_texts):
+        bg: Counter = Counter()
+        for t in counts_texts.values():
+            ws = t.lower().split()
+            for a, b in zip(ws, ws[1:]):
+                bg[(a, b)] += 1
+        ctx: Counter = Counter()
+        for (a, _b), c in bg.items():
+            ctx[a] += c
+        v = len({b for (_a, b) in bg})
+        return bg, ctx, v
+
+    def score(texts, bg, ctx, v):
+        out = {}
+        for d, t in texts.items():
+            ws = t.lower().split()
+            n = s = 0
+            for a, b in zip(ws, ws[1:]):
+                n += 1
+                s += (ctx.get(a, 0) + v).bit_length() - 1
+                s -= (bg.get((a, b), 0) + 1).bit_length() - 1
+            out[d] = (n, s)
+        return out
+
+    lm = spark.createDataFrame(list(lm_texts.items()), "doc_id long, text string")
+    new = spark.createDataFrame(list(new_texts.items()), "doc_id long, text string")
+
+    bg, ctx, v = build(lm_texts)
+    got_self = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"])
+        for r in bigram_surprisal(lm).collect()
+    }
+    assert got_self == score(lm_texts, bg, ctx, v)
+    got_new = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"])
+        for r in bigram_surprisal(new, lm_docs=lm).collect()
+    }
+    assert got_new == score(new_texts, bg, ctx, v)
+
+
+def test_chunk_dedup_docs_first_occurrence_and_reassembly(spark):
+    """First corpus occurrence (min (doc_id, chunk_id)) survives, later
+    copies drop, docs reassemble in chunk order, fully-deduped and
+    empty docs keep (0-kept, '') rows, and the result is invariant
+    under repartitioning."""
+    from usgs_lidar_spark.operators.dedup import chunk_dedup_docs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c x y z"),
+            (2, "d e f"),
+            (3, ""),
+            (4, "x y z a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        0: (2, 2, "a b c d e f"),
+        1: (2, 1, "x y z"),
+        2: (1, 0, ""),
+        3: (0, 0, ""),
+        4: (3, 0, ""),
+    }
+    for frame in (docs, docs.repartition(7)):
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+            for r in chunk_dedup_docs(frame, chunk_tokens=3).collect()
+        }
+        assert got == want
+
+
+def test_bpe_learn_merges_classic_example_and_early_stop(spark):
+    """The Sennrich toy corpus learns (e,s)->(es,t)->(l,o)->(lo,w) in
+    order; a corpus where every pair is a singleton learns nothing
+    (early stop below min count 2); n_merges validated."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.textquality import bpe_learn_merges
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["n"])
+        for r in bpe_learn_merges(docs, n_merges=4).orderBy("step").collect()
+    ]
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7), (4, "lo", "w", 7)]
+
+    singletons = spark.createDataFrame(
+        [(0, "ab cd ef")], "doc_id long, text string"
+    )
+    assert bpe_learn_merges(singletons, n_merges=3).count() == 0
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_learn_merges(docs, n_merges=0)

@@ -730,3 +730,85 @@ def duplicate_ngram_spans(
             .alias("dup_token_fraction"),
         )
     )
+
+
+def chunk_dedup_docs(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document SPAN dedup with document reassembly — the
+    "deduplicate repeated passages, keep the documents" pass (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    approximated at fixed chunk granularity): split every document into
+    non-overlapping ``chunk_tokens`` windows, keep each distinct chunk
+    text ONLY at its first corpus occurrence (smallest (doc_id,
+    chunk_id)), and rebuild each document from its surviving chunks in
+    order.
+
+    Scale shape: chunks group by their sha256 DIGEST, not their text —
+    the winner-election shuffle carries 64-hex-char keys plus an
+    8+8-byte position struct per chunk, never the corpus bytes (the
+    same digests-move-text-doesn't doctrine as `exact_dedup_hashed`).
+    Election is min(struct(doc_id, chunk_id)) — a map-side-combinable
+    aggregate, no window sort. The keep-join is digest-equi
+    (AQE-broadcast when the winner set is small); reassembly shuffles
+    once on doc_id and concatenates a sort_array'd collect_list —
+    per-doc state is the doc's own surviving chunks, spillable.
+    sha256 is collision-free for dedup purposes and reproducible in
+    ANSI engines (DuckDB sha256()), so the whole pass is oracle-able.
+
+    Returns (doc_id, n_chunks, n_kept, new_text) for every input doc:
+    empty docs and docs whose every chunk lost election come back with
+    n_kept=0 and new_text='' — a curation pass must account for every
+    row in = row out.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    from usgs_lidar_spark.operators.textquality import chunk_documents
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, stride=chunk_tokens,
+        id_col=id_col, text_col=text_col,
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        F.sha2(F.col("chunk_text"), 256).alias("__d"),
+    )
+    winners = chunks.groupBy("__d").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("__win")
+    )
+    kept = (
+        chunks.join(winners, "__d")
+        .filter(
+            (F.col("doc_id") == F.col("__win.doc_id"))
+            & (F.col("chunk_id") == F.col("__win.chunk_id"))
+        )
+        .select("doc_id", "chunk_id", "chunk_text")
+    )
+    per_doc_total = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc_total, "doc_id", "left")
+        .join(per_doc_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )

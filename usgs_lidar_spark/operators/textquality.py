@@ -320,3 +320,344 @@ def bpe_pair_counts(
             .alias("rank"),
         )
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    top_k: int = 50,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Skip-gram co-occurrence pair counts — the word2vec/GloVe training
+    corpus statistic: every unordered token pair within ``window``
+    positions of each other, counted over the whole corpus.
+
+    Pair GENERATION is map-only: a nested sequence/transform expression
+    emits each document's pairs inside whole-stage codegen — no
+    positional self-join (the naive formulation shuffles the exploded
+    positions table twice and joins it to itself; this shuffles nothing
+    until the final count). Pairs are canonicalized (least, greatest)
+    so "fast key" and "key fast" count together; per-pair counts are
+    map-side combined, so the one shuffle carries ~|pair vocabulary|
+    rows, not corpus positions. At 100 TB the output domain (bounded by
+    vocab^2, in practice Zipf-concentrated) is the shuffle, which is
+    the floor for this statistic.
+
+    Returns the ``top_k`` pairs as (w1, w2, n, rank), ranked
+    (n DESC, w1 ASC, w2 ASC) — deterministic TakeOrdered.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    # For i in [1, n-1]: partners j in [i+1, min(i+window, n)] — the
+    # inner sequence is never descending because i <= n-1 bounds
+    # i+1 <= min(i+window, n). Docs with < 2 tokens emit no pairs.
+    pair_expr = (
+        "CASE WHEN size(__t) >= 2 THEN "
+        "flatten(transform(sequence(1, size(__t) - 1), i -> "
+        f"transform(sequence(i + 1, least(i + {int(window)}, size(__t))), "
+        "j -> struct("
+        "least(element_at(__t, i), element_at(__t, j)) AS w1, "
+        "greatest(element_at(__t, i), element_at(__t, j)) AS w2)))) "
+        "ELSE array() END"
+    )
+    pairs = docs.select(tok.alias("__t")).select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    )
+    scored = pairs.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    order = [F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    return (
+        scored.orderBy(*order)
+        .limit(top_k)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        )
+    )
+
+
+#: Polynomial-hash modulus for token feature hashing (same constant as
+#: functions/textstats.FP_MOD — any engine with 64-bit ints reproduces it).
+_FEAT_MOD = 1_000_000_007
+
+
+def _token_feature_expr(token_col: str, n_features: int) -> str:
+    """SQL expression: hashing-trick feature id of a token column —
+    polynomial rolling hash (acc*31 + ascii) mod 1e9+7, folded mod
+    ``n_features``. Identical in Spark and ANSI SQL (list_reduce in
+    DuckDB), unlike xxhash64/murmur which exist only in one engine."""
+    return (
+        f"aggregate(transform(sequence(1, length({token_col})), "
+        f"i -> CAST(ascii(substring({token_col}, i, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {_FEAT_MOD}) "
+        f"% {int(n_features)}"
+    )
+
+
+def hashed_feature_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_features: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Serve a linear text classifier (fastText/logistic-style) over
+    hashed token features — the standard quality-model scoring pass of
+    an LLM data pipeline, reduced to its Spark shape: explode tokens,
+    hash each into a FIXED feature space (the hashing trick — no vocab
+    build, no dictionary shipping), join the tiny weight table, sum.
+
+    ``weights`` is (feature_id BIGINT, weight BIGINT) — integer weights
+    (fixed-point, the caller picks the scale) keep the score exact
+    under any partitioning; at most ``n_features`` rows, so the join is
+    always a broadcast: scoring is map-only at any corpus size, the
+    per-doc sum is the only shuffle, keyed by doc — no skew (each doc
+    contributes its own rows). Tokens whose feature has no weight row
+    score 0.
+
+    Returns (doc_id, n_tokens, score): score = sum over token SLOTS
+    (repeats count) of weight[hash(token)].
+    """
+    if n_features <= 0:
+        raise ValueError(f"n_features must be positive, got {n_features}")
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tok).alias("__w")
+    ).select(
+        "doc_id", F.expr(_token_feature_expr("__w", n_features)).alias("feature_id")
+    )
+    joined = exploded.join(F.broadcast(weights), "feature_id", "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score"),
+    )
+    # Zero-token docs still get a row (n_tokens=0, score=0) — a scoring
+    # pass must not silently drop documents.
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    hot_vocab: int = 1024,
+) -> DataFrame:
+    """Integer-exact bigram language-model surprisal — the CCNet/Gopher
+    "perplexity filter" signal without a float log anywhere: documents
+    whose token transitions the reference corpus finds improbable score
+    high and get filtered/downweighted.
+
+    The LM is add-one-smoothed bigram counts over ``lm_docs`` (defaults
+    to ``docs`` itself — self-scoring flags outlier documents). Each
+    bigram slot (w1, w2) contributes
+
+        floorlog2(ctx(w1) + V) - floorlog2(cnt(w1, w2) + 1)
+
+    an integer within 1 bit of -log2 p_smoothed. floorlog2(n) is the
+    binary bit length minus one — EXACT integer arithmetic (Spark
+    ``length(conv(n,10,2))-1``, ANSI ``length(to_base(n,2))-1``), so the
+    score is bit-identical across engines and partitionings, unlike
+    ln()-based perplexity whose last-ulp libm drift breaks hash-compared
+    oracles.
+
+    Scale shape: bigram counts are one map-side-combined aggregate over
+    the LM corpus (domain ~ vocab², Zipf-concentrated); context counts
+    reduce from them (domain ~ vocab). The per-doc scoring join on w1
+    hits the Zipf HEAD ('the' carries orders of magnitude more exploded
+    rows than the tail), so context counts use the same two-tier
+    hot-broadcast pattern as `corpus_freq_score`: the ``hot_vocab``
+    hottest contexts broadcast, only tail rows shuffle. The (w1, w2)
+    bigram join is left as a plain shuffle join — the bigram domain is
+    far flatter than the unigram head (AQE skew-split covers residue).
+
+    Returns (doc_id, n_bigrams, surprisal_bits); docs with < 2 tokens
+    score (0, 0). Mean bits/bigram comparisons should cross-multiply
+    (surprisal_bits * k vs n_bigrams * threshold) to stay exact.
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+
+    def doc_bigrams(frame: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        pairs = frame.select(*cols, tok.alias("__t")).select(
+            *(["doc_id"] if with_id else []),
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__t) >= 2 THEN "
+                    "transform(sequence(1, size(__t) - 1), i -> struct("
+                    "element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        return pairs.select(
+            *(["doc_id"] if with_id else []),
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+
+    big_counts = doc_bigrams(lm, with_id=False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("bc")
+    )
+    ctx_counts = big_counts.groupBy("w1").agg(
+        F.sum("bc").cast("long").alias("ctx")
+    )
+    # Smoothing vocabulary: distinct successor types in the LM corpus.
+    v = big_counts.select(
+        F.count_distinct("w2").cast("long").alias("__v")
+    )
+
+    slots = doc_bigrams(docs, with_id=True)
+    hot = ctx_counts.orderBy(F.col("ctx").desc(), F.col("w1")).limit(hot_vocab)
+    with_hot = slots.join(
+        F.broadcast(hot.withColumnRenamed("ctx", "hot_ctx")), "w1", "left"
+    )
+    head = with_hot.filter(F.col("hot_ctx").isNotNull()).select(
+        "doc_id", "w1", "w2", F.col("hot_ctx").alias("ctx")
+    )
+    tail = (
+        with_hot.filter(F.col("hot_ctx").isNull())
+        .select("doc_id", "w1", "w2")
+        .join(ctx_counts, "w1", "left")
+        .select("doc_id", "w1", "w2", F.coalesce("ctx", F.lit(0)).alias("ctx"))
+    )
+    with_ctx = head.unionByName(tail)
+    with_bc = with_ctx.join(big_counts, ["w1", "w2"], "left").select(
+        "doc_id", "ctx", F.coalesce("bc", F.lit(0)).alias("bc")
+    )
+
+    flog2 = lambda c: (  # noqa: E731
+        F.length(F.conv(c.cast("string"), 10, 2)) - 1
+    ).cast("long")
+    scored = with_bc.crossJoin(F.broadcast(v)).select(
+        "doc_id",
+        (
+            flog2(F.col("ctx") + F.col("__v")) - flog2(F.col("bc") + F.lit(1))
+        ).alias("bits"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("surprisal_bits"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("surprisal_bits", F.lit(0)).cast("long").alias("surprisal_bits"),
+    )
+
+
+def _bpe_merge_seq(seq: Column, left: str, right: str) -> Column:
+    """Apply ONE learned BPE merge to a space-separated symbol sequence,
+    greedy left-to-right, as pure string expressions: double the
+    delimiter spaces so adjacent occurrences don't share boundary
+    characters, replace non-overlapping ``' l  r '`` occurrences (string
+    replace scans left-to-right — exactly BPE's greedy application
+    order), then collapse delimiters back. Identical semantics in Spark
+    and ANSI engines (validated against a Python reference), so the
+    whole trainer is oracle-able."""
+    padded = F.concat(F.lit(" "), F.replace(seq, F.lit(" "), F.lit("  ")), F.lit(" "))
+    merged = F.replace(
+        padded, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+    )
+    return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    lowercase: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """LEARN a byte-pair-encoding merge table — the actual tokenizer
+    trainer loop, not just one round's statistic (`bpe_pair_counts`):
+    iteratively count adjacent symbol-pair frequencies over the
+    word-frequency dictionary, take the argmax pair (ties broken
+    (left, right) ASC — deterministic), apply the merge greedily to
+    every word's symbol sequence, repeat.
+
+    Scale shape: the classic BPE trick bounds every iteration by the
+    VOCABULARY, not the corpus — the corpus is touched once to build
+    (word, freq), and each merge round is a map-only string rewrite of
+    |vocab| rows plus one map-side-combined pair count whose output
+    domain is ~|alphabet|² rows. The only driver data is ONE argmax row
+    per round (the merge being learned — it must come to the driver; it
+    parameterizes the next map). Lineage is localCheckpoint-pinned
+    every ``checkpoint_every`` rounds so the rewrite chain doesn't
+    re-execute from scratch as rounds accumulate.
+
+    Stops early when no pair occurs twice (merging singletons is
+    noise). Returns (step, left, right, n) — step 1-based, n the
+    pair's weighted count at learn time.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    spark = docs.sparkSession
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    vocab = (
+        docs.select(F.explode(tok).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.expr(
+                "array_join(transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1)), ' ')"
+            ).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = vocab
+    for step in range(1, n_merges + 1):
+        pairs = (
+            cur.select(F.split("seq", " ").alias("s"), "freq")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(element_at(s, i) AS l, "
+                        "element_at(s, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        if not best or int(best[0]["n"]) < 2:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((step, l, r, n))
+        cur = cur.select(_bpe_merge_seq(F.col("seq"), l, r).alias("seq"), "freq")
+        if step % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, n long"
+    )

@@ -9526,3 +9526,257 @@ def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix_sqrt(
         _t(spark, sf_dir, "documents"), budget=200, group_col="lang"
     )
+
+
+# =====================================================================
+# Round 8 continuation: corpus statistics + quality-model scoring +
+# span-level dedup — the embedding-training / LM-filter / passage-dedup
+# stages of the training-data pipeline.
+# =====================================================================
+
+_TOK_LOWER_SQL = (
+    "list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> lower(w))"
+)
+
+
+@query(
+    "text_skipgram_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT {_TOK_LOWER_SQL} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+        SELECT tk, unnest(range(1, len(tk))) AS i FROM t WHERE len(tk) >= 2
+    ), offs AS (SELECT unnest(range(1, 4)) AS d),
+    pairs AS (
+        SELECT least(tk[i], tk[i + d]) AS w1,
+               greatest(tk[i], tk[i + d]) AS w2
+        FROM pos CROSS JOIN offs WHERE i + d <= len(tk)
+    ), counted AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY w1, w2
+    )
+    SELECT w1, w2, n,
+           CAST(row_number() OVER (ORDER BY n DESC, w1, w2) AS BIGINT) AS rank
+    FROM counted ORDER BY n DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence pair counts (window 3, top 50) — the
+    word2vec/GloVe embedding-training corpus statistic
+    (`operators/textquality.skipgram_pairs`). Pair generation is a
+    map-only nested-sequence expression (no positional self-join); the
+    one shuffle carries the map-combined pair vocabulary. Deterministic
+    ranking (n DESC, w1, w2)."""
+    from usgs_lidar_spark.operators.textquality import skipgram_pairs
+
+    return skipgram_pairs(
+        _t(spark, sf_dir, "documents"), window=3, top_k=50
+    )
+
+
+@query(
+    "text_hashed_classifier",
+    oracle=f"""
+    WITH weights AS (
+        SELECT CAST(f AS BIGINT) AS feature_id,
+               CAST({_LEHMER_LONG("f")} % 2001 - 1000 AS BIGINT) AS weight
+        FROM (SELECT unnest(range(0, 256)) AS f)
+    ), tokens AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), feats AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) % 256
+                   AS feature_id
+        FROM tokens
+    ), scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(weight), 0) AS BIGINT) AS score
+        FROM feats LEFT JOIN weights USING (feature_id)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.score, 0) AS BIGINT) AS score
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier SERVING over hashed token features
+    (`operators/textquality.hashed_feature_score`): the fastText-style
+    scoring pass of a data pipeline — hashing-trick features (256-way
+    polynomial hash, no vocabulary build), broadcast integer weight
+    table, map-only scoring, one doc-keyed sum. The weight table here
+    is a deterministic Lehmer-derived fixture (what matters is the
+    serving plumbing; real weights arrive as a dim table the same
+    way), so both engines rebuild identical weights."""
+    from usgs_lidar_spark.operators.pipeline import portable_hash_long
+    from usgs_lidar_spark.operators.textquality import hashed_feature_score
+
+    weights = spark.range(256).select(
+        F.col("id").cast("long").alias("feature_id"),
+        (portable_hash_long(F.col("id")) % 2001 - 1000)
+        .cast("long")
+        .alias("weight"),
+    )
+    return hashed_feature_score(
+        _t(spark, sf_dir, "documents"), weights, n_features=256
+    )
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOK_LOWER_SQL} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), slots AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+              FROM t WHERE len(tk) >= 2)
+    ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+        FROM slots GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, CAST(sum(bc) AS BIGINT) AS ctx FROM bc GROUP BY w1
+    ), v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+    scored AS (
+        SELECT s.doc_id,
+               (length(to_base(c.ctx + v.v, 2)) - 1)
+               - (length(to_base(b.bc + 1, 2)) - 1) AS bits
+        FROM slots s
+        JOIN bc b USING (w1, w2)
+        JOIN ctx c USING (w1)
+        CROSS JOIN v
+    ), per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(bits) AS BIGINT) AS surprisal_bits
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(p.surprisal_bits, 0) AS BIGINT) AS surprisal_bits
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact bigram LM surprisal — the CCNet/Gopher perplexity
+    filter without a float log (`operators/textquality.
+    bigram_surprisal`): add-one-smoothed self-scored bigram LM, each
+    slot contributing floorlog2(ctx+V) - floorlog2(cnt+1) (binary bit
+    length, exact in both engines), so the quality signal is
+    bit-stable under any partitioning. Zipf-head context lookups take
+    the two-tier hot-broadcast join; corpus stats are map-combined
+    aggregates."""
+    from usgs_lidar_spark.operators.textquality import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_chunk_reassemble",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, s + 1, s + 4), ' ') AS ct
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 4)) AS s FROM t)
+    ), ranked AS (
+        SELECT doc_id, chunk_id, ct,
+               row_number() OVER (PARTITION BY ct
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM ch
+    ), kept AS (SELECT doc_id, chunk_id, ct FROM ranked WHERE rn = 1),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM ch GROUP BY doc_id
+    ), kp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ct, ' ' ORDER BY chunk_id) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(kp.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(kp.new_text, '') AS new_text
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN kp ON d.doc_id = kp.doc_id
+    """,
+)
+def dedup_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup with reassembly (Lee et al. span
+    dedup at 4-token chunk granularity, `operators/dedup.
+    chunk_dedup_docs`): each distinct chunk survives only at its first
+    corpus occurrence (min (doc_id, chunk_id) — map-combinable
+    election over sha256 digests, text never shuffles), then documents
+    rebuild from their surviving chunks in order. ~6% of chunks at
+    sf0.01 are cross-doc duplicates, so the pass visibly rewrites
+    texts. Every input doc returns a row (row in = row out)."""
+    from usgs_lidar_spark.operators.dedup import chunk_dedup_docs
+
+    return chunk_dedup_docs(
+        _t(spark, sf_dir, "documents"), chunk_tokens=4
+    )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Programmatically unrolled DuckDB oracle for `bpe_learn_merges`:
+    one (pairs, best, seq) CTE round per merge, replaying the same
+    greedy space-doubling string rewrite the Spark trainer applies."""
+    ctes = [
+        "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(list_transform(regexp_split_to_array(trim(text), "
+        "'\\s+'), x -> lower(x))) AS w FROM documents "
+        "WHERE length(trim(text)) > 0) GROUP BY w)",
+        "seq1 AS (SELECT array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> w[i]), ' ') AS seq, freq FROM vocab)",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"pairs{k} AS (SELECT s[i] AS l, s[i + 1] AS r, "
+            f"CAST(sum(freq) AS BIGINT) AS n FROM ("
+            f"SELECT s, freq, unnest(range(1, len(s))) AS i FROM ("
+            f"SELECT string_split(seq, ' ') AS s, freq FROM seq{k})) "
+            f"GROUP BY s[i], s[i + 1])"
+        )
+        ctes.append(
+            f"best{k} AS (SELECT l, r, n FROM pairs{k} "
+            f"WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"seq{k + 1} AS (SELECT trim(replace(replace("
+            f"' ' || replace(seq, ' ', '  ') || ' ', "
+            f"' ' || b.l || '  ' || b.r || ' ', "
+            f"' ' || b.l || b.r || ' '), '  ', ' ')) AS seq, freq "
+            f"FROM seq{k} CROSS JOIN best{k} b)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS left, r AS right, n "
+        f"FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@query("text_bpe_learn_merges", oracle=_bpe_oracle_sql(4))
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer TRAINER loop (4 merge rounds) —
+    `operators/textquality.bpe_learn_merges`: iterative argmax pair +
+    greedy merge application over the word-frequency dictionary.
+    Every round is bounded by |vocab| (the corpus is scanned once);
+    only the single learned (left, right, n) row reaches the driver
+    per round — it parameterizes the next map. The oracle unrolls the
+    same four rounds as CTEs over the same space-doubling string
+    rewrite, so pair counts, argmax tie-breaks, AND the greedy
+    application order are all value-pinned."""
+    from usgs_lidar_spark.operators.textquality import bpe_learn_merges
+
+    return bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=4)
