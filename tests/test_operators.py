@@ -3579,3 +3579,80 @@ def test_bpe_learn_merges_classic_example_and_early_stop(spark):
     assert bpe_learn_merges(singletons, n_merges=3).count() == 0
     with _pytest.raises(ValueError, match="n_merges"):
         bpe_learn_merges(docs, n_merges=0)
+
+
+def test_bpe_compression_curve_monotone_and_exact(spark):
+    """Curve starts at the exact corpus character count, decreases by
+    the learned pair's count each round (every merge removes one symbol
+    per application), and is monotone non-increasing."""
+    from usgs_lidar_spark.operators.textquality import (
+        bpe_compression_curve,
+        bpe_learn_merges,
+    )
+
+    corpus = " ".join(["low"] * 5 + ["newest"] * 6)
+    docs = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    curve = {
+        r["step"]: r["corpus_symbols"]
+        for r in bpe_compression_curve(docs, n_merges=3).collect()
+    }
+    assert curve[0] == 5 * 3 + 6 * 6  # raw characters
+    merges = bpe_learn_merges(docs, n_merges=3).orderBy("step").collect()
+    # non-overlapping merges here: each application removes exactly one
+    # symbol, so step k drops by the learned count
+    for m in merges:
+        assert curve[m["step"]] == curve[m["step"] - 1] - m["n"]
+    assert sorted(curve) == [0, 1, 2, 3]
+
+
+def test_class_keyness_vs_bruteforce(spark):
+    """keyness_bits equals the Python bit-length contingency reference
+    for every (class, token); top-k selection and tie-break pinned."""
+    from collections import Counter
+
+    from usgs_lidar_spark.operators.textquality import class_keyness
+
+    rows = [
+        (0, "en", "the cat the dog"),
+        (1, "en", "the bird"),
+        (2, "de", "der hund der katze"),
+        (3, "de", "die katze"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    cw: Counter = Counter()
+    for _i, lang, t in rows:
+        for w in t.lower().split():
+            cw[(lang, w)] += 1
+    nw: Counter = Counter()
+    nc: Counter = Counter()
+    for (lang, w), a in cw.items():
+        nw[w] += a
+        nc[lang] += a
+    n = sum(cw.values())
+
+    def bits(x: int) -> int:
+        return x.bit_length() - 1
+
+    def key(lang: str, w: str) -> int:
+        a = cw[(lang, w)]
+        b = nw[w] - a
+        c = nc[lang] - a
+        d = (n - nc[lang]) - b
+        return bits(a + 1) + bits(d + 1) - bits(b + 1) - bits(c + 1)
+
+    got = class_keyness(docs, top_k=100).collect()
+    for r in got:
+        assert r["keyness_bits"] == key(r["class"], r["token"]), (
+            r["class"],
+            r["token"],
+        )
+    # ranking: per class, (keyness DESC, token ASC)
+    for cls in ("en", "de"):
+        ranked = sorted(
+            (r for r in got if r["class"] == cls), key=lambda r: r["rank"]
+        )
+        want = sorted(
+            ((w, key(c, w)) for (c, w) in cw if c == cls),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [r["token"] for r in ranked] == [w for w, _ in want]

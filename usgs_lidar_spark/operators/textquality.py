@@ -612,9 +612,27 @@ def bpe_learn_merges(
     noise). Returns (step, left, right, n) — step 1-based, n the
     pair's weighted count at learn time.
     """
+    merges, _frames = _bpe_train(
+        docs, n_merges, text_col, lowercase, checkpoint_every
+    )
+    return docs.sparkSession.createDataFrame(
+        merges, "step long, left string, right string, n long"
+    )
+
+
+def _bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+    lowercase: bool,
+    checkpoint_every: int,
+) -> tuple[list[tuple[int, str, str, int]], list[DataFrame]]:
+    """The shared BPE trainer loop: returns (merges, frames) where
+    frames[k] is the (seq, freq) vocabulary AFTER k merges (frames[0]
+    is the initial character sequence dictionary). Early-stops below
+    pair count 2; len(frames) == len(merges) + 1."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
-    spark = docs.sparkSession
     tok = ws_tokens(text_col)
     if lowercase:
         tok = F.transform(tok, F.lower)
@@ -632,6 +650,7 @@ def bpe_learn_merges(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
+    frames: list[DataFrame] = [vocab]
     cur = vocab
     for step in range(1, n_merges + 1):
         pairs = (
@@ -658,6 +677,122 @@ def bpe_learn_merges(
         cur = cur.select(_bpe_merge_seq(F.col("seq"), l, r).alias("seq"), "freq")
         if step % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "step long, left string, right string, n long"
+        frames.append(cur)
+    return merges, frames
+
+
+def bpe_compression_curve(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    lowercase: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Tokenizer compression/fertility curve: corpus symbol count after
+    each BPE merge round — the statistic a tokenizer-budget decision
+    reads ("how many merges until tokens/word flattens"). Step 0 is the
+    raw character count; step k applies the first k learned merges.
+
+    One trainer run (`_bpe_train` — corpus scanned once, rounds bounded
+    by |vocab|) plus one |vocab|-sized aggregate per step, unioned into
+    a single plan, so the curve costs the trainer + n+1 tiny aggs.
+    Returns (step, corpus_symbols) with corpus_symbols =
+    sum(freq * symbols_in_word) — monotone non-increasing in step.
+    """
+    merges, frames = _bpe_train(
+        docs, n_merges, text_col, lowercase, checkpoint_every
+    )
+    counts = [
+        frame.select(
+            F.lit(k).cast("long").alias("step"),
+            F.coalesce(
+                F.sum(F.size(F.split("seq", " ")).cast("long") * F.col("freq")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("corpus_symbols"),
+        )
+        for k, frame in enumerate(frames)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def class_keyness(
+    docs: DataFrame,
+    class_col: str = "lang",
+    top_k: int = 5,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-class keyword extraction by integer log-odds — which tokens
+    are distinctive of each class (language, source, label): the
+    Monroe-et-al "fightin' words" statistic, quantized to exact
+    integer BITS so it is reproducible on any engine:
+
+        keyness_bits = flog2(a+1) + flog2(d+1) - flog2(b+1) - flog2(c+1)
+
+    where per (class, token): a = token count in the class, b = token
+    count elsewhere, c = other tokens in the class, d = other tokens
+    elsewhere — the add-one log-odds-ratio of the contingency table,
+    each factor floored to its bit length (never overflows: no
+    products, just four bit lengths, valid at ANY corpus size).
+
+    Scale shape: one map-combined (class, token) count (the corpus's
+    only full pass), token/class totals derived from it (vocab-sized
+    and |classes|-sized reductions), and the final top-k rank window
+    runs on the VOCAB domain partitioned by class — bounded by
+    vocabulary, the corpus never passes through a window.
+
+    Returns (class, token, n_in_class, keyness_bits, rank), ``top_k``
+    rows per class, ranked (keyness_bits DESC, token ASC).
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    cw = (
+        docs.select(F.col(class_col).alias("class"), F.explode(tok).alias("w"))
+        .groupBy("class", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    w_tot = cw.groupBy("w").agg(F.sum("a").cast("long").alias("nw"))
+    c_tot = cw.groupBy("class").agg(F.sum("a").cast("long").alias("nc"))
+    grand = cw.agg(F.sum("a").cast("long").alias("n"))
+
+    flog2 = lambda c: (  # noqa: E731
+        F.length(F.conv(c.cast("string"), 10, 2)) - 1
+    ).cast("long")
+    scored = (
+        cw.join(w_tot, "w")
+        .join(F.broadcast(c_tot), "class")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "class",
+            "w",
+            "a",
+            (
+                flog2(F.col("a") + 1)
+                + flog2((F.col("n") - F.col("nc")) - (F.col("nw") - F.col("a")) + 1)
+                - flog2(F.col("nw") - F.col("a") + 1)
+                - flog2(F.col("nc") - F.col("a") + 1)
+            ).alias("keyness_bits"),
+        )
+    )
+    win = Window.partitionBy("class").orderBy(
+        F.col("keyness_bits").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "class",
+            F.col("w").alias("token"),
+            F.col("a").alias("n_in_class"),
+            "keyness_bits",
+            "rank",
+        )
     )

@@ -9780,3 +9780,72 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.textquality import bpe_learn_merges
 
     return bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+def _bpe_curve_oracle_sql(n_merges: int) -> str:
+    """Oracle for `bpe_compression_curve`: the same unrolled trainer CTEs
+    as `_bpe_oracle_sql`, finishing with one symbol-count aggregate per
+    step (step 0 = raw characters)."""
+    base = _bpe_oracle_sql(n_merges)
+    ctes = base[: base.rindex("\n")]  # strip the merges-union tail
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, "
+        f"CAST(coalesce(sum(len(string_split(seq, ' ')) * freq), 0) "
+        f"AS BIGINT) AS corpus_symbols FROM seq{k + 1}"
+        for k in range(0, n_merges + 1)
+    )
+    return ctes + "\n" + unions
+
+
+@query("text_bpe_compression", oracle=_bpe_curve_oracle_sql(4))
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression/fertility curve over 4 BPE merge rounds
+    (`operators/textquality.bpe_compression_curve`): corpus symbol
+    count after each learned merge — the budget statistic a tokenizer
+    decision reads. One trainer run plus one |vocab|-sized aggregate
+    per step; corpus_symbols is an exact BIGINT, monotone
+    non-increasing in step. The oracle replays the trainer CTEs and
+    counts symbols per round."""
+    from usgs_lidar_spark.operators.textquality import bpe_compression_curve
+
+    return bpe_compression_curve(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+@query(
+    "text_class_keyness",
+    oracle=f"""
+    WITH cw AS (
+        SELECT lang AS class, w, CAST(count(*) AS BIGINT) AS a
+        FROM (SELECT lang, unnest({_TOK_LOWER_SQL}) AS w
+              FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY lang, w
+    ), wt AS (SELECT w, CAST(sum(a) AS BIGINT) AS nw FROM cw GROUP BY w),
+    ct AS (SELECT class, CAST(sum(a) AS BIGINT) AS nc FROM cw GROUP BY class),
+    g AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM cw),
+    scored AS (
+        SELECT cw.class, cw.w, cw.a,
+               CAST((length(to_base(cw.a + 1, 2)) - 1)
+                  + (length(to_base((g.n - ct.nc) - (wt.nw - cw.a) + 1, 2)) - 1)
+                  - (length(to_base(wt.nw - cw.a + 1, 2)) - 1)
+                  - (length(to_base(ct.nc - cw.a + 1, 2)) - 1)
+                  AS BIGINT) AS keyness_bits
+        FROM cw JOIN wt USING (w) JOIN ct USING (class) CROSS JOIN g
+    )
+    SELECT class, w AS token, a AS n_in_class, keyness_bits,
+           CAST(row_number() OVER (PARTITION BY class
+                                   ORDER BY keyness_bits DESC, w)
+                AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def text_class_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keyword extraction by integer log-odds keyness
+    (`operators/textquality.class_keyness`, top 5 per class): the
+    Monroe-et-al distinctive-vocabulary statistic quantized to exact
+    BITS (four bit lengths, no products — overflow-free at any corpus
+    size, bit-identical across engines). One map-combined (class,
+    token) pass over the corpus; totals reduce from it; the rank
+    window runs on the vocab domain, never the corpus."""
+    from usgs_lidar_spark.operators.textquality import class_keyness
+
+    return class_keyness(_t(spark, sf_dir, "documents"), top_k=5)
