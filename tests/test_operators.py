@@ -3656,3 +3656,103 @@ def test_class_keyness_vs_bruteforce(spark):
             key=lambda t: (-t[1], t[0]),
         )
         assert [r["token"] for r in ranked] == [w for w, _ in want]
+
+
+def test_new_operator_input_validation(spark):
+    """Loud contracts: duplicate classifier weights, non-positive
+    checkpoint_every, NULL class rows dropped visibly."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.textquality import (
+        bpe_learn_merges,
+        class_keyness,
+        hashed_feature_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a b"), (1, None, "c d")],
+        "doc_id long, lang string, text string",
+    )
+    dup_w = spark.createDataFrame(
+        [(1, 5), (1, 7)], "feature_id long, weight long"
+    )
+    with _pytest.raises(ValueError, match="unique"):
+        hashed_feature_score(docs, dup_w, n_features=8)
+    with _pytest.raises(ValueError, match="checkpoint_every"):
+        bpe_learn_merges(docs, n_merges=2, checkpoint_every=0)
+    # NULL-class rows contribute nothing; the non-null class still ranks
+    got = class_keyness(docs, top_k=10).collect()
+    assert {r["class"] for r in got} == {"en"}
+
+
+def test_events_funnel_ordered_hand_case(spark):
+    """Hand-built event streams: strict ordering required at each step
+    (a purchase BEFORE the first post-view click doesn't count), and
+    stage sets shrink monotonically."""
+    from datetime import datetime
+
+    from usgs_lidar_spark.plans.queries import QUERIES
+    import tempfile
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, datetime(2026, 1, 1, 10), "view"),
+        (2, datetime(2026, 1, 1, 11), "click"),
+        (3, datetime(2026, 1, 1, 12), "purchase"),
+        # user 2: click precedes view -> stops at view stage
+        (11, datetime(2026, 1, 2, 9), "click"),
+        (12, datetime(2026, 1, 2, 10), "view"),
+        # user 3: purchase before click -> reaches click only
+        (21, datetime(2026, 1, 3, 9), "view"),
+        (22, datetime(2026, 1, 3, 10), "purchase"),
+        (23, datetime(2026, 1, 3, 11), "click"),
+        # user 4: never views
+        (31, datetime(2026, 1, 4, 9), "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, ts, uid, et, 0.0, "{}")
+         for (eid, ts, et), uid in zip(rows, [1, 1, 1, 2, 2, 3, 3, 3, 4])],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = {
+            r["stage"]: (r["n_users"], r["user_id_sum"])
+            for r in QUERIES["events_funnel_ordered"](spark, d).collect()
+        }
+    assert got[1] == (3, 1 + 2 + 3)  # users 1,2,3 viewed
+    assert got[2] == (2, 1 + 3)      # post-view clicks: users 1,3
+    assert got[3] == (1, 1)          # ordered purchase: user 1 only
+
+
+def test_split_leakage_consistent_with_components(spark):
+    """The leakage report's cells reconstruct exactly from the two
+    oracled primitives it composes (near-dup pairs x hash splits)."""
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+    from usgs_lidar_spark.operators.pipeline import split_by_hash
+    from usgs_lidar_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        k=8, num_perm=64, bands=32, threshold=0.6, max_df=20,
+    ).collect()
+    split = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(
+            docs, "doc_id", {"train": 0.8, "test": 0.2}
+        ).collect()
+    }
+    from collections import Counter
+
+    want_n: Counter = Counter()
+    want_sum: Counter = Counter()
+    for r in pairs:
+        key = (split[r["id_a"]], split[r["id_b"]])
+        want_n[key] += 1
+        want_sum[key] += r["id_a"] + r["id_b"]
+    got = QUERIES["pipe_split_leakage"](spark, sf).collect()
+    assert {(r["split_a"], r["split_b"]): r["n_pairs"] for r in got} == dict(want_n)
+    assert {(r["split_a"], r["split_b"]): r["id_sum"] for r in got} == dict(want_sum)

@@ -423,13 +423,24 @@ def hashed_feature_score(
     always a broadcast: scoring is map-only at any corpus size, the
     per-doc sum is the only shuffle, keyed by doc — no skew (each doc
     contributes its own rows). Tokens whose feature has no weight row
-    score 0.
+    score 0. feature_id must be UNIQUE in ``weights`` (a model has one
+    weight per feature); a duplicate row would multiply through the
+    join and silently double-count — enforced here with a loud error.
 
     Returns (doc_id, n_tokens, score): score = sum over token SLOTS
     (repeats count) of weight[hash(token)].
     """
     if n_features <= 0:
         raise ValueError(f"n_features must be positive, got {n_features}")
+    # Bounded check (weights is <= n_features rows by contract): a
+    # duplicated feature_id would fan out the join and double-count.
+    if not (
+        weights.groupBy("feature_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .isEmpty()
+    ):
+        raise ValueError("weights must have a unique row per feature_id")
     tok = ws_tokens(text_col)
     if lowercase:
         tok = F.transform(tok, F.lower)
@@ -633,6 +644,10 @@ def _bpe_train(
     pair count 2; len(frames) == len(merges) + 1."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if checkpoint_every <= 0:
+        raise ValueError(
+            f"checkpoint_every must be positive, got {checkpoint_every}"
+        )
     tok = ws_tokens(text_col)
     if lowercase:
         tok = F.transform(tok, F.lower)
@@ -747,7 +762,10 @@ def class_keyness(
     vocabulary, the corpus never passes through a window.
 
     Returns (class, token, n_in_class, keyness_bits, rank), ``top_k``
-    rows per class, ranked (keyness_bits DESC, token ASC).
+    rows per class, ranked (keyness_bits DESC, token ASC). Rows with a
+    NULL class are dropped explicitly — a NULL-keyed group would
+    silently vanish at the totals equi-join anyway; dropping at the
+    scan makes that visible and keeps the filter pushed down.
     """
     if top_k <= 0:
         raise ValueError(f"top_k must be positive, got {top_k}")
@@ -755,7 +773,8 @@ def class_keyness(
     if lowercase:
         tok = F.transform(tok, F.lower)
     cw = (
-        docs.select(F.col(class_col).alias("class"), F.explode(tok).alias("w"))
+        docs.filter(F.col(class_col).isNotNull())
+        .select(F.col(class_col).alias("class"), F.explode(tok).alias("w"))
         .groupBy("class", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("a"))
     )

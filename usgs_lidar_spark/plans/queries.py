@@ -9849,3 +9849,141 @@ def text_class_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.textquality import class_keyness
 
     return class_keyness(_t(spark, sf_dir, "documents"), top_k=5)
+
+
+@query(
+    "events_funnel_ordered",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               date_trunc('microseconds', ts) AS ts
+        FROM events
+    ), v AS (
+        SELECT user_id, min(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(coalesce(sum(user_id), 0) AS BIGINT) AS user_id_sum
+        FROM v
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM c
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM p
+    )
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    later timestamps at each step): per-stage user counts, the product
+    analytics query. Each stage is a per-user min-timestamp aggregate
+    over the PREVIOUS stage's survivors — three user-keyed
+    map-combined aggregates plus two user-equi joins, no windows over
+    the event stream; at any scale the state per user is one
+    timestamp. user_id_sum pins the surviving SETS, not just counts.
+    Timestamps compare at microsecond precision on both engines
+    (events.ts is TIMESTAMP(NANOS) at rest; the loader truncates)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, k: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(k).cast("long").alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.coalesce(F.sum("user_id"), F.lit(0))
+            .cast("long")
+            .alias("user_id_sum"),
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+    )
+
+
+@query(
+    "pipe_split_leakage",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN {_LEHMER_BUCKET("doc_id")} < 8000
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(p.id_a + p.id_b) AS BIGINT) AS id_sum
+    FROM pairs p
+    JOIN sp sa ON p.id_a = sa.doc_id
+    JOIN sp sb ON p.id_b = sb.doc_id
+    GROUP BY sa.split, sb.split
+    """,
+)
+def pipe_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split LEAKAGE audit — the eval-integrity check a
+    training pipeline runs before trusting held-out numbers: near-dup
+    pairs (MinHash-LSH, the already-oracled detector) bucketed by
+    which splits the two documents landed in. A (train, test) or
+    (test, train) row is leakage: the test doc has a near-duplicate in
+    train. Composition of two oracled primitives — the pair scan is
+    banded candidates only, the split column is a map-only hash, and
+    the report joins |pairs| rows to a two-column split projection."""
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+    from usgs_lidar_spark.operators.pipeline import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        k=8, num_perm=64, bands=32, threshold=0.6, max_df=20,
+    )
+    splits = split_by_hash(
+        docs, "doc_id", {"train": 0.8, "test": 0.2}
+    ).select("doc_id", "split")
+    sa = splits.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = splits.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
+        )
+    )
