@@ -3756,3 +3756,82 @@ def test_split_leakage_consistent_with_components(spark):
     got = QUERIES["pipe_split_leakage"](spark, sf).collect()
     assert {(r["split_a"], r["split_b"]): r["n_pairs"] for r in got} == dict(want_n)
     assert {(r["split_a"], r["split_b"]): r["id_sum"] for r in got} == dict(want_sum)
+
+
+def test_chunk_dedup_incremental_equals_batch_on_ordered_ids(spark):
+    """Sequential ingest (batch1 then batch2, ids ordered) produces
+    exactly the global chunk_dedup_docs result: the digest store stands
+    in for the earlier corpus, and within-batch election matches the
+    global first-occurrence rule when ids are monotone across batches."""
+    from usgs_lidar_spark.operators.dedup import (
+        chunk_dedup_docs,
+        chunk_dedup_incremental,
+        chunk_digests,
+    )
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c x y z"),
+        (2, "p q r d e f"),
+        (3, ""),
+        (4, "x y z p q r a b c"),
+        (5, "m n o x y z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = docs.filter("doc_id < 3")
+    b2 = docs.filter("doc_id >= 3")
+
+    glob = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in chunk_dedup_docs(docs, chunk_tokens=3).collect()
+    }
+    inc1 = chunk_dedup_incremental(
+        b1, chunk_digests(docs.filter("doc_id < 0"), chunk_tokens=3),
+        chunk_tokens=3,
+    )
+    store = chunk_digests(b1, chunk_tokens=3)
+    inc2 = chunk_dedup_incremental(b2, store, chunk_tokens=3)
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in inc1.unionByName(inc2).collect()
+    }
+    assert got == glob
+
+
+def test_bpe_apply_counts_vs_manual_segmentation(spark):
+    """Per-doc BPE token counts equal manual application of the learned
+    merges; zero-token docs keep a (0, 0) row; bounds hold
+    (n_words <= n_bpe_tokens <= character count)."""
+    from usgs_lidar_spark.operators.textquality import (
+        bpe_apply,
+        bpe_learn_merges,
+    )
+
+    corpus = " ".join(["low"] * 5 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame(
+        [(0, corpus), (1, "low widest"), (2, "")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(docs, n_merges=4).orderBy("step").collect()
+    ]
+
+    def segment(w: str) -> int:
+        seq = " ".join(w)
+        for l, r in merges:
+            padded = " " + seq.replace(" ", "  ") + " "
+            seq = padded.replace(f" {l}  {r} ", f" {l}{r} ").replace(
+                "  ", " "
+            ).strip()
+        return len(seq.split())
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply(docs, n_merges=4).collect()
+    }
+    for d, text in ((0, corpus), (1, "low widest"), (2, "")):
+        ws = text.split()
+        want = (len(ws), sum(segment(w) for w in ws))
+        assert got[d] == want, d
+        assert got[d][0] <= got[d][1] <= sum(len(w) for w in ws)

@@ -1254,3 +1254,69 @@ def test_streaming_ivf_pq_index_maintenance(spark, tmp_path):
         for r in spark.read.parquet(rebuilt).collect()
     )
     assert a == b and a
+
+
+def test_streaming_chunk_dedup_ingest(spark, tmp_path):
+    """foreachBatch passage-dedup ingest: each micro-batch dedups
+    against the persisted digest store, emits its reassembled docs,
+    and appends its own digests — after the stream drains, the union
+    of emitted docs equals the one-shot chunk_dedup_docs over the whole
+    corpus (ids are monotone across batches, so within-batch election
+    matches the global first-occurrence rule)."""
+    import shutil as _sh
+
+    from usgs_lidar_spark.operators.dedup import (
+        chunk_dedup_docs,
+        chunk_dedup_incremental,
+        chunk_digests,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "digest_store")
+    out = str(tmp_path / "deduped_out")
+    # seed an empty store with the right schema
+    chunk_digests(docs.filter("doc_id < 0"), chunk_tokens=4).write.parquet(
+        store
+    )
+
+    stream_dir = tmp_path / "stream_src"
+    stream_dir.mkdir()
+    # two ordered micro-batch files (monotone ids across batches)
+    for i, flt in enumerate(("doc_id < 25", "doc_id >= 25")):
+        docs.filter(flt).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"b{i}")
+        )
+        src = next((tmp_path / f"b{i}").glob("*.parquet"))
+        _sh.copy(src, stream_dir / f"part-{i}.parquet")
+
+    def ingest(batch, _id):
+        s = batch.sparkSession.read.parquet(store)
+        chunk_dedup_incremental(batch, s, chunk_tokens=4).write.mode(
+            "append"
+        ).parquet(out)
+        chunk_digests(batch, chunk_tokens=4).write.mode("append").parquet(
+            store
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in chunk_dedup_docs(docs, chunk_tokens=4).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want

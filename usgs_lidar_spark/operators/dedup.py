@@ -812,3 +812,102 @@ def chunk_dedup_docs(
             F.coalesce("new_text", F.lit("")).alias("new_text"),
         )
     )
+
+
+def chunk_dedup_incremental(
+    batch: DataFrame,
+    seen_digests: DataFrame,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming-ingest companion to `chunk_dedup_docs`: passage-dedup
+    an INCOMING batch against an already-ingested corpus represented by
+    its chunk DIGESTS only. Batch chunks whose sha256 already exists in
+    ``seen_digests`` drop (the passage was published before); the
+    remainder run the same within-batch first-occurrence election, and
+    batch docs reassemble from their surviving chunks.
+
+    ``seen_digests`` is a single-column (digest) frame — at 100 TB a
+    persisted digest table maintained by previous ingests, so each new
+    batch costs one digest-keyed anti-join (64-hex keys, historical
+    text never moves — the `exact_dedup_incremental` doctrine at chunk
+    granularity) plus the batch-sized election and reassembly.
+
+    Returns (doc_id, n_chunks, n_kept, new_text) for every batch doc,
+    plus the digests this batch ADDS (callers append
+    `chunk_digests(kept)` to the store) — here just the report; use
+    `chunk_digests` on the batch to advance the store.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    from usgs_lidar_spark.operators.textquality import chunk_documents
+
+    chunks = chunk_documents(
+        batch, chunk_tokens=chunk_tokens, stride=chunk_tokens,
+        id_col=id_col, text_col=text_col,
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        F.sha2(F.col("chunk_text"), 256).alias("__d"),
+    )
+    seen = seen_digests.select(F.col("digest").alias("__d")).distinct()
+    fresh = chunks.join(seen, "__d", "left_anti")
+    winners = fresh.groupBy("__d").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("__win")
+    )
+    kept = (
+        fresh.join(winners, "__d")
+        .filter(
+            (F.col("doc_id") == F.col("__win.doc_id"))
+            & (F.col("chunk_id") == F.col("__win.chunk_id"))
+        )
+        .select("doc_id", "chunk_id", "chunk_text")
+    )
+    per_doc_total = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    base = batch.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc_total, "doc_id", "left")
+        .join(per_doc_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )
+
+
+def chunk_digests(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (digest) frame a chunk-dedup ingest appends to its store:
+    distinct sha256 of every non-overlapping chunk in ``docs``. Kept
+    as its own operator so the store schema is one canonical column
+    (`digest`) on both the build and probe sides."""
+    from usgs_lidar_spark.operators.textquality import chunk_documents
+
+    return (
+        chunk_documents(
+            docs, chunk_tokens=chunk_tokens, stride=chunk_tokens,
+            id_col=id_col, text_col=text_col,
+        )
+        .select(F.sha2(F.col("chunk_text"), 256).alias("digest"))
+        .distinct()
+    )

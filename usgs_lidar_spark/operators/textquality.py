@@ -639,9 +639,11 @@ def _bpe_train(
     checkpoint_every: int,
 ) -> tuple[list[tuple[int, str, str, int]], list[DataFrame]]:
     """The shared BPE trainer loop: returns (merges, frames) where
-    frames[k] is the (seq, freq) vocabulary AFTER k merges (frames[0]
-    is the initial character sequence dictionary). Early-stops below
-    pair count 2; len(frames) == len(merges) + 1."""
+    frames[k] is the (w, seq, freq) vocabulary AFTER k merges (frames[0]
+    is the initial character sequence dictionary; ``w`` — the original
+    word — rides along untouched so `bpe_apply` can join documents to
+    their final segmentations). Early-stops below pair count 2;
+    len(frames) == len(merges) + 1."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     if checkpoint_every <= 0:
@@ -656,6 +658,7 @@ def _bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(
+            "w",
             F.expr(
                 "array_join(transform(sequence(1, length(w)), "
                 "i -> substring(w, i, 1)), ' ')"
@@ -689,7 +692,9 @@ def _bpe_train(
             break
         l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
         merges.append((step, l, r, n))
-        cur = cur.select(_bpe_merge_seq(F.col("seq"), l, r).alias("seq"), "freq")
+        cur = cur.select(
+            "w", _bpe_merge_seq(F.col("seq"), l, r).alias("seq"), "freq"
+        )
         if step % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
         frames.append(cur)
@@ -733,6 +738,54 @@ def bpe_compression_curve(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def bpe_apply(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Tokenizer SERVING: learn ``n_merges`` BPE merges on the corpus,
+    then segment every document with them — per-doc BPE token counts,
+    the number a sequence-packing / context-budget stage actually
+    consumes. Segmentation is a JOIN, not a re-derivation: the trainer
+    already holds every corpus word's final symbol sequence (frames[-1]
+    keyed by ``w``), so applying the tokenizer is explode tokens ->
+    equi-join the |vocab|-sized segmentation table -> sum symbols per
+    doc. At 100 TB the segmentation table is vocab-sized (broadcast or
+    one shuffle side), and no merge rewrite ever touches document rows.
+
+    Returns (doc_id, n_words, n_bpe_tokens) for every input document
+    (empty docs keep a (0, 0) row). n_bpe_tokens is monotone: at most
+    total characters, at least n_words.
+    """
+    merges, frames = _bpe_train(
+        docs, n_merges, text_col, lowercase, checkpoint_every
+    )
+    seg = frames[-1].select(
+        "w", F.size(F.split("seq", " ")).cast("long").alias("n_sym")
+    )
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("w"))
+        .join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+    )
 
 
 def class_keyness(

@@ -9736,7 +9736,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         "SELECT unnest(list_transform(regexp_split_to_array(trim(text), "
         "'\\s+'), x -> lower(x))) AS w FROM documents "
         "WHERE length(trim(text)) > 0) GROUP BY w)",
-        "seq1 AS (SELECT array_to_string(list_transform("
+        "seq1 AS (SELECT w, array_to_string(list_transform("
         "range(1, length(w) + 1), i -> w[i]), ' ') AS seq, freq FROM vocab)",
     ]
     for k in range(1, n_merges + 1):
@@ -9752,7 +9752,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             f"WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1)"
         )
         ctes.append(
-            f"seq{k + 1} AS (SELECT trim(replace(replace("
+            f"seq{k + 1} AS (SELECT w, trim(replace(replace("
             f"' ' || replace(seq, ' ', '  ') || ' ', "
             f"' ' || b.l || '  ' || b.r || ' ', "
             f"' ' || b.l || b.r || ' '), '  ', ' ')) AS seq, freq "
@@ -9986,4 +9986,100 @@ def pipe_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
         )
+    )
+
+
+def _bpe_tokenize_oracle_sql(n_merges: int) -> str:
+    """Oracle for `bpe_apply`: the unrolled trainer CTEs (which carry
+    ``w`` through every rewrite), finished by joining each document's
+    tokens to the final segmentation table and summing symbols."""
+    base = _bpe_oracle_sql(n_merges)
+    ctes = base[: base.rindex("\n")]
+    return (
+        ctes
+        + f"""
+    , toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), per AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(f.seq, ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM toks t JOIN seq{n_merges + 1} f USING (w)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+    )
+
+
+@query("text_bpe_tokenize", oracle=_bpe_tokenize_oracle_sql(4))
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer SERVING (`operators/textquality.bpe_apply`): learn 4
+    BPE merges, then segment every document by JOINING its tokens to
+    the vocab-sized final segmentation table (no merge rewrite ever
+    touches document rows) — per-doc BPE token counts, the number the
+    packing / context-budget stages consume. Every doc keeps a row."""
+    from usgs_lidar_spark.operators.textquality import bpe_apply
+
+    return bpe_apply(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+@query(
+    "dedup_chunk_incremental",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, s + 1, s + 4), ' ') AS ct
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 4)) AS s FROM t)
+    ), seen AS (SELECT DISTINCT ct FROM ch WHERE doc_id < 400),
+    bat AS (SELECT * FROM ch WHERE doc_id >= 400),
+    fresh AS (
+        SELECT b.doc_id, b.chunk_id, b.ct
+        FROM bat b LEFT JOIN seen s ON b.ct = s.ct
+        WHERE s.ct IS NULL
+    ), kept AS (
+        SELECT doc_id, chunk_id, ct FROM (
+            SELECT doc_id, chunk_id, ct,
+                   row_number() OVER (PARTITION BY ct
+                                      ORDER BY doc_id, chunk_id) AS rn
+            FROM fresh) WHERE rn = 1
+    ), tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM bat GROUP BY doc_id
+    ), kp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ct, ' ' ORDER BY chunk_id) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(kp.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(kp.new_text, '') AS new_text
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN kp ON d.doc_id = kp.doc_id
+    """,
+)
+def dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest passage dedup (`operators/dedup.
+    chunk_dedup_incremental`): the batch (doc_id >= 400) dedups against
+    the ingested corpus (doc_id < 400) represented ONLY by its chunk
+    digests — one digest-keyed anti-join (historical text never moves)
+    then the within-batch election and reassembly. The oracle replays
+    it with text equality (sha256 equality == text equality)."""
+    from usgs_lidar_spark.operators.dedup import (
+        chunk_dedup_incremental,
+        chunk_digests,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = chunk_digests(docs.filter(F.col("doc_id") < 400), chunk_tokens=4)
+    return chunk_dedup_incremental(
+        docs.filter(F.col("doc_id") >= 400), seen, chunk_tokens=4
     )
