@@ -257,6 +257,54 @@ HEADLINE_DIGESTS = {
         "BroadcastNestedLoopJoin": 2,
         "TakeOrderedAndProject": 2,
     },
+    # Round-8 (cont.) text tier. Skipgram: THE claim is the digest — one
+    # map-combined shuffle (pair vocab) + TakeOrdered, no positional
+    # self-join. Classifier: broadcast weight table + per-doc agg; the
+    # SMJ is the row-preserving base left join. Chunk reassembly:
+    # election/total/kept aggregates (the SortAggregates are the
+    # min(struct) election and collect_list reassembly — struct aggs
+    # don't hash-agg); keep-join + two base joins AQE-broadcast at this
+    # size (data-x-data SMJ at scale, by design). Surprisal: the LM
+    # bigram table is localCheckpoint-pinned so the head/tail tier
+    # branches re-read a vocab-bounded table instead of re-scanning the
+    # corpus (pre-fix audit: 10 shuffles and the whole LM pipeline
+    # twice); the two TakeOrdered are the per-branch hot-vocab lists —
+    # vocab-bounded by construction. Keyness: vocab-domain aggregates +
+    # 1-row grand-total BNLJ + per-class rank window.
+    "text_skipgram_pairs": {
+        "shuffle_exchange": 1,
+        "TakeOrderedAndProject": 1,
+    },
+    "text_hashed_classifier": {
+        "shuffle_exchange": 2,
+        "BroadcastExchange": 1,
+        "BroadcastHashJoin": 1,
+        "SortMergeJoin": 1,
+    },
+    "dedup_chunk_reassemble": {
+        "shuffle_exchange": 3,
+        "BroadcastExchange": 3,
+        "BroadcastHashJoin": 3,
+        "SortAggregate": 2,
+    },
+    "text_bigram_surprisal": {
+        "shuffle_exchange": 7,
+        "BroadcastExchange": 5,
+        "BroadcastHashJoin": 4,
+        "SortMergeJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
+        "TakeOrderedAndProject": 2,
+    },
+    "text_class_keyness": {
+        "shuffle_exchange": 8,
+        "BroadcastExchange": 3,
+        "BroadcastHashJoin": 2,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    # text_bpe_learn_merges (a bench headliner) has no digest pin: its
+    # returned frame is a driver-assembled merges table — the trainer's
+    # per-round plans run at CONSTRUCTION (like dedup_cluster_collapse's
+    # iterations) and are pinned behaviorally in test_operators.
 }
 
 
@@ -290,6 +338,11 @@ def test_headliner_no_row_python_or_cartesian(spark, name):
 _SWEEP_EXCLUDED = {
     "dedup_cluster_collapse",  # CC iterations run at construction
     "z3_flow_accumulation",    # fixpoint rounds run at construction
+    # BPE trainer rounds (argmax collect per merge) run at construction;
+    # per-round plans are vocab-bounded aggregates, pinned behaviorally.
+    "text_bpe_learn_merges",
+    "text_bpe_compression",
+    "text_bpe_tokenize",
 }
 
 

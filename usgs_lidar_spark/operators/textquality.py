@@ -528,8 +528,21 @@ def bigram_surprisal(
             F.col("p.w2").alias("w2"),
         )
 
-    big_counts = doc_bigrams(lm, with_id=False).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("bc")
+    # localCheckpoint: the head/tail tier branches below each reference
+    # the LM stats, and diverging DAG branches RECOMPUTE shared subtrees
+    # — without the pin the whole LM corpus scan + bigram aggregate ran
+    # twice (plan audit: two TakeOrdered nodes for one hot list). The
+    # checkpointed frame is the aggregated bigram table — bounded by the
+    # (Zipf-concentrated) bigram vocabulary, never corpus-sized — so the
+    # branches re-read a small local table instead of re-scanning the
+    # corpus. The scoring side's `slots` scan is still evaluated once
+    # per branch: that recompute is map-only (scan + explode, no
+    # shuffle), the standard trade vs materializing corpus-sized state.
+    big_counts = (
+        doc_bigrams(lm, with_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("bc"))
+        .localCheckpoint(eager=False)
     )
     ctx_counts = big_counts.groupBy("w1").agg(
         F.sum("bc").cast("long").alias("ctx")
