@@ -3835,3 +3835,85 @@ def test_bpe_apply_counts_vs_manual_segmentation(spark):
         want = (len(ws), sum(segment(w) for w in ws))
         assert got[d] == want, d
         assert got[d][0] <= got[d][1] <= sum(len(w) for w in ws)
+
+
+def test_embed_gram_exact_and_partition_invariant(spark):
+    """Gram entries equal the numpy int64 reference on quantized
+    vectors, are invariant under repartitioning, and cover exactly the
+    upper triangle."""
+    import math
+
+    import numpy as np
+
+    from usgs_lidar_spark.operators.linalg import embed_gram_quantized
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = [
+        [math.floor(float(x) * 4096.0) for x in r["embedding"]]
+        for r in emb.select("embedding").collect()
+    ]
+    m = np.array(rows, dtype=np.int64)
+    ref = m.T @ m
+    got = {
+        (r["i"], r["j"]): r["g"]
+        for r in embed_gram_quantized(emb).collect()
+    }
+    d = m.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    assert all(
+        got[(i + 1, j + 1)] == ref[i, j]
+        for i in range(d)
+        for j in range(i, d)
+    )
+    got2 = {
+        (r["i"], r["j"]): r["g"]
+        for r in embed_gram_quantized(emb.repartition(13)).collect()
+    }
+    assert got == got2
+
+
+def test_pca_components_and_projection(spark):
+    """Components match a numpy eigendecomposition of the same
+    quantized covariance (sign-normalized), are orthonormal and
+    variance-descending; projection equals the literal dot products."""
+    import numpy as np
+
+    from usgs_lidar_spark.operators.linalg import (
+        embed_pca_project,
+        pca_components,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comps = pca_components(emb, k=4)
+    c = np.array(comps)
+    assert c.shape == (4, 64)
+    assert np.allclose(c @ c.T, np.eye(4), atol=1e-9)  # orthonormal
+
+    full = np.array(
+        [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").select("embedding").collect()
+        ]
+    )
+    qfull = np.floor(full * 4096) / 4096
+    cov = np.cov(qfull, rowvar=False, bias=True)
+    vars_ = [float(v @ cov @ v) for v in c]
+    assert vars_ == sorted(vars_, reverse=True)  # variance-descending
+    # top component explains at least as much variance as any axis
+    assert vars_[0] >= float(np.max(np.diag(cov))) - 1e-12
+
+    proj = {
+        r["vec_id"]: r["proj"]
+        for r in embed_pca_project(emb, comps).collect()
+    }
+    want = full @ c.T
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").select("vec_id").collect()]
+    for row_i, vid in enumerate(ids[:10]):
+        assert np.allclose(proj[vid], want[row_i], atol=1e-9)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        pca_components(emb, k=0)
+    with _pytest.raises(ValueError, match="components"):
+        embed_pca_project(emb, [])

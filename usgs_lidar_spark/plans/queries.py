@@ -10083,3 +10083,34 @@ def dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_incremental(
         docs.filter(F.col("doc_id") >= 400), seen, chunk_tokens=4
     )
+
+
+@query(
+    "sim_embedding_gram",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(
+                   embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)
+               ) AS v
+        FROM embeddings
+    ), idx AS (SELECT unnest(range(1, 65)) AS i),
+    pairs AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE b.i >= a.i)
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           CAST(sum(v[p.i] * v[p.j]) AS BIGINT) AS g
+    FROM q CROSS JOIN pairs p GROUP BY p.i, p.j
+    """,
+)
+def sim_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Gram matrix of the (64-dim) embedding corpus
+    (`operators/linalg.embed_gram_quantized`, qbits=12) — the
+    distributed-PCA reduction: a numpy partial Gram per Arrow batch
+    (the engine's one deliberate mapInPandas hot path — a
+    batch-reducing kernel, not row-wise Python), d²-per-partition
+    shuffle, BIGINT-exact under any partitioning. The oracle replays
+    the quantized double loop; `pca_components`/`embed_pca_project`
+    consume this reduction driver-side (d x d eigh) and project
+    map-only."""
+    from usgs_lidar_spark.operators.linalg import embed_gram_quantized
+
+    return embed_gram_quantized(_t(spark, sf_dir, "embeddings"))
