@@ -3964,3 +3964,62 @@ def test_pca_space_topk_recall_monotone_in_k(spark):
         recalls.append(rec["h"] / rec["n"])
     assert recalls[0] < recalls[1], recalls
     assert recalls[1] >= 0.6, recalls
+
+
+def test_poisson_bootstrap_deterministic_and_statistically_sane(spark):
+    """Multiplicities follow the pinned Poisson(1) thresholds (Python
+    reimplementation matches cell-for-cell), the resample is invariant
+    under repartitioning, replicate means straddle the true mean, and
+    n_eff concentrates near n."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.pipeline import _LEHMER_A, _LEHMER_M
+    from usgs_lidar_spark.operators.stats import (
+        POISSON1_THRESHOLDS,
+        poisson_bootstrap,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+
+    def lehmer(x: int) -> int:
+        v = ((x + 1) % _LEHMER_M + _LEHMER_M) % _LEHMER_M
+        for _ in range(2):
+            v = (v * _LEHMER_A) % _LEHMER_M
+        return v
+
+    def mult(doc_id: int, b: int) -> int:
+        u = lehmer((doc_id % _LEHMER_M) * 131 + b)
+        return sum(1 for t in POISSON1_THRESHOLDS if u >= t)
+
+    want = {}
+    for b in range(8):
+        n_eff = sum(mult(d, b) for d in rows)
+        vs = sum(mult(d, b) * c for d, c in rows.items())
+        want[b] = (n_eff, vs)
+    got = {
+        r["replicate"]: (r["n_eff"], r["value_sum"])
+        for r in poisson_bootstrap(
+            docs, "n_chars", "doc_id", n_replicates=8
+        ).collect()
+    }
+    assert got == want
+
+    again = {
+        r["replicate"]: (r["n_eff"], r["value_sum"])
+        for r in poisson_bootstrap(
+            docs.repartition(13), "n_chars", "doc_id", n_replicates=8
+        ).collect()
+    }
+    assert again == got
+
+    n = len(rows)
+    true_mean = sum(rows.values()) / n
+    means = [vs / ne for ne, vs in want.values()]
+    assert min(means) < true_mean < max(means)
+    assert all(abs(ne - n) < n * 0.2 for ne, _ in want.values())
+    with _pytest.raises(ValueError, match="n_replicates"):
+        poisson_bootstrap(docs, "n_chars", "doc_id", n_replicates=0)

@@ -1,0 +1,115 @@
+"""Distributed statistical resampling: the deterministic Poisson
+bootstrap.
+
+Classical bootstrap resampling (draw n rows with replacement, B times)
+is impossible at 100 TB — it needs n global draws per replicate. The
+Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+Massive Data Streams", the standard production substitute) replaces
+per-replicate multinomial draws with an INDEPENDENT Poisson(1)
+multiplicity per (row, replicate): map-only, one pass, embarrassingly
+parallel, and the replicate statistics converge to the classical
+bootstrap distribution.
+
+This implementation makes the multiplicities DETERMINISTIC: the
+uniform driving each (row, replicate) cell is the engine's two-round
+Lehmer hash of (id, replicate), and the Poisson(1) inverse CDF is
+applied through fixed integer thresholds (scaled by the hash modulus),
+so every engine and every partitioning draws the SAME resamples — the
+bootstrap is replayable in ANSI SQL and safe for hash-compared
+oracles, where rand()-based resampling is not reproducible even
+run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from usgs_lidar_spark.operators.pipeline import _LEHMER_M, portable_hash_long
+
+#: Poisson(1) inverse-CDF thresholds, scaled to the Lehmer modulus
+#: (2^31-1): P(X <= k) for k = 0..4; a uniform hash in [0, M) maps to
+#: multiplicity = #thresholds it clears. Truncated at 5 (P(X >= 6) ~
+#: 6e-4 — the same truncation production implementations use; the
+#: exact cutoffs are pinned constants so both engines agree forever).
+_POIS1_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+              0.9810118431238462, 0.9963401531726563)
+POISSON1_THRESHOLDS = tuple(int(p * _LEHMER_M) for p in _POIS1_CDF)
+
+
+def poisson_multiplicity(id_col: Column | str, replicate: Column, seed: int = 0) -> Column:
+    """Deterministic Poisson(1) multiplicity for (id, replicate):
+    u = lehmer(id * 131 + replicate + seed) compared against the fixed
+    integer thresholds. Returns 0..5 as an int column."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    # Reduce the id mod M BEFORE the mix multiply: id * 131 on a raw
+    # long near Long.MAX would overflow (ANSI error); after the pmod
+    # the intermediate stays under 2^39.
+    u = portable_hash_long(
+        F.pmod(c.cast("long"), F.lit(_LEHMER_M)) * F.lit(131) + replicate,
+        seed=seed,
+    )
+    m = F.lit(0)
+    for t in POISSON1_THRESHOLDS:
+        m = m + F.when(u >= F.lit(t), 1).otherwise(0)
+    return m
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """B deterministic Poisson-bootstrap replicates of SUM and COUNT of
+    ``value_col`` — the bounded frame a CI computation reads (replicate
+    means are value_sum/n_eff; percentile bounds over B rows are a
+    driver-trivial follow-up).
+
+    Scale shape: one map-only pass — each row explodes into its B
+    (replicate, multiplicity) cells (generated as a literal-sequence
+    transform inside codegen, multiplicity-0 cells dropped before the
+    shuffle), then ONE map-side-combined aggregate keyed by replicate:
+    B partial rows per partition on the wire, never data. Values are
+    summed as-is; callers wanting exactness pass integer-valued
+    columns (the oracled query sums BIGINT n_chars).
+
+    Returns (replicate, n_eff, value_sum), ``n_replicates`` rows
+    (replicates with an empty resample still appear, with 0s).
+    """
+    if n_replicates <= 0:
+        raise ValueError(
+            f"n_replicates must be positive, got {n_replicates}"
+        )
+    reps = F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    cells = df.select(
+        F.col(value_col).alias("__v"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    reps,
+                    lambda b: F.struct(
+                        b.cast("long").alias("replicate"),
+                        poisson_multiplicity(
+                            F.col(id_col), b, seed=seed
+                        ).cast("long").alias("m"),
+                    ),
+                ),
+                lambda s: s["m"] > 0,
+            )
+        ).alias("c"),
+    )
+    got = cells.groupBy(F.col("c.replicate").alias("replicate")).agg(
+        F.sum("c.m").cast("long").alias("n_eff"),
+        F.sum(F.col("c.m") * F.col("__v")).alias("value_sum"),
+    )
+    spark = df.sparkSession
+    base = spark.range(n_replicates).select(
+        F.col("id").cast("long").alias("replicate")
+    )
+    return base.join(got, "replicate", "left").select(
+        "replicate",
+        F.coalesce("n_eff", F.lit(0)).cast("long").alias("n_eff"),
+        F.coalesce("value_sum", F.lit(0)).cast("long").alias("value_sum"),
+    )

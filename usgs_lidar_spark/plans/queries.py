@@ -10114,3 +10114,48 @@ def sim_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.linalg import embed_gram_quantized
 
     return embed_gram_quantized(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "stats_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, 32)) AS b),
+    cells AS (
+        SELECT r.b AS replicate, d.n_chars,
+               (CASE WHEN u >= 790015083 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 1580030167 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 1975037709 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 2106706890 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 2139624185 THEN 1 ELSE 0 END) AS m
+        FROM documents d CROSS JOIN reps r
+        CROSS JOIN LATERAL (SELECT
+            {_LEHMER_LONG("(((d.doc_id % 2147483647) + 2147483647) % 2147483647) * 131 + r.b")}
+            AS u) h
+    ), agg AS (
+        SELECT replicate, CAST(sum(m) AS BIGINT) AS n_eff,
+               CAST(sum(m * n_chars) AS BIGINT) AS value_sum
+        FROM cells WHERE m > 0 GROUP BY replicate
+    )
+    SELECT CAST(r.b AS BIGINT) AS replicate,
+           CAST(coalesce(a.n_eff, 0) AS BIGINT) AS n_eff,
+           CAST(coalesce(a.value_sum, 0) AS BIGINT) AS value_sum
+    FROM reps r LEFT JOIN agg a ON r.b = a.replicate
+    """,
+)
+def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (`operators/stats.
+    poisson_bootstrap`, B=32) of sum/count of n_chars over documents —
+    the production substitute for with-replacement resampling at
+    100 TB (Chamandy et al.): per-(row, replicate) Poisson(1)
+    multiplicities from fixed integer inverse-CDF thresholds on the
+    Lehmer hash, so every engine and partitioning draws the SAME
+    resamples. One map-only explode (zero-multiplicity cells dropped
+    before the shuffle) + one replicate-keyed map-combined aggregate:
+    B partial rows per partition on the wire. Replicate means
+    value_sum/n_eff are the CI inputs."""
+    from usgs_lidar_spark.operators.stats import poisson_bootstrap
+
+    return poisson_bootstrap(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id",
+        n_replicates=32,
+    )
