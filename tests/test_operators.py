@@ -4023,3 +4023,49 @@ def test_poisson_bootstrap_deterministic_and_statistically_sane(spark):
     assert all(abs(ne - n) < n * 0.2 for ne, _ in want.values())
     with _pytest.raises(ValueError, match="n_replicates"):
         poisson_bootstrap(docs, "n_chars", "doc_id", n_replicates=0)
+
+
+def test_budget_prefix_select_vs_bruteforce(spark):
+    """Kept set equals the row-level greedy prefix for assorted budgets
+    (boundary mid-bucket, boundary at bucket edge, everything fits,
+    budget 0); invariant under repartitioning; loud on NULL/negative."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.ranking import budget_prefix_select
+
+    rows = [(i, (i * 7) % 5, (i % 4) + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, tokens long")
+
+    def brute(budget: int) -> set[int]:
+        acc, kept = 0, set()
+        for sc, d, t in sorted(
+            ((s, d, t) for d, s, t in rows), key=lambda x: (-x[0], x[1])
+        ):
+            if acc + t <= budget:
+                acc += t
+                kept.add(d)
+            else:
+                break
+        return kept
+
+    for budget in (0, 7, 23, 24, 1000):
+        for frame in (df, df.repartition(7)):
+            got = {
+                r["doc_id"]
+                for r in budget_prefix_select(
+                    frame, "score", "tokens", budget
+                ).collect()
+            }
+            assert got == brute(budget), budget
+
+    with _pytest.raises(ValueError, match="negative weight"):
+        budget_prefix_select(
+            spark.createDataFrame(
+                [(1, 1, -2)], "doc_id long, score long, tokens long"
+            ),
+            "score",
+            "tokens",
+            10,
+        )
+    with _pytest.raises(ValueError, match="budget"):
+        budget_prefix_select(df, "score", "tokens", -1)

@@ -40,6 +40,11 @@ SCENARIOS = [
     "text_bigram_surprisal",
     "text_bpe_learn_merges",
     "text_skipgram_pairs",
+    # second wave: the leakage audit (10x rides the DENSER replicated
+    # pair graph) and the map-only bootstrap (B x explode, one
+    # replicate-keyed aggregate — wall should track the scan).
+    "pipe_split_leakage",
+    "stats_poisson_bootstrap",
 ]
 
 

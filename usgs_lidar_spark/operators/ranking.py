@@ -207,3 +207,97 @@ def histogram_equidepth(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def budget_prefix_select(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained greedy selection — "fill a token budget with
+    the best-scoring documents": order rows by (score DESC, id ASC) and
+    keep the longest prefix whose cumulative ``weight_col`` stays
+    within ``budget``. The curation step that turns a scored corpus
+    into a fixed-token training set.
+
+    The global ordered prefix-sum is computed WITHOUT a single-task
+    window (this module's reason to exist), in the two-phase shape:
+
+    1. per-SCORE aggregates (n_rows, weight_sum) — a map-combined
+       shuffle bounded by the score domain, collected to the driver
+       ordered score-descending (bounded by the same knob class as
+       `global_rank`'s bucket counts: integer quality scores have
+       small domains by construction; a guard raises past 100k
+       distinct scores rather than collecting unbounded data);
+    2. the driver prefix-sums the per-score totals to find the
+       BOUNDARY score — everything above it fits outright, everything
+       below it cannot start;
+    3. only boundary-score rows flow through a rank window partitioned
+       by that single score value (id ASC) and a running weight sum
+       decides how many fit in the remaining budget. A point mass at
+       the boundary score is hot under any value split — the same
+       caveat as any distributed sort; pre-aggregate if one score
+       dominates.
+
+    Rows with NULL score or weight are rejected loudly (a silent drop
+    would shrink the budget's denominator). Returns the kept rows with
+    their original columns. Deterministic at any partitioning: the
+    (score, id) order is total.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    s, w = F.col(score_col), F.col(weight_col)
+    bad = df.filter(s.isNull() | w.isNull() | (w < 0))
+    if not bad.isEmpty():
+        raise ValueError(
+            "budget_prefix_select: NULL score/weight or negative weight "
+            "values present — the running prefix total is only monotone "
+            "for non-negative weights; filter or impute them first"
+        )
+    per_score = (
+        df.groupBy(s.alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(w.cast("long")).alias("__wsum"),
+        )
+        .orderBy(F.col("__s").desc())
+    )
+    rows = per_score.limit(100_001).collect()
+    if len(rows) > 100_000:
+        raise ValueError(
+            "budget_prefix_select: more than 100k distinct scores — "
+            "coarsen the score (integer quality scores have small "
+            "domains by construction) before selecting"
+        )
+    acc = 0
+    boundary = None
+    remaining = budget
+    full_scores: list = []
+    for r in rows:
+        if acc + int(r["__wsum"]) <= budget:
+            acc += int(r["__wsum"])
+            full_scores.append(r["__s"])
+        else:
+            boundary = r["__s"]
+            remaining = budget - acc
+            break
+    if boundary is None:
+        # everything fits (or the frame is empty)
+        return df.filter(s.isin(full_scores)) if full_scores else df.filter(
+            F.lit(False)
+        )
+    fully_in = df.filter(s > F.lit(boundary))
+    edge = df.filter(s == F.lit(boundary))
+    win = Window.partitionBy(s).orderBy(F.col(id_col).asc())
+    edge_kept = (
+        edge.withColumn(
+            "__cum", F.sum(w.cast("long")).over(
+                win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        )
+        .filter(F.col("__cum") <= F.lit(int(remaining)))
+        .drop("__cum")
+    )
+    return fully_in.unionByName(edge_kept)

@@ -10159,3 +10159,45 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "n_chars", "doc_id",
         n_replicates=32,
     )
+
+
+@query(
+    "pipe_budget_select",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars, CAST(n_chars % 37 AS BIGINT) AS score
+        FROM documents
+    ), ordered AS (
+        SELECT doc_id, n_chars,
+               sum(n_chars) OVER (ORDER BY score DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS weight_kept,
+           CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+    FROM ordered WHERE cum <= 30000
+    """,
+)
+def pipe_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained greedy curation (`operators/ranking.
+    budget_prefix_select`): fill a 30k-char budget with the
+    best-scoring documents ((score DESC, doc_id ASC) order, synthetic
+    integer score n_chars % 37). The global ordered prefix-sum is
+    two-phase — per-score totals to the driver (bounded by the score
+    domain), then only the single BOUNDARY score's rows flow through a
+    window — never a single-task global window; the oracle IS that
+    naive global window, proving the scalable form row-identical."""
+    from usgs_lidar_spark.operators.ranking import budget_prefix_select
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "score", (F.col("n_chars") % 37).cast("long")
+    )
+    kept = budget_prefix_select(
+        docs, "score", "n_chars", budget=30000
+    )
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("weight_kept"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("id_sum"),
+    )
