@@ -4069,3 +4069,60 @@ def test_budget_prefix_select_vs_bruteforce(spark):
         )
     with _pytest.raises(ValueError, match="budget"):
         budget_prefix_select(df, "score", "tokens", -1)
+
+
+def test_rp_doc_embedding_vs_bruteforce_and_jl_property(spark):
+    """Cell values match the Python reimplementation exactly;
+    near-identical documents land closer (higher cosine) in RP space
+    than unrelated ones — the JL property the featurizer exists for."""
+    import math
+
+    from usgs_lidar_spark.operators.textquality import (
+        _FEAT_MOD,
+        rp_doc_embedding,
+    )
+    from usgs_lidar_spark.operators.pipeline import _LEHMER_A, _LEHMER_M
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog " * 4,
+        1: "the quick brown fox jumps over the lazy dog " * 4 + "extra",
+        2: "completely different vocabulary everywhere tonight",
+        3: "",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def ph(w: str) -> int:
+        acc = 0
+        for ch in w:
+            acc = (acc * 31 + ord(ch)) % _FEAT_MOD
+        return acc
+
+    def lehmer(x: int) -> int:
+        v = ((x + 1) % _LEHMER_M + _LEHMER_M) % _LEHMER_M
+        for _ in range(2):
+            v = (v * _LEHMER_A) % _LEHMER_M
+        return v
+
+    def vec(t: str, dims: int = 16) -> list[int]:
+        out = [0] * dims
+        for w in t.lower().split():
+            h = ph(w)
+            for j in range(dims):
+                u = lehmer(h * 17 + j) % 4
+                out[j] += -1 if u == 0 else (1 if u == 2 else 0)
+        return out
+
+    got = {}
+    for r in rp_doc_embedding(docs, n_dims=16).collect():
+        got.setdefault(r["doc_id"], [0] * 16)[r["dim"]] = r["val"]
+    for d, t in texts.items():
+        assert got[d] == vec(t), d
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb) if na and nb else 0
+
+    assert cos(got[0], got[1]) > cos(got[0], got[2])

@@ -881,3 +881,86 @@ def class_keyness(
             "rank",
         )
     )
+
+
+def rp_doc_embedding(
+    docs: DataFrame,
+    n_dims: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic random-projection document embedding — the bridge
+    from the text tier to the ANN tier without a model: each token
+    hashes to a sparse ternary row (Achlioptas sign matrix: P(+1) =
+    P(-1) = 1/4, P(0) = 1/2 per dimension, drawn from the Lehmer hash
+    of (token polyhash, dimension)), and a document's vector is the sum
+    over its token slots. Distance structure follows the
+    Johnson-Lindenstrauss sketch of token-count vectors; exact-integer
+    output, so embeddings are identical on any engine/partitioning and
+    the featurizer is hash-oracle-able — unlike model inference.
+
+    Map-only until one (doc, dim)-keyed map-combined aggregate; the
+    16x token-row expansion happens inside codegen (a literal-sequence
+    transform), never as a join. Returns LONG format (doc_id, dim,
+    val) — n_dims rows per doc including zeros, array-free so the
+    driver compare and downstream pivots stay trivial; zero-token docs
+    keep their n_dims zero rows (row in = rows out)."""
+    if n_dims <= 0:
+        raise ValueError(f"n_dims must be positive, got {n_dims}")
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tok).alias("__w")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(sequence(1, length(__w)), "
+            f"i -> CAST(ascii(substring(__w, i, 1)) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {_FEAT_MOD})"
+        ).alias("__h"),
+    )
+    from usgs_lidar_spark.operators.pipeline import portable_hash_long
+
+    cells = hashed.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_dims - 1)),
+                lambda j: F.struct(
+                    j.cast("long").alias("dim"),
+                    (
+                        portable_hash_long(
+                            F.col("__h") * F.lit(17) + j, seed=seed
+                        )
+                        % 4
+                    ).alias("__u"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.dim").alias("dim"),
+        F.when(F.col("c.__u") == 0, F.lit(-1))
+        .when(F.col("c.__u") == 2, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__v"),
+    )
+    summed = cells.groupBy("doc_id", "dim").agg(
+        F.sum("__v").cast("long").alias("val")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id")).crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(n_dims).select(
+                F.col("id").cast("long").alias("dim")
+            )
+        )
+    )
+    return base.join(summed, ["doc_id", "dim"], "left").select(
+        "doc_id",
+        "dim",
+        F.coalesce("val", F.lit(0)).cast("long").alias("val"),
+    )

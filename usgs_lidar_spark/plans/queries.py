@@ -10201,3 +10201,46 @@ def pipe_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("weight_kept"),
         F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("id_sum"),
     )
+
+
+@query(
+    "text_rp_embedding",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        FROM toks
+    ), dims AS (SELECT unnest(range(0, 16)) AS dim),
+    cells AS (
+        SELECT doc_id, d.dim,
+               CASE ({_LEHMER_LONG("h * 17 + d.dim")}) % 4
+                    WHEN 0 THEN -1 WHEN 2 THEN 1 ELSE 0 END AS v
+        FROM hashed CROSS JOIN dims d
+    ), summed AS (
+        SELECT doc_id, dim, CAST(sum(v) AS BIGINT) AS val
+        FROM cells GROUP BY doc_id, dim
+    )
+    SELECT d.doc_id, CAST(dd.dim AS BIGINT) AS dim,
+           CAST(coalesce(s.val, 0) AS BIGINT) AS val
+    FROM documents d CROSS JOIN dims dd
+    LEFT JOIN summed s ON d.doc_id = s.doc_id AND dd.dim = s.dim
+    """,
+)
+def text_rp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-projection document embeddings
+    (`operators/textquality.rp_doc_embedding`, 16 dims): sparse
+    ternary Achlioptas rows drawn from the Lehmer hash of (token
+    polyhash, dim) — a Johnson-Lindenstrauss sketch of token counts,
+    exact-integer so featurization is engine/partition-reproducible
+    (the text -> ANN bridge without model inference). Map-only until
+    one (doc, dim)-keyed map-combined aggregate."""
+    from usgs_lidar_spark.operators.textquality import rp_doc_embedding
+
+    return rp_doc_embedding(_t(spark, sf_dir, "documents"), n_dims=16)
