@@ -274,20 +274,19 @@ def budget_prefix_select(
     acc = 0
     boundary = None
     remaining = budget
-    full_scores: list = []
     for r in rows:
         if acc + int(r["__wsum"]) <= budget:
             acc += int(r["__wsum"])
-            full_scores.append(r["__s"])
         else:
             boundary = r["__s"]
             remaining = budget - acc
             break
     if boundary is None:
-        # everything fits (or the frame is empty)
-        return df.filter(s.isin(full_scores)) if full_scores else df.filter(
-            F.lit(False)
-        )
+        # Every score bucket fit (or the frame is empty): the kept set
+        # is the whole input — returned as-is, not as an isin() over
+        # the collected score list (a 100k-literal IN is a plan hazard
+        # for no benefit when it equals identity).
+        return df
     fully_in = df.filter(s > F.lit(boundary))
     edge = df.filter(s == F.lit(boundary))
     win = Window.partitionBy(s).orderBy(F.col(id_col).asc())
