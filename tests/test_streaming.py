@@ -1320,3 +1320,70 @@ def test_streaming_chunk_dedup_ingest(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_state_machine_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState funnel state machine, fed two
+    TIME-ORDERED micro-batches, lands every user on the same final
+    stage as the batch events_funnel_ordered query (max stage per user
+    from the update-mode emissions; stage is monotone so the max IS
+    the final state)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.streaming.stateful import track_funnel_stage
+
+    ev = load_table(spark, SF_SMALL, "events")
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).collect()[0][0]
+    stream_dir = tmp_path / "funnel_stream"
+    stream_dir.mkdir()
+    for i, flt in enumerate(
+        (
+            F.expr("unix_micros(cast(ts as timestamp))") <= cut,
+            F.expr("unix_micros(cast(ts as timestamp))") > cut,
+        )
+    ):
+        ev.filter(flt).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"fb{i}")
+        )
+        _sh.copy(
+            next((tmp_path / f"fb{i}").glob("*.parquet")),
+            stream_dir / f"part-{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        track_funnel_stage(stream)
+        .writeStream.format("memory")
+        .queryName("t_funnel_sm")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {
+        r["user_id"]: r["stage"]
+        for r in spark.sql(
+            "SELECT user_id, max(stage) AS stage FROM t_funnel_sm GROUP BY user_id"
+        ).collect()
+    }
+
+    batch = {
+        r["stage"]: r["n_users"]
+        for r in QUERIES["events_funnel_ordered"](spark, SF_SMALL).collect()
+    }
+    from collections import Counter
+
+    reached = Counter(final.values())
+    # stream counts users AT stage s; batch counts users REACHING stage s
+    got = {
+        s: sum(n for st, n in reached.items() if st >= s) for s in (1, 2, 3)
+    }
+    assert got == {1: batch[1], 2: batch[2], 3: batch[3]}

@@ -66,3 +66,69 @@ def track_user_activity(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage long"
+#: state: highest funnel stage reached (0 none, 1 view, 2 click,
+#: 3 purchase) + the microsecond timestamp at which it was reached.
+FUNNEL_STATE_SCHEMA = "stage long, ts_us long"
+
+#: The ordered funnel steps (must match the batch oracle's
+#: events_funnel_ordered stages).
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def track_funnel_stage(events: DataFrame) -> DataFrame:
+    """Per-user ordered-funnel state machine — the STREAMING twin of the
+    batch `events_funnel_ordered` query, as an `applyInPandasWithState`
+    per-key state machine (the case built-in window aggregates cannot
+    express: the stage-k timestamp depends on the stage-(k-1) choice).
+
+    State per user is two longs: the highest stage reached and the
+    timestamp at which it was reached. A batch's events sort by
+    timestamp inside the group and fold through the same transition
+    rule as the batch query: an event advances the funnel iff it is
+    the NEXT step and STRICTLY later than the current stage's
+    timestamp. Each batch emits the user's current stage (Update
+    mode). Equivalence with the batch three-join form holds because
+    the batch form also picks min-timestamps stage by stage — both
+    compute the same greedy earliest chain. The transition rule is
+    tie-order-independent within a batch (after an advance, ts_us
+    equals the tying timestamp, so no same-timestamp event can chain),
+    but ACROSS batches the fold consumes arrival order: an event
+    arriving in a later micro-batch with an earlier timestamp than an
+    already-consumed transition is not replayed (the standard
+    streaming state-machine contract — feed it time-ordered batches,
+    or accept at-arrival semantics).
+
+    At scale: state is O(distinct users) x 16 bytes in RocksDB;
+    events stream through once.
+    """
+
+    def track(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            stage, ts_us = state.get
+        else:
+            stage, ts_us = 0, -(2**62)
+        for pdf in pdfs:
+            for _, r in pdf.sort_values("ts").iterrows():
+                t = int(pd.Timestamp(r["ts"]).value // 1000)
+                if (
+                    stage < len(FUNNEL_STEPS)
+                    and r["event_type"] == FUNNEL_STEPS[stage]
+                    and t > ts_us
+                ):
+                    stage += 1
+                    ts_us = t
+        state.update((stage, ts_us))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
