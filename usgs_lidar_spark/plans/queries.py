@@ -10244,3 +10244,68 @@ def text_rp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.textquality import rp_doc_embedding
 
     return rp_doc_embedding(_t(spark, sf_dir, "documents"), n_dims=16)
+
+
+def _bpe_pack_oracle_sql(n_merges: int) -> str:
+    """Oracle for `pipe_pack_by_bpe`: the unrolled trainer CTEs, the
+    per-doc segmentation join (as in `text_bpe_tokenize`), then the
+    same per-language packing window as `pipe_pack_sequences` — but
+    over REAL tokenizer counts."""
+    base = _bpe_oracle_sql(n_merges)
+    ctes = base[: base.rindex("\n")]
+    return (
+        ctes
+        + f"""
+    , toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), per AS (
+        SELECT t.doc_id,
+               CAST(sum(len(string_split(f.seq, ' '))) AS BIGINT) AS n_bpe
+        FROM toks t JOIN seq{n_merges + 1} f USING (w)
+        GROUP BY t.doc_id
+    ), counts AS (
+        SELECT d.doc_id, d.lang,
+               CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    ), packed AS (
+        SELECT doc_id, lang, n_bpe AS n_tokens,
+               CAST(sum(n_bpe) OVER w - n_bpe AS BIGINT) AS token_start,
+               CAST(sum(n_bpe) OVER w AS BIGINT) AS token_end
+        FROM counts
+        WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT doc_id, lang, n_tokens, token_start,
+           CAST(floor(token_start / 2048.0) AS BIGINT) AS pack_id,
+           token_start % 2048 AS pack_offset,
+           token_end > (floor(token_start / 2048.0) + 1) * 2048
+               AS split_across
+    FROM packed"""
+    )
+
+
+@query("pipe_pack_by_bpe", oracle=_bpe_pack_oracle_sql(4))
+def pipe_pack_by_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by REAL tokenizer counts: learn 4 BPE merges,
+    segment every document (`bpe_apply` — a vocab-sized join, no merge
+    logic on document rows), then run the per-language 2048-token
+    packing window over the BPE counts instead of whitespace counts —
+    the composition a pretraining loader actually executes (context
+    budgets are in tokenizer tokens, not words). Same one-shuffle pack
+    shape as `pipe_pack_sequences`."""
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+    from usgs_lidar_spark.operators.textquality import bpe_apply
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    counts = bpe_apply(docs, n_merges=4).select("doc_id", "n_bpe_tokens")
+    with_counts = docs.join(counts, "doc_id").select(
+        "doc_id", "lang", "n_bpe_tokens"
+    )
+    return pack_sequences(
+        with_counts, "doc_id", "n_bpe_tokens", budget=2048,
+        stream_col="lang",
+    ).select(
+        "doc_id", "lang", "n_tokens", "token_start", "pack_id",
+        "pack_offset", "split_across",
+    )
