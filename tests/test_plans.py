@@ -301,6 +301,45 @@ HEADLINE_DIGESTS = {
         "BroadcastHashJoin": 2,
         "BroadcastNestedLoopJoin": 1,
     },
+    # Round-8 (cont.) second wave, audited like the first. Bootstrap:
+    # ONE replicate-keyed shuffle (the whole design) + the broadcast
+    # base join. Gram: one MapInPandas (the deliberate batch-reducing
+    # Arrow kernel) + the (i,j) partial-sum shuffle. RP embedding: one
+    # (doc,dim) aggregate; the BNLJ is the 16-row dims broadcast cross.
+    # Leakage: the minhash pipeline's pinned 17 shuffles + the split
+    # attach. Funnel: three per-stage aggregates + user-equi joins
+    # (events scanned once per stage with the type filter pushed down
+    # — the standard chained-funnel shape). Chunk-incremental: the
+    # reassembly SortAggregates (struct election/collect_list) over
+    # anti-joined fresh chunks; joins AQE-broadcast at this size.
+    "stats_poisson_bootstrap": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 1,
+        "BroadcastHashJoin": 1,
+    },
+    "sim_embedding_gram": {"shuffle_exchange": 1, "MapInPandas": 1},
+    "text_rp_embedding": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
+    },
+    "pipe_split_leakage": {
+        "shuffle_exchange": 18,
+        "BroadcastExchange": 7,
+        "BroadcastHashJoin": 7,
+    },
+    "events_funnel_ordered": {
+        "shuffle_exchange": 8,
+        "BroadcastExchange": 3,
+        "BroadcastHashJoin": 3,
+    },
+    "dedup_chunk_incremental": {
+        "shuffle_exchange": 5,
+        "BroadcastExchange": 5,
+        "BroadcastHashJoin": 5,
+        "SortAggregate": 2,
+    },
     # text_bpe_learn_merges (a bench headliner) has no digest pin: its
     # returned frame is a driver-assembled merges table — the trainer's
     # per-round plans run at CONSTRUCTION (like dedup_cluster_collapse's
@@ -343,6 +382,8 @@ _SWEEP_EXCLUDED = {
     "text_bpe_learn_merges",
     "text_bpe_compression",
     "text_bpe_tokenize",
+    "pipe_pack_by_bpe",     # trainer rounds at construction
+    "pipe_budget_select",   # per-score totals collect at construction
 }
 
 
