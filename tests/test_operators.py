@@ -4126,3 +4126,63 @@ def test_rp_doc_embedding_vs_bruteforce_and_jl_property(spark):
         return sum(x * y for x, y in zip(a, b)) / (na * nb) if na and nb else 0
 
     assert cos(got[0], got[1]) > cos(got[0], got[2])
+
+
+def test_kmeans_step_exact_vs_python_reference(spark):
+    """The exact Lloyd step's integer cell statistics match a Python
+    reimplementation of the quantized argmax + coordinate sums
+    cell-for-cell, occupancies sum to the corpus size, and the derived
+    means land within quantization precision of the float-path
+    kmeans_refine means."""
+    import math
+
+    from usgs_lidar_spark.operators.similarity import (
+        kmeans_refine,
+        kmeans_step_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").collect()
+    ]
+    cents = rows[:8]
+    step = {
+        (r["cid"], r["dim"]): (r["n"], r["coord_sum_q"])
+        for r in kmeans_step_exact(emb, cents, qbits=20).collect()
+    }
+
+    s = 2.0**20
+    qcents = [
+        (cid, [math.floor(x * s) for x in v]) for cid, v in cents
+    ]
+    ref: dict = {}
+    n_per_cell: dict = {}
+    for _vid, v in rows:
+        qv = [math.floor(x * s) for x in v]
+        best = max(
+            qcents,
+            key=lambda c: (
+                (
+                    sum(a * b for a, b in zip(qv, c[1]))
+                    / math.sqrt(sum(b * b for b in c[1]))
+                )
+                if any(c[1])
+                else 0.0,
+                -c[0],
+            ),
+        )[0]
+        n_per_cell[best] = n_per_cell.get(best, 0) + 1
+        for d0, q in enumerate(qv):
+            k = (best, d0 + 1)
+            ref[k] = ref.get(k, 0) + q
+    want = {k: (n_per_cell[k[0]], v) for k, v in ref.items()}
+    assert step == want
+    assert sum(n_per_cell.values()) == len(rows)
+
+    refined = dict(kmeans_refine(emb, cents, dim=64, n_iter=1))
+    for (cid, dim), (n, cs) in step.items():
+        mean_from_step = cs / (n * s)
+        # float-path assignment can differ on knife-edge ties, so this
+        # is a loose sanity band, not an exactness pin
+        assert abs(mean_from_step - refined[cid][dim - 1]) < 0.02

@@ -1923,3 +1923,46 @@ def knn_classify(
             F.col("__votes").cast("long").alias("n_votes"),
         )
     )
+
+
+def kmeans_step_exact(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    qbits: int = 20,
+) -> DataFrame:
+    """One distributed Lloyd STEP with bit-exact cell statistics — the
+    scalable core of k-means/quantizer training, reported as hard
+    integers: assign every vector to its nearest centroid (the same
+    quantized argmax as `ivf_drift_metrics_exact` — no rounding
+    decision anywhere), then emit per (cell, dimension) the occupancy
+    and the EXACT integer sum of quantized coordinates. The driver (or
+    `kmeans_refine`, which computes the same means in floats) divides
+    ``coord_sum_q / (n * 2^qbits)`` to get the next centroid — the
+    division is the only inexact step and it happens on k*dim bounded
+    numbers, never on data.
+
+    Plan: assignment is a map-side literal-expression argmax on one
+    scan; posexplode emits dim rows per vector and the one shuffle is
+    map-combined down to k*dim rows. Int64 envelope: |coord_sum_q| <=
+    rows_per_cell * 2^qbits, so qbits=20 holds to ~2^43 rows per cell.
+
+    Returns (cid, dim, n, coord_sum_q) — dim is 1-based.
+    """
+    from usgs_lidar_spark.functions.vectors import quantize_exact
+
+    qc = _quantize_centroids_exact(centroids, qbits)
+    df = corpus.withColumn("__qv", quantize_exact(vec_col, qbits))
+    best = F.array_max(_exact_argmax_structs(F.col("__qv"), qc))
+    assigned = df.select(
+        (-best["negcid"]).cast("long").alias("cid"), "__qv"
+    )
+    cells = assigned.select(
+        "cid", F.posexplode("__qv").alias("__d0", "__q")
+    )
+    return cells.groupBy(
+        "cid", (F.col("__d0") + 1).cast("long").alias("dim")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__q").cast("long").alias("coord_sum_q"),
+    )

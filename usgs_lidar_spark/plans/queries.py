@@ -10309,3 +10309,61 @@ def pipe_pack_by_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "token_start", "pack_id",
         "pack_offset", "split_across",
     )
+
+
+@query(
+    "sim_kmeans_step",
+    oracle="""
+    WITH qe AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, qv AS qc,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+        FROM qe WHERE vec_id < 8
+    ), dots AS (
+        SELECT e.vec_id, e.qv, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dots) WHERE rn = 1
+    ), cells AS (
+        SELECT cid, i AS dim, qv[i] AS q
+        FROM assigned, unnest(range(1, len(qv) + 1)) AS t(i)
+    )
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS coord_sum_q
+    FROM cells GROUP BY cid, dim
+    """,
+)
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd step with bit-exact statistics
+    (`operators/similarity.kmeans_step_exact`): quantized-argmax
+    assignment to the 8 seed centroids on one scan, then per (cell,
+    dim) occupancy + EXACT integer coordinate sums — k*dim rows out of
+    a map-combined shuffle. The next centroid is the driver-side
+    division of bounded numbers; the expensive distributed part of
+    quantizer training is all-BIGINT and hash-stable."""
+    from usgs_lidar_spark.operators.similarity import kmeans_step_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ] or [(0, [0.0])]
+    return kmeans_step_exact(emb, cents)
