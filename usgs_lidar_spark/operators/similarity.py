@@ -1966,3 +1966,48 @@ def kmeans_step_exact(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__q").cast("long").alias("coord_sum_q"),
     )
+
+
+def kmeans_two_steps_exact(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    qbits: int = 20,
+) -> DataFrame:
+    """TWO Lloyd iterations with the float feedback loop itself made
+    cross-engine exact — the full train-step cycle (assign -> update ->
+    re-assign -> statistics) under one hard oracle, which float k-means
+    cannot be (summed float means drift per partitioning).
+
+    Round 1 is `kmeans_step_exact`. The centroid update keeps
+    determinism through exactly two correctly-rounded IEEE operations:
+    ``mean_q = double(coord_sum_q) / n`` (one division of exact
+    integers) then ``c = mean_q / 2^qbits`` (a power-of-two exponent
+    shift — no rounding) — identical doubles in Spark, DuckDB, and
+    Python. The updated centroids re-quantize with `quantize_exact`
+    (floor of a power-of-two multiple) and round 2 re-assigns against
+    them. Empty cells keep their previous centroid. Only k*dim bounded
+    numbers ever reach the driver between rounds.
+
+    Returns round-2 (cid, dim, n, coord_sum_q).
+    """
+    step1 = kmeans_step_exact(corpus, centroids, vec_col, qbits).collect()
+    s = 2.0**qbits
+    sums: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in step1:
+        sums.setdefault(int(r["cid"]), {})[int(r["dim"])] = (
+            int(r["n"]),
+            int(r["coord_sum_q"]),
+        )
+    new_cents: list[tuple[int, list[float]]] = []
+    for cid, old in centroids:
+        got = sums.get(int(cid))
+        if not got:
+            new_cents.append((int(cid), [float(x) for x in old]))
+            continue
+        vec = []
+        for d in range(1, len(old) + 1):
+            n, cs = got[d]
+            vec.append((float(cs) / n) / s)
+        new_cents.append((int(cid), vec))
+    return kmeans_step_exact(corpus, new_cents, vec_col, qbits)

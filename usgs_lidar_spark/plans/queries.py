@@ -10367,3 +10367,97 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ] or [(0, [0.0])]
     return kmeans_step_exact(emb, cents)
+
+
+@query(
+    "sim_kmeans_two_steps",
+    oracle="""
+    WITH qe AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), cent1 AS (
+        SELECT vec_id AS cid, qv AS qc,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+        FROM qe WHERE vec_id < 8
+    ), dots1 AS (
+        SELECT e.vec_id, e.qv, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cent1 c
+    ), a1 AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dots1) WHERE rn = 1
+    ), step1 AS (
+        SELECT cid, i AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qv[i]) AS BIGINT) AS cs
+        FROM a1, unnest(range(1, len(qv) + 1)) AS t(i)
+        GROUP BY cid, i
+    ), cent2 AS (
+        -- update: mean_q = double(cs)/n, c = mean_q / 2^20, then
+        -- re-quantize floor(c * 2^20) — two correctly-rounded IEEE ops
+        -- + an exponent shift, identical in any engine. Seeds with an
+        -- empty cell would keep their old centroid; every seed cell is
+        -- occupied here (the seed vector itself assigns to it).
+        SELECT cid,
+               list_transform(
+                   list(CAST(cs AS DOUBLE) / n / 1048576.0 ORDER BY dim),
+                   x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qc
+        FROM step1 GROUP BY cid
+    ), cent2n AS (
+        SELECT cid, qc,
+               CAST(list_sum(list_transform(qc, v -> v * v)) AS BIGINT) AS nq
+        FROM cent2
+    ), dots2 AS (
+        SELECT e.vec_id, e.qv, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cent2n c
+    ), a2 AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dots2) WHERE rn = 1
+    )
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(i AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qv[i]) AS BIGINT) AS coord_sum_q
+    FROM a2, unnest(range(1, len(qv) + 1)) AS t(i)
+    GROUP BY cid, i
+    """,
+)
+def sim_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations — assign, update, re-assign — with the
+    float feedback loop itself cross-engine exact
+    (`operators/similarity.kmeans_two_steps_exact`): the centroid
+    update is double(coord_sum_q)/n then a power-of-two exponent
+    shift (two correctly-rounded IEEE ops, identical in Spark, DuckDB,
+    Python), re-quantized with the rounding-free floor quantizer, so
+    the ITERATION — the part float k-means cannot reproduce across
+    engines — hashes stably. Only k*dim bounded numbers cross the
+    driver between rounds."""
+    from usgs_lidar_spark.operators.similarity import kmeans_two_steps_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ] or [(0, [0.0])]
+    return kmeans_two_steps_exact(emb, cents)
