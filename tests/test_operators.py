@@ -4224,3 +4224,74 @@ def test_kmeans_two_steps_monotone_inertia_and_empty_cell_keep(spark):
     out = kmeans_two_steps_exact(tiny, geo).collect()
     assert 99 not in {r["cid"] for r in out}
     assert sum(r["n"] for r in out if r["dim"] == 1) == 4
+
+
+def test_nb_train_bits_vs_bruteforce_and_separable_task(spark):
+    """Weights equal the Python bit-length contingency reference over
+    hashed features; a planted marker-token task is fully separated by
+    the trained weights served through hashed_feature_score; label and
+    n_features contracts are loud."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.textquality import (
+        _FEAT_MOD,
+        hashed_feature_score,
+        nb_train_bits,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, ("zzq alpha beta" if i % 3 == 0 else "alpha beta gamma delta"),
+         1 if i % 3 == 0 else -1)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y long")
+
+    def feat(w: str) -> int:
+        acc = 0
+        for ch in w:
+            acc = (acc * 31 + ord(ch)) % _FEAT_MOD
+        return acc % 32
+
+    a: Counter = Counter()
+    b: Counter = Counter()
+    for _i, t, y in rows:
+        for w in t.lower().split():
+            (a if y == 1 else b)[feat(w)] += 1
+    ta, tb = sum(a.values()), sum(b.values())
+
+    def bits(x: int) -> int:
+        return x.bit_length() - 1
+
+    got = {
+        r["feature_id"]: r["weight"]
+        for r in nb_train_bits(docs, "y", n_features=32).collect()
+    }
+    assert len(got) == 32
+    for f in range(32):
+        if a[f] == 0 and b[f] == 0:
+            assert got[f] == 0
+            continue
+        want = (
+            bits(a[f] + 1) + bits(tb - b[f] + 1)
+            - bits(b[f] + 1) - bits(ta - a[f] + 1)
+        )
+        assert got[f] == want, f
+
+    w = nb_train_bits(docs, "y", n_features=32)
+    sc = hashed_feature_score(docs, w, n_features=32)
+    acc = (
+        sc.join(docs.select("doc_id", "y"), "doc_id")
+        .select(
+            (
+                F.when(F.col("score") > 0, 1).otherwise(-1) == F.col("y")
+            ).cast("int").alias("ok")
+        )
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    assert acc == 1.0
+    with _pytest.raises(ValueError, match="n_features"):
+        nb_train_bits(docs, "y", n_features=0)

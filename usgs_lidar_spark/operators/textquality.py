@@ -964,3 +964,78 @@ def rp_doc_embedding(
         "dim",
         F.coalesce("val", F.lit(0)).cast("long").alias("val"),
     )
+
+
+def nb_train_bits(
+    docs: DataFrame,
+    label_col: Column | str,
+    n_features: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """TRAIN the hashed-feature linear classifier in-engine, exactly —
+    Naive-Bayes log-odds weights in integer BITS (the NB-weights half
+    of the NBSVM recipe): per feature, the add-one log-odds of its
+    occurrence mass under the positive vs negative class,
+
+        w = flog2(a+1) + flog2(d+1) - flog2(b+1) - flog2(c+1)
+
+    (a/b = the feature's token occurrences in +1/-1 docs, c/d = the
+    other occurrences in +1/-1 docs — `class_keyness` applied to the
+    hashing-trick feature space). flog2 is binary bit length: integer-
+    exact in any engine, no products, overflow-free at any corpus size.
+
+    ONE map-combined (feature, class) aggregate over the corpus — a
+    single pass, no iteration, so unlike gradient training the whole
+    procedure is trivially deterministic and SQL-oracle-able; the
+    output (feature_id, weight) table feeds `hashed_feature_score`
+    (serving) directly — train and serve are the same feature space by
+    construction. ``label_col`` must evaluate to +1/-1.
+
+    Returns all n_features rows (features unseen in training weigh 0).
+    """
+    if n_features <= 0:
+        raise ValueError(f"n_features must be positive, got {n_features}")
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    fc = (
+        docs.select(y.cast("long").alias("__y"), F.explode(tok).alias("__w"))
+        .select(
+            "__y",
+            F.expr(_token_feature_expr("__w", n_features)).alias("feature_id"),
+        )
+        .groupBy("feature_id")
+        .agg(
+            F.sum(F.when(F.col("__y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("__y") == 1, 0).otherwise(1))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    tot = fc.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    flog2 = lambda c: (  # noqa: E731
+        F.length(F.conv(c.cast("string"), 10, 2)) - 1
+    ).cast("long")
+    scored = fc.crossJoin(F.broadcast(tot)).select(
+        "feature_id",
+        (
+            flog2(F.col("a") + 1)
+            + flog2(F.col("tb") - F.col("b") + 1)
+            - flog2(F.col("b") + 1)
+            - flog2(F.col("ta") - F.col("a") + 1)
+        ).alias("weight"),
+    )
+    base = docs.sparkSession.range(n_features).select(
+        F.col("id").cast("long").alias("feature_id")
+    )
+    return base.join(scored, "feature_id", "left").select(
+        "feature_id",
+        F.coalesce("weight", F.lit(0)).cast("long").alias("weight"),
+    )

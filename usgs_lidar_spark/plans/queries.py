@@ -10461,3 +10461,61 @@ def sim_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ] or [(0, [0.0])]
     return kmeans_two_steps_exact(emb, cents)
+
+
+@query(
+    "text_nb_train",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), feats AS (
+        SELECT y,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) % 64
+                   AS feature_id
+        FROM toks
+    ), fc AS (
+        SELECT feature_id,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS b
+        FROM feats GROUP BY feature_id
+    ), tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+        FROM fc
+    ), scored AS (
+        SELECT feature_id,
+               CAST((length(to_base(a + 1, 2)) - 1)
+                  + (length(to_base(tb - b + 1, 2)) - 1)
+                  - (length(to_base(b + 1, 2)) - 1)
+                  - (length(to_base(ta - a + 1, 2)) - 1)
+                  AS BIGINT) AS weight
+        FROM fc CROSS JOIN tot
+    )
+    SELECT f.fid AS feature_id,
+           CAST(coalesce(s.weight, 0) AS BIGINT) AS weight
+    FROM (SELECT unnest(range(0, 64)) AS fid) f
+    LEFT JOIN scored s ON f.fid = s.feature_id
+    """,
+)
+def text_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed-feature quality classifier in-engine
+    (`operators/textquality.nb_train_bits`, labels lang='en' vs rest):
+    Naive-Bayes log-odds weights in integer bits — one map-combined
+    (feature, class) aggregate, no iteration, bit-exact in any engine;
+    the output weight table is exactly what `hashed_feature_score`
+    (the serving query) consumes, so train and serve close the loop
+    in one feature space. Verified to fully separate a planted
+    marker-token task in the unit test."""
+    from usgs_lidar_spark.operators.textquality import nb_train_bits
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_train_bits(
+        docs,
+        F.when(F.col("lang") == "en", 1).otherwise(-1),
+        n_features=64,
+    )
