@@ -113,6 +113,9 @@ HEADLINE = [
     "text_bpe_learn_merges",
     "dedup_chunk_reassemble",
     "text_bigram_surprisal",
+    # round 8 (cont. 2): the cross-engine-exact k-means iteration
+    # (round-1 stats + update run at construction, round-2 at count).
+    "sim_kmeans_two_steps",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled
