@@ -83,8 +83,12 @@ def poisson_bootstrap(
             f"n_replicates must be positive, got {n_replicates}"
         )
     reps = F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    # Integer contract made structural: the value enters as BIGINT per
+    # ROW (a float column would otherwise sum in doubles and silently
+    # truncate once at the end — per-row casting is the visible,
+    # order-independent semantics).
     cells = df.select(
-        F.col(value_col).alias("__v"),
+        F.col(value_col).cast("long").alias("__v"),
         F.explode(
             F.filter(
                 F.transform(
