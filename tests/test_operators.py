@@ -4295,3 +4295,64 @@ def test_nb_train_bits_vs_bruteforce_and_separable_task(spark):
     assert acc == 1.0
     with _pytest.raises(ValueError, match="n_features"):
         nb_train_bits(docs, "y", n_features=0)
+
+
+def test_simhash_portable_vs_bruteforce_and_locality(spark):
+    """Fingerprints match the Python Lehmer-parity reference exactly;
+    near-identical documents land at small Hamming distance while
+    unrelated ones do not (the locality property SimHash exists for);
+    empty docs fingerprint to 0; n_bits contract is loud."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.dedup import simhash_portable
+    from usgs_lidar_spark.operators.pipeline import _LEHMER_A, _LEHMER_M
+    from usgs_lidar_spark.operators.textquality import _FEAT_MOD
+
+    # locality is asymptotic in document length (each bit is a
+    # majority over token slots; short docs sit at ±1 margins that any
+    # single edit flips), so the fixture uses 60-token documents with
+    # a 3-token edit vs a fully disjoint vocabulary.
+    base = [f"w{i}" for i in range(60)]
+    near = base[:57] + ["x1", "x2", "x3"]
+    far = [f"v{i}" for i in range(60)]
+    texts = {
+        0: " ".join(base),
+        1: " ".join(near),
+        2: " ".join(far),
+        3: "",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def ph(w: str) -> int:
+        a = 0
+        for ch in w:
+            a = (a * 31 + ord(ch)) % _FEAT_MOD
+        return a
+
+    def lh(x: int) -> int:
+        v = ((x + 1) % _LEHMER_M + _LEHMER_M) % _LEHMER_M
+        for _ in range(2):
+            v = (v * _LEHMER_A) % _LEHMER_M
+        return v
+
+    def sh(t: str, nb: int = 32) -> int:
+        s = [0] * nb
+        for w in t.lower().split():
+            h = ph(w)
+            for j in range(nb):
+                s[j] += 1 if lh(h * 67 + j) % 2 == 1 else -1
+        return sum((1 << j) for j in range(nb) if s[j] > 0)
+
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_portable(docs, n_bits=32).collect()
+    }
+    assert got == {d: sh(t) for d, t in texts.items()}
+
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(got[0], got[1]) < ham(got[0], got[2])
+    assert got[3] == 0
+    with _pytest.raises(ValueError, match="n_bits"):
+        simhash_portable(docs, n_bits=63)

@@ -45,6 +45,11 @@ SCENARIOS = [
     # replicate-keyed aggregate — wall should track the scan).
     "pipe_split_leakage",
     "stats_poisson_bootstrap",
+    # third wave: the exact training reductions — Gram shuffles d² per
+    # PARTITION (never O(rows)); the k-means iteration's shuffles are
+    # k·dim per round regardless of corpus size.
+    "sim_embedding_gram",
+    "sim_kmeans_two_steps",
 ]
 
 

@@ -911,3 +911,91 @@ def chunk_digests(
         .select(F.sha2(F.col("chunk_text"), 256).alias("digest"))
         .distinct()
     )
+
+
+def simhash_portable(
+    docs: DataFrame,
+    n_bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """SimHash with a PORTABLE hash family — the oracled sibling of
+    `simhash64`: bit j of a token's signature is the parity of the
+    two-round Lehmer hash of (token polyhash, j), so the whole
+    fingerprint is reproducible in ANSI SQL (and therefore carries the
+    hard value-hash oracle the xxhash64 form cannot — that one is
+    golden-pinned by necessity, this one by nothing). Bit j of the
+    DOCUMENT is the majority sign over its token slots; ties (sum 0)
+    resolve to 0.
+
+    Shape: explode tokens -> hash once per token -> a literal-sequence
+    transform emits the n_bits ±1 cells inside codegen -> one
+    (doc, bit)-keyed map-combined aggregate -> one doc-keyed fold to
+    the fingerprint. Rows on the wire: n_bits per (doc, bit) partial —
+    never corpus text.
+
+    Returns (doc_id, simhash) with simhash in [0, 2^n_bits); empty
+    docs fingerprint to 0 (kept — row in = row out).
+    """
+    if not 1 <= n_bits <= 62:
+        raise ValueError(f"n_bits must be in [1, 62], got {n_bits}")
+    from usgs_lidar_spark.functions.textstats import ws_tokens
+    from usgs_lidar_spark.operators.pipeline import portable_hash_long
+    from usgs_lidar_spark.operators.textquality import _FEAT_MOD
+
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tok).alias("__w")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(sequence(1, length(__w)), "
+            f"i -> CAST(ascii(substring(__w, i, 1)) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {_FEAT_MOD})"
+        ).alias("__h"),
+    )
+    cells = hashed.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                lambda j: F.struct(
+                    j.cast("long").alias("bit"),
+                    F.when(
+                        portable_hash_long(F.col("__h") * F.lit(67) + j) % 2
+                        == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    .alias("v"),
+                ),
+            )
+        ).alias("c"),
+    )
+    bits = (
+        cells.groupBy("doc_id", F.col("c.bit").alias("bit"))
+        .agg(F.sum("c.v").alias("__s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                # expr form: pyspark's shiftleft binding takes a Python
+                # int for numBits, not a Column
+                F.expr(
+                    "CASE WHEN __s > 0 THEN "
+                    "shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(bits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"),
+    )

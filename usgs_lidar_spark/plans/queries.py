@@ -10519,3 +10519,49 @@ def text_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1).otherwise(-1),
         n_features=64,
     )
+
+
+@query(
+    "dedup_simhash_portable",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        FROM toks
+    ), cells AS (
+        SELECT doc_id, j.bit,
+               CASE WHEN ({_LEHMER_LONG("h * 67 + j.bit")}) % 2 = 1
+                    THEN 1 ELSE -1 END AS v
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) j
+    ), bits AS (
+        SELECT doc_id, bit, sum(v) AS s FROM cells GROUP BY doc_id, bit
+    ), fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0
+                             THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints under the HARD oracle
+    (`operators/dedup.simhash_portable`, 32 bits): the hash family is
+    the two-round Lehmer parity of (token polyhash, bit), reproducible
+    in ANSI SQL — this closes the signal gap the xxhash64 SimHash pair
+    necessarily carries (those stay golden-pinned; the portable family
+    brings the SimHash TIER onto the driver's value-hash check). Same
+    majority-sign semantics and the same scale shape: n_bits partials
+    per doc on the wire, never text."""
+    from usgs_lidar_spark.operators.dedup import simhash_portable
+
+    return simhash_portable(_t(spark, sf_dir, "documents"), n_bits=32)
