@@ -4356,3 +4356,45 @@ def test_simhash_portable_vs_bruteforce_and_locality(spark):
     assert got[3] == 0
     with _pytest.raises(ValueError, match="n_bits"):
         simhash_portable(docs, n_bits=63)
+
+
+def test_simhash_portable_pairs_blocked_equals_bruteforce(spark):
+    """The pigeonhole-blocked detector finds EXACTLY the all-pairs
+    Hamming<=k set over portable fingerprints (losslessness of the
+    blocking at max_hamming < n_blocks), and the guard is loud."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.dedup import (
+        simhash_portable,
+        simhash_portable_near_dup_pairs,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    rows = [
+        (0, " ".join(base)),
+        (1, " ".join(base[:38] + ["x1", "x2"])),
+        (2, " ".join(f"v{i}" for i in range(40))),
+        (3, " ".join(base)),  # exact dup of 0
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_portable(docs, n_bits=32).collect()
+    }
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_portable_near_dup_pairs(
+            docs, n_bits=32, max_hamming=3, n_blocks=4
+        ).collect()
+    }
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 0  # exact dup found
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_portable_near_dup_pairs(docs, max_hamming=4, n_blocks=4)

@@ -390,7 +390,20 @@ def simhash_near_dup_pairs(
             f"(got {max_hamming} >= {n_blocks})"
         )
     fps = simhash64(df, text_col, id_col, k)
-    width = (63 + n_blocks - 1) // n_blocks
+    return _simhash_block_pairs(fps, 63, max_hamming, n_blocks, max_bucket)
+
+
+def _simhash_block_pairs(
+    fps: DataFrame,
+    n_bits: int,
+    max_hamming: int,
+    n_blocks: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared pigeonhole-block candidate join + popcount verify over a
+    (doc_id, simhash) frame — used by both the xxhash64 and portable
+    fingerprint families (the blocking math only needs the bit width)."""
+    width = (n_bits + n_blocks - 1) // n_blocks
     blocks = F.array(
         *[
             F.struct(
@@ -999,3 +1012,30 @@ def simhash_portable(
         "doc_id",
         F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"),
     )
+
+
+def simhash_portable_near_dup_pairs(
+    docs: DataFrame,
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs over the PORTABLE SimHash family
+    (`simhash_portable`) — the same Manku-style pigeonhole blocking as
+    `simhash_near_dup_pairs` (agree exactly on >= 1 of n_blocks blocks
+    when Hamming < n_blocks, popcount-verify candidates, never
+    all-pairs), but with fingerprints ANSI SQL can reproduce, so the
+    whole detector sits under the hard oracle (exact all-pairs Hamming
+    in DuckDB at verification scale) instead of a golden pin."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks})"
+        )
+    fps = simhash_portable(
+        docs, n_bits=n_bits, text_col=text_col, id_col=id_col
+    )
+    return _simhash_block_pairs(fps, n_bits, max_hamming, n_blocks, max_bucket)

@@ -10565,3 +10565,56 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usgs_lidar_spark.operators.dedup import simhash_portable
 
     return simhash_portable(_t(spark, sf_dir, "documents"), n_bits=32)
+
+
+@query(
+    "dedup_simhash_portable_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        FROM toks
+    ), cells AS (
+        SELECT doc_id, j.bit,
+               CASE WHEN ({_LEHMER_LONG("h * 67 + j.bit")}) % 2 = 1
+                    THEN 1 ELSE -1 END AS v
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) j
+    ), bits AS (
+        SELECT doc_id, bit, sum(v) AS s FROM cells GROUP BY doc_id, bit
+    ), fp AS (
+        SELECT d.doc_id,
+               CAST(coalesce(f.sh, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                            ELSE 0 END) AS sh
+            FROM bits GROUP BY doc_id) f ON d.doc_id = f.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup DETECTION under the hard oracle
+    (`operators/dedup.simhash_portable_near_dup_pairs`): pigeonhole
+    block join over portable 32-bit fingerprints + popcount verify —
+    the plan never compares all pairs (candidates come from the
+    (block, value) equi-self-join), while the oracle IS the exact
+    all-pairs Hamming scan, so the driver's value hash proves the
+    blocking lossless at max_hamming < n_blocks."""
+    from usgs_lidar_spark.operators.dedup import (
+        simhash_portable_near_dup_pairs,
+    )
+
+    return simhash_portable_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), n_bits=32, max_hamming=3, n_blocks=4
+    )
