@@ -4398,3 +4398,41 @@ def test_simhash_portable_pairs_blocked_equals_bruteforce(spark):
     assert (0, 3) in got and got[(0, 3)] == 0  # exact dup found
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_portable_near_dup_pairs(docs, max_hamming=4, n_blocks=4)
+
+
+def test_gram_store_incremental_equals_direct(spark, tmp_path):
+    """Append-only Gram store: build from one slice, append the rest —
+    the aggregated store equals the direct one-shot reduction exactly
+    (Gram/moment rows are additive integers), and PCA served from the
+    store matches in-memory PCA bit-for-bit."""
+    import numpy as np
+
+    from usgs_lidar_spark.operators.linalg import (
+        append_to_gram_store,
+        embed_gram_quantized,
+        pca_components,
+        pca_components_from_store,
+        read_gram_store,
+        write_gram_store,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "gram")
+    write_gram_store(emb.filter("vec_id < 300"), path)
+    append_to_gram_store(emb.filter("vec_id >= 300"), path)
+
+    store = {
+        (r["i"], r["j"]): r["g"]
+        for r in read_gram_store(spark, path).collect()
+    }
+    direct = {
+        (r["i"], r["j"]): r["g"]
+        for r in embed_gram_quantized(emb).collect()
+    }
+    assert {k: v for k, v in store.items() if k[0] >= 1 and k[1] >= 1} == direct
+    assert store[(0, 0)] == emb.count()
+    assert np.allclose(
+        np.array(pca_components_from_store(spark, path, k=4)),
+        np.array(pca_components(emb, k=4)),
+        atol=1e-12,
+    )

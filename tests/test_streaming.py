@@ -1387,3 +1387,49 @@ def test_streaming_funnel_state_machine_matches_batch(spark, tmp_path):
         s: sum(n for st, n in reached.items() if st >= s) for s in (1, 2, 3)
     }
     assert got == {1: batch[1], 2: batch[2], 3: batch[3]}
+
+
+def test_streaming_gram_store_maintenance(spark, tmp_path):
+    """foreachBatch Gram maintenance: streamed micro-batch appends of
+    additive moment partials leave the aggregated store identical to a
+    from-scratch build over the full corpus — no sidecar, no
+    read-modify-write, so replay risk is bounded to duplicate partials
+    (the append-only contract)."""
+    import shutil as _sh
+
+    from usgs_lidar_spark.operators.linalg import (
+        append_to_gram_store,
+        read_gram_store,
+        write_gram_store,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "gram_stream")
+    write_gram_store(emb.filter("vec_id < 250"), path)
+
+    stream_dir = tmp_path / "gram_src"
+    stream_dir.mkdir()
+    emb.filter("vec_id >= 250").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "tail")
+    )
+    _sh.copy(
+        next((tmp_path / "tail").glob("*.parquet")),
+        stream_dir / "part-0.parquet",
+    )
+    q = (
+        spark.readStream.schema(emb.schema)
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(
+            lambda batch, _id: append_to_gram_store(batch, path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rebuilt = str(tmp_path / "gram_full")
+    write_gram_store(emb, rebuilt)
+    a = sorted(map(tuple, read_gram_store(spark, path).collect()))
+    b = sorted(map(tuple, read_gram_store(spark, rebuilt).collect()))
+    assert a == b

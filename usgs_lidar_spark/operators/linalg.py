@@ -163,3 +163,108 @@ def embed_pca_project(
         F.col(id_col),
         F.array(*[dot_lit(c) for c in components]).alias("proj"),
     )
+
+
+def _gram_partials(
+    emb: DataFrame, vec_col: str, qbits: int
+) -> DataFrame:
+    """The additive moment rows a Gram store holds: (0,0,count),
+    (i,0,sum q_i) first moments, and (i,j,g) second moments for
+    i <= j — all BIGINT, so any union of partials aggregates to the
+    exact totals (integer addition is associative: the store can be
+    append-only and crash-safe, with aggregation deferred to read)."""
+    from usgs_lidar_spark.functions.vectors import quantize_exact
+
+    q = emb.select(quantize_exact(vec_col, qbits).alias("q"))
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            g = m.T @ m
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            rows = {
+                "i": np.concatenate(([0], np.arange(1, d + 1), iu + 1)),
+                "j": np.concatenate(
+                    ([0], np.zeros(d, dtype=np.int64), ju + 1)
+                ),
+                "g": np.concatenate(
+                    ([len(pdf)], m.sum(axis=0), g[iu, ju])
+                ),
+            }
+            yield pd.DataFrame(rows)
+
+    return q.mapInPandas(partial, "i long, j long, g long")
+
+
+def write_gram_store(
+    emb: DataFrame, path: str, vec_col: str = "embedding", qbits: int = 12
+) -> None:
+    """Materialize the Gram/moment store for a corpus: per-batch
+    integer partials appended as-is (no global aggregate at write —
+    the rows are additive, so `read_gram_store` sums at read and an
+    append can never leave stale derived state; the crash-safety
+    contract the term/IVF sidecars need maintenance for falls out of
+    additivity here)."""
+    _gram_partials(emb, vec_col, qbits).write.mode("overwrite").parquet(path)
+
+
+def append_to_gram_store(
+    new_emb: DataFrame, path: str, vec_col: str = "embedding", qbits: int = 12
+) -> None:
+    """Incrementally grow the store: append the batch's partial rows.
+    One write, no sidecar, no read-modify-write — aggregation is the
+    reader's job, so concurrent appends and crash replays only ever
+    risk DUPLICATE partials (the caller's idempotency contract, as in
+    every append-only feed), never inconsistent derived stats."""
+    _gram_partials(new_emb, vec_col, qbits).write.mode("append").parquet(path)
+
+
+def read_gram_store(spark, path: str) -> DataFrame:
+    """Aggregate the store to exact totals: (0,0) count, (i,0) first
+    moments, (i,j) Gram entries — identical to a from-scratch
+    `embed_gram_quantized`+moments pass over the union corpus."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("long").alias("g"))
+    )
+
+
+def pca_components_from_store(
+    spark, path: str, k: int = 8, qbits: int = 12
+) -> list[list[float]]:
+    """`pca_components` served from a persisted store — no corpus scan:
+    the d*(d+1)/2 + d + 1 aggregated rows are the entire read."""
+    import numpy as np
+
+    rows = read_gram_store(spark, path).collect()
+    if not rows:
+        raise ValueError("pca_components_from_store: empty store")
+    by = {(int(r["i"]), int(r["j"])): int(r["g"]) for r in rows}
+    n = by[(0, 0)]
+    d = max(i for i, j in by if j == 0 and i > 0)
+    scale = float(2**qbits)
+    g = np.zeros((d, d), dtype=np.float64)
+    for (i, j), v in by.items():
+        if i >= 1 and j >= 1:
+            g[i - 1, j - 1] = v / (scale * scale)
+            g[j - 1, i - 1] = v / (scale * scale)
+    mean = np.array(
+        [by[(i, 0)] / scale for i in range(1, d + 1)], dtype=np.float64
+    ) / float(n)
+    cov = g / float(n) - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][: min(k, d)]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return comps

@@ -10618,3 +10618,36 @@ def dedup_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_portable_near_dup_pairs(
         _t(spark, sf_dir, "documents"), n_bits=32, max_hamming=3, n_blocks=4
     )
+
+
+@query("sim_gram_from_store", oracle=ORACLE["sim_embedding_gram"])
+def sim_gram_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gram reduction served from a persisted additive store —
+    SAME oracle as `sim_embedding_gram` (access path, not semantics,
+    the `search_bm25_from_index` pattern): `write_gram_store` appends
+    per-batch integer moment partials (no derived state, no sidecar —
+    additivity makes the store append-only crash-safe by construction)
+    and the read aggregates d*(d+1)/2 + d + 1 bounded rows instead of
+    scanning the corpus. Builds once into the per-(sf_dir, snapshot)
+    cache path; steady-state runs measure serving."""
+    from usgs_lidar_spark.operators.linalg import (
+        read_gram_store,
+        write_gram_store,
+    )
+
+    path, complete = _cached_index_path(
+        sf_dir, "gram_store", "embeddings", ""
+    )
+    if not complete:
+        import os
+
+        write_gram_store(_t(spark, sf_dir, "embeddings"), path)
+        # write_gram_store's single write ends with parquet's _SUCCESS
+        # at the root — the completeness marker _cached_index_path
+        # checks when marker_sidecar is ''.
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    return (
+        read_gram_store(spark, path)
+        .filter((F.col("i") >= 1) & (F.col("j") >= 1))
+        .select("i", "j", "g")
+    )
