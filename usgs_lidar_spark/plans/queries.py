@@ -10651,3 +10651,164 @@ def sim_gram_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("i") >= 1) & (F.col("j") >= 1))
         .select("i", "j", "g")
     )
+
+
+@query(
+    "pipe_end_to_end_v5",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOK_LOWER_SQL} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), slots AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+              FROM t WHERE len(tk) >= 2)
+    ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+        FROM slots GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, CAST(sum(bc) AS BIGINT) AS ctx FROM bc GROUP BY w1
+    ), v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+    surp AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum((length(to_base(c.ctx + v.v, 2)) - 1)
+                      - (length(to_base(b.bc + 1, 2)) - 1)) AS BIGINT)
+                   AS bits
+        FROM slots s JOIN bc b USING (w1, w2) JOIN ctx c USING (w1)
+        CROSS JOIN v GROUP BY s.doc_id
+    ),
+    -- stage 1: keep docs whose mean surprisal is under 5.5 bits/bigram
+    -- (integer cross-multiply; docs with < 2 tokens pass trivially)
+    lm_kept AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d LEFT JOIN surp s ON d.doc_id = s.doc_id
+        WHERE coalesce(s.bits, 0) * 10 <= coalesce(s.n_bigrams, 0) * 55
+    ),
+    -- stage 2: passage-dedup the survivors (election among survivors
+    -- only) and reassemble
+    kt AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM lm_kept WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, lang, CAST(s // 4 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, s + 1, s + 4), ' ') AS ct
+        FROM (SELECT doc_id, lang, tk, unnest(range(0, len(tk), 4)) AS s
+              FROM kt)
+    ), kept AS (
+        SELECT doc_id, lang, chunk_id, ct FROM (
+            SELECT doc_id, lang, chunk_id, ct,
+                   row_number() OVER (PARTITION BY ct
+                                      ORDER BY doc_id, chunk_id) AS rn
+            FROM ch) WHERE rn = 1
+    ), rebuilt AS (
+        SELECT l.doc_id, l.lang,
+               coalesce(k.new_text, '') AS new_text
+        FROM lm_kept l LEFT JOIN (
+            SELECT doc_id, string_agg(ct, ' ' ORDER BY chunk_id) AS new_text
+            FROM kept GROUP BY doc_id) k ON l.doc_id = k.doc_id
+    ),
+    -- stage 3: classifier score over the REASSEMBLED text
+    weights AS (
+        SELECT CAST(f AS BIGINT) AS feature_id,
+               CAST({_LEHMER_LONG("f")} % 2001 - 1000 AS BIGINT) AS weight
+        FROM (SELECT unnest(range(0, 256)) AS f)
+    ), rtoks AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   regexp_split_to_array(trim(new_text), '\\s+'),
+                   x -> lower(x))) AS w
+        FROM rebuilt WHERE length(trim(new_text)) > 0
+    ), scored AS (
+        SELECT r.doc_id, r.lang,
+               CAST(coalesce(sum(w2.weight), 0) AS BIGINT) AS score
+        FROM (SELECT doc_id, lang,
+                     list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                             list_transform(range(1, length(w) + 1),
+                                            i -> CAST(ascii(w[i]) AS BIGINT))),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) % 256
+                         AS feature_id
+              FROM rtoks) r
+        LEFT JOIN weights w2 USING (feature_id)
+        GROUP BY r.doc_id, r.lang
+    )
+    -- per-language report over the full chain
+    SELECT r.lang,
+           CAST(count(*) AS BIGINT) AS n_after_lm,
+           CAST(sum(CASE WHEN length(r.new_text) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_text,
+           CAST(coalesce(sum(len(string_split_regex(trim(r.new_text),
+                                                    '\\s+'))) FILTER (
+                    WHERE length(trim(r.new_text)) > 0), 0) AS BIGINT)
+               AS tokens_after_dedup,
+           CAST(coalesce(sum(s.score), 0) AS BIGINT) AS score_sum
+    FROM rebuilt r LEFT JOIN scored s ON r.doc_id = s.doc_id
+    GROUP BY r.lang
+    """,
+)
+def pipe_end_to_end_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline v5 — the round-8 signals CHAINED, each stage
+    consuming the previous one's output: integer bigram-LM filter
+    (mean surprisal < 5.5 bits/bigram, cross-multiplied — no
+    division), passage-dedup + reassembly over the SURVIVORS (the
+    election runs on the filtered corpus), hashed-feature classifier
+    scoring over the REASSEMBLED text, rolled up per language. Pins
+    that the quality, dedup, and classifier tiers compose — the v3/v4
+    precedent extended to the round-8 operators."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.dedup import chunk_dedup_docs
+    from usgs_lidar_spark.operators.pipeline import portable_hash_long
+    from usgs_lidar_spark.operators.textquality import (
+        bigram_surprisal,
+        hashed_feature_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    surp = bigram_surprisal(docs)
+    lm_kept = (
+        docs.join(surp, "doc_id", "left")
+        .filter(
+            F.coalesce("surprisal_bits", F.lit(0)) * 10
+            <= F.coalesce("n_bigrams", F.lit(0)) * 55
+        )
+        .select("doc_id", "lang", "text")
+    )
+    rebuilt = (
+        lm_kept.select("doc_id", "lang")
+        .join(
+            chunk_dedup_docs(lm_kept, chunk_tokens=4).select(
+                "doc_id", "new_text"
+            ),
+            "doc_id",
+        )
+    )
+    weights = spark.range(256).select(
+        F.col("id").cast("long").alias("feature_id"),
+        (portable_hash_long(F.col("id")) % 2001 - 1000)
+        .cast("long")
+        .alias("weight"),
+    )
+    scored = hashed_feature_score(
+        rebuilt, weights, n_features=256, text_col="new_text"
+    ).select("doc_id", "score")
+    return (
+        rebuilt.join(scored, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_after_lm"),
+            F.sum(F.when(F.length("new_text") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_text"),
+            F.sum(
+                F.when(
+                    F.length(F.trim("new_text")) > 0,
+                    token_count("new_text"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("tokens_after_dedup"),
+            F.coalesce(F.sum("score"), F.lit(0))
+            .cast("long")
+            .alias("score_sum"),
+        )
+    )
