@@ -10765,6 +10765,14 @@ def pipe_end_to_end_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     surp = bigram_surprisal(docs)
+    # Stage boundaries are localCheckpoint-pinned: lm_kept's lineage
+    # contains the whole LM filter and is referenced 3x downstream
+    # (chunk election, reassembly base, report), rebuilt 2x (classifier
+    # + final join) — without the pins the un-replanned NO_AQE physical
+    # tree re-executes the chain per reference and OOM'd a vanilla-heap
+    # session at sf0.01 (observed live; AQE masked it by replanning).
+    # Materializing between stages is also what a production pipeline
+    # does — each stage's output IS a dataset.
     lm_kept = (
         docs.join(surp, "doc_id", "left")
         .filter(
@@ -10772,6 +10780,7 @@ def pipe_end_to_end_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.coalesce("n_bigrams", F.lit(0)) * 55
         )
         .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
     )
     rebuilt = (
         lm_kept.select("doc_id", "lang")
@@ -10781,6 +10790,7 @@ def pipe_end_to_end_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+        .localCheckpoint(eager=False)
     )
     weights = spark.range(256).select(
         F.col("id").cast("long").alias("feature_id"),
