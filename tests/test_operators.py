@@ -4436,3 +4436,39 @@ def test_gram_store_incremental_equals_direct(spark, tmp_path):
         np.array(pca_components(emb, k=4)),
         atol=1e-12,
     )
+
+
+def test_pipe_end_to_end_v5_stage_consistency(spark):
+    """The chained pipeline's report is internally consistent: per
+    language, survivors never exceed inputs, reassembled docs never
+    exceed survivors, and dedup never grows the token count."""
+    from usgs_lidar_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    n_in = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    toks_in = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(
+                    F.length(F.trim("text")) > 0,
+                    F.size(F.split(F.trim("text"), r"\s+")),
+                ).otherwise(F.lit(0))
+            ).alias("t")
+        )
+        .collect()
+    }
+    got = QUERIES["pipe_end_to_end_v5"](spark, sf).collect()
+    assert got, "report must not be empty"
+    for r in got:
+        lang = r["lang"]
+        assert 0 < r["n_after_lm"] <= n_in[lang]
+        assert 0 <= r["n_with_text"] <= r["n_after_lm"]
+        assert 0 <= r["tokens_after_dedup"] <= toks_in[lang]
