@@ -4472,3 +4472,42 @@ def test_pipe_end_to_end_v5_stage_consistency(spark):
         assert 0 < r["n_after_lm"] <= n_in[lang]
         assert 0 <= r["n_with_text"] <= r["n_after_lm"]
         assert 0 <= r["tokens_after_dedup"] <= toks_in[lang]
+
+
+def test_poisson_bootstrap_grouped_consistent_with_global(spark):
+    """Grouped replicates are the global resample sliced by group: for
+    every replicate, per-group n_eff/value_sum sum to the global
+    bootstrap's row (group membership does not perturb any row's
+    draw), and NULL groups pass through as their own group."""
+    from usgs_lidar_spark.operators.stats import (
+        poisson_bootstrap,
+        poisson_bootstrap_grouped,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "n_chars")
+    from pyspark.sql import functions as F
+
+    docs = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 50 == 0, None).otherwise(F.col("lang"))
+    )
+    g = poisson_bootstrap_grouped(
+        docs, "lang", "n_chars", "doc_id", n_replicates=8
+    ).collect()
+    tot = {
+        r["replicate"]: (r["n_eff"], r["value_sum"])
+        for r in poisson_bootstrap(
+            docs, "n_chars", "doc_id", n_replicates=8
+        ).collect()
+    }
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0])
+    groups = set()
+    for r in g:
+        groups.add(r["group"])
+        acc[r["replicate"]][0] += r["n_eff"]
+        acc[r["replicate"]][1] += r["value_sum"]
+    assert {b: tuple(v) for b, v in acc.items()} == tot
+    assert None in groups  # NULL group kept, not dropped

@@ -117,3 +117,89 @@ def poisson_bootstrap(
         F.coalesce("n_eff", F.lit(0)).cast("long").alias("n_eff"),
         F.coalesce("value_sum", F.lit(0)).cast("long").alias("value_sum"),
     )
+
+
+def poisson_bootstrap_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-GROUP Poisson-bootstrap replicates — the practical form of
+    the CI operator ("mean quality per source, with uncertainty"):
+    the same deterministic per-(row, replicate) multiplicities as
+    `poisson_bootstrap` (group membership does not perturb the draw —
+    a row resamples identically whether or not you slice by source),
+    aggregated per (group, replicate).
+
+    Same map-only shape; the shuffle carries |groups| x B partial rows
+    per partition. NULL groups pass through as their own group (they
+    are data, and silently dropping them would bias every CI that
+    should have included them). Returns (group, replicate, n_eff,
+    value_sum) for every observed group x replicate, zero-filled.
+    """
+    if n_replicates <= 0:
+        raise ValueError(
+            f"n_replicates must be positive, got {n_replicates}"
+        )
+    reps = F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    cells = df.select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    reps,
+                    lambda b: F.struct(
+                        b.cast("long").alias("replicate"),
+                        poisson_multiplicity(
+                            F.col(id_col), b, seed=seed
+                        ).cast("long").alias("m"),
+                    ),
+                ),
+                lambda s: s["m"] > 0,
+            )
+        ).alias("c"),
+    )
+    got = cells.groupBy(
+        "group", F.col("c.replicate").alias("replicate")
+    ).agg(
+        F.sum("c.m").cast("long").alias("n_eff"),
+        F.sum(F.col("c.m") * F.col("__v")).cast("long").alias("value_sum"),
+    )
+    spark = df.sparkSession
+    base = (
+        df.select(F.col(group_col).alias("group"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(n_replicates).select(
+                    F.col("id").cast("long").alias("replicate")
+                )
+            )
+        )
+    )
+    # eqNullSafe on the group key: a plain equi-join drops the NULL
+    # group's aggregated stats at the zero-fill step (NULL never equals
+    # NULL), silently zeroing exactly the rows the docstring promises
+    # to keep.
+    g2 = (
+        got.withColumnRenamed("group", "__g")
+        .withColumnRenamed("replicate", "__r")
+    )
+    return (
+        base.join(
+            g2,
+            base["group"].eqNullSafe(g2["__g"])
+            & (base["replicate"] == g2["__r"]),
+            "left",
+        )
+        .select(
+            "group",
+            "replicate",
+            F.coalesce("n_eff", F.lit(0)).cast("long").alias("n_eff"),
+            F.coalesce("value_sum", F.lit(0)).cast("long").alias("value_sum"),
+        )
+    )

@@ -10822,3 +10822,45 @@ def pipe_end_to_end_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_sum"),
         )
     )
+
+
+@query(
+    "stats_bootstrap_by_lang",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, 16)) AS b),
+    cells AS (
+        SELECT d.lang, r.b AS replicate, d.n_chars,
+               (CASE WHEN u >= 790015083 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 1580030167 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 1975037709 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 2106706890 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 2139624185 THEN 1 ELSE 0 END) AS m
+        FROM documents d CROSS JOIN reps r
+        CROSS JOIN LATERAL (SELECT
+            {_LEHMER_LONG("(((d.doc_id % 2147483647) + 2147483647) % 2147483647) * 131 + r.b")}
+            AS u) h
+    ), agg AS (
+        SELECT lang, replicate, CAST(sum(m) AS BIGINT) AS n_eff,
+               CAST(sum(m * n_chars) AS BIGINT) AS value_sum
+        FROM cells WHERE m > 0 GROUP BY lang, replicate
+    )
+    SELECT g.lang AS "group", CAST(r.b AS BIGINT) AS replicate,
+           CAST(coalesce(a.n_eff, 0) AS BIGINT) AS n_eff,
+           CAST(coalesce(a.value_sum, 0) AS BIGINT) AS value_sum
+    FROM (SELECT DISTINCT lang FROM documents) g
+    CROSS JOIN reps r
+    LEFT JOIN agg a ON g.lang = a.lang AND r.b = a.replicate
+    """,
+)
+def stats_bootstrap_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Poisson-bootstrap replicates of sum/count of
+    n_chars (`operators/stats.poisson_bootstrap_grouped`, B=16): the
+    per-source CI report — same deterministic multiplicities as the
+    global bootstrap (slicing by group does not perturb any row's
+    draw), one map-only pass, |groups| x B partials per partition."""
+    from usgs_lidar_spark.operators.stats import poisson_bootstrap_grouped
+
+    return poisson_bootstrap_grouped(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", "doc_id",
+        n_replicates=16,
+    )
