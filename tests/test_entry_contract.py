@@ -118,6 +118,46 @@ def test_rotation_without_artifacts_degrades_to_registration_order(tmp_path):
     assert order == [*entry._SENTINELS[:2], "zz_custom", "aa_custom"]
 
 
+def test_replica_sweep_artifact_matches_registry():
+    """The latest committed REPLICA_r{N}.json (the machine-readable
+    four-scenario full-registry sweep, tools/replica_sweep.py) must stay
+    in lockstep with the live registry: same name set, all four
+    scenarios per name, zero failures, and 'golden' status only for the
+    queries that genuinely have no SQL oracle. Registering a query
+    without sweeping it (``replica_sweep.py --update <name>``) fails
+    here — the same drift-guard discipline as the COVERAGE totals test,
+    extended to the artifact that covers the ~78% of the registry
+    outside each round's 50-row driver window."""
+    files = sorted(
+        REPO.glob("REPLICA_r*.json"),
+        key=lambda f: int(f.stem.split("_r")[1]),
+    )
+    assert files, (
+        "no committed REPLICA_r*.json — run tools/replica_sweep.py"
+    )
+    art = json.loads(files[-1].read_text())
+    rows = art["rows"]
+    by_name: dict[str, set[str]] = {}
+    for r in rows:
+        by_name.setdefault(r["name"], set()).add(r["scenario"])
+    assert set(by_name) == set(q.QUERIES), (
+        f"artifact/registry drift: only-in-artifact="
+        f"{sorted(set(by_name) - set(q.QUERIES))[:5]} only-in-registry="
+        f"{sorted(set(q.QUERIES) - set(by_name))[:5]} — re-run "
+        "tools/replica_sweep.py (or --update the new names)"
+    )
+    want_scen = {"driver", "odd", "no_aqe", "sf0.1"}
+    short = {n: s for n, s in by_name.items() if s != want_scen}
+    assert not short, f"incomplete scenario coverage: {dict(list(short.items())[:3])}"
+    bad = [r for r in rows if r["status"] == "fail"]
+    assert not bad, f"failed sweep rows committed: {bad[:5]}"
+    golden_names = {r["name"] for r in rows if r["status"] == "golden"}
+    assert golden_names == set(q.QUERIES) - set(q.ORACLE), (
+        "golden-status rows must be exactly the no-SQL-oracle queries"
+    )
+    assert art["n_fail"] == 0
+
+
 def test_coverage_md_totals_match_registry():
     """COVERAGE.md's header totals sentence is the document's single
     source of truth; it must track the live registry (VERDICT r5 wrong

@@ -2272,6 +2272,73 @@ def test_pagerank_reliable_checkpoint_mode(spark, tmp_path):
         pagerank_fixed(df, checkpoint_mode="remote")
 
 
+def test_connected_components_reliable_checkpoint_parity(spark, tmp_path):
+    """checkpoint_mode='reliable' hash-matches local mode across the
+    whole CC family — both algorithms, collapse_clusters, and the
+    incremental form (CC backs the heaviest dedup pass, so it needs the
+    same executor-loss durability toggle pagerank got). An unknown mode
+    raises."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.graph import (
+        collapse_clusters,
+        connected_components,
+        connected_components_incremental,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    # Two clusters {1,2,3}+{10,11}, a chain 20-21-22, singleton 99.
+    vids = [1, 2, 3, 10, 11, 20, 21, 22, 99]
+    eds = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    v = spark.createDataFrame([(i,) for i in vids], "id long")
+    e = spark.createDataFrame(eds, "src long, dst long")
+
+    for algo in ("minlabel", "star"):
+        base = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(v, e, algorithm=algo).collect()
+        }
+        rel = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(
+                v, e, algorithm=algo, checkpoint_mode="reliable"
+            ).collect()
+        }
+        assert rel == base, algo
+
+    docs = v.withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(eds, "id_a long, id_b long")
+    loc = {
+        tuple(r) for r in collapse_clusters(docs, pairs).collect()
+    }
+    rel = {
+        tuple(r)
+        for r in collapse_clusters(
+            docs, pairs, checkpoint_mode="reliable"
+        ).collect()
+    }
+    assert rel == loc
+
+    old = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, label long"
+    )
+    newv = spark.createDataFrame([(50,)], "id long")
+    newe = spark.createDataFrame([(50, 2)], "src long, dst long")
+    inc_loc = {
+        tuple(r)
+        for r in connected_components_incremental(old, newv, newe).collect()
+    }
+    inc_rel = {
+        tuple(r)
+        for r in connected_components_incremental(
+            old, newv, newe, checkpoint_mode="reliable"
+        ).collect()
+    }
+    assert inc_rel == inc_loc
+    with _pytest.raises(ValueError, match="checkpoint_mode"):
+        connected_components(v, e, checkpoint_mode="remote")
+
+
 def test_curriculum_order_invariants(spark):
     """Stages are monotone in score, global_step interleaves round-robin
     (step % n_stages == stage), steps are unique, and the schedule is
@@ -3605,6 +3672,44 @@ def test_bpe_compression_curve_monotone_and_exact(spark):
     assert sorted(curve) == [0, 1, 2, 3]
 
 
+def test_bpe_oracles_match_trainer_on_early_stop(spark):
+    """When the trainer early-stops (no pair occurs twice after merge
+    1), the unrolled DuckDB oracles must keep the last vocabulary and
+    emit fewer curve rows — regression for the CROSS JOIN form where an
+    empty best{k} emptied seq{k+1} and reported corpus_symbols=0 and
+    zero segmentations for every later step."""
+    import duckdb
+
+    from tests.parity import assert_parity
+    from usgs_lidar_spark.operators.textquality import (
+        bpe_apply,
+        bpe_compression_curve,
+        bpe_learn_merges,
+    )
+    from usgs_lidar_spark.plans.queries import (
+        _bpe_curve_oracle_sql,
+        _bpe_oracle_sql,
+        _bpe_tokenize_oracle_sql,
+    )
+
+    # vocab {aa:3, bb:1, cc:1}: merge 1 learns (a,a); afterwards every
+    # pair is a singleton -> early stop with 3 of 4 rounds unused.
+    rows = [(0, "aa aa bb"), (1, "aa cc"), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curve = bpe_compression_curve(docs, n_merges=4)
+    assert curve.count() == 2  # proves the early stop actually fired
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for name, sql, sdf in [
+        ("merges", _bpe_oracle_sql(4), bpe_learn_merges(docs, n_merges=4)),
+        ("curve", _bpe_curve_oracle_sql(4), curve),
+        ("tokenize", _bpe_tokenize_oracle_sql(4), bpe_apply(docs, n_merges=4)),
+    ]:
+        assert_parity(sdf, con.execute(sql).fetchdf(), name=f"bpe-{name}")
+
+
 def test_class_keyness_vs_bruteforce(spark):
     """keyness_bits equals the Python bit-length contingency reference
     for every (class, token); top-k selection and tie-break pinned."""
@@ -3992,7 +4097,10 @@ def test_poisson_bootstrap_deterministic_and_statistically_sane(spark):
         return v
 
     def mult(doc_id: int, b: int) -> int:
-        u = lehmer((doc_id % _LEHMER_M) * 131 + b)
+        lo = doc_id % _LEHMER_M
+        hi = doc_id % 2147483629  # stats._LEHMER_M2: the 64-bit id fold
+        folded = (lo + 48271 * hi) % _LEHMER_M
+        u = lehmer(folded * 131 + b)
         return sum(1 for t in POISSON1_THRESHOLDS if u >= t)
 
     want = {}
@@ -4023,6 +4131,85 @@ def test_poisson_bootstrap_deterministic_and_statistically_sane(spark):
     assert all(abs(ne - n) < n * 0.2 for ne, _ in want.values())
     with _pytest.raises(ValueError, match="n_replicates"):
         poisson_bootstrap(docs, "n_chars", "doc_id", n_replicates=0)
+
+
+def test_poisson_multiplicity_folds_high_id_bits(spark):
+    """Ids that differ by a multiple of 2^31-1 must draw INDEPENDENT
+    multiplicity streams (the 64-bit fold) — a plain ``id mod M``
+    reduction would give them identical, perfectly correlated
+    resamples at the >2^31-row id scale the docstrings target."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.operators.pipeline import _LEHMER_M
+    from usgs_lidar_spark.operators.stats import poisson_multiplicity
+
+    ids = [5, 5 + _LEHMER_M, 5 + 2 * _LEHMER_M, 7, 7 + 41 * _LEHMER_M]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    out = df.select(
+        "id",
+        F.array(
+            *[poisson_multiplicity("id", F.lit(b)) for b in range(32)]
+        ).alias("ms"),
+    ).collect()
+    streams = {r["id"]: tuple(r["ms"]) for r in out}
+    assert streams[5] != streams[5 + _LEHMER_M]
+    assert streams[5] != streams[5 + 2 * _LEHMER_M]
+    assert streams[7] != streams[7 + 41 * _LEHMER_M]
+    # And the fold stays deterministic: same id -> same stream.
+    again = df.select(
+        "id",
+        F.array(
+            *[poisson_multiplicity("id", F.lit(b)) for b in range(32)]
+        ).alias("ms"),
+    ).collect()
+    assert {r["id"]: tuple(r["ms"]) for r in again} == streams
+
+
+def test_poisson_bootstrap_raises_on_null_value(spark):
+    """NULL values in value_col fail loudly in the same pass (no silent
+    n_eff-inflating drop), for both the global and grouped forms."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.stats import (
+        poisson_bootstrap,
+        poisson_bootstrap_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, None, "de"), (3, 30, None)],
+        "doc_id long, v long, lang string",
+    )
+    with _pytest.raises(Exception, match="NULL in value column"):
+        poisson_bootstrap(df, "v", "doc_id", n_replicates=4).collect()
+    with _pytest.raises(Exception, match="NULL in value column"):
+        poisson_bootstrap_grouped(
+            df, "lang", "v", "doc_id", n_replicates=4
+        ).collect()
+    # NULL GROUPS are data and still pass through (only NULL values raise).
+    ok = poisson_bootstrap_grouped(
+        df.fillna({"v": 0}), "lang", "v", "doc_id", n_replicates=4
+    )
+    assert ok.filter(ok["group"].isNull()).count() == 4
+
+
+def test_budget_prefix_select_rejects_fractional_weights(spark):
+    """A double weight column fails loudly — the budget accounting sums
+    exact BIGINTs, so casting would silently floor each row's weight
+    (same loud-failure class as the NULL/negative rejection)."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.ranking import budget_prefix_select
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "doc_id long, score long, w double"
+    )
+    with _pytest.raises(ValueError, match="fractional"):
+        budget_prefix_select(df, "score", "w", budget=3)
+    # Integral weights of any width pass the gate.
+    ok = budget_prefix_select(
+        df.withColumn("w", df["w"].cast("int")), "score", "w", budget=3
+    )
+    assert ok.count() == 2
 
 
 def test_budget_prefix_select_vs_bruteforce(spark):
@@ -4224,6 +4411,24 @@ def test_kmeans_two_steps_monotone_inertia_and_empty_cell_keep(spark):
     out = kmeans_two_steps_exact(tiny, geo).collect()
     assert 99 not in {r["cid"] for r in out}
     assert sum(r["n"] for r in out if r["dim"] == 1) == 4
+
+
+def test_kmeans_two_steps_rejects_mismatched_centroid_dims(spark):
+    """A centroid vector whose length differs from the data
+    dimensionality fails with a clear contract error at the update
+    step — not a bare KeyError (too long) or a silently truncated
+    new centroid (too short)."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.similarity import kmeans_two_steps_exact
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.1, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for bad in ([1.0, 0.0, 0.0], [1.0]):
+        with _pytest.raises(ValueError, match="dims"):
+            kmeans_two_steps_exact(tiny, [(0, bad)]).collect()
 
 
 def test_nb_train_bits_vs_bruteforce_and_separable_task(spark):

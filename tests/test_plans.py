@@ -162,9 +162,14 @@ HEADLINE_DIGESTS = {
     "m3_utm_reproject": {"shuffle_exchange": 0},
     # Re-audited after the round-4 single-pass rewrite: the left-join
     # marker + one aggregate removed 3 shuffles and a join vs the
-    # original hits/sizes/join composition.
+    # original hits/sizes/join composition. Round 9: the fractional df
+    # cap resolves from a count-distinct rider over the checkpoint-
+    # pinned distinct-pairs frame, so the pairs shuffle (and the former
+    # SECOND corpus scan) moved into the one-time pin job — the serving
+    # plan keeps only the df window, the hit join, and the per-doc
+    # aggregate.
     "pipe_contamination": {
-        "shuffle_exchange": 4,
+        "shuffle_exchange": 3,
         "BroadcastExchange": 1,
         "BroadcastHashJoin": 1,
     },

@@ -41,8 +41,35 @@ class ConvergenceWarning(UserWarning):
     its output labels may be only partially propagated."""
 
 
+def _make_ckpt(checkpoint_mode: str):
+    """Checkpoint strategy shared by every iterative operator in this
+    module: ``"local"`` materializes to EXECUTOR BLOCKS
+    (localCheckpoint — fast, but the blocks die with their executor and
+    lineage is severed, so one lost executor fails a multi-hour job with
+    nothing to recompute from); ``"reliable"`` uses
+    ``DataFrame.checkpoint()`` into the fault-tolerant checkpoint
+    directory (caller must have set
+    ``spark.sparkContext.setCheckpointDir`` to shared storage) — the
+    durability toggle for long multi-tenant 100 TB runs where executor
+    loss is routine, at the cost of one distributed write per
+    checkpointed frame. Both modes produce identical results
+    (`test_connected_components_reliable_checkpoint_parity`)."""
+    if checkpoint_mode not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint_mode must be 'local' or 'reliable',"
+            f" got {checkpoint_mode!r}"
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_mode == "reliable":
+            return df.checkpoint()
+        return df.localCheckpoint()
+
+    return _ckpt
+
+
 def _minlabel_rounds(
-    labels: DataFrame, bidir: DataFrame, max_iter: int
+    labels: DataFrame, bidir: DataFrame, max_iter: int, ckpt
 ) -> tuple[DataFrame, bool, int]:
     """Min-label propagation until no label changes. Returns
     (labels, converged, rounds_run).
@@ -63,12 +90,12 @@ def _minlabel_rounds(
             "label",
             F.lit(None).cast(label_type).alias("__old"),
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.select("id", "label", F.col("label").alias("__old"))
             .union(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
-        ).localCheckpoint()
+        )
         # __old NULL = an id first reached this round (edge endpoint not
         # in the seed vertex set) — same as the pre-r6 inner-join check,
         # appearing is not "changing".
@@ -83,7 +110,7 @@ def _minlabel_rounds(
 
 
 def _star_rounds(
-    vertices: DataFrame, bidir: DataFrame, max_iter: int
+    vertices: DataFrame, bidir: DataFrame, max_iter: int, ckpt
 ) -> tuple[DataFrame, bool, int]:
     """Alternating large-star/small-star contraction (Kiveris et al. 2014).
 
@@ -105,7 +132,7 @@ def _star_rounds(
     from pyspark.sql import Window
 
     # Self-loops carry no information; drop up front.
-    edges = bidir.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    edges = ckpt(bidir.filter(F.col("u") != F.col("v")).distinct())
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -125,8 +152,8 @@ def _star_rounds(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        large = ckpt(large)
         # ---- small-star: orient every edge to key = max endpoint; all
         #      kept neighbors are < u, and N ∪ {u} attaches to m = min(N).
         oriented = large.select(
@@ -135,12 +162,11 @@ def _star_rounds(
         wo = Window.partitionBy("u")
         m_small = F.min("v").over(wo)
         attach = oriented.withColumn("m", m_small)
-        small = (
+        small = ckpt(
             attach.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(attach.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         delta = small.exceptAll(edges).count() + edges.exceptAll(small).count()
         edges = small
@@ -157,7 +183,7 @@ def _star_rounds(
             "id", F.coalesce(F.col("label"), F.col("id")).alias("label")
         )
     )
-    return labels.localCheckpoint(), converged, rounds
+    return ckpt(labels), converged, rounds
 
 
 def connected_components(
@@ -170,6 +196,7 @@ def connected_components(
     algorithm: str = "minlabel",
     on_unconverged: str = "warn",
     stats: dict | None = None,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable through
     `edges` (undirected). Output: (id, cluster_id).
@@ -189,13 +216,22 @@ def connected_components(
     ``stats``: optional dict populated in place with {"rounds", "converged",
     "algorithm"} — convergence diagnostics for monitoring/experiments
     without an extra action.
+
+    ``checkpoint_mode``: ``"local"`` (default) or ``"reliable"`` — the
+    same durability toggle as `pagerank_fixed` (see `_make_ckpt`): CC
+    backs the heaviest dedup pass (`collapse_clusters`), and on a real
+    long-running cluster an executor loss kills localCheckpoint blocks
+    with severed lineage; reliable mode writes every per-round pin to
+    the fault-tolerant checkpoint directory instead. Results are
+    bit-identical either way.
     """
+    ckpt = _make_ckpt(checkpoint_mode)
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
     fwd = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     rev = edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-    bidir = fwd.union(rev).distinct().localCheckpoint()
+    bidir = ckpt(fwd.union(rev).distinct())
 
     if algorithm == "minlabel":
         # Iterate ONLY over vertices with at least one edge: a dedup pair
@@ -207,13 +243,13 @@ def connected_components(
         touched = bidir.select(F.col("u").alias("id")).distinct()
         seed = labels.join(touched, "id", "left_semi")
         iter_labels, converged, rounds = _minlabel_rounds(
-            seed, bidir, max_iter
+            seed, bidir, max_iter, ckpt
         )
         singletons = labels.join(touched, "id", "left_anti")
         labels = iter_labels.unionByName(singletons)
     elif algorithm == "star":
         labels, converged, rounds = _star_rounds(
-            vertices.select(F.col(id_col).alias("id")), bidir, max_iter
+            vertices.select(F.col(id_col).alias("id")), bidir, max_iter, ckpt
         )
     else:
         raise ValueError(f"unknown algorithm: {algorithm!r}")
@@ -241,14 +277,19 @@ def collapse_clusters(
     pair_a: str = "id_a",
     pair_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Near-dup cluster collapse: every document labeled with its cluster
     representative (min doc id in its connected component), plus the
     cluster size. Output: (doc_id, cluster_id, cluster_size, is_kept) —
-    `is_kept` marks the representative row a dedup pipeline retains."""
+    `is_kept` marks the representative row a dedup pipeline retains.
+    ``checkpoint_mode="reliable"`` passes through to
+    `connected_components` — the durability toggle for multi-hour
+    cluster runs (this is the heaviest dedup pass; see `_make_ckpt`)."""
     cc = connected_components(
         docs.select(F.col(id_col)), pairs,
         id_col=id_col, src_col=pair_a, dst_col=pair_b, max_iter=max_iter,
+        checkpoint_mode=checkpoint_mode,
     ).withColumnRenamed("id", id_col)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -310,16 +351,7 @@ def pagerank_fixed(
     checkpointed frame. Both modes produce identical results; this is
     purely a durability/latency trade.
     """
-    if checkpoint_mode not in ("local", "reliable"):
-        raise ValueError(
-            f"checkpoint_mode must be 'local' or 'reliable',"
-            f" got {checkpoint_mode!r}"
-        )
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_mode == "reliable":
-            return df.checkpoint()
-        return df.localCheckpoint()
+    _ckpt = _make_ckpt(checkpoint_mode)
 
     # The edge list, node set and degree table feed EVERY iteration:
     # checkpoint them once so the unrolled plan references a
@@ -568,6 +600,7 @@ def connected_components_incremental(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Incremental CC maintenance: fold newly-arrived vertices and their
     incident edges into an EXISTING labeling without re-clustering the
@@ -631,6 +664,7 @@ def connected_components_incremental(
         touched,
         e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
         max_iter=max_iter,
+        checkpoint_mode=checkpoint_mode,
     ).select(F.col("id").alias("__sl"), F.col("cluster_id").alias("__sc"))
     return (
         label0.join(sub, label0["label"] == F.col("__sl"), "left")

@@ -143,21 +143,42 @@ def contaminated_docs(
     evidence-quality filter, not a blowup guard).
 
     ``max_df_frac``: scale-stable alternative to the absolute cap —
-    "drop shingles present in more than this FRACTION of corpus docs"
-    (resolved to an absolute df via one corpus count). An absolute cap
-    silently tightens as the corpus grows: measured at 10x corpus
-    (tools/sf1_bench.py), max_df=20 cut flagged docs 1194 -> 501 because
-    shingle dfs scale with corpus size while the cap doesn't. Set the
-    fraction when the corpus size varies across runs; overrides
-    ``max_df`` when given.
+    "drop shingles present in more than this FRACTION of shingle-bearing
+    corpus docs". An absolute cap silently tightens as the corpus grows:
+    measured at 10x corpus (tools/sf1_bench.py), max_df=20 cut flagged
+    docs 1194 -> 501 because shingle dfs scale with corpus size while
+    the cap doesn't. Set the fraction when the corpus size varies across
+    runs; overrides ``max_df`` when given.
+
+    The fraction resolves WITHOUT a second corpus pass: the distinct
+    (doc, shingle) frame is localCheckpoint-pinned once (the same bytes
+    the df-cap shuffle was about to materialize anyway), the denominator
+    is count(distinct doc_id) over that pin, and the df-cap window then
+    reads the pin — corpus text is scanned exactly once end to end. The
+    denominator is therefore docs that PRODUCED at least one shingle
+    (docs shorter than k can never appear in any shingle's df, so they
+    have no place in a document-frequency fraction).
     """
     from usgs_lidar_spark.operators.dedup import char_shingles
 
     if max_df_frac is not None:
         import math
 
-        max_df = max(1, math.ceil(max_df_frac * corpus.count()))
-    c_sh = char_shingles(corpus, text_col, id_col, k=k, max_df=max_df)
+        pairs = char_shingles(
+            corpus, text_col, id_col, k=k, max_df=None
+        ).localCheckpoint(eager=False)
+        n_docs = pairs.agg(
+            F.count_distinct("doc_id").alias("__n")
+        ).collect()[0]["__n"]
+        max_df = max(1, math.ceil(max_df_frac * n_docs))
+        w = Window.partitionBy("shingle")
+        c_sh = (
+            pairs.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_df)
+            .select("doc_id", "shingle")
+        )
+    else:
+        c_sh = char_shingles(corpus, text_col, id_col, k=k, max_df=max_df)
     b_sh = (
         char_shingles(benchmark, text_col, id_col, k=k, max_df=None)
         .select("shingle")

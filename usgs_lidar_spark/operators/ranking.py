@@ -242,12 +242,26 @@ def budget_prefix_select(
        dominates.
 
     Rows with NULL score or weight are rejected loudly (a silent drop
-    would shrink the budget's denominator). Returns the kept rows with
-    their original columns. Deterministic at any partitioning: the
-    (score, id) order is total.
+    would shrink the budget's denominator), and ``weight_col`` must be
+    an integral type — the running prefix totals are exact BIGINTs, so
+    a fractional weight column would be silently floored per row
+    (selection accounting diverging from true weights); weights in
+    fractional units must be scaled to integers by the caller. Returns
+    the kept rows with their original columns. Deterministic at any
+    partitioning: the (score, id) order is total.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     if budget < 0:
         raise ValueError(f"budget must be non-negative, got {budget}")
+    wtype = df.schema[weight_col].dataType
+    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"budget_prefix_select: weight column {weight_col!r} has type "
+            f"{wtype.simpleString()} — the budget accounting sums exact "
+            "BIGINTs, and casting a fractional weight would silently "
+            "floor it per row; scale weights to integers first"
+        )
     s, w = F.col(score_col), F.col(weight_col)
     bad = df.filter(s.isNull() | w.isNull() | (w < 0))
     if not bad.isEmpty():

@@ -2005,6 +2005,15 @@ def kmeans_two_steps_exact(
         if not got:
             new_cents.append((int(cid), [float(x) for x in old]))
             continue
+        if len(old) != len(got):
+            raise ValueError(
+                f"kmeans_two_steps_exact: centroid {cid} has {len(old)} "
+                f"dims but the assigned vectors have {len(got)} — "
+                "centroid vectors must match the embedding "
+                "dimensionality exactly (a longer centroid would KeyError "
+                "mid-update; a shorter one would silently truncate the "
+                "new centroid)"
+            )
         vec = []
         for d in range(1, len(old) + 1):
             n, cs = got[d]

@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 
 from usgs_lidar_spark.operators.pipeline import _LEHMER_M, portable_hash_long
 
+#: Second reduction prime for the 64-bit id fold (largest prime below
+#: _LEHMER_M). A single ``id mod M`` reduction collapses ids that differ
+#: by a multiple of 2^31-1 onto IDENTICAL multiplicity streams —
+#: perfectly correlated resamples past the 2^31-row id space the
+#: docstrings target. Combining residues mod two distinct primes keeps
+#: ids distinct up to lcm(M, M2) ~ 2^62, covering the whole practical
+#: 64-bit id range, with no shifts or division (portable + sign-safe in
+#: any engine with 64-bit integers and a pmod idiom).
+_LEHMER_M2 = 2147483629
+
 #: Poisson(1) inverse-CDF thresholds, scaled to the Lehmer modulus
 #: (2^31-1): P(X <= k) for k = 0..4; a uniform hash in [0, M) maps to
 #: multiplicity = #thresholds it clears. Truncated at 5 (P(X >= 6) ~
@@ -39,20 +49,47 @@ POISSON1_THRESHOLDS = tuple(int(p * _LEHMER_M) for p in _POIS1_CDF)
 
 def poisson_multiplicity(id_col: Column | str, replicate: Column, seed: int = 0) -> Column:
     """Deterministic Poisson(1) multiplicity for (id, replicate):
-    u = lehmer(id * 131 + replicate + seed) compared against the fixed
-    integer thresholds. Returns 0..5 as an int column."""
+    u = lehmer(fold64(id) * 131 + replicate + seed) compared against the
+    fixed integer thresholds, where fold64 combines the id's residues
+    mod two distinct 31-bit primes — so ids differing by a multiple of
+    2^31-1 draw INDEPENDENT multiplicity streams (they only collide past
+    ~2^62, the lcm of the two primes). Returns 0..5 as an int column."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    # Reduce the id mod M BEFORE the mix multiply: id * 131 on a raw
-    # long near Long.MAX would overflow (ANSI error); after the pmod
-    # the intermediate stays under 2^39.
-    u = portable_hash_long(
-        F.pmod(c.cast("long"), F.lit(_LEHMER_M)) * F.lit(131) + replicate,
-        seed=seed,
+    # Fold the full 64-bit id into [0, M) BEFORE the mix multiply: the
+    # two pmods keep every intermediate under 2^47 (no ANSI overflow),
+    # and the second-prime residue carries the high bits a single
+    # ``id mod M`` reduction would discard.
+    v = c.cast("long")
+    folded = F.pmod(
+        F.pmod(v, F.lit(_LEHMER_M))
+        + F.lit(48271) * F.pmod(v, F.lit(_LEHMER_M2)),
+        F.lit(_LEHMER_M),
     )
+    u = portable_hash_long(folded * F.lit(131) + replicate, seed=seed)
     m = F.lit(0)
     for t in POISSON1_THRESHOLDS:
         m = m + F.when(u >= F.lit(t), 1).otherwise(0)
     return m
+
+
+def _value_as_long(value_col: str, fn: str) -> Column:
+    """``value_col`` as BIGINT with the module's loud-failure convention
+    made STRUCTURAL: a NULL value raises in the same pass (a per-row
+    ``raise_error`` branch inside the select — no extra validation scan
+    at 100 TB). Silently keeping the row would count its multiplicity in
+    n_eff while ``m * NULL`` drops out of value_sum, deflating every
+    replicate mean — the same bias class `budget_prefix_select` rejects
+    loudly."""
+    v = F.col(value_col)
+    return F.when(v.isNotNull(), v.cast("long")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{fn}: NULL in value column {value_col!r} — a NULL row "
+                "would inflate n_eff while dropping out of value_sum, "
+                "biasing every replicate mean; filter or impute first"
+            )
+        )
+    )
 
 
 def poisson_bootstrap(
@@ -76,7 +113,9 @@ def poisson_bootstrap(
     columns (the oracled query sums BIGINT n_chars).
 
     Returns (replicate, n_eff, value_sum), ``n_replicates`` rows
-    (replicates with an empty resample still appear, with 0s).
+    (replicates with an empty resample still appear, with 0s). Rows
+    with a NULL value raise loudly (per-row, in the same pass — see
+    `_value_as_long`).
     """
     if n_replicates <= 0:
         raise ValueError(
@@ -86,9 +125,9 @@ def poisson_bootstrap(
     # Integer contract made structural: the value enters as BIGINT per
     # ROW (a float column would otherwise sum in doubles and silently
     # truncate once at the end — per-row casting is the visible,
-    # order-independent semantics).
+    # order-independent semantics). NULL values raise in the same pass.
     cells = df.select(
-        F.col(value_col).cast("long").alias("__v"),
+        _value_as_long(value_col, "poisson_bootstrap").alias("__v"),
         F.explode(
             F.filter(
                 F.transform(
@@ -147,7 +186,7 @@ def poisson_bootstrap_grouped(
     reps = F.sequence(F.lit(0), F.lit(n_replicates - 1))
     cells = df.select(
         F.col(group_col).alias("group"),
-        F.col(value_col).cast("long").alias("__v"),
+        _value_as_long(value_col, "poisson_bootstrap_grouped").alias("__v"),
         F.explode(
             F.filter(
                 F.transform(

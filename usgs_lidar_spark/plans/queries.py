@@ -2879,7 +2879,8 @@ def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                           i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
             FROM corpus)
     ), cap AS (
-        SELECT CAST(ceil(0.04 * count(*)) AS BIGINT) AS max_df FROM corpus
+        SELECT CAST(ceil(0.04 * count(DISTINCT doc_id)) AS BIGINT) AS max_df
+        FROM csh0
     ), freq AS (
         SELECT shingle FROM csh0, cap
         GROUP BY shingle, max_df HAVING count(*) <= max_df
@@ -2910,12 +2911,15 @@ def pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates — the decontamination pass of an LLM data pipeline.
 
     The df cap is the SCALE-STABLE fractional form (max_df_frac=0.04:
-    drop shingles in >4% of corpus docs, resolved to an absolute cap by
-    one corpus count — ceil(0.04 * 494) = 20 at sf0.01, identical to the
-    old absolute cap here but invariant in meaning as the corpus grows;
-    SCALE.md measured the absolute max_df=20 silently cutting flagged
-    docs 1194 -> 501 at 10x corpus). The absolute form stays available
-    and unit-tested."""
+    drop shingles in >4% of shingle-bearing corpus docs —
+    ceil(0.04 * 494) = 20 at sf0.01, identical to the old absolute cap
+    here but invariant in meaning as the corpus grows; SCALE.md measured
+    the absolute max_df=20 silently cutting flagged docs 1194 -> 501 at
+    10x corpus). The fraction resolves with ZERO extra corpus passes:
+    the distinct-pairs frame is checkpoint-pinned, the denominator is a
+    count(distinct doc_id) rider over the pin, and the df-cap window
+    reads the same pin (r8 spent a second column-pruned corpus scan
+    here). The absolute form stays available and unit-tested."""
     from usgs_lidar_spark.operators.pipeline import contaminated_docs
 
     d = _t(spark, sf_dir, "documents")
@@ -6558,6 +6562,18 @@ def _LEHMER_LONG(id_expr: str, seed: int = 0) -> str:
     return f"({x})"
 
 
+def _FOLD64(id_expr: str) -> str:
+    """SQL twin of `operators/stats.poisson_multiplicity`'s 64-bit id
+    fold: residues mod two distinct 31-bit primes combined mod the
+    Lehmer modulus, so ids differing by a multiple of 2^31-1 draw
+    independent values (collisions only past lcm(M, M2) ~ 2^62). Both
+    residues are non-negative after the double-% idiom, so the combined
+    sum needs no further sign normalization."""
+    lo = f"(((({id_expr}) % 2147483647) + 2147483647) % 2147483647)"
+    hi = f"(((({id_expr}) % 2147483629) + 2147483629) % 2147483629)"
+    return f"(({lo} + 48271 * {hi}) % 2147483647)"
+
+
 #: SQL mirror of copurchase_edges(max_basket=8)'s deterministic
 #: truncation — shared by the pagerank and triangle oracles. The cap
 #: BINDS on this synthetic lineitem (baskets up to 13 distinct parts
@@ -9751,12 +9767,20 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             f"best{k} AS (SELECT l, r, n FROM pairs{k} "
             f"WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when a merge round
+        # early-stops (best{k} empty — no pair occurs twice), the
+        # trainer keeps the last vocabulary, so seq{k+1} must fall back
+        # to seq{k} unchanged. A CROSS JOIN against the empty best{k}
+        # would empty seq{k+1} and report zero symbols/segmentations
+        # for every later step — a false mismatch vs the Spark trainer
+        # on any corpus that exhausts its mergeable pairs.
         ctes.append(
-            f"seq{k + 1} AS (SELECT w, trim(replace(replace("
+            f"seq{k + 1} AS (SELECT w, CASE WHEN b.l IS NULL THEN seq "
+            f"ELSE trim(replace(replace("
             f"' ' || replace(seq, ' ', '  ') || ' ', "
             f"' ' || b.l || '  ' || b.r || ' ', "
-            f"' ' || b.l || b.r || ' '), '  ', ' ')) AS seq, freq "
-            f"FROM seq{k} CROSS JOIN best{k} b)"
+            f"' ' || b.l || b.r || ' '), '  ', ' ')) END AS seq, freq "
+            f"FROM seq{k} LEFT JOIN best{k} b ON TRUE)"
         )
     unions = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS step, l AS left, r AS right, n "
@@ -9788,13 +9812,25 @@ def _bpe_curve_oracle_sql(n_merges: int) -> str:
     step (step 0 = raw characters)."""
     base = _bpe_oracle_sql(n_merges)
     ctes = base[: base.rindex("\n")]  # strip the merges-union tail
-    unions = " UNION ALL ".join(
+    # Step 0 (raw characters) always exists; step k >= 1 exists ONLY if
+    # merge k was actually learned (the trainer early-stops and emits
+    # fewer curve rows when no pair occurs twice). The EXISTS guard +
+    # GROUP BY makes the row vanish with best{k} — an aggregate without
+    # GROUP BY would emit a spurious 1-row-per-step tail instead.
+    parts = [
+        "SELECT CAST(0 AS BIGINT) AS step, "
+        "CAST(coalesce(sum(len(string_split(seq, ' ')) * freq), 0) "
+        "AS BIGINT) AS corpus_symbols FROM seq1"
+    ]
+    parts += [
+        f"SELECT step, corpus_symbols FROM ("
         f"SELECT CAST({k} AS BIGINT) AS step, "
-        f"CAST(coalesce(sum(len(string_split(seq, ' ')) * freq), 0) "
-        f"AS BIGINT) AS corpus_symbols FROM seq{k + 1}"
-        for k in range(0, n_merges + 1)
-    )
-    return ctes + "\n" + unions
+        f"CAST(sum(len(string_split(seq, ' ')) * freq) "
+        f"AS BIGINT) AS corpus_symbols FROM seq{k + 1} "
+        f"WHERE EXISTS (SELECT 1 FROM best{k}) GROUP BY 1)"
+        for k in range(1, n_merges + 1)
+    ]
+    return ctes + "\n" + " UNION ALL ".join(parts)
 
 
 @query("text_bpe_compression", oracle=_bpe_curve_oracle_sql(4))
@@ -10129,7 +10165,7 @@ def sim_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
               + CASE WHEN u >= 2139624185 THEN 1 ELSE 0 END) AS m
         FROM documents d CROSS JOIN reps r
         CROSS JOIN LATERAL (SELECT
-            {_LEHMER_LONG("(((d.doc_id % 2147483647) + 2147483647) % 2147483647) * 131 + r.b")}
+            {_LEHMER_LONG(_FOLD64("d.doc_id") + " * 131 + r.b")}
             AS u) h
     ), agg AS (
         SELECT replicate, CAST(sum(m) AS BIGINT) AS n_eff,
@@ -10450,7 +10486,16 @@ def sim_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python), re-quantized with the rounding-free floor quantizer, so
     the ITERATION — the part float k-means cannot reproduce across
     engines — hashes stably. Only k*dim bounded numbers cross the
-    driver between rounds."""
+    driver between rounds.
+
+    Oracle limitation (by construction, not a bug): the SQL twin does
+    not model EMPTY round-1 cells (a centroid that attracts no vector
+    keeps its old position in the engine; the oracle's update CTE would
+    simply have no row to join). The 8 seed centroids here are distinct
+    corpus vectors, each of which attracts at least itself, so no cell
+    can be empty for this query; duplicate or adversarial seeds would
+    need the engine-side `kmeans_two_steps_exact` empty-cell keep that
+    `test_kmeans_two_steps_monotone_inertia_and_empty_cell_keep` pins."""
     from usgs_lidar_spark.operators.similarity import kmeans_two_steps_exact
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -10837,7 +10882,7 @@ def pipe_end_to_end_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
               + CASE WHEN u >= 2139624185 THEN 1 ELSE 0 END) AS m
         FROM documents d CROSS JOIN reps r
         CROSS JOIN LATERAL (SELECT
-            {_LEHMER_LONG("(((d.doc_id % 2147483647) + 2147483647) % 2147483647) * 131 + r.b")}
+            {_LEHMER_LONG(_FOLD64("d.doc_id") + " * 131 + r.b")}
             AS u) h
     ), agg AS (
         SELECT lang, replicate, CAST(sum(m) AS BIGINT) AS n_eff,
