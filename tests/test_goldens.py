@@ -1,17 +1,18 @@
 """Hard checks for the engine-kernel queries with no SQL oracle.
 
-``dedup_simhash64`` / ``dedup_simhash_near`` are defined over Spark's
-seeded xxhash64 and ``sketch_approx_stats`` over Spark's HLL++ /
-percentile_approx — DuckDB cannot reproduce them, so the driver records
-only a rows-only check. These tests close that gap with committed golden
-outputs at sf0.01 (regenerate via ``python tools/make_goldens.py``):
-the fingerprints are bit-deterministic by construction, and the sketch
-estimates were verified stable across 2/8/32-way parallelism (HLL merge
-is commutative; the percentile summaries proved partition-order-stable
-on this input) before pinning.
+``sketch_approx_stats`` / ``sketch_hll_mergeable`` are defined over
+Spark's HLL++ / percentile_approx / Datasketches kernels — DuckDB cannot
+reproduce them, so the driver records only a rows-only check. These
+tests close that gap with committed golden outputs at sf0.01
+(regenerate via ``python tools/make_goldens.py``): the sketch estimates
+were verified stable across 2/8/32-way parallelism (HLL merge is
+commutative; the percentile summaries proved partition-order-stable on
+this input) before pinning.
 
-A semantic regression in any of the three now fails pytest exactly,
-instead of sailing through the driver's row count.
+A semantic regression in either now fails pytest exactly, instead of
+sailing through the driver's row count. (The xxhash64 SimHash goldens
+were retired in round 10 — the portable-hash twins carry the SimHash
+tier under hard DuckDB oracles.)
 """
 
 from __future__ import annotations

@@ -165,13 +165,19 @@ HEADLINE_DIGESTS = {
     # original hits/sizes/join composition. Round 9: the fractional df
     # cap resolves from a count-distinct rider over the checkpoint-
     # pinned distinct-pairs frame, so the pairs shuffle (and the former
-    # SECOND corpus scan) moved into the one-time pin job — the serving
-    # plan keeps only the df window, the hit join, and the per-doc
-    # aggregate.
+    # SECOND corpus scan) moved into the one-time pin job. Round 10: the
+    # denominator no longer collect()s at plan-construction time — it
+    # rides a one-row broadcast (BroadcastNestedLoopJoin) into the df-cap
+    # comparison, so the WHOLE query is one lazy plan with zero eager
+    # jobs. The count-distinct's 2 exchanges (expand partial+final) are
+    # now VISIBLE here instead of hidden in the eager job — same shuffled
+    # bytes (both sides read the same localCheckpoint pin), one fewer
+    # job, and construction is free.
     "pipe_contamination": {
-        "shuffle_exchange": 3,
-        "BroadcastExchange": 1,
+        "shuffle_exchange": 5,
+        "BroadcastExchange": 2,
         "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
     },
     "pipe_pack_sequences": {"shuffle_exchange": 1},
     # Round-5 headliners. q2: part/supplier semi-joins push below the

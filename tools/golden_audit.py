@@ -1,6 +1,7 @@
 """Per-round audit artifact for the golden-pinned queries (VERDICT r5
-item 8): the four engine-kernel queries with no SQL oracle
-(xxhash64 SimHash, HLL/percentile sketches) are exactly pinned by
+item 8): the engine-kernel queries with no SQL oracle (HLL /
+percentile / Datasketches sketches; 2 since the round-10 SimHash
+retirement) are exactly pinned by
 pytest against committed fixtures, but the driver's CORRECTNESS rows
 record them as rows-only — so their per-round pass/fail had no audit
 trail outside a full pytest log. This tool re-runs each golden query at

@@ -1,13 +1,16 @@
 """Regenerate committed golden fixtures for queries with no SQL oracle.
 
-The three registry entries whose semantics are defined over Spark's own
-xxhash64 / HLL / KLL kernels (``dedup_simhash64``, ``dedup_simhash_near``,
-``sketch_approx_stats``) cannot be cross-checked by DuckDB, but they ARE
-bit-deterministic for a fixed input: seeded xxhash64 fingerprints, and
-Spark's HyperLogLog++ / percentile_approx estimates are pure functions of
-the value multiset. So we pin them with committed expected outputs at
-sf0.01 (the driver's correctness scale) and assert exact equality in
-pytest — turning "rows-only" checks into hard ones.
+The registry entries whose semantics are defined over Spark's own
+HLL / KLL sketch kernels (``sketch_approx_stats``,
+``sketch_hll_mergeable``) cannot be cross-checked by DuckDB, but they
+ARE bit-deterministic for a fixed input: Spark's HyperLogLog++ /
+percentile_approx estimates are pure functions of the value multiset.
+So we pin them with committed expected outputs at sf0.01 (the driver's
+correctness scale) and assert exact equality in pytest — turning
+"rows-only" checks into hard ones. (The xxhash64 SimHash pair that used
+to live here was retired in round 10: `dedup_simhash_portable` /
+`dedup_simhash_portable_pairs` carry the SimHash tier under HARD DuckDB
+oracles, so the golden set stays minimal.)
 
 Usage: python tools/make_goldens.py   (rewrites tests/fixtures/golden_*.json)
 """
@@ -22,8 +25,6 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 GOLDEN_QUERIES = (
-    "dedup_simhash64",
-    "dedup_simhash_near",
     "sketch_approx_stats",
     # Datasketches HLL tiers: union is commutative/associative and the
     # estimate a pure function of the value multiset -> bit-deterministic

@@ -25,6 +25,7 @@ from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     audio_rms_windows,
     binary_feature_extract,
     decode_image,
+    dedup_media_by_content,
     fake_decode_image,
     fake_resize_image,
     have_pil,

@@ -150,31 +150,37 @@ def contaminated_docs(
     the cap doesn't. Set the fraction when the corpus size varies across
     runs; overrides ``max_df`` when given.
 
-    The fraction resolves WITHOUT a second corpus pass: the distinct
-    (doc, shingle) frame is localCheckpoint-pinned once (the same bytes
-    the df-cap shuffle was about to materialize anyway), the denominator
-    is count(distinct doc_id) over that pin, and the df-cap window then
-    reads the pin — corpus text is scanned exactly once end to end. The
-    denominator is therefore docs that PRODUCED at least one shingle
-    (docs shorter than k can never appear in any shingle's df, so they
-    have no place in a document-frequency fraction).
+    The fraction resolves WITHOUT a second corpus pass OR a driver
+    collect: the distinct (doc, shingle) frame is localCheckpoint-pinned
+    once (the same bytes the df-cap shuffle was about to materialize
+    anyway), the denominator count(distinct doc_id) over that pin rides
+    a one-row broadcast crossJoin into the df-cap comparison (the
+    stage-binning idiom below — the plan stays fully lazy, no extra
+    job), and the df-cap window reads the pin — corpus text is scanned
+    exactly once end to end. The denominator is therefore docs that
+    PRODUCED at least one shingle (docs shorter than k can never appear
+    in any shingle's df, so they have no place in a document-frequency
+    fraction). The threshold ``greatest(1, ceil(frac * n))`` is the
+    same double multiply + ceil Python would compute — deterministic.
     """
     from usgs_lidar_spark.operators.dedup import char_shingles
 
     if max_df_frac is not None:
-        import math
-
         pairs = char_shingles(
             corpus, text_col, id_col, k=k, max_df=None
         ).localCheckpoint(eager=False)
-        n_docs = pairs.agg(
-            F.count_distinct("doc_id").alias("__n")
-        ).collect()[0]["__n"]
-        max_df = max(1, math.ceil(max_df_frac * n_docs))
+        n_docs = pairs.agg(F.count_distinct("doc_id").alias("__n"))
         w = Window.partitionBy("shingle")
         c_sh = (
             pairs.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_df)
+            .crossJoin(F.broadcast(n_docs))
+            .filter(
+                F.col("__df")
+                <= F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.lit(float(max_df_frac)) * F.col("__n")),
+                )
+            )
             .select("doc_id", "shingle")
         )
     else:

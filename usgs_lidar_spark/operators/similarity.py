@@ -1992,9 +1992,24 @@ def kmeans_two_steps_exact(
     Returns round-2 (cid, dim, n, coord_sum_q).
     """
     step1 = kmeans_step_exact(corpus, centroids, vec_col, qbits).collect()
+    new_cents = _kmeans_update_exact(step1, centroids, qbits)
+    return kmeans_step_exact(corpus, new_cents, vec_col, qbits)
+
+
+def _kmeans_update_exact(
+    stats_rows,
+    centroids: list[tuple[int, list[float]]],
+    qbits: int,
+) -> list[tuple[int, list[float]]]:
+    """The deterministic Lloyd UPDATE from `kmeans_step_exact` statistics:
+    ``mean_q = double(coord_sum_q) / n`` then ``c = mean_q / 2^qbits`` —
+    two correctly-rounded IEEE ops (one exact-integer division + one
+    power-of-two exponent shift), so the new centroid doubles are
+    bit-identical in Spark, DuckDB, and Python. Empty cells keep their
+    previous centroid. Driver state is k*dim bounded numbers."""
     s = 2.0**qbits
     sums: dict[int, dict[int, tuple[int, int]]] = {}
-    for r in step1:
+    for r in stats_rows:
         sums.setdefault(int(r["cid"]), {})[int(r["dim"])] = (
             int(r["n"]),
             int(r["coord_sum_q"]),
@@ -2007,7 +2022,7 @@ def kmeans_two_steps_exact(
             continue
         if len(old) != len(got):
             raise ValueError(
-                f"kmeans_two_steps_exact: centroid {cid} has {len(old)} "
+                f"kmeans update: centroid {cid} has {len(old)} "
                 f"dims but the assigned vectors have {len(got)} — "
                 "centroid vectors must match the embedding "
                 "dimensionality exactly (a longer centroid would KeyError "
@@ -2019,4 +2034,27 @@ def kmeans_two_steps_exact(
             n, cs = got[d]
             vec.append((float(cs) / n) / s)
         new_cents.append((int(cid), vec))
-    return kmeans_step_exact(corpus, new_cents, vec_col, qbits)
+    return new_cents
+
+
+def kmeans_train_centroids(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    qbits: int = 20,
+    n_iter: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """TRAIN the coarse quantizer with `n_iter` full exact Lloyd
+    iterations (assign -> update, repeated) and return the trained
+    centroid list — the composition that closes the training->serving
+    loop: feed the result to `write_ivf_index` and every later
+    `ivf_topk_from_index` probe runs against TRAINED cells instead of
+    seed vectors. Each iteration is one `kmeans_step_exact` scan (the
+    only distributed work; shuffle bounded by k*dim) plus the
+    deterministic driver-side `_kmeans_update_exact`, so the returned
+    doubles are reproducible in any engine — a DuckDB oracle can replay
+    the whole training run and the serving probe on top of it."""
+    for _ in range(n_iter):
+        stats = kmeans_step_exact(corpus, centroids, vec_col, qbits).collect()
+        centroids = _kmeans_update_exact(stats, centroids, qbits)
+    return centroids

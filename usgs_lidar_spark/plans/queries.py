@@ -1224,13 +1224,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash64")
-def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 63-bit fingerprints (rows-only check: the fingerprint is
-    defined over Spark's xxhash64, which ANSI SQL cannot reproduce)."""
-    from usgs_lidar_spark.operators.dedup import simhash64
-
-    return simhash64(_t(spark, sf_dir, "documents"), "text", "doc_id")
+# (dedup_simhash64 retired in round 10: the xxhash64 fingerprint surface
+# is covered by `dedup_simhash_portable`, whose two-round-Lehmer hash
+# family carries a HARD DuckDB oracle; the xxhash64 kernel itself stays
+# exercised by operators/dedup.simhash64's unit tests.)
 
 
 # =====================================================================
@@ -1575,6 +1572,109 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames_total",
         F.hex("frame").alias("frame_hex"),
     )
+
+
+@query(
+    "mm_dedup_media",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        -- re-uploads: every 7th item appears again under a new id — the
+        -- duplicate-groups case a content dedup must actually collapse.
+        SELECT doc_id + 100000 AS media_id, text
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT min(media_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           md5(text) AS content_md5
+    FROM m GROUP BY md5(text)
+    """,
+)
+def mm_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over BINARY media payloads
+    (multimodal/binary_ops.dedup_media_by_content): md5 each payload
+    JVM-side, keep the lowest media_id per digest. The media table is
+    documents' bytes plus a deterministic re-upload slice (every 7th
+    payload appears again under media_id+100000),
+    so the query collapses real duplicate groups — keeper = the
+    original id, n_copies = 2. Only 16-byte digests + ids shuffle;
+    payloads never move (the 100 TB media-dedup design). DuckDB's
+    md5(VARCHAR) hashes the UTF-8 bytes — identical hex for the ASCII
+    stand-in payloads."""
+    from usgs_lidar_spark.multimodal import (
+        dedup_media_by_content,
+        to_media_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = to_media_table(d, "doc_id", "text")
+    reups = to_media_table(
+        d.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        ),
+        "doc_id",
+        "text",
+    )
+    return dedup_media_by_content(base.unionAll(reups))
+
+
+@query(
+    "mm_audio_quality_filter",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               list_transform(range(1, length(text) + 1),
+                   i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+                        - 128) AS s
+        FROM documents
+    ), win AS (
+        SELECT media_id, s,
+               unnest(range(0, len(s), 64)) AS k
+        FROM m WHERE len(s) > 0
+    ), r AS (
+        SELECT media_id,
+               sqrt(CAST(list_sum(list_transform(list_slice(s, k + 1, k + 64),
+                                                 x -> x * x)) AS DOUBLE)
+                    / len(list_slice(s, k + 1, k + 64))) AS rms
+        FROM win
+    ), agg AS (
+        SELECT media_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN rms < 44.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quiet,
+               max(rms) AS max_rms,
+               CAST(sum(CASE WHEN rms < 44.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS quiet_ratio
+        FROM r GROUP BY media_id
+    )
+    SELECT media_id, n_windows, n_quiet, max_rms, quiet_ratio
+    FROM agg WHERE quiet_ratio <= 0.5
+    """,
+)
+def mm_audio_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio QUALITY-FILTER composition on top of the windowed-RMS
+    feature pass (`mm_audio_rms` is the per-window feature table; this
+    is the per-media decision): roll the windows up per media_id —
+    window count, quiet-window count (rms < 44), max RMS — and KEEP
+    only media whose quiet_ratio <= 0.5 (drop mostly-silent clips).
+    The rollup shuffles one small row per window (media-keyed, partial
+    aggregation applies); quiet_ratio is one int/int division and rms
+    doubles are bit-exact (int64 sumsq + IEEE sqrt), so the filter
+    decision — not just the features — hashes identically in both
+    engines."""
+    from usgs_lidar_spark.multimodal import audio_rms_windows, to_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    w = audio_rms_windows(to_media_table(d, "doc_id", "text"), window=64)
+    agg = w.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum((F.col("rms") < 44.0).cast("long")).alias("n_quiet"),
+        F.max("rms").alias("max_rms"),
+    )
+    return agg.withColumn(
+        "quiet_ratio", F.col("n_quiet") / F.col("n_windows")
+    ).filter(F.col("quiet_ratio") <= 0.5)
 
 
 # =====================================================================
@@ -2318,18 +2418,10 @@ def dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_hashed(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-@query("dedup_simhash_near")
-def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=3 near-dup pairs via pigeonhole block bucketing
-    (rows-only check: fingerprints are defined over Spark's xxhash64,
-    which ANSI SQL cannot reproduce; the blocked-join == brute-force
-    equivalence is pinned by tests/test_operators.py instead)."""
-    from usgs_lidar_spark.operators.dedup import simhash_near_dup_pairs
-
-    return simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id",
-        k=8, max_hamming=3, n_blocks=4,
-    )
+# (dedup_simhash_near retired in round 10: superseded by
+# `dedup_simhash_portable_pairs`, the same pigeonhole block join +
+# popcount verify under a HARD all-pairs-Hamming oracle; the xxhash64
+# pair path keeps `test_simhash_near_dup_blocked_equals_bruteforce`.)
 
 
 @query(
@@ -8519,6 +8611,161 @@ def sim_topk_from_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ] or [(0, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
         write_ivf_index(emb, cents, path)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_from_index(spark, path, queries_df, k=5, n_probe=2)
+
+
+@query(
+    "sim_ivf_trained_serving",
+    oracle=f"""
+    WITH qe AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), cent1 AS (
+        SELECT vec_id AS cid, qv AS qc,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+        FROM qe WHERE vec_id < 8
+    ), dots1 AS (
+        SELECT e.vec_id, e.qv, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cent1 c
+    ), a1 AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dots1) WHERE rn = 1
+    ), step1 AS (
+        SELECT cid, i AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qv[i]) AS BIGINT) AS cs
+        FROM a1, unnest(range(1, len(qv) + 1)) AS t(i)
+        GROUP BY cid, i
+    ), cent2d AS (
+        -- round-1 UPDATE as doubles: double(cs)/n then /2^20 — the same
+        -- two correctly-rounded IEEE ops the engine's
+        -- _kmeans_update_exact performs, so the doubles are identical.
+        SELECT cid,
+               list(CAST(cs AS DOUBLE) / n / 1048576.0 ORDER BY dim) AS cvec
+        FROM step1 GROUP BY cid
+    ), cent2n AS (
+        SELECT cid,
+               list_transform(cvec,
+                   x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qc
+        FROM cent2d
+    ), cent2q AS (
+        SELECT cid, qc,
+               CAST(list_sum(list_transform(qc, v -> v * v)) AS BIGINT) AS nq
+        FROM cent2n
+    ), dots2 AS (
+        SELECT e.vec_id, e.qv, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cent2q c
+    ), a2 AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dots2) WHERE rn = 1
+    ), step2 AS (
+        SELECT cid, i AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qv[i]) AS BIGINT) AS cs
+        FROM a2, unnest(range(1, len(qv) + 1)) AS t(i)
+        GROUP BY cid, i
+    ), cent3d AS (
+        SELECT cid,
+               list(CAST(cs AS DOUBLE) / n / 1048576.0 ORDER BY dim) AS cvec
+        FROM step2 GROUP BY cid
+    ), trained AS (
+        -- empty-cell keep, replayed: a cell empty in round 2 keeps its
+        -- round-1 centroid; empty in round 1 keeps the seed vector.
+        SELECT s.cid,
+               coalesce(c3.cvec, c2.cvec,
+                        list_transform(s.svec, x -> CAST(x AS DOUBLE)))
+                   AS cvec
+        FROM (SELECT vec_id AS cid, embedding AS svec
+              FROM embeddings WHERE vec_id < 8) s
+        LEFT JOIN cent2d c2 ON s.cid = c2.cid
+        LEFT JOIN cent3d c3 ON s.cid = c3.cid
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, t.cid,
+               {_cos4("e.embedding", "t.cvec")} AS csim
+        FROM embeddings e CROSS JOIN trained t
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim WHERE vec_id < 5) WHERE rn <= 2
+    ), sims AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos4("a.embedding", "p.qv")} AS sim
+        FROM assigned a JOIN probes p
+          ON a.cid = p.cid AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= 5
+    """,
+)
+def sim_ivf_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED training->serving loop under one hard oracle: TRAIN the
+    coarse quantizer with two full exact Lloyd iterations
+    (`operators/similarity.kmeans_train_centroids` — the distributed
+    work per iteration is one `kmeans_step_exact` scan whose shuffle is
+    bounded by k*dim), persist the TRAINED centroids as the
+    cell-partitioned IVF index (`write_ivf_index`), and serve the probe
+    query from the store (`ivf_topk_from_index`). Unlike
+    `sim_topk_ivf`/`sim_topk_from_ivf_index` — which seed cells from the
+    first 8 corpus vectors — every cell here is a trained centroid, so
+    the oracle replays the whole pipeline: quantized-argmax training
+    rounds, the two-IEEE-op centroid updates (bit-identical doubles in
+    any engine), empty-cell keeps, rounded-cosine assignment of the
+    corpus to the trained cells, 2-cell probing, and the (sim DESC, id)
+    top-5 rank."""
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_topk_from_index,
+        kmeans_train_centroids,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path, complete = _cached_index_path(
+        sf_dir, "ivf_trained_idx", "embeddings", "_centroids"
+    )
+    if not complete:
+        seeds = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .collect()
+        ] or [(0, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
+        trained = kmeans_train_centroids(emb, seeds, n_iter=2)
+        write_ivf_index(emb, trained, path)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
