@@ -116,6 +116,12 @@ HEADLINE = [
     # round 8 (cont. 2): the cross-engine-exact k-means iteration
     # (round-1 stats + update run at construction, round-2 at count).
     "sim_kmeans_two_steps",
+    # round 10 additions: the TRAINED-quantizer serving path (train +
+    # index build cached per sf-dir snapshot — steady state measures
+    # serving from trained cells) and the ingest composition (passage
+    # dedup -> reassembly -> sequence packing).
+    "sim_ivf_trained_serving",
+    "pipe_end_to_end_v6",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled
@@ -123,7 +129,11 @@ HEADLINE = [
 #: the plan — forced with an all-column hash aggregate instead so the
 #: timed number covers the work the query claims to do. Existing
 #: headliners keep count() forcing for round-over-round comparability.
-HASH_FORCED = {"dedup_chunk_reassemble", "text_bigram_surprisal"}
+HASH_FORCED = {
+    "dedup_chunk_reassemble",
+    "text_bigram_surprisal",
+    "pipe_end_to_end_v6",
+}
 
 
 def _force(df, name: str) -> int:

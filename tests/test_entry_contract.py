@@ -156,6 +156,20 @@ def test_replica_sweep_artifact_matches_registry():
         "golden-status rows must be exactly the no-SQL-oracle queries"
     )
     assert art["n_fail"] == 0
+    # Content fingerprints (ADVICE r9): a row swept against an OLDER
+    # version of a query (its function source or oracle SQL has since
+    # changed) is stale evidence — the name-set check alone would let a
+    # semantics change ride on old pass rows forever.
+    from tools.replica_sweep import registry_fingerprints
+
+    fps = registry_fingerprints()
+    stale = sorted(
+        {r["name"] for r in rows if r.get("fp") != fps[r["name"]]}
+    )
+    assert not stale, (
+        f"artifact rows swept against outdated query definitions: "
+        f"{stale[:5]} — re-run tools/replica_sweep.py --update on them"
+    )
 
 
 def test_coverage_md_totals_match_registry():

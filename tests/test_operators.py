@@ -4185,6 +4185,21 @@ def test_poisson_bootstrap_raises_on_null_value(spark):
         poisson_bootstrap_grouped(
             df, "lang", "v", "doc_id", n_replicates=4
         ).collect()
+    # The raise must not depend on the DRAW (ADVICE r9): a NULL row
+    # whose multiplicity is 0 in every replicate used to be pruned by
+    # the generator before the raise branch could evaluate. Find an id
+    # that draws m=0 at replicate 0 and bootstrap it alone with B=1.
+    from usgs_lidar_spark.operators.stats import poisson_multiplicity
+
+    ms = (
+        spark.range(100)
+        .select("id", poisson_multiplicity("id", F.lit(0)).alias("m"))
+        .collect()
+    )
+    dead = next(int(r["id"]) for r in ms if r["m"] == 0)
+    df_dead = spark.createDataFrame([(dead, None)], "doc_id long, v long")
+    with _pytest.raises(Exception, match="NULL in value column"):
+        poisson_bootstrap(df_dead, "v", "doc_id", n_replicates=1).collect()
     # NULL GROUPS are data and still pass through (only NULL values raise).
     ok = poisson_bootstrap_grouped(
         df.fillna({"v": 0}), "lang", "v", "doc_id", n_replicates=4
@@ -4210,6 +4225,34 @@ def test_budget_prefix_select_rejects_fractional_weights(spark):
         df.withColumn("w", df["w"].cast("int")), "score", "w", budget=3
     )
     assert ok.count() == 2
+    # decimal(p<=18, 0) is an exact integral type (decimal-typed
+    # warehouses, ADVICE r9) — accepted, same selection as the long
+    # form; fractional-scale and >int64-wide decimals still reject.
+    # (Weights start integral: cast-to-decimal ROUNDS 1.5 while
+    # cast-to-long floors it, which would compare different inputs.)
+    iw = df.withColumn("w", (df["doc_id"] * 1).cast("long"))
+    got_dec = sorted(
+        r["doc_id"]
+        for r in budget_prefix_select(
+            iw.withColumn("w", iw["w"].cast("decimal(10,0)")),
+            "score", "w", budget=3,
+        ).collect()
+    )
+    got_long = sorted(
+        r["doc_id"]
+        for r in budget_prefix_select(iw, "score", "w", budget=3).collect()
+    )
+    assert got_dec == got_long
+    with _pytest.raises(ValueError, match="fractional|decimal"):
+        budget_prefix_select(
+            df.withColumn("w", df["w"].cast("decimal(10,2)")),
+            "score", "w", budget=3,
+        )
+    with _pytest.raises(ValueError, match="overflow|decimal"):
+        budget_prefix_select(
+            df.withColumn("w", df["w"].cast("decimal(38,0)")),
+            "score", "w", budget=3,
+        )
 
 
 def test_budget_prefix_select_vs_bruteforce(spark):

@@ -1322,6 +1322,126 @@ def test_streaming_chunk_dedup_ingest(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_chunk_dedup_ingest_pack_exactly_once(spark, tmp_path):
+    """The v6 ingest composition under the WORST crash window: the
+    versioned-store foreachBatch ingest (streaming/ingest.py) dies
+    AFTER batch 1's output AND digest-store writes but BEFORE the
+    checkpoint commit; the restart replays batch 1 — which must probe
+    only batch 0's digests (its own published partition is excluded by
+    the batch_id < n read), rewrite identical bytes, and continue. The
+    drained output, packed, must equal the registered batch query
+    `pipe_end_to_end_v6` bit-for-bit.
+
+    This is exactly the failure the versioned store exists for: a flat
+    append-only store would make the replayed batch dedup against its
+    own digests and emit n_kept=0 for every doc — silently, since row
+    counts still match. The test also pins that trap stays closed: the
+    replayed batch-1 rows must equal their first-attempt values, not
+    degrade.
+    """
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+    from usgs_lidar_spark.streaming.ingest import chunk_dedup_ingest_writer
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "digest_store")
+    out = str(tmp_path / "deduped_out")
+    stream_dir = tmp_path / "stream_src"
+    stream_dir.mkdir()
+    # three ordered micro-batch files (monotone ids across batches, an
+    # ingest's arrival order — makes incremental == global election)
+    splits = ("doc_id < 17", "doc_id >= 17 AND doc_id < 34", "doc_id >= 34")
+    for i, flt in enumerate(splits):
+        docs.filter(flt).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"b{i}")
+        )
+        src = next((tmp_path / f"b{i}").glob("*.parquet"))
+        _sh.copy(src, stream_dir / f"part-{i}.parquet")
+
+    inner = chunk_dedup_ingest_writer(store, out, chunk_tokens=4)
+    crash_marker = tmp_path / "crashed_once"
+
+    def crashing_ingest(batch, batch_id):
+        inner(batch, batch_id)  # both sink writes SUCCEED...
+        if batch_id == 1 and not crash_marker.exists():
+            crash_marker.write_text("boom")
+            raise RuntimeError("injected crash after writes, before commit")
+
+    def start():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+            .writeStream.foreachBatch(crashing_ingest)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(Exception, match="injected crash"):
+        start().awaitTermination()
+    assert crash_marker.exists()
+    # The crash window is real: batch 1's digests ARE in the store
+    # (what a flat-store replay would wrongly dedup against) and its
+    # output rows are on disk but uncommitted.
+    first_attempt = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    }
+    assert first_attempt  # written before the crash
+
+    start().awaitTermination()  # restart from the same checkpoint
+
+    # Replay rewrote batch 1 with IDENTICAL content (not n_kept=0 rot).
+    replayed = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    }
+    assert replayed == first_attempt
+    assert any(v[1] > 0 for v in replayed.values())
+
+    # Drained union == one-shot batch dedup over the whole corpus.
+    from usgs_lidar_spark.operators.dedup import chunk_dedup_docs
+
+    want = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in chunk_dedup_docs(docs, chunk_tokens=4).collect()
+    }
+    streamed = spark.read.parquet(out).select(
+        "doc_id", "n_chunks", "n_kept", "new_text"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in streamed.collect()
+    }
+    assert got == want
+
+    # ...and the PACKED composition equals the registered v6 query
+    # (same dedup -> filter -> pack_sequences parameters).
+    packed_stream = pack_sequences(
+        streamed.filter(F.col("n_kept") > 0).select(
+            "doc_id", "n_chunks", "n_kept", "new_text"
+        ),
+        "doc_id",
+        token_count("new_text"),
+        budget=512,
+        n_streams=8,
+    ).select(
+        "doc_id", "n_chunks", "n_kept", "pack_stream", "n_tokens",
+        "token_start", "pack_id", "pack_offset", "split_across",
+    )
+    want_packed = canonical_rows(
+        QUERIES["pipe_end_to_end_v6"](spark, SF_SMALL).toPandas()
+    )
+    assert canonical_rows(packed_stream.toPandas()) == want_packed
+
+
 def test_streaming_funnel_state_machine_matches_batch(spark, tmp_path):
     """The applyInPandasWithState funnel state machine, fed two
     TIME-ORDERED micro-batches, lands every user on the same final

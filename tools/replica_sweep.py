@@ -79,6 +79,27 @@ def registry_names() -> tuple[list[str], set[str]]:
     return list(QUERIES), set(QUERIES) - set(ORACLE)
 
 
+def registry_fingerprints() -> dict[str, str]:
+    """Per-query content fingerprint: sha256 over the query function's
+    SOURCE plus its oracle SQL (ADVICE r9: keying --update merges by
+    name alone let a semantics change ride on stale pass rows with
+    nothing forcing a re-sweep). A row whose fingerprint no longer
+    matches the live registry is flagged stale by
+    tests/test_entry_contract.py — changing a query's body or oracle
+    without re-sweeping it now fails the suite."""
+    import hashlib
+    import inspect
+
+    sys.path.insert(0, str(REPO))
+    from usgs_lidar_spark.plans.queries import ORACLE, QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        blob = inspect.getsource(fn) + "\n---\n" + ORACLE.get(name, "")
+        out[name] = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    return out
+
+
 def run_scenario(key: str, env_over: dict, sf_dir: str, only: list[str]) -> dict:
     """One driver_replica subprocess; returns {name: 'ok'|'fail'|'rows-only'}."""
     env = dict(os.environ)
@@ -117,18 +138,29 @@ def main() -> int:
             raise SystemExit(f"unknown queries: {sorted(unknown)}")
 
     rnd = current_round()
+    fps = registry_fingerprints()
     artifact = REPO / f"REPLICA_r{rnd}.json"
     rows: dict[tuple[str, str], dict] = {}
     if update_only:
         # Merge into the LATEST committed sweep (which may be a prior
         # round's: rows carry over until a query is re-swept, so the
         # artifact stays registry-complete across round boundaries).
+        # Carried rows KEEP their recorded fingerprint — re-stamping
+        # them from the live registry would hide exactly the staleness
+        # the fingerprint exists to flag. Rows for queries no longer in
+        # the registry are dropped (retirements). Legacy rows with no
+        # fp field (pre-fingerprint artifacts) backfill from the live
+        # registry — faithful only at the migration point, where every
+        # query changed since that sweep is itself in the --update set.
         priors = sorted(
             REPO.glob("REPLICA_r*.json"),
             key=lambda f: int(re.search(r"r(\d+)", f.name).group(1)),
         )
         if priors:
             for r in json.loads(priors[-1].read_text())["rows"]:
+                if r["name"] not in names:
+                    continue
+                r.setdefault("fp", fps[r["name"]])
                 rows[(r["name"], r["scenario"])] = r
 
     targets = update_only or names
@@ -151,6 +183,7 @@ def main() -> int:
                 "no_aqe": key == "no_aqe",
                 "sf": "sf0.1" if key == "sf0.1" else "sf0.01",
                 "status": status,
+                "fp": fps[name],
             }
         print(
             f"    {sum(1 for n in targets if got[n] == 'ok')} ok / "

@@ -250,17 +250,37 @@ def budget_prefix_select(
     the kept rows with their original columns. Deterministic at any
     partitioning: the (score, id) order is total.
     """
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
 
     if budget < 0:
         raise ValueError(f"budget must be non-negative, got {budget}")
     wtype = df.schema[weight_col].dataType
-    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+    # DecimalType(p, 0) is an EXACT integral type (decimal-typed
+    # warehouses, ADVICE r9): accepted up to p=18, where the cast to
+    # BIGINT below is lossless by construction. Wider scale-0 decimals
+    # could exceed int64 and are rejected with the real reason.
+    integral = isinstance(
+        wtype, (ByteType, ShortType, IntegerType, LongType)
+    ) or (
+        isinstance(wtype, DecimalType)
+        and wtype.scale == 0
+        and wtype.precision <= 18
+    )
+    if not integral:
         raise ValueError(
             f"budget_prefix_select: weight column {weight_col!r} has type "
             f"{wtype.simpleString()} — the budget accounting sums exact "
-            "BIGINTs, and casting a fractional weight would silently "
-            "floor it per row; scale weights to integers first"
+            "BIGINTs and accepts only integral types (byte/short/int/"
+            "long, or decimal(p<=18, 0), which casts to BIGINT "
+            "losslessly). A fractional type would be silently floored "
+            "per row and a wider decimal could overflow int64; scale or "
+            "cast weights to integers first"
         )
     s, w = F.col(score_col), F.col(weight_col)
     bad = df.filter(s.isNull() | w.isNull() | (w < 0))

@@ -139,7 +139,15 @@ def poisson_bootstrap(
                         ).cast("long").alias("m"),
                     ),
                 ),
-                lambda s: s["m"] > 0,
+                # `| isNull()`: without it a NULL-value row whose
+                # multiplicity is 0 in EVERY replicate generates zero
+                # cells, and Catalyst never evaluates the raise branch
+                # for rows the generator pruned (ADVICE r9) — the NULL
+                # would pass silently (unbiased, since m=0 rows
+                # contribute nothing, but the loud-NULL contract must
+                # not depend on the draw). Keeping NULL rows' cells
+                # unconditionally guarantees _value_as_long fires.
+                lambda s: (s["m"] > 0) | F.col(value_col).isNull(),
             )
         ).alias("c"),
     )
@@ -198,7 +206,9 @@ def poisson_bootstrap_grouped(
                         ).cast("long").alias("m"),
                     ),
                 ),
-                lambda s: s["m"] > 0,
+                # same NULL-row keep as poisson_bootstrap: the loud
+                # raise must fire even when every multiplicity is 0.
+                lambda s: (s["m"] > 0) | F.col(value_col).isNull(),
             )
         ).alias("c"),
     )

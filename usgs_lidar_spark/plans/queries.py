@@ -11117,6 +11117,85 @@ def pipe_end_to_end_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_end_to_end_v6",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, s + 1, s + 4), ' ') AS ct
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 4)) AS s FROM t)
+    ), ranked AS (
+        SELECT doc_id, chunk_id, ct,
+               row_number() OVER (PARTITION BY ct
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM ch
+    ), kept AS (SELECT doc_id, chunk_id, ct FROM ranked WHERE rn = 1),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM ch GROUP BY doc_id
+    ), kp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ct, ' ' ORDER BY chunk_id) AS new_text
+        FROM kept GROUP BY doc_id
+    ), alive AS (
+        SELECT tot.doc_id, tot.n_chunks, kp.n_kept,
+               CASE WHEN trim(kp.new_text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(kp.new_text), '\s+'))
+                    END AS n_tokens,
+               {_LEHMER_STREAM("tot.doc_id", 8)} AS pack_stream
+        FROM tot JOIN kp ON tot.doc_id = kp.doc_id
+        WHERE kp.n_kept > 0
+    ), packed AS (
+        SELECT doc_id, n_chunks, n_kept, pack_stream,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT)
+                   AS token_start,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS token_end
+        FROM alive
+        WINDOW w AS (PARTITION BY pack_stream ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT doc_id, n_chunks, n_kept, pack_stream, n_tokens, token_start,
+           CAST(floor(token_start / 512.0) AS BIGINT) AS pack_id,
+           token_start % 512 AS pack_offset,
+           token_end > (floor(token_start / 512.0) + 1) * 512
+               AS split_across
+    FROM packed
+    """,
+)
+def pipe_end_to_end_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline v6 — the INGEST path: cross-document passage
+    dedup + reassembly (`chunk_dedup_docs`, 4-token chunks), drop docs
+    whose every chunk lost election, then pack the REASSEMBLED texts
+    into 512-token training sequences over 8 deterministic Lehmer
+    streams (`pack_sequences`). This is the batch twin of the
+    exactly-once streaming ingest (`streaming/ingest.py`): the
+    crash-restart parity test pins that draining the foreachBatch
+    ingest and packing its output reproduces THIS query bit-for-bit,
+    so the oracle here hard-checks the streaming composition too.
+    Scale shape: digest-keyed election (text never shuffles twice),
+    one stream-keyed window for packing — no global sort."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.dedup import chunk_dedup_docs
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ded = chunk_dedup_docs(d, chunk_tokens=4).filter(F.col("n_kept") > 0)
+    return pack_sequences(
+        ded.select("doc_id", "n_chunks", "n_kept", "new_text"),
+        "doc_id",
+        token_count("new_text"),
+        budget=512,
+        n_streams=8,
+    ).select(
+        "doc_id", "n_chunks", "n_kept", "pack_stream", "n_tokens",
+        "token_start", "pack_id", "pack_offset", "split_across",
+    )
+
+
+@query(
     "stats_bootstrap_by_lang",
     oracle=f"""
     WITH reps AS (SELECT unnest(range(0, 16)) AS b),

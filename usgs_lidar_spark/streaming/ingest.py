@@ -1,0 +1,115 @@
+"""Exactly-once streaming passage-dedup ingest: the foreachBatch form of
+`operators/dedup.chunk_dedup_incremental` with a batch_id-VERSIONED
+digest store.
+
+The naive ingest (append digests to a flat store, probe the whole
+store) is NOT replay-safe: Structured Streaming delivers each
+micro-batch to foreachBatch at least once, and a crash after the store
+append but before the checkpoint commit replays the batch against a
+store that already contains ITS OWN digests — every chunk then loses
+the anti-join and the replayed output reports n_kept=0 for the whole
+batch, overwriting the correct first-attempt rows. The bug is silent:
+row counts still match (row in = row out), only the values rot.
+
+The fix needs no transactions, just addressable history (the same
+batch_id-keyed idempotence as `streaming/sink.py` and
+`streaming/rollup_sink.py`):
+
+  * the store is hive-partitioned by batch_id — each batch PUBLISHES
+    its own chunk digests to ``store/batch_id=<n>`` with overwrite;
+  * the probe reads ONLY strictly older partitions
+    (``batch_id < n``, a pruned scan with a pinned schema — newer /
+    partially-written directories are never opened);
+  * the deduped output lands in ``out/batch_id=<n>`` with overwrite.
+
+Every write is then a pure function of (batch input, committed
+history): a replay sees exactly the store view the first attempt saw
+and rewrites identical bytes into the same directories. With monotone
+doc_ids across batches (an ingest's arrival order), draining the
+stream reproduces the one-shot `chunk_dedup_docs` over the full corpus
+bit-for-bit — pinned, including a crash-restart in the worst window, by
+``tests/test_streaming.py::
+test_streaming_chunk_dedup_ingest_pack_exactly_once``.
+
+Scale: each micro-batch costs one digest-keyed anti-join (64-hex keys;
+historical TEXT never moves) plus the batch-sized election and
+reassembly; the store grows by one partition per batch and old
+partitions can compact via `streaming/compact.py` without touching the
+stream (readers prune by batch_id either way).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Store schema, pinned so probe reads never run inference (inference
+#: would open file footers in partitions the filter is about to prune —
+#: including a crashed batch's partially-written directory).
+STORE_SCHEMA = "digest string, batch_id bigint"
+
+
+def read_store_before(spark, store_path: str, batch_id: int) -> DataFrame:
+    """Digests of all batches STRICTLY older than ``batch_id`` — the
+    committed history a (re)played batch is allowed to see. Missing or
+    empty store (first batch, fresh checkpoint) reads as zero rows."""
+    try:
+        store = spark.read.schema(STORE_SCHEMA).parquet(store_path)
+    except Exception:  # path absent / no partitions yet
+        return spark.createDataFrame([], STORE_SCHEMA).select("digest")
+    return store.filter(F.col("batch_id") < batch_id).select("digest")
+
+
+def chunk_dedup_ingest_writer(
+    store_path: str,
+    out_path: str,
+    chunk_tokens: int = 32,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback implementing the versioned-store protocol
+    above. Output rows per batch doc: (doc_id, n_chunks, n_kept,
+    new_text) — row in = row out, so downstream packing can filter
+    n_kept > 0 without losing the audit trail."""
+    from usgs_lidar_spark.operators.dedup import (
+        chunk_dedup_incremental,
+        chunk_digests,
+    )
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        seen = read_store_before(spark, store_path, batch_id)
+        deduped = chunk_dedup_incremental(
+            batch, seen, chunk_tokens=chunk_tokens
+        )
+        deduped.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+        chunk_digests(batch, chunk_tokens=chunk_tokens).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch_id={batch_id}")
+
+    return ingest
+
+
+def run_chunk_dedup_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    chunk_tokens: int = 32,
+) -> None:
+    """Drain all available input through the exactly-once ingest
+    (availableNow trigger). Restart with the same checkpoint resumes
+    after the last committed batch; a crash in the window between the
+    sink writes and the commit replays into the same batch_id
+    partitions with identical content."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            chunk_dedup_ingest_writer(store_path, out_path, chunk_tokens)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
