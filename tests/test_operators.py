@@ -4456,6 +4456,47 @@ def test_kmeans_two_steps_monotone_inertia_and_empty_cell_keep(spark):
     assert sum(r["n"] for r in out if r["dim"] == 1) == 4
 
 
+def test_kmeans_train_centroids_consistent_with_two_steps(spark):
+    """`kmeans_train_centroids` is the same exact Lloyd cycle as
+    `kmeans_two_steps_exact`, exposed as centroids instead of
+    statistics: assigning the corpus to train(n_iter=1)'s output must
+    reproduce the two-steps round-2 statistics row-for-row (both are
+    'one update, then one assignment'), and the empty-cell keep
+    passes the untouched seed through to the returned list."""
+    from usgs_lidar_spark.operators.similarity import (
+        kmeans_step_exact,
+        kmeans_train_centroids,
+        kmeans_two_steps_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    trained1 = kmeans_train_centroids(emb, cents, n_iter=1)
+    got = sorted(
+        (int(r["cid"]), int(r["dim"]), int(r["n"]), int(r["coord_sum_q"]))
+        for r in kmeans_step_exact(emb, trained1).collect()
+    )
+    want = sorted(
+        (int(r["cid"]), int(r["dim"]), int(r["n"]), int(r["coord_sum_q"]))
+        for r in kmeans_two_steps_exact(emb, cents).collect()
+    )
+    assert got == want
+
+    # empty-cell keep: the never-attracting opposite-direction seed
+    # comes back in the trained list EXACTLY as it went in.
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.9, 0.2]), (2, [0.1, 1.0]), (3, [0.2, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    geo = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (99, [-1.0, -1.0])]
+    trained = dict(kmeans_train_centroids(tiny, geo, n_iter=2))
+    assert trained[99] == [-1.0, -1.0]
+    assert set(trained) == {0, 1, 99}
+
+
 def test_kmeans_two_steps_rejects_mismatched_centroid_dims(spark):
     """A centroid vector whose length differs from the data
     dimensionality fails with a clear contract error at the update

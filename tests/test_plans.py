@@ -355,6 +355,26 @@ HEADLINE_DIGESTS = {
     # returned frame is a driver-assembled merges table — the trainer's
     # per-round plans run at CONSTRUCTION (like dedup_cluster_collapse's
     # iterations) and are pinned behaviorally in test_operators.
+    # Round-10 headliners. text_rules_filter's ZERO shuffles IS the
+    # claim: every rule is a per-row expression. v6's 4 shuffles are
+    # the chunk election agg, the two per-doc rollups, and the pack
+    # window; its joins broadcast at this size (data-sized SMJ at
+    # scale). trained-serving's digest covers SERVING (training + index
+    # build run once at construction into the snapshot cache): the one
+    # shuffle is the per-query top-k window, the broadcast is the probe
+    # side — the index scan itself is partition-pruned to probed cells.
+    "text_rules_filter": {"shuffle_exchange": 0},
+    "pipe_end_to_end_v6": {
+        "shuffle_exchange": 4,
+        "BroadcastExchange": 3,
+        "BroadcastHashJoin": 3,
+        "SortAggregate": 2,
+    },
+    "sim_ivf_trained_serving": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 1,
+        "BroadcastHashJoin": 1,
+    },
 }
 
 
