@@ -1039,3 +1039,88 @@ def nb_train_bits(
         "feature_id",
         F.coalesce("weight", F.lit(0)).cast("long").alias("weight"),
     )
+
+
+def dsir_weights_bits(
+    docs: DataFrame,
+    target_col: Column | str,
+    n_features: int = 64,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """DSIR importance weights in integer BITS (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", reduced
+    to the engine's exact-integer recipe): per hashed token feature,
+    the add-one-smoothed log-ratio of its occurrence mass under the
+    TARGET distribution vs the RAW corpus,
+
+        w = flog2(cnt_t + 1) + flog2(TR + V)
+          - flog2(cnt_r + 1) - flog2(TT + V)
+
+    (cnt_t/cnt_r = the feature's token occurrences in target / all
+    docs, TT/TR their totals, V = n_features — an integer within 1 bit
+    of log2(p_target(f) / p_raw(f)) under add-one smoothing). Unlike
+    `nb_train_bits` this is UNSUPERVISED in the pipeline sense: the
+    "label" is just membership in a small trusted target set (a quality
+    corpus, a domain sample), and raw INCLUDES the target — the
+    importance-ratio shape, not class log-odds. flog2 is binary bit
+    length minus one: exact in any engine, no products, no overflow.
+
+    ONE map-combined feature aggregate over the corpus (the flag rides
+    each exploded token), totals as a broadcast scalar — a single pass,
+    deterministic, SQL-oracle-able. Returns all ``n_features`` rows
+    (feature_id, weight); features unseen anywhere get the smoothing
+    prior flog2(TR+V) - flog2(TT+V). The output feeds
+    `hashed_feature_score` directly, whose per-doc sum IS the DSIR
+    document weight; resample by exact global rank on it
+    (the `pipe_dsir_select` composition).
+
+    ``target_col`` must evaluate to a non-null boolean per row.
+    """
+    if n_features <= 0:
+        raise ValueError(f"n_features must be positive, got {n_features}")
+    flag = F.col(target_col) if isinstance(target_col, str) else target_col
+    tok = ws_tokens(text_col)
+    if lowercase:
+        tok = F.transform(tok, F.lower)
+    fc = (
+        docs.select(
+            flag.cast("int").alias("__t"), F.explode(tok).alias("__w")
+        )
+        .select(
+            "__t",
+            F.expr(_token_feature_expr("__w", n_features)).alias(
+                "feature_id"
+            ),
+        )
+        .groupBy("feature_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cr"),
+            F.sum("__t").cast("long").alias("ct"),
+        )
+    )
+    base = docs.sparkSession.range(n_features).select(
+        F.col("id").cast("long").alias("feature_id")
+    )
+    filled = base.join(fc, "feature_id", "left").select(
+        "feature_id",
+        F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
+        F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+    )
+    tot = filled.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    flog2 = lambda c: (  # noqa: E731
+        F.length(F.conv(c.cast("string"), 10, 2)) - 1
+    ).cast("long")
+    v = F.lit(int(n_features))
+    return filled.crossJoin(F.broadcast(tot)).select(
+        "feature_id",
+        (
+            flog2(F.col("ct") + 1)
+            + flog2(F.col("tr") + v)
+            - flog2(F.col("cr") + 1)
+            - flog2(F.col("tt") + v)
+        ).cast("long").alias("weight"),
+    )

@@ -11275,6 +11275,98 @@ def text_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_dsir_select",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), feats AS (
+        SELECT doc_id, lang,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS f
+        FROM toks
+    ), fc AS (
+        SELECT g.fid AS f,
+               CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+               CAST(coalesce(ct, 0) AS BIGINT) AS ct
+        FROM (SELECT unnest(range(0, 64)) AS fid) g
+        LEFT JOIN (
+            SELECT f, count(*) AS cr,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+            FROM feats GROUP BY f) c ON g.fid = c.f
+    ), tot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS tr,
+               CAST(sum(ct) AS BIGINT) AS tt
+        FROM fc
+    ), wts AS (
+        SELECT f AS feature_id,
+               CAST((length(to_base(ct + 1, 2)) - 1)
+                  + (length(to_base(tr + 64, 2)) - 1)
+                  - (length(to_base(cr + 1, 2)) - 1)
+                  - (length(to_base(tt + 64, 2)) - 1) AS BIGINT) AS weight
+        FROM fc CROSS JOIN tot
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w2.weight) AS BIGINT) AS dsir_bits
+        FROM feats t JOIN wts w2 ON t.f = w2.feature_id
+        GROUP BY t.doc_id
+    ), ranked AS (
+        SELECT doc_id, n_tokens, dsir_bits,
+               CAST(row_number() OVER (ORDER BY dsir_bits, doc_id)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, dsir_bits, r * 4 > 3 * n AS keep
+    FROM ranked
+    """,
+)
+def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) end to end, exact-integer:
+    train IMPORTANCE weights from the target-vs-raw hashed-feature
+    distributions (`operators/textquality.dsir_weights_bits`, target =
+    the lang='en' slice standing in for a trusted quality corpus),
+    score every token-bearing document with the per-token summed
+    log-ratio (`hashed_feature_score` — the serving pass is shared with
+    the supervised classifier, same feature space by construction), and
+    RESAMPLE by keeping the top quartile under the exact distributed
+    global rank on (dsir_bits, doc_id) — `ranking.global_rank`, no
+    single-task window; the corpus total rides a one-row broadcast so
+    the keep decision is a lazy integer comparison (r*4 > 3n). Output
+    is every scored doc with its weight and the keep verdict — the
+    audit form, not just the survivor set."""
+    from usgs_lidar_spark.operators.ranking import global_rank
+    from usgs_lidar_spark.operators.textquality import (
+        dsir_weights_bits,
+        hashed_feature_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    weights = dsir_weights_bits(d, F.col("lang") == "en", n_features=64)
+    # Pin: `scored`'s lineage (explode + broadcast-weight join over the
+    # corpus) is referenced by BOTH the rank path and the count rider —
+    # unpinned, the un-replanned NO_AQE tree executes it twice (the
+    # pipe_end_to_end_v5 lesson).
+    scored = (
+        hashed_feature_score(d, weights, n_features=64)
+        .select("doc_id", "n_tokens", F.col("score").alias("dsir_bits"))
+        .localCheckpoint(eager=False)
+    )
+    ranked = global_rank(scored, ["dsir_bits", "doc_id"], rank_col="__r")
+    n = scored.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_tokens",
+        "dsir_bits",
+        (F.col("__r") * 4 > 3 * F.col("__n")).alias("keep"),
+    )
+
+
+@query(
     "stats_bootstrap_by_lang",
     oracle=f"""
     WITH reps AS (SELECT unnest(range(0, 16)) AS b),
