@@ -22,7 +22,16 @@ all-column xxhash64 aggregate (a bare count() lets Catalyst prune the
 interesting expressions — the round-8 lesson), pmod to stay in int64
 under ANSI mode.
 
-Usage: python tools/scale_round10.py   # one JSON line per scenario
+Second wave (pass names as argv to run a subset):
+  * text_rules_filter — map-only rule expressions; zero shuffle at any
+    size, wall tracks the scan.
+  * pipe_end_to_end_v6 — the ingest composition: election + rollup
+    shuffles carry digests/counts; reassembled text shuffles once.
+  * pipe_dsir_select — one feature pass (64-row weight table), the
+    scoring join is a broadcast, the rank cut shuffles (score, id)
+    pairs only.
+
+Usage: python tools/scale_round10.py [name ...]  # one JSON line each
 """
 
 from __future__ import annotations
@@ -42,6 +51,9 @@ SCENARIOS = [
     "pipe_negative_samples",
     "sim_knn_classify",
     "pipe_temperature_mix",
+    "text_rules_filter",
+    "pipe_end_to_end_v6",
+    "pipe_dsir_select",
 ]
 
 
@@ -64,11 +76,12 @@ def run(name: str, sf_dir: str, tag: str) -> dict:
 
 
 def main() -> None:
+    names = sys.argv[1:] or SCENARIOS
     build_sf1()
     # Throwaway session: the first make_session in a process pays the
     # JVM/Python gateway launch.
     timed("warmup", "0", lambda spark: spark.range(10).count())
-    for name in SCENARIOS:
+    for name in names:
         for tag, sf in (("1x", str(SF01)), ("10x", str(SF1))):
             run(name, sf, tag)  # JIT warm, discarded
             print(json.dumps(run(name, sf, tag)), flush=True)
