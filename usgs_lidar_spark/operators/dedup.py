@@ -162,6 +162,74 @@ def char_shingles(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 8,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """Cross-SOURCE duplication overlap matrix — the curation question
+    "how much does source A republish source B" as shingle-set Jaccard
+    between sources: per unordered source pair, the shared distinct
+    df-capped char-k shingles over the union.
+
+    Plan: the doc-level df cap runs FIRST (`char_shingles` — a
+    stop-shingle shared by every source is noise, not overlap
+    evidence), shingles then collapse to per-(source, shingle)
+    distinct rows, and the self-join is shingle-keyed with the same
+    bounded blowup as `ngram_jaccard_pairs` (sum over shingles of
+    sources-carrying-it squared, <= max_df²). Output is bounded by
+    #sources² rows; counts are exact integers, Jaccard is one double
+    division. At 100 TB this is the same linear shape as the doc-level
+    join — sources are a tiny domain riding an already-capped key.
+
+    Returns (src_a, src_b, n_shared, n_a, n_b, jaccard), src_a < src_b,
+    only pairs sharing at least one shingle.
+    """
+    pairs = char_shingles(docs, text_col, id_col, k=k, max_df=max_df)
+    gsh = (
+        pairs.join(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(group_col).alias("__g"),
+            ),
+            "doc_id",
+        )
+        .select("__g", "shingle")
+        .distinct()
+    )
+    sizes = gsh.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = gsh.withColumnRenamed("__g", "src_a")
+    b = gsh.withColumnRenamed("__g", "src_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sz_a = sizes.select(F.col("__g").alias("src_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("__g").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "src_a")
+        .join(sz_b, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -11275,6 +11275,56 @@ def text_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_source_overlap",
+    oracle="""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(length(text) - 7, 0) + 1),
+                       i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
+            FROM documents)
+    ), freq AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+    ), ssh AS (
+        SELECT DISTINCT d.source AS g, s.shingle
+        FROM sh0 s JOIN freq USING (shingle)
+        JOIN documents d USING (doc_id)
+    ), sizes AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_sh FROM ssh GROUP BY g
+    ), inter AS (
+        SELECT a.g AS src_a, b.g AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = src_a
+    JOIN sizes sb ON sb.g = src_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix
+    (operators/dedup.source_overlap_matrix): per source pair, the
+    Jaccard of their df-capped char-8 shingle sets — "how much does
+    source A republish source B", the question that decides which
+    source to DROP when near-dup clusters straddle origins. The
+    doc-level df cap runs before source aggregation (a stop-shingle in
+    every source is noise, not overlap), the self-join rides the same
+    capped key as the pairwise dedups, and the output is bounded by
+    #sources². Counts exact, Jaccard one double division."""
+    from usgs_lidar_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(
+        _t(spark, sf_dir, "documents"),
+        "text", "doc_id", "source", k=8, max_df=20,
+    )
+
+
+@query(
     "pipe_dsir_select",
     oracle=f"""
     WITH toks AS (
