@@ -3116,6 +3116,65 @@ def pipe_pack_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipe_pack_stats",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               {_LEHMER_STREAM("doc_id", 8)} AS pack_stream
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, pack_stream, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_start,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS token_end
+        FROM toks
+        WINDOW w AS (PARTITION BY pack_stream ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), rows_ AS (
+        SELECT doc_id, pack_stream, n_tokens,
+               CAST(floor(token_start / 1024.0) AS BIGINT) AS pack_id,
+               token_end > (floor(token_start / 1024.0) + 1) * 1024
+                   AS split_across
+        FROM packed
+    )
+    SELECT pack_stream, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_begun,
+           CAST(sum(CASE WHEN split_across THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_split,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM rows_ GROUP BY pack_stream, pack_id
+    """,
+)
+def pipe_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard QA rollup over the packing pass: per (stream,
+    pack), how many documents BEGIN there, their total tokens, how many
+    straddle the boundary, and the id span — the census a loader team
+    reads before training (empty-ish packs, split hotspots, id ordering
+    sanity). One extra group-by on the packed frame's own keys — the
+    pack window already shuffled on pack_stream, so the rollup is a
+    cheap re-aggregation, and the output is bounded by total tokens /
+    budget. Same parameters as `pipe_pack_streams` (budget=1024, 8
+    Lehmer streams)."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(
+        d, "doc_id", token_count("text"), budget=1024, n_streams=8
+    )
+    return packed.groupBy("pack_stream", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_begun"),
+        F.sum(F.col("split_across").cast("long")).cast("long").alias("n_split"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
 # =====================================================================
 # Product quantization (north-star extension): compressed-domain ANN
 # =====================================================================
