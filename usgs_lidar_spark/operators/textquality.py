@@ -1102,11 +1102,16 @@ def dsir_weights_bits(
     base = docs.sparkSession.range(n_features).select(
         F.col("id").cast("long").alias("feature_id")
     )
+    # Pin: `filled` is referenced twice below (the totals aggregate AND
+    # the returned crossJoin). Without the pin the corpus-wide
+    # explode+groupBy subtree can execute once per reference — the same
+    # NO_AQE double-execution trap contaminated_docs and
+    # pipe_dsir_select pin against — breaking the "single pass" claim.
     filled = base.join(fc, "feature_id", "left").select(
         "feature_id",
         F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
         F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
-    )
+    ).localCheckpoint(eager=False)
     tot = filled.agg(
         F.sum("cr").cast("long").alias("tr"),
         F.sum("ct").cast("long").alias("tt"),

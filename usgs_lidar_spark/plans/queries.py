@@ -8718,10 +8718,21 @@ def sim_topk_from_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                list(CAST(cs AS DOUBLE) / n / 1048576.0 ORDER BY dim) AS cvec
         FROM step1 GROUP BY cid
     ), cent2n AS (
-        SELECT cid,
-               list_transform(cvec,
+        -- round-2 candidate set = ALL seed cids: a cell empty in
+        -- round 1 keeps its SEED centroid as the round-2 candidate
+        -- (kmeans_train_centroids keeps empty cells' previous
+        -- centroids in the candidate list every iteration) — building
+        -- this from cent2d alone would drop such cells and assign
+        -- round 2 against a smaller candidate set than the engine's.
+        SELECT s.cid,
+               list_transform(
+                   coalesce(c2.cvec,
+                            list_transform(s.svec,
+                                           x -> CAST(x AS DOUBLE))),
                    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qc
-        FROM cent2d
+        FROM (SELECT vec_id AS cid, embedding AS svec
+              FROM embeddings WHERE vec_id < 8) s
+        LEFT JOIN cent2d c2 ON s.cid = c2.cid
     ), cent2q AS (
         SELECT cid, qc,
                CAST(list_sum(list_transform(qc, v -> v * v)) AS BIGINT) AS nq
@@ -11446,8 +11457,14 @@ def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank on (dsir_bits, doc_id) — `ranking.global_rank`, no
     single-task window; the corpus total rides a one-row broadcast so
     the keep decision is a lazy integer comparison (r*4 > 3n). Output
-    is every scored doc with its weight and the keep verdict — the
-    audit form, not just the survivor set."""
+    is every TOKEN-BEARING doc with its weight and the keep verdict —
+    zero-token (empty/whitespace-only) documents are excluded BEFORE
+    the rank: they carry no feature evidence, can never be selected as
+    training data, and counting them in the rank denominator would
+    shift every real doc's quartile cut by the corpus's junk fraction
+    (n_tokens > 0 is exactly the oracle's length(trim(text)) > 0 —
+    whitespace tokenization yields a token iff trimmed text is
+    non-empty)."""
     from usgs_lidar_spark.operators.ranking import global_rank
     from usgs_lidar_spark.operators.textquality import (
         dsir_weights_bits,
@@ -11462,6 +11479,7 @@ def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipe_end_to_end_v5 lesson).
     scored = (
         hashed_feature_score(d, weights, n_features=64)
+        .filter(F.col("n_tokens") > 0)
         .select("doc_id", "n_tokens", F.col("score").alias("dsir_bits"))
         .localCheckpoint(eager=False)
     )

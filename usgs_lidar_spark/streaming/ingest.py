@@ -53,12 +53,24 @@ STORE_SCHEMA = "digest string, batch_id bigint"
 
 def read_store_before(spark, store_path: str, batch_id: int) -> DataFrame:
     """Digests of all batches STRICTLY older than ``batch_id`` — the
-    committed history a (re)played batch is allowed to see. Missing or
-    empty store (first batch, fresh checkpoint) reads as zero rows."""
+    committed history a (re)played batch is allowed to see. Missing
+    store (first batch, fresh checkpoint) reads as zero rows; ANY OTHER
+    read failure (transient FS error, permission denial, corrupt
+    metadata) re-raises and fails the batch — silently treating a
+    broken store as "no committed history" would skip passage dedup for
+    the batch and commit duplicate-retaining output, the exact
+    silent-rot class this module exists to prevent."""
+    from pyspark.errors import AnalysisException
+
     try:
         store = spark.read.schema(STORE_SCHEMA).parquet(store_path)
-    except Exception:  # path absent / no partitions yet
-        return spark.createDataFrame([], STORE_SCHEMA).select("digest")
+    except AnalysisException as e:
+        # Spark 4 error condition for a missing input path. Anything
+        # else (ACLs, corrupt partition metadata, ...) is a real error.
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", None))
+        if cond is not None and cond() == "PATH_NOT_FOUND":
+            return spark.createDataFrame([], STORE_SCHEMA).select("digest")
+        raise
     return store.filter(F.col("batch_id") < batch_id).select("digest")
 
 
