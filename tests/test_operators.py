@@ -215,6 +215,67 @@ def test_shingle_apis_cap_stop_shingles_by_default(spark):
     assert uncapped.filter("shingle = 'AAAAAAAA'").count() == 25
 
 
+def test_char_shingles_fractional_cap(spark):
+    """max_df_frac on char_shingles itself (round 11: the lazy
+    fractional idiom moved from contaminated_docs into the shared
+    shingle builder): resolves against shingle-BEARING docs, matches
+    the equivalent absolute cap exactly, and keeps the overlap matrix
+    scale-stable under corpus replication — the absolute cap provably
+    does not (SCALE.md: 89 vs 190 pairs at 10x)."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.dedup import (
+        char_shingles,
+        source_overlap_matrix,
+    )
+
+    # 25 docs share a stop-shingle; one doc is too short to shingle
+    # (must not count in the fraction denominator: n = 25, not 26).
+    rows = [(i, "AAAAAAAA" + f"{i:08d}") for i in range(25)] + [(99, "x")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # ceil(0.8 * 25) = 20 -> identical to the absolute default cap.
+    frac = char_shingles(docs, "text", "doc_id", k=8, max_df_frac=0.8)
+    absv = char_shingles(docs, "text", "doc_id", k=8, max_df=20)
+    assert sorted(map(tuple, frac.collect())) == sorted(
+        map(tuple, absv.collect())
+    )
+    assert frac.filter("shingle = 'AAAAAAAA'").count() == 0  # 25 > 20
+    # ceil(1.0 * 25) = 25 keeps everything.
+    assert (
+        char_shingles(docs, "text", "doc_id", k=8, max_df_frac=1.0)
+        .filter("shingle = 'AAAAAAAA'")
+        .count()
+        == 25
+    )
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="max_df_frac"):
+            char_shingles(docs, "text", "doc_id", k=8, max_df_frac=bad)
+
+    # Scale stability on the overlap matrix: two sources sharing one
+    # rare shingle, replicated 3x. The fractional matrix is identical
+    # per-pair at 1x and 3x; the absolute cap at 2 loses the pair.
+    base = [
+        (0, "sharedshingle00A-alpha", "src_a"),
+        (1, "sharedshingle00B-bravo", "src_b"),
+    ]
+    one = spark.createDataFrame(base, ["doc_id", "text", "source"])
+    three = spark.createDataFrame(
+        [(r[0] + 10 * k, r[1], r[2]) for k in range(3) for r in base],
+        ["doc_id", "text", "source"],
+    )
+
+    def pairs(df, **kw):
+        return sorted(
+            (r["src_a"], r["src_b"], r["n_shared"])
+            for r in source_overlap_matrix(df, **kw).collect()
+        )
+
+    assert pairs(one, max_df=None, max_df_frac=1.0) == pairs(
+        three, max_df=None, max_df_frac=1.0
+    )
+    assert pairs(one, max_df=2) != [] and pairs(three, max_df=2) == []
+
+
 def test_simhash_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps over it"), (2, "the quick brown fox jumps over it")],

@@ -1,0 +1,71 @@
+"""Round-11 scale measurements (SCALE.md) at 1x (sf0.1) vs 10x
+(tools/sf1_bench.py's token-rotated replicated documents — the same
+harder-than-linear corpus every other SCALE row uses).
+
+What each scenario is meant to prove:
+  * dedup_source_overlap — the round-10 verdict's lead item: with the
+    absolute df cap (max_df=20) the overlap matrix THINNED at 10x
+    (89 pairs vs 190 at 1x — rotation-shared shingles drift past a
+    fixed df as the corpus grows, so answers were silently
+    incomparable across corpus sizes). The query now uses the
+    fractional cap (max_df_frac=0.04, resolved against shingle-bearing
+    docs with zero extra corpus passes inside `char_shingles`): the
+    pair count must be STABLE 1x -> 10x while shuffle stays linear in
+    capped shingle occurrences.
+
+Method identical to tools/scale_round10.py: warm second run reported
+(first pays whole-stage-codegen JIT), results fully materialized via an
+all-column xxhash64 aggregate (a bare count() lets Catalyst prune the
+interesting expressions), pmod to stay in int64 under ANSI mode.
+
+Usage: python tools/scale_round11.py [name ...]  # one JSON line each
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from tools.scale_round8 import timed  # noqa: E402
+from tools.sf1_bench import SF1, SF01, build_sf1  # noqa: E402
+
+SCENARIOS = [
+    "dedup_source_overlap",
+]
+
+
+def run(name: str, sf_dir: str, tag: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.plans.queries import QUERIES
+
+    def body(spark) -> int:
+        df = QUERIES[name](spark, sf_dir)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64(*df.columns), F.lit(1_000_000_007))
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"])
+
+    return timed(name, tag, body)
+
+
+def main() -> None:
+    names = sys.argv[1:] or SCENARIOS
+    build_sf1()
+    timed("warmup", "0", lambda spark: spark.range(10).count())
+    for name in names:
+        for tag, sf in (("1x", str(SF01)), ("10x", str(SF1))):
+            run(name, sf, tag)  # JIT warm, discarded
+            print(json.dumps(run(name, sf, tag)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,7 @@ def char_shingles(
     k: int = 8,
     max_df: int | None = 20,
     fused_small_corpus: bool = False,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Distinct character k-shingles per document: (id, shingle).
 
@@ -132,7 +133,30 @@ def char_shingles(
     shingle's document set fits in one aggregation buffer (small corpora /
     unit tests): the set materializes BEFORE the cap filter rejects it, so
     a hot shingle at crawl scale would OOM the executor. Off by default.
+
+    ``max_df_frac``: the SCALE-STABLE fractional cap — "drop shingles
+    present in more than this FRACTION of shingle-bearing documents".
+    An absolute cap silently tightens as the corpus grows (SCALE.md
+    measured `source_overlap_matrix` emitting 89 pairs at 10x vs 190 at
+    1x purely from df drift past a fixed 20), so any consumer comparing
+    answers ACROSS corpus sizes should set the fraction instead.
+    Overrides ``max_df`` when given. Resolution costs ZERO extra corpus
+    passes and no driver collect (the `contaminated_docs` idiom, now
+    shared by every shingle consumer): the distinct (doc, shingle)
+    frame is localCheckpoint-pinned once — the same bytes the df-cap
+    window was about to shuffle anyway — the denominator
+    count(distinct doc_id) rides a one-row broadcast crossJoin into
+    the cap comparison, and the window reads the pin. The denominator
+    is docs that PRODUCED at least one shingle (docs shorter than k
+    can never appear in any shingle's df, so they have no place in a
+    document-frequency fraction); the threshold
+    ``greatest(1, ceil(frac * n))`` is the same double multiply + ceil
+    Python would compute — deterministic in any engine.
     """
+    if max_df_frac is not None and not 0.0 < max_df_frac <= 1.0:
+        raise ValueError(
+            f"max_df_frac must be in (0, 1], got {max_df_frac}"
+        )
     # Explicit empty-array guard: Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0] (not empty), which would fabricate shingles for
     # docs shorter than k — the oracle's range(1, 1) is empty.
@@ -144,6 +168,22 @@ def char_shingles(
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle")
     )
+    if max_df_frac is not None:
+        pairs = exploded.distinct().localCheckpoint(eager=False)
+        n_docs = pairs.agg(F.count_distinct("doc_id").alias("__n"))
+        w = Window.partitionBy("shingle")
+        return (
+            pairs.withColumn("__df", F.count(F.lit(1)).over(w))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(
+                F.col("__df")
+                <= F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.lit(float(max_df_frac)) * F.col("__n")),
+                )
+            )
+            .select("doc_id", "shingle")
+        )
     if max_df is None:
         return exploded.distinct()
     if fused_small_corpus:
@@ -169,6 +209,7 @@ def source_overlap_matrix(
     group_col: str = "source",
     k: int = 8,
     max_df: int | None = 20,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Cross-SOURCE duplication overlap matrix — the curation question
     "how much does source A republish source B" as shingle-set Jaccard
@@ -185,10 +226,20 @@ def source_overlap_matrix(
     division. At 100 TB this is the same linear shape as the doc-level
     join — sources are a tiny domain riding an already-capped key.
 
+    ``max_df_frac``: the scale-stable fractional df cap (see
+    `char_shingles`) — REQUIRED reading for anyone comparing overlap
+    across corpus sizes: with the absolute cap, a growing corpus pushes
+    legitimately-shared shingles past the fixed df and the matrix
+    silently thins (measured: 89 pairs at 10x vs 190 at 1x with
+    max_df=20 on the replicated corpus; stable with the fraction).
+    Overrides ``max_df`` when given.
+
     Returns (src_a, src_b, n_shared, n_a, n_b, jaccard), src_a < src_b,
     only pairs sharing at least one shingle.
     """
-    pairs = char_shingles(docs, text_col, id_col, k=k, max_df=max_df)
+    pairs = char_shingles(
+        docs, text_col, id_col, k=k, max_df=max_df, max_df_frac=max_df_frac
+    )
     gsh = (
         pairs.join(
             docs.select(

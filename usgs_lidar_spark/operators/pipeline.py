@@ -151,40 +151,20 @@ def contaminated_docs(
     runs; overrides ``max_df`` when given.
 
     The fraction resolves WITHOUT a second corpus pass OR a driver
-    collect: the distinct (doc, shingle) frame is localCheckpoint-pinned
-    once (the same bytes the df-cap shuffle was about to materialize
-    anyway), the denominator count(distinct doc_id) over that pin rides
-    a one-row broadcast crossJoin into the df-cap comparison (the
-    stage-binning idiom below — the plan stays fully lazy, no extra
-    job), and the df-cap window reads the pin — corpus text is scanned
-    exactly once end to end. The denominator is therefore docs that
-    PRODUCED at least one shingle (docs shorter than k can never appear
-    in any shingle's df, so they have no place in a document-frequency
-    fraction). The threshold ``greatest(1, ceil(frac * n))`` is the
-    same double multiply + ceil Python would compute — deterministic.
+    collect — see ``dedup.char_shingles(max_df_frac=...)``, where the
+    lazy one-row-broadcast idiom now lives (pinned distinct pairs, the
+    denominator riding a broadcast crossJoin into the cap comparison;
+    corpus text is scanned exactly once end to end).
     """
     from usgs_lidar_spark.operators.dedup import char_shingles
 
-    if max_df_frac is not None:
-        pairs = char_shingles(
-            corpus, text_col, id_col, k=k, max_df=None
-        ).localCheckpoint(eager=False)
-        n_docs = pairs.agg(F.count_distinct("doc_id").alias("__n"))
-        w = Window.partitionBy("shingle")
-        c_sh = (
-            pairs.withColumn("__df", F.count(F.lit(1)).over(w))
-            .crossJoin(F.broadcast(n_docs))
-            .filter(
-                F.col("__df")
-                <= F.greatest(
-                    F.lit(1).cast("long"),
-                    F.ceil(F.lit(float(max_df_frac)) * F.col("__n")),
-                )
-            )
-            .select("doc_id", "shingle")
-        )
-    else:
-        c_sh = char_shingles(corpus, text_col, id_col, k=k, max_df=max_df)
+    # The fractional cap (and its zero-extra-pass resolution) lives in
+    # char_shingles itself since round 11 — shared by every shingle
+    # consumer (Jaccard pairs, the overlap matrix, this check).
+    c_sh = char_shingles(
+        corpus, text_col, id_col, k=k, max_df=max_df,
+        max_df_frac=max_df_frac,
+    )
     b_sh = (
         char_shingles(benchmark, text_col, id_col, k=k, max_df=None)
         .select("shingle")

@@ -11354,8 +11354,13 @@ def text_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                        range(1, greatest(length(text) - 7, 0) + 1),
                        i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
             FROM documents)
+    ), cap AS (
+        SELECT greatest(1, CAST(ceil(0.04 * count(DISTINCT doc_id))
+                                AS BIGINT)) AS max_df
+        FROM sh0
     ), freq AS (
-        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+        SELECT shingle FROM sh0, cap
+        GROUP BY shingle, max_df HAVING count(*) <= max_df
     ), ssh AS (
         SELECT DISTINCT d.source AS g, s.shingle
         FROM sh0 s JOIN freq USING (shingle)
@@ -11385,12 +11390,21 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level df cap runs before source aggregation (a stop-shingle in
     every source is noise, not overlap), the self-join rides the same
     capped key as the pairwise dedups, and the output is bounded by
-    #sources². Counts exact, Jaccard one double division."""
+    #sources². Counts exact, Jaccard one double division.
+
+    The cap is the SCALE-STABLE fractional form (max_df_frac=0.04: drop
+    shingles in >4% of shingle-bearing docs — ceil(0.04 * n) = 20 at
+    sf0.01, the old absolute cap exactly, but invariant in MEANING as
+    the corpus grows; SCALE.md measured the absolute max_df=20 emitting
+    89 pairs at 10x vs 190 at 1x because rotation-shared shingles drift
+    past a fixed df). The fraction resolves with zero extra corpus
+    passes (`char_shingles` pins the distinct pairs once and rides the
+    denominator in on a one-row broadcast)."""
     from usgs_lidar_spark.operators.dedup import source_overlap_matrix
 
     return source_overlap_matrix(
         _t(spark, sf_dir, "documents"),
-        "text", "doc_id", "source", k=8, max_df=20,
+        "text", "doc_id", "source", k=8, max_df=None, max_df_frac=0.04,
     )
 
 
