@@ -4362,6 +4362,54 @@ def test_budget_prefix_select_vs_bruteforce(spark):
         budget_prefix_select(df, "score", "tokens", -1)
 
 
+def test_budget_prefix_select_wide_domain_and_nan(spark):
+    """Round 11 (fully distributed form): a score domain far wider than
+    the bucket knob — every score distinct, spanning many range
+    buckets — still matches the row-level greedy prefix exactly, and a
+    NaN score is rejected loudly (no position in a total order —
+    global_rank's contract; the old collect-based form ordered NaN
+    arbitrarily)."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.ranking import budget_prefix_select
+
+    # 5000 distinct scores scattered over [0, 1e9): boundary lands
+    # mid-bucket; weights 1..4.
+    rows = [
+        (i, (i * 2654435761) % 1_000_000_000, (i % 4) + 1)
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score long, w long")
+
+    def brute(budget: int) -> set[int]:
+        acc, kept = 0, set()
+        for sc, d, wt in sorted(
+            ((s, d, t) for d, s, t in rows), key=lambda x: (-x[0], x[1])
+        ):
+            if acc + wt <= budget:
+                acc += wt
+                kept.add(d)
+            else:
+                break
+        return kept
+
+    for budget in (0, 137, 5003):
+        got = {
+            r["doc_id"]
+            for r in budget_prefix_select(
+                df.repartition(13), "score", "w", budget
+            ).collect()
+        }
+        assert got == brute(budget), budget
+
+    nan_df = spark.createDataFrame(
+        [(1, 1.0, 2), (2, float("nan"), 2)],
+        "doc_id long, score double, w long",
+    )
+    with _pytest.raises(ValueError, match="NaN"):
+        budget_prefix_select(nan_df, "score", "w", 10)
+
+
 def test_rp_doc_embedding_vs_bruteforce_and_jl_property(spark):
     """Cell values match the Python reimplementation exactly;
     near-identical documents land closer (higher cosine) in RP space

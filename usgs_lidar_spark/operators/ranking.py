@@ -223,32 +223,43 @@ def budget_prefix_select(
     into a fixed-token training set.
 
     The global ordered prefix-sum is computed WITHOUT a single-task
-    window (this module's reason to exist), in the two-phase shape:
+    window (this module's reason to exist) AND without any data-sized
+    driver pull (round 11 — the earlier form collected the per-score
+    aggregate and prefix-summed it in Python behind a 100k-distinct-
+    score guard; both are gone), in the `global_rank` two-phase shape:
 
-    1. per-SCORE aggregates (n_rows, weight_sum) — a map-combined
-       shuffle bounded by the score domain, collected to the driver
-       ordered score-descending (bounded by the same knob class as
-       `global_rank`'s bucket counts: integer quality scores have
-       small domains by construction; a guard raises past 100k
-       distinct scores rather than collecting unbounded data);
-    2. the driver prefix-sums the per-score totals to find the
-       BOUNDARY score — everything above it fits outright, everything
-       below it cannot start;
-    3. only boundary-score rows flow through a rank window partitioned
-       by that single score value (id ASC) and a running weight sum
-       decides how many fit in the remaining budget. A point mass at
-       the boundary score is hot under any value split — the same
-       caveat as any distributed sort; pre-aggregate if one score
-       dominates.
+    1. per-SCORE weight totals — a map-combined shuffle bounded by the
+       score domain;
+    2. the running cumulative weight over scores DESCENDING, two-phase:
+       range-bucket each score (bucket = pure function of the VALUE,
+       never physical placement — the same AQE-proof construction as
+       `global_rank`), collect only the <= ``num_buckets`` per-bucket
+       totals, broadcast their descending prefix offsets back, and add
+       a within-bucket running-sum window. A score group fits outright
+       iff its inclusive cumulative weight stays within budget;
+    3. the BOUNDARY score (the best score that does NOT fully fit) and
+       the budget remaining before it come from a single 1-row
+       ``max_by`` aggregate that rides back on a broadcast; only
+       boundary-score rows then flow through a rank window partitioned
+       by that single score value (id ASC) where a running weight sum
+       decides how many fit. A point mass at the boundary score is hot
+       under any value split — the same caveat as any distributed
+       sort; pre-aggregate if one score dominates.
+
+    The only driver state is the domain min/max pair and the
+    per-bucket totals — bounded by the ``num_buckets`` knob, never by
+    data (the `global_rank` bounded-collect class). Any number of
+    distinct scores is fine.
 
     Rows with NULL score or weight are rejected loudly (a silent drop
-    would shrink the budget's denominator), and ``weight_col`` must be
-    an integral type — the running prefix totals are exact BIGINTs, so
-    a fractional weight column would be silently floored per row
-    (selection accounting diverging from true weights); weights in
-    fractional units must be scaled to integers by the caller. Returns
-    the kept rows with their original columns. Deterministic at any
-    partitioning: the (score, id) order is total.
+    would shrink the budget's denominator); a NaN score is rejected the
+    same way (no position in a total order — `global_rank`'s contract).
+    ``weight_col`` must be an integral type — the running prefix totals
+    are exact BIGINTs, so a fractional weight column would be silently
+    floored per row (selection accounting diverging from true weights);
+    weights in fractional units must be scaled to integers by the
+    caller. Returns the kept rows with their original columns.
+    Deterministic at any partitioning: the (score, id) order is total.
     """
     from pyspark.sql.types import (
         ByteType,
@@ -283,46 +294,96 @@ def budget_prefix_select(
             "cast weights to integers first"
         )
     s, w = F.col(score_col), F.col(weight_col)
-    bad = df.filter(s.isNull() | w.isNull() | (w < 0))
+    stype = df.schema[score_col].dataType.simpleString()
+    nan_bad = F.isnan(s) if stype in ("float", "double") else F.lit(False)
+    bad = df.filter(s.isNull() | nan_bad | w.isNull() | (w < 0))
     if not bad.isEmpty():
         raise ValueError(
-            "budget_prefix_select: NULL score/weight or negative weight "
-            "values present — the running prefix total is only monotone "
-            "for non-negative weights; filter or impute them first"
+            "budget_prefix_select: NULL/NaN score, NULL weight, or "
+            "negative weight values present — the running prefix total "
+            "is only monotone for non-negative weights and NULL/NaN "
+            "have no position in a total order; filter or impute first"
         )
-    per_score = (
-        df.groupBy(s.alias("__s"))
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(w.cast("long")).alias("__wsum"),
-        )
-        .orderBy(F.col("__s").desc())
+    per_score = df.groupBy(s.alias("__s")).agg(
+        F.sum(w.cast("long")).alias("__wsum")
     )
-    rows = per_score.limit(100_001).collect()
-    if len(rows) > 100_000:
-        raise ValueError(
-            "budget_prefix_select: more than 100k distinct scores — "
-            "coarsen the score (integer quality scores have small "
-            "domains by construction) before selecting"
+    # Phase 1 — range-bucket the score domain (the global_rank key
+    # construction: numeric scores split on their value; string scores
+    # on the order-preserving 7-byte-prefix integer key).
+    if stype == "string":
+        key = F.expr(
+            "cast(conv(hex(rpad(substring(encode(__s, 'UTF-8'),"
+            " 1, 7), 7, X'00')), 16, 10) as bigint)"
+        ).cast("double")
+    else:
+        key = F.col("__s").cast("double")
+    num_buckets = 1024
+    mm = per_score.agg(
+        F.min(key).alias("mn"), F.max(key).alias("mx")
+    ).collect()[0]
+    mn, mx = mm["mn"], mm["mx"]
+    if mn is None:
+        return df  # empty input: the kept set is the (empty) input
+    hi = float(mx) * 1.001 + 1.0 if mx >= 0 else float(mx) * 0.999 + 1.0
+    bdf = per_score.withColumn("__bps_key", key).withColumn(
+        "__b",
+        F.expr(
+            f"width_bucket(cast(__bps_key as double), {mn!r}, "
+            f"{hi!r}, {num_buckets})"
+        ),
+    ).drop("__bps_key")
+    # Phase 2 — per-bucket weight totals: <= num_buckets rows on the
+    # driver (bounded by the knob, not by data), prefix-summed in
+    # DESCENDING bucket order (higher bucket = higher score) and
+    # broadcast back as each bucket's above-it offset.
+    totals = bdf.groupBy("__b").agg(F.sum("__wsum").alias("ws")).collect()
+    offsets, acc = [], 0
+    for b, ws in sorted(
+        ((r["__b"], r["ws"]) for r in totals), reverse=True
+    ):
+        offsets.append((b, acc))
+        acc += int(ws)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__b long, __off long"
+    )
+    win_desc = Window.partitionBy("__b").orderBy(F.col("__s").desc())
+    cum = (
+        bdf.join(F.broadcast(off_df), "__b")
+        .withColumn(
+            "__cum",
+            F.col("__off")
+            + F.sum("__wsum").over(
+                win_desc.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
         )
-    acc = 0
-    boundary = None
-    remaining = budget
-    for r in rows:
-        if acc + int(r["__wsum"]) <= budget:
-            acc += int(r["__wsum"])
-        else:
-            boundary = r["__s"]
-            remaining = budget - acc
-            break
-    if boundary is None:
-        # Every score bucket fit (or the frame is empty): the kept set
-        # is the whole input — returned as-is, not as an isin() over
-        # the collected score list (a 100k-literal IN is a plan hazard
-        # for no benefit when it equals identity).
-        return df
-    fully_in = df.filter(s > F.lit(boundary))
-    edge = df.filter(s == F.lit(boundary))
+    )
+    # Phase 3 — boundary = the BEST score whose inclusive cumulative
+    # weight exceeds the budget (everything above it fits outright;
+    # everything below it cannot start). One 1-row aggregate: max_by
+    # carries the cumulative-before-boundary along, NULL when every
+    # score group fits (then the filter below keeps all rows).
+    bnd = (
+        cum.filter(F.col("__cum") > F.lit(int(budget)))
+        .agg(
+            F.max("__s").alias("__bs"),
+            F.max_by(F.col("__cum") - F.col("__wsum"), F.col("__s")).alias(
+                "__before"
+            ),
+        )
+        .select(
+            "__bs",
+            (F.lit(int(budget)) - F.coalesce("__before", F.lit(0)))
+            .cast("long")
+            .alias("__rem"),
+        )
+    )
+    withb = df.crossJoin(F.broadcast(bnd))
+    fully_in = withb.filter(F.col("__bs").isNull() | (s > F.col("__bs"))).drop(
+        "__bs", "__rem"
+    )
+    edge = withb.filter(s == F.col("__bs"))  # empty when __bs is NULL
     win = Window.partitionBy(s).orderBy(F.col(id_col).asc())
     edge_kept = (
         edge.withColumn(
@@ -330,7 +391,7 @@ def budget_prefix_select(
                 win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
         )
-        .filter(F.col("__cum") <= F.lit(int(remaining)))
-        .drop("__cum")
+        .filter(F.col("__cum") <= F.col("__rem"))
+        .drop("__cum", "__bs", "__rem")
     )
     return fully_in.unionByName(edge_kept)

@@ -10536,11 +10536,14 @@ def pipe_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-constrained greedy curation (`operators/ranking.
     budget_prefix_select`): fill a 30k-char budget with the
     best-scoring documents ((score DESC, doc_id ASC) order, synthetic
-    integer score n_chars % 37). The global ordered prefix-sum is
-    two-phase — per-score totals to the driver (bounded by the score
-    domain), then only the single BOUNDARY score's rows flow through a
-    window — never a single-task global window; the oracle IS that
-    naive global window, proving the scalable form row-identical."""
+    integer score n_chars % 37). The global ordered prefix-sum is fully
+    distributed (round 11): per-score totals range-bucketed by VALUE,
+    descending bucket offsets broadcast back over a <=1024-row bounded
+    collect, the boundary score + remaining budget as one 1-row max_by
+    broadcast — no data-sized driver pull, no distinct-score ceiling,
+    and only the single BOUNDARY score's rows flow through a window —
+    never a single-task global window; the oracle IS that naive global
+    window, proving the scalable form row-identical."""
     from usgs_lidar_spark.operators.ranking import budget_prefix_select
 
     docs = _t(spark, sf_dir, "documents").withColumn(
