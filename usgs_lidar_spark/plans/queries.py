@@ -1575,6 +1575,87 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_resize_thumbnail",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(32 AS BIGINT) AS n_bytes,
+           CASE WHEN length(text) = 0 THEN repeat('00', 32)
+                ELSE hex(encode(substr(
+                    repeat(text,
+                           CAST(ceil(32.0 / length(text)) AS INTEGER)),
+                    1, 32)))
+           END AS content_hex
+    FROM documents
+    """,
+)
+def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thumbnailing pass (`multimodal/binary_ops.fake_resize_image`
+    — the deterministic stand-in sharing the real PIL operator's
+    schema, Arrow batch shape, and output-size profile): every payload
+    resized to 8x4 = 32 bytes by tiling/truncating its content; empty
+    payloads become 32 zero bytes. Output bytes are a pure function of
+    input bytes, so DuckDB reproduces the payload itself (hex-rendered
+    — both engines compare strings) via repeat+substr arithmetic —
+    the mapInPandas plumbing, not just its metadata, is hash-checked.
+    Map-only at any scale; output volume tracks target geometry, not
+    input size (what makes a thumbnail pass cheap to shuffle
+    downstream)."""
+    from usgs_lidar_spark.multimodal import fake_resize_image, to_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text")
+    return fake_resize_image(media, width=8, height=4).select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.hex("content").alias("content_hex"),
+    )
+
+
+@query(
+    "mm_probe_dims",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 11 = 0 THEN CAST(-1 AS INTEGER)
+                ELSE CAST(257 + doc_id % 96 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 11 = 0 THEN CAST(-1 AS INTEGER)
+                ELSE CAST(257 + n_chars % 96 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 11 = 0 THEN CAST(-1 AS INTEGER)
+                ELSE CAST(3 AS INTEGER) END AS channels
+    FROM documents
+    """,
+)
+def mm_probe_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only dimension probe (`multimodal/binary_ops.
+    probe_image_dims` — the 100 TB first pass: a few dozen leading
+    bytes per item inside an Arrow batch, no pixel decode) under a hard
+    oracle: each document is wrapped in a REAL GIF87a header whose
+    little-endian u16 dimensions encode (257 + doc_id % 96,
+    257 + n_chars % 96) using only ASCII-range bytes (lo in 1..96,
+    hi = 1 — byte-identical through both engines' UTF-8 encode), so
+    the probe must actually PARSE the binary header to recover them;
+    every 11th document keeps its raw text instead — an unrecognized
+    payload — pinning the (-1, -1, -1) corrupt-input contract in the
+    same pass. The oracle recomputes the dimensions arithmetically,
+    independent of any byte plumbing."""
+    from usgs_lidar_spark.multimodal import probe_image_dims, to_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    gif = F.concat(
+        F.lit("GIF87a"),
+        F.expr("chr(1 + doc_id % 96)"), F.expr("chr(1)"),
+        F.expr("chr(1 + n_chars % 96)"), F.expr("chr(1)"),
+        F.lit("trailer-bytes"),
+    )
+    payload = F.when(F.col("doc_id") % 11 == 0, F.col("text")).otherwise(gif)
+    media = to_media_table(d.withColumn("text", payload), "doc_id", "text")
+    return probe_image_dims(media)
+
+
+@query(
     "mm_dedup_media",
     oracle="""
     WITH m AS (
