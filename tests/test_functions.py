@@ -276,6 +276,77 @@ def test_reproject_cols_dispatch(spark):
         reproject_cols("lon", "lat", 4326, 2193)
 
 
+def test_reproject_any_unified_dispatch(spark):
+    """`reproject_any` (round 11): one call for ANY EPSG pair. Family
+    pairs come back as pure expressions (no Python eval node in the
+    executed plan); exotic pairs route through the Arrow UDF and return
+    the struct fields as the same (x', y') column pair — proven here
+    with the injected affine transformer; without pyproj AND without a
+    factory the exotic tier still fails loudly at plan time."""
+    from usgs_lidar_spark.functions.projection import (
+        have_pyproj,
+        reproject_any,
+    )
+
+    df = spark.createDataFrame(
+        [(15.5, 47.25), (0.25, -33.5)], "lon double, lat double"
+    )
+    # Expression tier: same columns as reproject_cols, zero Python.
+    mx, my = reproject_any("lon", "lat", 4326, 3857)
+    plan = (
+        df.select(mx.alias("x"), my.alias("y"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+
+    # Exotic tier with an injected transformer: the (x', y') pair is the
+    # UDF struct's fields; values are the affine map exactly.
+    class AffineFakeTransformer:
+        def transform(self, xs, ys):
+            return xs * 2.0 + 1.0, ys - 0.5
+
+    ex, ey = reproject_any(
+        "lon", "lat", 4326, 2193, transformer_factory=AffineFakeTransformer
+    )
+    got = df.select(ex.alias("x"), ey.alias("y")).collect()
+    for r, (lon, lat) in zip(got, [(15.5, 47.25), (0.25, -33.5)]):
+        assert r["x"] == 2.0 * lon + 1.0 and r["y"] == lat - 0.5
+
+    if not have_pyproj():
+        with pytest.raises(NotImplementedError, match="pyproj"):
+            reproject_any("lon", "lat", 4326, 2193)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "usgs_lidar_spark.functions.projection", fromlist=["have_pyproj"]
+    ).have_pyproj(),
+    reason="pyproj not installed in this container",
+)
+def test_reproject_any_exotic_golden_against_pyproj(spark):
+    """With pyproj present, the exotic tier of `reproject_any` must
+    reproduce pyproj's own Transformer output exactly (same library,
+    batched through Arrow) for a genuinely-exotic pair: EPSG:4326 ->
+    EPSG:2193 (NZTM2000) at Wellington and Auckland."""
+    import pyproj
+
+    from usgs_lidar_spark.functions.projection import reproject_any
+
+    pts = [(174.7762, -41.2865), (174.7633, -36.8485)]
+    tr = pyproj.Transformer.from_crs(4326, 2193, always_xy=True)
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    ex, ey = reproject_any("lon", "lat", 4326, 2193)
+    got = df.select(
+        "lon", F.col("lon"), ex.alias("x"), ey.alias("y")
+    ).collect()
+    for r, (lon, lat) in zip(got, pts):
+        px, py = tr.transform(lon, lat)
+        assert abs(r["x"] - px) < 1e-9 and abs(r["y"] - py) < 1e-9
+
+
 @pytest.mark.skipif(
     not __import__(
         "usgs_lidar_spark.functions.projection", fromlist=["have_pyproj"]

@@ -14,6 +14,8 @@ Columns, so the common reprojections whole-stage-codegen like any other
 arithmetic. Only CRSs outside these families fall back to the
 import-gated pyproj pandas UDF (`reproject_udf`) — the one other place
 (besides exact point-in-polygon) the engine permits a UDF.
+`reproject_any` is the one-call surface over both tiers: expressions
+when the pair allows, the UDF's struct fields otherwise.
 """
 
 from __future__ import annotations
@@ -63,8 +65,39 @@ def reproject_cols(
     raise NotImplementedError(
         f"no expression path for EPSG:{src_epsg}->EPSG:{dst_epsg}; supported "
         "expression pairs are {4326, 3857, UTM 326xx/327xx}. Use "
-        "reproject_udf (requires pyproj) for other CRSs."
+        "reproject_any / reproject_udf (pyproj-backed, Arrow-batched, "
+        "or an injected transformer) for other CRSs."
     )
+
+
+def reproject_any(
+    x: Column | str,
+    y: Column | str,
+    src_epsg: int,
+    dst_epsg: int,
+    transformer_factory=None,
+) -> tuple[Column, Column]:
+    """The one-call reprojection surface: (x', y') Columns for ANY EPSG
+    pair. Pairs inside the {4326, 3857, UTM 326xx/327xx} families come
+    back as pure built-in expressions (whole-stage-codegen'd, zero
+    Python — `reproject_cols`); every other pair routes through the
+    Arrow-batched pyproj pandas UDF (`reproject_udf`) and returns the
+    struct's fields as the same (x', y') Column pair, so callers write
+    one line either way and only genuinely-exotic CRSs pay the Python
+    boundary. Without pyproj (and no injected ``transformer_factory``)
+    the exotic tier raises the same loud NotImplementedError as
+    `reproject_udf` — at plan time, not mid-job."""
+    try:
+        return reproject_cols(x, y, src_epsg, dst_epsg)
+    except NotImplementedError:
+        pass
+    from pyspark.sql import functions as F
+
+    udf = reproject_udf(src_epsg, dst_epsg, transformer_factory)
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    p = udf(xc, yc)
+    return p.getField("x"), p.getField("y")
 
 
 def have_pyproj() -> bool:
