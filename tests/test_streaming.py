@@ -1322,6 +1322,81 @@ def test_streaming_chunk_dedup_ingest(spark, tmp_path):
     assert got == want
 
 
+def test_ingest_store_prefix_bucketing_prunes_probe(spark, tmp_path):
+    """Round 11: the digest store is hive-partitioned batch_id/dp
+    (dp = first prefix_width hex chars of the digest). Pins (a) the
+    on-disk layout, (b) that the probe's literal prefix filter actually
+    PARTITION-PRUNES the store scan (PartitionFilters carries dp, and
+    the scan reads strictly fewer files than the full store), and
+    (c) that the pruned probe returns exactly the digests under the
+    requested prefixes."""
+    from usgs_lidar_spark.operators.dedup import chunk_digests
+    from usgs_lidar_spark.streaming.ingest import (
+        chunk_dedup_ingest_writer,
+        read_store_before,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "digest_store")
+    out = str(tmp_path / "deduped_out")
+    ingest = chunk_dedup_ingest_writer(store, out, chunk_tokens=4)
+    ingest(docs.filter("doc_id < 25"), 0)
+    ingest(docs.filter("doc_id >= 25"), 1)
+
+    # (a) layout: every batch dir contains dp=<2 hex chars> buckets.
+    batch_dirs = sorted(p.name for p in (tmp_path / "digest_store").iterdir())
+    assert batch_dirs[:2] == ["batch_id=0", "batch_id=1"]
+    dps = sorted(
+        p.name
+        for p in (tmp_path / "digest_store" / "batch_id=0").iterdir()
+        if p.is_dir()
+    )
+    assert dps and all(
+        d.startswith("dp=") and len(d) == 5 for d in dps
+    ), dps
+
+    # (c) pruned probe == manual filter of the full history.
+    all_hist = {
+        r["digest"]
+        for r in chunk_digests(
+            docs.filter("doc_id < 25"), chunk_tokens=4
+        ).collect()
+    }
+    want_prefixes = sorted({d[:2] for d in all_hist})[:3]
+    got = {
+        r["digest"]
+        for r in read_store_before(spark, store, 1, want_prefixes).collect()
+    }
+    assert got == {d for d in all_hist if d[:2] in want_prefixes}
+    assert got and got != all_hist  # the filter actually cut something
+
+    # (b) the plan prunes partitions: dp rides PartitionFilters and the
+    # pruned scan READS fewer files than the unpruned one (the scan
+    # node's numFiles metric after execution — inputFiles() lists the
+    # whole dataset pre-pruning, useless here).
+    def files_read(df) -> int:
+        df.collect()  # count() would plan a SEPARATE execution;
+        # metrics live on the plan instance that actually ran.
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        return sum(
+            int(m.apply("numFiles").value())
+            for i in range(leaves.size())
+            for m in [leaves.apply(i).metrics()]
+            if m.contains("numFiles")
+        )
+
+    pruned = read_store_before(spark, store, 1, want_prefixes)
+    full = read_store_before(spark, store, 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dp#" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    n_pruned, n_full = files_read(pruned), files_read(full)
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
+
+
 def test_streaming_chunk_dedup_ingest_pack_exactly_once(spark, tmp_path):
     """The v6 ingest composition under the WORST crash window: the
     versioned-store foreachBatch ingest (streaming/ingest.py) dies

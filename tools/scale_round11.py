@@ -32,11 +32,85 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 from tools.scale_round8 import timed  # noqa: E402
-from tools.sf1_bench import SF1, SF01, build_sf1  # noqa: E402
+from tools.sf1_bench import SF1, SF01, WORK, build_sf1  # noqa: E402
 
 SCENARIOS = [
     "dedup_source_overlap",
 ]
+
+#: ingest-probe experiment: history batches per scale tag.
+PROBE_BATCH_DOCS = 4  # the small incoming batch whose probe we measure
+
+
+def build_history_store(spark, sf_dir: str, tag: str, width: int) -> str:
+    """Materialize a digest store the way chunk_dedup_ingest_writer
+    does (batch_id + dp hive partitions), 5 history batches over the
+    corpus, digest-prefix width ``width``. Idempotent per (tag, width)."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.operators.dedup import chunk_digests
+
+    store = WORK / f"ingest_store_{tag}_w{width}"
+    marker = store / "_BUILT"
+    if marker.exists():
+        return str(store)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    step = -(-n // 5)
+    for b in range(5):
+        batch = docs.filter(
+            (F.col("doc_id") % n >= b * step)
+            & (F.col("doc_id") % n < (b + 1) * step)
+        )
+        (
+            chunk_digests(batch, chunk_tokens=32)
+            .withColumn("dp", F.substring("digest", 1, width))
+            .write.partitionBy("dp")
+            .mode("overwrite")
+            .parquet(f"{store}/batch_id={b}")
+        )
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    marker.write_text("ok")
+    return str(store)
+
+
+def run_probe(name: str, sf_dir: str, tag: str, width: int, pruned: bool):
+    """Measure ONLY the history-side probe read (the anti-join's right
+    side): bytes the store scan pays for one small incoming batch."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.operators.dedup import chunk_digests
+
+    def body(spark) -> int:
+        store = build_history_store(spark, sf_dir, tag, width)
+        batch = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < PROBE_BATCH_DOCS)
+        )
+        prefixes = None
+        if pruned:
+            prefixes = [
+                r["dp"]
+                for r in chunk_digests(batch, chunk_tokens=32)
+                .select(F.substring("digest", 1, width).alias("dp"))
+                .distinct()
+                .collect()
+            ]
+        from usgs_lidar_spark.streaming.ingest import read_store_before
+
+        seen = read_store_before(spark, store, 5, prefixes)
+        row = seen.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("digest"), F.lit(1_000_000_007))
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"])
+
+    return timed(name, tag, body)
 
 
 def run(name: str, sf_dir: str, tag: str) -> dict:
@@ -62,6 +136,19 @@ def main() -> None:
     build_sf1()
     timed("warmup", "0", lambda spark: spark.range(10).count())
     for name in names:
+        if name == "ingest_probe":
+            for tag, sf in (("1x", str(SF01)), ("10x", str(SF1))):
+                for width, pruned in ((2, False), (2, True), (3, True)):
+                    label = (
+                        f"ingest_probe_w{width}_"
+                        f"{'pruned' if pruned else 'full'}"
+                    )
+                    run_probe(label, sf, tag, width, pruned)  # warm
+                    print(
+                        json.dumps(run_probe(label, sf, tag, width, pruned)),
+                        flush=True,
+                    )
+            continue
         for tag, sf in (("1x", str(SF01)), ("10x", str(SF1))):
             run(name, sf, tag)  # JIT warm, discarded
             print(json.dumps(run(name, sf, tag)), flush=True)

@@ -36,6 +36,21 @@ historical TEXT never moves) plus the batch-sized election and
 reassembly; the store grows by one partition per batch and old
 partitions can compact via `streaming/compact.py` without touching the
 stream (readers prune by batch_id either way).
+
+Round 11 — digest-PREFIX bucketing: each batch partition is further
+hive-partitioned by ``dp`` = the first ``prefix_width`` hex chars of
+the digest (``store/batch_id=<n>/dp=<xx>/``), and the probe collects
+the incoming batch's DISTINCT prefixes (bounded by 16^prefix_width —
+a knob, never data) and pushes them as a literal partition filter.
+The history-side anti-join then reads only the prefix buckets the
+batch can possibly match instead of the full store: probe bytes scale
+with history-under-touched-prefixes, not total history — and the
+touched fraction is batch-prefix-coverage / 16^width, a knob a 100 TB
+operator sizes so one batch's probe reads ~batch-sized history
+(deepen the prefix as the store grows; the layout is additive, old
+readers that ignore ``dp`` still see every row). Replay safety is
+unchanged: the prefix is a pure function of the digest, so a replayed
+batch computes the same prefix set and reads the same view.
 """
 
 from __future__ import annotations
@@ -47,11 +62,17 @@ from pyspark.sql import functions as F
 
 #: Store schema, pinned so probe reads never run inference (inference
 #: would open file footers in partitions the filter is about to prune —
-#: including a crashed batch's partially-written directory).
-STORE_SCHEMA = "digest string, batch_id bigint"
+#: including a crashed batch's partially-written directory). ``dp`` is
+#: the digest-prefix bucket (hive partition within each batch dir).
+STORE_SCHEMA = "digest string, batch_id bigint, dp string"
 
 
-def read_store_before(spark, store_path: str, batch_id: int) -> DataFrame:
+def read_store_before(
+    spark,
+    store_path: str,
+    batch_id: int,
+    prefixes: list[str] | None = None,
+) -> DataFrame:
     """Digests of all batches STRICTLY older than ``batch_id`` — the
     committed history a (re)played batch is allowed to see. Missing
     store (first batch, fresh checkpoint) reads as zero rows; ANY OTHER
@@ -71,18 +92,36 @@ def read_store_before(spark, store_path: str, batch_id: int) -> DataFrame:
         if cond is not None and cond() == "PATH_NOT_FOUND":
             return spark.createDataFrame([], STORE_SCHEMA).select("digest")
         raise
-    return store.filter(F.col("batch_id") < batch_id).select("digest")
+    pred = F.col("batch_id") < batch_id
+    if prefixes is not None:
+        # Literal partition filter: only the prefix buckets the probing
+        # batch can match are listed/read (bounded: <= 16^prefix_width
+        # values). An anti-join never needs non-matching history rows.
+        pred = pred & F.col("dp").isin(list(prefixes))
+    return store.filter(pred).select("digest")
 
 
 def chunk_dedup_ingest_writer(
     store_path: str,
     out_path: str,
     chunk_tokens: int = 32,
+    prefix_width: int = 2,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback implementing the versioned-store protocol
     above. Output rows per batch doc: (doc_id, n_chunks, n_kept,
     new_text) — row in = row out, so downstream packing can filter
-    n_kept > 0 without losing the audit trail."""
+    n_kept > 0 without losing the audit trail.
+
+    ``prefix_width``: hex chars of the digest-prefix bucket ``dp``
+    (16^width buckets). The batch's digest frame is checkpoint-pinned
+    once and reused for both the distinct-prefix collect (bounded by
+    the bucket count, never data) and the store publish — the digest
+    pass over the batch text runs once per attempt regardless of the
+    two consumers."""
+    if not 1 <= prefix_width <= 8:
+        raise ValueError(
+            f"prefix_width must be in [1, 8], got {prefix_width}"
+        )
     from usgs_lidar_spark.operators.dedup import (
         chunk_dedup_incremental,
         chunk_digests,
@@ -90,16 +129,24 @@ def chunk_dedup_ingest_writer(
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        seen = read_store_before(spark, store_path, batch_id)
+        digests = (
+            chunk_digests(batch, chunk_tokens=chunk_tokens)
+            .withColumn("dp", F.substring("digest", 1, prefix_width))
+            .localCheckpoint(eager=False)
+        )
+        prefixes = [
+            r["dp"] for r in digests.select("dp").distinct().collect()
+        ]
+        seen = read_store_before(spark, store_path, batch_id, prefixes)
         deduped = chunk_dedup_incremental(
             batch, seen, chunk_tokens=chunk_tokens
         )
         deduped.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
         )
-        chunk_digests(batch, chunk_tokens=chunk_tokens).write.mode(
-            "overwrite"
-        ).parquet(f"{store_path}/batch_id={batch_id}")
+        digests.write.partitionBy("dp").mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
 
     return ingest
 
@@ -110,6 +157,7 @@ def run_chunk_dedup_ingest(
     out_path: str,
     checkpoint: str,
     chunk_tokens: int = 32,
+    prefix_width: int = 2,
 ) -> None:
     """Drain all available input through the exactly-once ingest
     (availableNow trigger). Restart with the same checkpoint resumes
@@ -118,7 +166,9 @@ def run_chunk_dedup_ingest(
     partitions with identical content."""
     q = (
         stream_df.writeStream.foreachBatch(
-            chunk_dedup_ingest_writer(store_path, out_path, chunk_tokens)
+            chunk_dedup_ingest_writer(
+                store_path, out_path, chunk_tokens, prefix_width
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
