@@ -1,0 +1,1722 @@
+"""Round 8+ LLM-data tier: skipgrams, hashed classifier, surprisal, BPE learn/tokenize/pack, NB, DSIR select, kmeans steps, simhash twins, source overlap, bootstrap.
+
+Mechanically split from plans/queries.py (round 11) — query function
+source text is byte-identical to the single-file original, so every
+REPLICA fingerprint (sha256 of query source + oracle SQL) is unchanged.
+Registration happens at import time via `registry.query`; the import
+order is fixed by plans/queries.py (the aggregator), preserving the
+original definition order and every backward ORACLE[...] reference.
+"""
+
+from __future__ import annotations
+
+from usgs_lidar_spark.plans.registry import (
+    DataFrame,
+    F,
+    ORACLE,
+    SparkSession,
+    _cached_index_path,
+    _t,
+    query,
+)
+from usgs_lidar_spark.plans.q1_classic import (
+    _SHINGLE_CTE,
+)
+from usgs_lidar_spark.plans.q2_ann_pipeline import (
+    _LEHMER_BUCKET,
+    _LEHMER_STREAM,
+)
+from usgs_lidar_spark.plans.q4_graph_search import (
+    _FOLD64,
+    _LEHMER_LONG,
+)
+
+# =====================================================================
+# Round 8 continuation: corpus statistics + quality-model scoring +
+# span-level dedup — the embedding-training / LM-filter / passage-dedup
+# stages of the training-data pipeline.
+# =====================================================================
+
+_TOK_LOWER_SQL = (
+    "list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> lower(w))"
+)
+
+
+@query(
+    "text_skipgram_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT {_TOK_LOWER_SQL} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+        SELECT tk, unnest(range(1, len(tk))) AS i FROM t WHERE len(tk) >= 2
+    ), offs AS (SELECT unnest(range(1, 4)) AS d),
+    pairs AS (
+        SELECT least(tk[i], tk[i + d]) AS w1,
+               greatest(tk[i], tk[i + d]) AS w2
+        FROM pos CROSS JOIN offs WHERE i + d <= len(tk)
+    ), counted AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY w1, w2
+    )
+    SELECT w1, w2, n,
+           CAST(row_number() OVER (ORDER BY n DESC, w1, w2) AS BIGINT) AS rank
+    FROM counted ORDER BY n DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence pair counts (window 3, top 50) — the
+    word2vec/GloVe embedding-training corpus statistic
+    (`operators/textquality.skipgram_pairs`). Pair generation is a
+    map-only nested-sequence expression (no positional self-join); the
+    one shuffle carries the map-combined pair vocabulary. Deterministic
+    ranking (n DESC, w1, w2)."""
+    from usgs_lidar_spark.operators.textquality import skipgram_pairs
+
+    return skipgram_pairs(
+        _t(spark, sf_dir, "documents"), window=3, top_k=50
+    )
+
+
+@query(
+    "text_hashed_classifier",
+    oracle=f"""
+    WITH weights AS (
+        SELECT CAST(f AS BIGINT) AS feature_id,
+               CAST({_LEHMER_LONG("f")} % 2001 - 1000 AS BIGINT) AS weight
+        FROM (SELECT unnest(range(0, 256)) AS f)
+    ), tokens AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), feats AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) % 256
+                   AS feature_id
+        FROM tokens
+    ), scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(weight), 0) AS BIGINT) AS score
+        FROM feats LEFT JOIN weights USING (feature_id)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.score, 0) AS BIGINT) AS score
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier SERVING over hashed token features
+    (`operators/textquality.hashed_feature_score`): the fastText-style
+    scoring pass of a data pipeline — hashing-trick features (256-way
+    polynomial hash, no vocabulary build), broadcast integer weight
+    table, map-only scoring, one doc-keyed sum. The weight table here
+    is a deterministic Lehmer-derived fixture (what matters is the
+    serving plumbing; real weights arrive as a dim table the same
+    way), so both engines rebuild identical weights."""
+    from usgs_lidar_spark.operators.pipeline import portable_hash_long
+    from usgs_lidar_spark.operators.textquality import hashed_feature_score
+
+    weights = spark.range(256).select(
+        F.col("id").cast("long").alias("feature_id"),
+        (portable_hash_long(F.col("id")) % 2001 - 1000)
+        .cast("long")
+        .alias("weight"),
+    )
+    return hashed_feature_score(
+        _t(spark, sf_dir, "documents"), weights, n_features=256
+    )
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOK_LOWER_SQL} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), slots AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+              FROM t WHERE len(tk) >= 2)
+    ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+        FROM slots GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, CAST(sum(bc) AS BIGINT) AS ctx FROM bc GROUP BY w1
+    ), v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+    scored AS (
+        SELECT s.doc_id,
+               (length(to_base(c.ctx + v.v, 2)) - 1)
+               - (length(to_base(b.bc + 1, 2)) - 1) AS bits
+        FROM slots s
+        JOIN bc b USING (w1, w2)
+        JOIN ctx c USING (w1)
+        CROSS JOIN v
+    ), per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(bits) AS BIGINT) AS surprisal_bits
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(p.surprisal_bits, 0) AS BIGINT) AS surprisal_bits
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact bigram LM surprisal — the CCNet/Gopher perplexity
+    filter without a float log (`operators/textquality.
+    bigram_surprisal`): add-one-smoothed self-scored bigram LM, each
+    slot contributing floorlog2(ctx+V) - floorlog2(cnt+1) (binary bit
+    length, exact in both engines), so the quality signal is
+    bit-stable under any partitioning. Zipf-head context lookups take
+    the two-tier hot-broadcast join; corpus stats are map-combined
+    aggregates."""
+    from usgs_lidar_spark.operators.textquality import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_chunk_reassemble",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, s + 1, s + 4), ' ') AS ct
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 4)) AS s FROM t)
+    ), ranked AS (
+        SELECT doc_id, chunk_id, ct,
+               row_number() OVER (PARTITION BY ct
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM ch
+    ), kept AS (SELECT doc_id, chunk_id, ct FROM ranked WHERE rn = 1),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM ch GROUP BY doc_id
+    ), kp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ct, ' ' ORDER BY chunk_id) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(kp.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(kp.new_text, '') AS new_text
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN kp ON d.doc_id = kp.doc_id
+    """,
+)
+def dedup_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup with reassembly (Lee et al. span
+    dedup at 4-token chunk granularity, `operators/dedup.
+    chunk_dedup_docs`): each distinct chunk survives only at its first
+    corpus occurrence (min (doc_id, chunk_id) — map-combinable
+    election over sha256 digests, text never shuffles), then documents
+    rebuild from their surviving chunks in order. ~6% of chunks at
+    sf0.01 are cross-doc duplicates, so the pass visibly rewrites
+    texts. Every input doc returns a row (row in = row out)."""
+    from usgs_lidar_spark.operators.dedup import chunk_dedup_docs
+
+    return chunk_dedup_docs(
+        _t(spark, sf_dir, "documents"), chunk_tokens=4
+    )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Programmatically unrolled DuckDB oracle for `bpe_learn_merges`:
+    one (pairs, best, seq) CTE round per merge, replaying the same
+    greedy space-doubling string rewrite the Spark trainer applies."""
+    ctes = [
+        "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(list_transform(regexp_split_to_array(trim(text), "
+        "'\\s+'), x -> lower(x))) AS w FROM documents "
+        "WHERE length(trim(text)) > 0) GROUP BY w)",
+        "seq1 AS (SELECT w, array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> w[i]), ' ') AS seq, freq FROM vocab)",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"pairs{k} AS (SELECT s[i] AS l, s[i + 1] AS r, "
+            f"CAST(sum(freq) AS BIGINT) AS n FROM ("
+            f"SELECT s, freq, unnest(range(1, len(s))) AS i FROM ("
+            f"SELECT string_split(seq, ' ') AS s, freq FROM seq{k})) "
+            f"GROUP BY s[i], s[i + 1])"
+        )
+        ctes.append(
+            f"best{k} AS (SELECT l, r, n FROM pairs{k} "
+            f"WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when a merge round
+        # early-stops (best{k} empty — no pair occurs twice), the
+        # trainer keeps the last vocabulary, so seq{k+1} must fall back
+        # to seq{k} unchanged. A CROSS JOIN against the empty best{k}
+        # would empty seq{k+1} and report zero symbols/segmentations
+        # for every later step — a false mismatch vs the Spark trainer
+        # on any corpus that exhausts its mergeable pairs.
+        ctes.append(
+            f"seq{k + 1} AS (SELECT w, CASE WHEN b.l IS NULL THEN seq "
+            f"ELSE trim(replace(replace("
+            f"' ' || replace(seq, ' ', '  ') || ' ', "
+            f"' ' || b.l || '  ' || b.r || ' ', "
+            f"' ' || b.l || b.r || ' '), '  ', ' ')) END AS seq, freq "
+            f"FROM seq{k} LEFT JOIN best{k} b ON TRUE)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS left, r AS right, n "
+        f"FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@query("text_bpe_learn_merges", oracle=_bpe_oracle_sql(4))
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer TRAINER loop (4 merge rounds) —
+    `operators/textquality.bpe_learn_merges`: iterative argmax pair +
+    greedy merge application over the word-frequency dictionary.
+    Every round is bounded by |vocab| (the corpus is scanned once);
+    only the single learned (left, right, n) row reaches the driver
+    per round — it parameterizes the next map. The oracle unrolls the
+    same four rounds as CTEs over the same space-doubling string
+    rewrite, so pair counts, argmax tie-breaks, AND the greedy
+    application order are all value-pinned."""
+    from usgs_lidar_spark.operators.textquality import bpe_learn_merges
+
+    return bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+def _bpe_curve_oracle_sql(n_merges: int) -> str:
+    """Oracle for `bpe_compression_curve`: the same unrolled trainer CTEs
+    as `_bpe_oracle_sql`, finishing with one symbol-count aggregate per
+    step (step 0 = raw characters)."""
+    base = _bpe_oracle_sql(n_merges)
+    ctes = base[: base.rindex("\n")]  # strip the merges-union tail
+    # Step 0 (raw characters) always exists; step k >= 1 exists ONLY if
+    # merge k was actually learned (the trainer early-stops and emits
+    # fewer curve rows when no pair occurs twice). The EXISTS guard +
+    # GROUP BY makes the row vanish with best{k} — an aggregate without
+    # GROUP BY would emit a spurious 1-row-per-step tail instead.
+    parts = [
+        "SELECT CAST(0 AS BIGINT) AS step, "
+        "CAST(coalesce(sum(len(string_split(seq, ' ')) * freq), 0) "
+        "AS BIGINT) AS corpus_symbols FROM seq1"
+    ]
+    parts += [
+        f"SELECT step, corpus_symbols FROM ("
+        f"SELECT CAST({k} AS BIGINT) AS step, "
+        f"CAST(sum(len(string_split(seq, ' ')) * freq) "
+        f"AS BIGINT) AS corpus_symbols FROM seq{k + 1} "
+        f"WHERE EXISTS (SELECT 1 FROM best{k}) GROUP BY 1)"
+        for k in range(1, n_merges + 1)
+    ]
+    return ctes + "\n" + " UNION ALL ".join(parts)
+
+
+@query("text_bpe_compression", oracle=_bpe_curve_oracle_sql(4))
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression/fertility curve over 4 BPE merge rounds
+    (`operators/textquality.bpe_compression_curve`): corpus symbol
+    count after each learned merge — the budget statistic a tokenizer
+    decision reads. One trainer run plus one |vocab|-sized aggregate
+    per step; corpus_symbols is an exact BIGINT, monotone
+    non-increasing in step. The oracle replays the trainer CTEs and
+    counts symbols per round."""
+    from usgs_lidar_spark.operators.textquality import bpe_compression_curve
+
+    return bpe_compression_curve(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+@query(
+    "text_class_keyness",
+    oracle=f"""
+    WITH cw AS (
+        SELECT lang AS class, w, CAST(count(*) AS BIGINT) AS a
+        FROM (SELECT lang, unnest({_TOK_LOWER_SQL}) AS w
+              FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY lang, w
+    ), wt AS (SELECT w, CAST(sum(a) AS BIGINT) AS nw FROM cw GROUP BY w),
+    ct AS (SELECT class, CAST(sum(a) AS BIGINT) AS nc FROM cw GROUP BY class),
+    g AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM cw),
+    scored AS (
+        SELECT cw.class, cw.w, cw.a,
+               CAST((length(to_base(cw.a + 1, 2)) - 1)
+                  + (length(to_base((g.n - ct.nc) - (wt.nw - cw.a) + 1, 2)) - 1)
+                  - (length(to_base(wt.nw - cw.a + 1, 2)) - 1)
+                  - (length(to_base(ct.nc - cw.a + 1, 2)) - 1)
+                  AS BIGINT) AS keyness_bits
+        FROM cw JOIN wt USING (w) JOIN ct USING (class) CROSS JOIN g
+    )
+    SELECT class, w AS token, a AS n_in_class, keyness_bits,
+           CAST(row_number() OVER (PARTITION BY class
+                                   ORDER BY keyness_bits DESC, w)
+                AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def text_class_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keyword extraction by integer log-odds keyness
+    (`operators/textquality.class_keyness`, top 5 per class): the
+    Monroe-et-al distinctive-vocabulary statistic quantized to exact
+    BITS (four bit lengths, no products — overflow-free at any corpus
+    size, bit-identical across engines). One map-combined (class,
+    token) pass over the corpus; totals reduce from it; the rank
+    window runs on the vocab domain, never the corpus."""
+    from usgs_lidar_spark.operators.textquality import class_keyness
+
+    return class_keyness(_t(spark, sf_dir, "documents"), top_k=5)
+
+
+@query(
+    "events_funnel_ordered",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               date_trunc('microseconds', ts) AS ts
+        FROM events
+    ), v AS (
+        SELECT user_id, min(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(coalesce(sum(user_id), 0) AS BIGINT) AS user_id_sum
+        FROM v
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM c
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM p
+    )
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    later timestamps at each step): per-stage user counts, the product
+    analytics query. Each stage is a per-user min-timestamp aggregate
+    over the PREVIOUS stage's survivors — three user-keyed
+    map-combined aggregates plus two user-equi joins, no windows over
+    the event stream; at any scale the state per user is one
+    timestamp. user_id_sum pins the surviving SETS, not just counts.
+    Timestamps compare at microsecond precision on both engines
+    (events.ts is TIMESTAMP(NANOS) at rest; the loader truncates)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, k: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(k).cast("long").alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.coalesce(F.sum("user_id"), F.lit(0))
+            .cast("long")
+            .alias("user_id_sum"),
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+    )
+
+
+@query(
+    "pipe_split_leakage",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN {_LEHMER_BUCKET("doc_id")} < 8000
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(p.id_a + p.id_b) AS BIGINT) AS id_sum
+    FROM pairs p
+    JOIN sp sa ON p.id_a = sa.doc_id
+    JOIN sp sb ON p.id_b = sb.doc_id
+    GROUP BY sa.split, sb.split
+    """,
+)
+def pipe_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split LEAKAGE audit — the eval-integrity check a
+    training pipeline runs before trusting held-out numbers: near-dup
+    pairs (MinHash-LSH, the already-oracled detector) bucketed by
+    which splits the two documents landed in. A (train, test) or
+    (test, train) row is leakage: the test doc has a near-duplicate in
+    train. Composition of two oracled primitives — the pair scan is
+    banded candidates only, the split column is a map-only hash, and
+    the report joins |pairs| rows to a two-column split projection."""
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+    from usgs_lidar_spark.operators.pipeline import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        k=8, num_perm=64, bands=32, threshold=0.6, max_df=20,
+    )
+    splits = split_by_hash(
+        docs, "doc_id", {"train": 0.8, "test": 0.2}
+    ).select("doc_id", "split")
+    sa = splits.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = splits.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
+        )
+    )
+
+
+def _bpe_tokenize_oracle_sql(n_merges: int) -> str:
+    """Oracle for `bpe_apply`: the unrolled trainer CTEs (which carry
+    ``w`` through every rewrite), finished by joining each document's
+    tokens to the final segmentation table and summing symbols."""
+    base = _bpe_oracle_sql(n_merges)
+    ctes = base[: base.rindex("\n")]
+    return (
+        ctes
+        + f"""
+    , toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), per AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(f.seq, ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM toks t JOIN seq{n_merges + 1} f USING (w)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+    )
+
+
+@query("text_bpe_tokenize", oracle=_bpe_tokenize_oracle_sql(4))
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer SERVING (`operators/textquality.bpe_apply`): learn 4
+    BPE merges, then segment every document by JOINING its tokens to
+    the vocab-sized final segmentation table (no merge rewrite ever
+    touches document rows) — per-doc BPE token counts, the number the
+    packing / context-budget stages consume. Every doc keeps a row."""
+    from usgs_lidar_spark.operators.textquality import bpe_apply
+
+    return bpe_apply(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+@query(
+    "dedup_chunk_incremental",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, s + 1, s + 4), ' ') AS ct
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 4)) AS s FROM t)
+    ), seen AS (SELECT DISTINCT ct FROM ch WHERE doc_id < 400),
+    bat AS (SELECT * FROM ch WHERE doc_id >= 400),
+    fresh AS (
+        SELECT b.doc_id, b.chunk_id, b.ct
+        FROM bat b LEFT JOIN seen s ON b.ct = s.ct
+        WHERE s.ct IS NULL
+    ), kept AS (
+        SELECT doc_id, chunk_id, ct FROM (
+            SELECT doc_id, chunk_id, ct,
+                   row_number() OVER (PARTITION BY ct
+                                      ORDER BY doc_id, chunk_id) AS rn
+            FROM fresh) WHERE rn = 1
+    ), tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM bat GROUP BY doc_id
+    ), kp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ct, ' ' ORDER BY chunk_id) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(kp.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(kp.new_text, '') AS new_text
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN kp ON d.doc_id = kp.doc_id
+    """,
+)
+def dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest passage dedup (`operators/dedup.
+    chunk_dedup_incremental`): the batch (doc_id >= 400) dedups against
+    the ingested corpus (doc_id < 400) represented ONLY by its chunk
+    digests — one digest-keyed anti-join (historical text never moves)
+    then the within-batch election and reassembly. The oracle replays
+    it with text equality (sha256 equality == text equality)."""
+    from usgs_lidar_spark.operators.dedup import (
+        chunk_dedup_incremental,
+        chunk_digests,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = chunk_digests(docs.filter(F.col("doc_id") < 400), chunk_tokens=4)
+    return chunk_dedup_incremental(
+        docs.filter(F.col("doc_id") >= 400), seen, chunk_tokens=4
+    )
+
+
+@query(
+    "sim_embedding_gram",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(
+                   embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)
+               ) AS v
+        FROM embeddings
+    ), idx AS (SELECT unnest(range(1, 65)) AS i),
+    pairs AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE b.i >= a.i)
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           CAST(sum(v[p.i] * v[p.j]) AS BIGINT) AS g
+    FROM q CROSS JOIN pairs p GROUP BY p.i, p.j
+    """,
+)
+def sim_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Gram matrix of the (64-dim) embedding corpus
+    (`operators/linalg.embed_gram_quantized`, qbits=12) — the
+    distributed-PCA reduction: a numpy partial Gram per Arrow batch
+    (the engine's one deliberate mapInPandas hot path — a
+    batch-reducing kernel, not row-wise Python), d²-per-partition
+    shuffle, BIGINT-exact under any partitioning. The oracle replays
+    the quantized double loop; `pca_components`/`embed_pca_project`
+    consume this reduction driver-side (d x d eigh) and project
+    map-only."""
+    from usgs_lidar_spark.operators.linalg import embed_gram_quantized
+
+    return embed_gram_quantized(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "stats_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, 32)) AS b),
+    cells AS (
+        SELECT r.b AS replicate, d.n_chars,
+               (CASE WHEN u >= 790015083 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 1580030167 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 1975037709 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 2106706890 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 2139624185 THEN 1 ELSE 0 END) AS m
+        FROM documents d CROSS JOIN reps r
+        CROSS JOIN LATERAL (SELECT
+            {_LEHMER_LONG(_FOLD64("d.doc_id") + " * 131 + r.b")}
+            AS u) h
+    ), agg AS (
+        SELECT replicate, CAST(sum(m) AS BIGINT) AS n_eff,
+               CAST(sum(m * n_chars) AS BIGINT) AS value_sum
+        FROM cells WHERE m > 0 GROUP BY replicate
+    )
+    SELECT CAST(r.b AS BIGINT) AS replicate,
+           CAST(coalesce(a.n_eff, 0) AS BIGINT) AS n_eff,
+           CAST(coalesce(a.value_sum, 0) AS BIGINT) AS value_sum
+    FROM reps r LEFT JOIN agg a ON r.b = a.replicate
+    """,
+)
+def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (`operators/stats.
+    poisson_bootstrap`, B=32) of sum/count of n_chars over documents —
+    the production substitute for with-replacement resampling at
+    100 TB (Chamandy et al.): per-(row, replicate) Poisson(1)
+    multiplicities from fixed integer inverse-CDF thresholds on the
+    Lehmer hash, so every engine and partitioning draws the SAME
+    resamples. One map-only explode (zero-multiplicity cells dropped
+    before the shuffle) + one replicate-keyed map-combined aggregate:
+    B partial rows per partition on the wire. Replicate means
+    value_sum/n_eff are the CI inputs."""
+    from usgs_lidar_spark.operators.stats import poisson_bootstrap
+
+    return poisson_bootstrap(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id",
+        n_replicates=32,
+    )
+
+
+@query(
+    "pipe_budget_select",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars, CAST(n_chars % 37 AS BIGINT) AS score
+        FROM documents
+    ), ordered AS (
+        SELECT doc_id, n_chars,
+               sum(n_chars) OVER (ORDER BY score DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS weight_kept,
+           CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+    FROM ordered WHERE cum <= 30000
+    """,
+)
+def pipe_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained greedy curation (`operators/ranking.
+    budget_prefix_select`): fill a 30k-char budget with the
+    best-scoring documents ((score DESC, doc_id ASC) order, synthetic
+    integer score n_chars % 37). The global ordered prefix-sum is fully
+    distributed (round 11): per-score totals range-bucketed by VALUE,
+    descending bucket offsets broadcast back over a <=1024-row bounded
+    collect, the boundary score + remaining budget as one 1-row max_by
+    broadcast — no data-sized driver pull, no distinct-score ceiling,
+    and only the single BOUNDARY score's rows flow through a window —
+    never a single-task global window; the oracle IS that naive global
+    window, proving the scalable form row-identical."""
+    from usgs_lidar_spark.operators.ranking import budget_prefix_select
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "score", (F.col("n_chars") % 37).cast("long")
+    )
+    kept = budget_prefix_select(
+        docs, "score", "n_chars", budget=30000
+    )
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("weight_kept"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("id_sum"),
+    )
+
+
+@query(
+    "text_rp_embedding",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        FROM toks
+    ), dims AS (SELECT unnest(range(0, 16)) AS dim),
+    cells AS (
+        SELECT doc_id, d.dim,
+               CASE ({_LEHMER_LONG("h * 17 + d.dim")}) % 4
+                    WHEN 0 THEN -1 WHEN 2 THEN 1 ELSE 0 END AS v
+        FROM hashed CROSS JOIN dims d
+    ), summed AS (
+        SELECT doc_id, dim, CAST(sum(v) AS BIGINT) AS val
+        FROM cells GROUP BY doc_id, dim
+    )
+    SELECT d.doc_id, CAST(dd.dim AS BIGINT) AS dim,
+           CAST(coalesce(s.val, 0) AS BIGINT) AS val
+    FROM documents d CROSS JOIN dims dd
+    LEFT JOIN summed s ON d.doc_id = s.doc_id AND dd.dim = s.dim
+    """,
+)
+def text_rp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-projection document embeddings
+    (`operators/textquality.rp_doc_embedding`, 16 dims): sparse
+    ternary Achlioptas rows drawn from the Lehmer hash of (token
+    polyhash, dim) — a Johnson-Lindenstrauss sketch of token counts,
+    exact-integer so featurization is engine/partition-reproducible
+    (the text -> ANN bridge without model inference). Map-only until
+    one (doc, dim)-keyed map-combined aggregate."""
+    from usgs_lidar_spark.operators.textquality import rp_doc_embedding
+
+    return rp_doc_embedding(_t(spark, sf_dir, "documents"), n_dims=16)
+
+
+def _bpe_pack_oracle_sql(n_merges: int) -> str:
+    """Oracle for `pipe_pack_by_bpe`: the unrolled trainer CTEs, the
+    per-doc segmentation join (as in `text_bpe_tokenize`), then the
+    same per-language packing window as `pipe_pack_sequences` — but
+    over REAL tokenizer counts."""
+    base = _bpe_oracle_sql(n_merges)
+    ctes = base[: base.rindex("\n")]
+    return (
+        ctes
+        + f"""
+    , toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), per AS (
+        SELECT t.doc_id,
+               CAST(sum(len(string_split(f.seq, ' '))) AS BIGINT) AS n_bpe
+        FROM toks t JOIN seq{n_merges + 1} f USING (w)
+        GROUP BY t.doc_id
+    ), counts AS (
+        SELECT d.doc_id, d.lang,
+               CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    ), packed AS (
+        SELECT doc_id, lang, n_bpe AS n_tokens,
+               CAST(sum(n_bpe) OVER w - n_bpe AS BIGINT) AS token_start,
+               CAST(sum(n_bpe) OVER w AS BIGINT) AS token_end
+        FROM counts
+        WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT doc_id, lang, n_tokens, token_start,
+           CAST(floor(token_start / 2048.0) AS BIGINT) AS pack_id,
+           token_start % 2048 AS pack_offset,
+           token_end > (floor(token_start / 2048.0) + 1) * 2048
+               AS split_across
+    FROM packed"""
+    )
+
+
+@query("pipe_pack_by_bpe", oracle=_bpe_pack_oracle_sql(4))
+def pipe_pack_by_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by REAL tokenizer counts: learn 4 BPE merges,
+    segment every document (`bpe_apply` — a vocab-sized join, no merge
+    logic on document rows), then run the per-language 2048-token
+    packing window over the BPE counts instead of whitespace counts —
+    the composition a pretraining loader actually executes (context
+    budgets are in tokenizer tokens, not words). Same one-shuffle pack
+    shape as `pipe_pack_sequences`."""
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+    from usgs_lidar_spark.operators.textquality import bpe_apply
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    counts = bpe_apply(docs, n_merges=4).select("doc_id", "n_bpe_tokens")
+    with_counts = docs.join(counts, "doc_id").select(
+        "doc_id", "lang", "n_bpe_tokens"
+    )
+    return pack_sequences(
+        with_counts, "doc_id", "n_bpe_tokens", budget=2048,
+        stream_col="lang",
+    ).select(
+        "doc_id", "lang", "n_tokens", "token_start", "pack_id",
+        "pack_offset", "split_across",
+    )
+
+
+@query(
+    "sim_kmeans_step",
+    oracle="""
+    WITH qe AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, qv AS qc,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+        FROM qe WHERE vec_id < 8
+    ), dots AS (
+        SELECT e.vec_id, e.qv, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dots) WHERE rn = 1
+    ), cells AS (
+        SELECT cid, i AS dim, qv[i] AS q
+        FROM assigned, unnest(range(1, len(qv) + 1)) AS t(i)
+    )
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS coord_sum_q
+    FROM cells GROUP BY cid, dim
+    """,
+)
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd step with bit-exact statistics
+    (`operators/similarity.kmeans_step_exact`): quantized-argmax
+    assignment to the 8 seed centroids on one scan, then per (cell,
+    dim) occupancy + EXACT integer coordinate sums — k*dim rows out of
+    a map-combined shuffle. The next centroid is the driver-side
+    division of bounded numbers; the expensive distributed part of
+    quantizer training is all-BIGINT and hash-stable."""
+    from usgs_lidar_spark.operators.similarity import kmeans_step_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ] or [(0, [0.0])]
+    return kmeans_step_exact(emb, cents)
+
+
+@query(
+    "sim_kmeans_two_steps",
+    oracle="""
+    WITH qe AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), cent1 AS (
+        SELECT vec_id AS cid, qv AS qc,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+        FROM qe WHERE vec_id < 8
+    ), dots1 AS (
+        SELECT e.vec_id, e.qv, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cent1 c
+    ), a1 AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dots1) WHERE rn = 1
+    ), step1 AS (
+        SELECT cid, i AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qv[i]) AS BIGINT) AS cs
+        FROM a1, unnest(range(1, len(qv) + 1)) AS t(i)
+        GROUP BY cid, i
+    ), cent2 AS (
+        -- update: mean_q = double(cs)/n, c = mean_q / 2^20, then
+        -- re-quantize floor(c * 2^20) — two correctly-rounded IEEE ops
+        -- + an exponent shift, identical in any engine. Seeds with an
+        -- empty cell would keep their old centroid; every seed cell is
+        -- occupied here (the seed vector itself assigns to it).
+        SELECT cid,
+               list_transform(
+                   list(CAST(cs AS DOUBLE) / n / 1048576.0 ORDER BY dim),
+                   x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qc
+        FROM step1 GROUP BY cid
+    ), cent2n AS (
+        SELECT cid, qc,
+               CAST(list_sum(list_transform(qc, v -> v * v)) AS BIGINT) AS nq
+        FROM cent2
+    ), dots2 AS (
+        SELECT e.vec_id, e.qv, c.cid, c.nq,
+               CAST(list_sum(list_transform(list_zip(e.qv, c.qc),
+                                            p -> p[1] * p[2])) AS BIGINT)
+                   AS qdot
+        FROM qe e CROSS JOIN cent2n c
+    ), a2 AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CASE WHEN nq = 0 THEN 0.0
+                                ELSE CAST(qdot AS DOUBLE)
+                                     / sqrt(CAST(nq AS DOUBLE)) END DESC,
+                                cid) AS rn
+            FROM dots2) WHERE rn = 1
+    )
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(i AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qv[i]) AS BIGINT) AS coord_sum_q
+    FROM a2, unnest(range(1, len(qv) + 1)) AS t(i)
+    GROUP BY cid, i
+    """,
+)
+def sim_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations — assign, update, re-assign — with the
+    float feedback loop itself cross-engine exact
+    (`operators/similarity.kmeans_two_steps_exact`): the centroid
+    update is double(coord_sum_q)/n then a power-of-two exponent
+    shift (two correctly-rounded IEEE ops, identical in Spark, DuckDB,
+    Python), re-quantized with the rounding-free floor quantizer, so
+    the ITERATION — the part float k-means cannot reproduce across
+    engines — hashes stably. Only k*dim bounded numbers cross the
+    driver between rounds.
+
+    Oracle limitation (by construction, not a bug): the SQL twin does
+    not model EMPTY round-1 cells (a centroid that attracts no vector
+    keeps its old position in the engine; the oracle's update CTE would
+    simply have no row to join). The 8 seed centroids here are distinct
+    corpus vectors, each of which attracts at least itself, so no cell
+    can be empty for this query; duplicate or adversarial seeds would
+    need the engine-side `kmeans_two_steps_exact` empty-cell keep that
+    `test_kmeans_two_steps_monotone_inertia_and_empty_cell_keep` pins."""
+    from usgs_lidar_spark.operators.similarity import kmeans_two_steps_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ] or [(0, [0.0])]
+    return kmeans_two_steps_exact(emb, cents)
+
+
+@query(
+    "text_nb_train",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), feats AS (
+        SELECT y,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) % 64
+                   AS feature_id
+        FROM toks
+    ), fc AS (
+        SELECT feature_id,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS b
+        FROM feats GROUP BY feature_id
+    ), tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+        FROM fc
+    ), scored AS (
+        SELECT feature_id,
+               CAST((length(to_base(a + 1, 2)) - 1)
+                  + (length(to_base(tb - b + 1, 2)) - 1)
+                  - (length(to_base(b + 1, 2)) - 1)
+                  - (length(to_base(ta - a + 1, 2)) - 1)
+                  AS BIGINT) AS weight
+        FROM fc CROSS JOIN tot
+    )
+    SELECT f.fid AS feature_id,
+           CAST(coalesce(s.weight, 0) AS BIGINT) AS weight
+    FROM (SELECT unnest(range(0, 64)) AS fid) f
+    LEFT JOIN scored s ON f.fid = s.feature_id
+    """,
+)
+def text_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed-feature quality classifier in-engine
+    (`operators/textquality.nb_train_bits`, labels lang='en' vs rest):
+    Naive-Bayes log-odds weights in integer bits — one map-combined
+    (feature, class) aggregate, no iteration, bit-exact in any engine;
+    the output weight table is exactly what `hashed_feature_score`
+    (the serving query) consumes, so train and serve close the loop
+    in one feature space. Verified to fully separate a planted
+    marker-token task in the unit test."""
+    from usgs_lidar_spark.operators.textquality import nb_train_bits
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_train_bits(
+        docs,
+        F.when(F.col("lang") == "en", 1).otherwise(-1),
+        n_features=64,
+    )
+
+
+@query(
+    "dedup_simhash_portable",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        FROM toks
+    ), cells AS (
+        SELECT doc_id, j.bit,
+               CASE WHEN ({_LEHMER_LONG("h * 67 + j.bit")}) % 2 = 1
+                    THEN 1 ELSE -1 END AS v
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) j
+    ), bits AS (
+        SELECT doc_id, bit, sum(v) AS s FROM cells GROUP BY doc_id, bit
+    ), fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0
+                             THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints under the HARD oracle
+    (`operators/dedup.simhash_portable`, 32 bits): the hash family is
+    the two-round Lehmer parity of (token polyhash, bit), reproducible
+    in ANSI SQL — this closes the signal gap the xxhash64 SimHash pair
+    necessarily carries (those stay golden-pinned; the portable family
+    brings the SimHash TIER onto the driver's value-hash check). Same
+    majority-sign semantics and the same scale shape: n_bits partials
+    per doc on the wire, never text."""
+    from usgs_lidar_spark.operators.dedup import simhash_portable
+
+    return simhash_portable(_t(spark, sf_dir, "documents"), n_bits=32)
+
+
+@query(
+    "dedup_simhash_portable_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        FROM toks
+    ), cells AS (
+        SELECT doc_id, j.bit,
+               CASE WHEN ({_LEHMER_LONG("h * 67 + j.bit")}) % 2 = 1
+                    THEN 1 ELSE -1 END AS v
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) j
+    ), bits AS (
+        SELECT doc_id, bit, sum(v) AS s FROM cells GROUP BY doc_id, bit
+    ), fp AS (
+        SELECT d.doc_id,
+               CAST(coalesce(f.sh, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                            ELSE 0 END) AS sh
+            FROM bits GROUP BY doc_id) f ON d.doc_id = f.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup DETECTION under the hard oracle
+    (`operators/dedup.simhash_portable_near_dup_pairs`): pigeonhole
+    block join over portable 32-bit fingerprints + popcount verify —
+    the plan never compares all pairs (candidates come from the
+    (block, value) equi-self-join), while the oracle IS the exact
+    all-pairs Hamming scan, so the driver's value hash proves the
+    blocking lossless at max_hamming < n_blocks."""
+    from usgs_lidar_spark.operators.dedup import (
+        simhash_portable_near_dup_pairs,
+    )
+
+    return simhash_portable_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), n_bits=32, max_hamming=3, n_blocks=4
+    )
+
+
+@query("sim_gram_from_store", oracle=ORACLE["sim_embedding_gram"])
+def sim_gram_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gram reduction served from a persisted additive store —
+    SAME oracle as `sim_embedding_gram` (access path, not semantics,
+    the `search_bm25_from_index` pattern): `write_gram_store` appends
+    per-batch integer moment partials (no derived state, no sidecar —
+    additivity makes the store append-only crash-safe by construction)
+    and the read aggregates d*(d+1)/2 + d + 1 bounded rows instead of
+    scanning the corpus. Builds once into the per-(sf_dir, snapshot)
+    cache path; steady-state runs measure serving."""
+    from usgs_lidar_spark.operators.linalg import (
+        read_gram_store,
+        write_gram_store,
+    )
+
+    path, complete = _cached_index_path(
+        sf_dir, "gram_store", "embeddings", ""
+    )
+    if not complete:
+        import os
+
+        write_gram_store(_t(spark, sf_dir, "embeddings"), path)
+        # write_gram_store's single write ends with parquet's _SUCCESS
+        # at the root — the completeness marker _cached_index_path
+        # checks when marker_sidecar is ''.
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    return (
+        read_gram_store(spark, path)
+        .filter((F.col("i") >= 1) & (F.col("j") >= 1))
+        .select("i", "j", "g")
+    )
+
+
+@query(
+    "pipe_end_to_end_v5",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOK_LOWER_SQL} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), slots AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+              FROM t WHERE len(tk) >= 2)
+    ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+        FROM slots GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, CAST(sum(bc) AS BIGINT) AS ctx FROM bc GROUP BY w1
+    ), v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+    surp AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum((length(to_base(c.ctx + v.v, 2)) - 1)
+                      - (length(to_base(b.bc + 1, 2)) - 1)) AS BIGINT)
+                   AS bits
+        FROM slots s JOIN bc b USING (w1, w2) JOIN ctx c USING (w1)
+        CROSS JOIN v GROUP BY s.doc_id
+    ),
+    -- stage 1: keep docs whose mean surprisal is under 5.5 bits/bigram
+    -- (integer cross-multiply; docs with < 2 tokens pass trivially)
+    lm_kept AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d LEFT JOIN surp s ON d.doc_id = s.doc_id
+        WHERE coalesce(s.bits, 0) * 10 <= coalesce(s.n_bigrams, 0) * 55
+    ),
+    -- stage 2: passage-dedup the survivors (election among survivors
+    -- only) and reassemble
+    kt AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM lm_kept WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, lang, CAST(s // 4 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, s + 1, s + 4), ' ') AS ct
+        FROM (SELECT doc_id, lang, tk, unnest(range(0, len(tk), 4)) AS s
+              FROM kt)
+    ), kept AS (
+        SELECT doc_id, lang, chunk_id, ct FROM (
+            SELECT doc_id, lang, chunk_id, ct,
+                   row_number() OVER (PARTITION BY ct
+                                      ORDER BY doc_id, chunk_id) AS rn
+            FROM ch) WHERE rn = 1
+    ), rebuilt AS (
+        SELECT l.doc_id, l.lang,
+               coalesce(k.new_text, '') AS new_text
+        FROM lm_kept l LEFT JOIN (
+            SELECT doc_id, string_agg(ct, ' ' ORDER BY chunk_id) AS new_text
+            FROM kept GROUP BY doc_id) k ON l.doc_id = k.doc_id
+    ),
+    -- stage 3: classifier score over the REASSEMBLED text
+    weights AS (
+        SELECT CAST(f AS BIGINT) AS feature_id,
+               CAST({_LEHMER_LONG("f")} % 2001 - 1000 AS BIGINT) AS weight
+        FROM (SELECT unnest(range(0, 256)) AS f)
+    ), rtoks AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   regexp_split_to_array(trim(new_text), '\\s+'),
+                   x -> lower(x))) AS w
+        FROM rebuilt WHERE length(trim(new_text)) > 0
+    ), scored AS (
+        SELECT r.doc_id, r.lang,
+               CAST(coalesce(sum(w2.weight), 0) AS BIGINT) AS score
+        FROM (SELECT doc_id, lang,
+                     list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                             list_transform(range(1, length(w) + 1),
+                                            i -> CAST(ascii(w[i]) AS BIGINT))),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) % 256
+                         AS feature_id
+              FROM rtoks) r
+        LEFT JOIN weights w2 USING (feature_id)
+        GROUP BY r.doc_id, r.lang
+    )
+    -- per-language report over the full chain
+    SELECT r.lang,
+           CAST(count(*) AS BIGINT) AS n_after_lm,
+           CAST(sum(CASE WHEN length(r.new_text) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_text,
+           CAST(coalesce(sum(len(string_split_regex(trim(r.new_text),
+                                                    '\\s+'))) FILTER (
+                    WHERE length(trim(r.new_text)) > 0), 0) AS BIGINT)
+               AS tokens_after_dedup,
+           CAST(coalesce(sum(s.score), 0) AS BIGINT) AS score_sum
+    FROM rebuilt r LEFT JOIN scored s ON r.doc_id = s.doc_id
+    GROUP BY r.lang
+    """,
+)
+def pipe_end_to_end_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline v5 — the round-8 signals CHAINED, each stage
+    consuming the previous one's output: integer bigram-LM filter
+    (mean surprisal < 5.5 bits/bigram, cross-multiplied — no
+    division), passage-dedup + reassembly over the SURVIVORS (the
+    election runs on the filtered corpus), hashed-feature classifier
+    scoring over the REASSEMBLED text, rolled up per language. Pins
+    that the quality, dedup, and classifier tiers compose — the v3/v4
+    precedent extended to the round-8 operators."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.dedup import chunk_dedup_docs
+    from usgs_lidar_spark.operators.pipeline import portable_hash_long
+    from usgs_lidar_spark.operators.textquality import (
+        bigram_surprisal,
+        hashed_feature_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    surp = bigram_surprisal(docs)
+    # Stage boundaries are localCheckpoint-pinned: lm_kept's lineage
+    # contains the whole LM filter and is referenced 3x downstream
+    # (chunk election, reassembly base, report), rebuilt 2x (classifier
+    # + final join) — without the pins the un-replanned NO_AQE physical
+    # tree re-executes the chain per reference and OOM'd a vanilla-heap
+    # session at sf0.01 (observed live; AQE masked it by replanning).
+    # Materializing between stages is also what a production pipeline
+    # does — each stage's output IS a dataset.
+    lm_kept = (
+        docs.join(surp, "doc_id", "left")
+        .filter(
+            F.coalesce("surprisal_bits", F.lit(0)) * 10
+            <= F.coalesce("n_bigrams", F.lit(0)) * 55
+        )
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
+    )
+    rebuilt = (
+        lm_kept.select("doc_id", "lang")
+        .join(
+            chunk_dedup_docs(lm_kept, chunk_tokens=4).select(
+                "doc_id", "new_text"
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    weights = spark.range(256).select(
+        F.col("id").cast("long").alias("feature_id"),
+        (portable_hash_long(F.col("id")) % 2001 - 1000)
+        .cast("long")
+        .alias("weight"),
+    )
+    scored = hashed_feature_score(
+        rebuilt, weights, n_features=256, text_col="new_text"
+    ).select("doc_id", "score")
+    return (
+        rebuilt.join(scored, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_after_lm"),
+            F.sum(F.when(F.length("new_text") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_text"),
+            F.sum(
+                F.when(
+                    F.length(F.trim("new_text")) > 0,
+                    token_count("new_text"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("tokens_after_dedup"),
+            F.coalesce(F.sum("score"), F.lit(0))
+            .cast("long")
+            .alias("score_sum"),
+        )
+    )
+
+
+@query(
+    "pipe_end_to_end_v6",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, s + 1, s + 4), ' ') AS ct
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 4)) AS s FROM t)
+    ), ranked AS (
+        SELECT doc_id, chunk_id, ct,
+               row_number() OVER (PARTITION BY ct
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM ch
+    ), kept AS (SELECT doc_id, chunk_id, ct FROM ranked WHERE rn = 1),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM ch GROUP BY doc_id
+    ), kp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ct, ' ' ORDER BY chunk_id) AS new_text
+        FROM kept GROUP BY doc_id
+    ), alive AS (
+        SELECT tot.doc_id, tot.n_chunks, kp.n_kept,
+               CASE WHEN trim(kp.new_text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(kp.new_text), '\s+'))
+                    END AS n_tokens,
+               {_LEHMER_STREAM("tot.doc_id", 8)} AS pack_stream
+        FROM tot JOIN kp ON tot.doc_id = kp.doc_id
+        WHERE kp.n_kept > 0
+    ), packed AS (
+        SELECT doc_id, n_chunks, n_kept, pack_stream,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT)
+                   AS token_start,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS token_end
+        FROM alive
+        WINDOW w AS (PARTITION BY pack_stream ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT doc_id, n_chunks, n_kept, pack_stream, n_tokens, token_start,
+           CAST(floor(token_start / 512.0) AS BIGINT) AS pack_id,
+           token_start % 512 AS pack_offset,
+           token_end > (floor(token_start / 512.0) + 1) * 512
+               AS split_across
+    FROM packed
+    """,
+)
+def pipe_end_to_end_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline v6 — the INGEST path: cross-document passage
+    dedup + reassembly (`chunk_dedup_docs`, 4-token chunks), drop docs
+    whose every chunk lost election, then pack the REASSEMBLED texts
+    into 512-token training sequences over 8 deterministic Lehmer
+    streams (`pack_sequences`). This is the batch twin of the
+    exactly-once streaming ingest (`streaming/ingest.py`): the
+    crash-restart parity test pins that draining the foreachBatch
+    ingest and packing its output reproduces THIS query bit-for-bit,
+    so the oracle here hard-checks the streaming composition too.
+    Scale shape: digest-keyed election (text never shuffles twice),
+    one stream-keyed window for packing — no global sort."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.dedup import chunk_dedup_docs
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ded = chunk_dedup_docs(d, chunk_tokens=4).filter(F.col("n_kept") > 0)
+    return pack_sequences(
+        ded.select("doc_id", "n_chunks", "n_kept", "new_text"),
+        "doc_id",
+        token_count("new_text"),
+        budget=512,
+        n_streams=8,
+    ).select(
+        "doc_id", "n_chunks", "n_kept", "pack_stream", "n_tokens",
+        "token_start", "pack_id", "pack_offset", "split_across",
+    )
+
+
+@query(
+    "text_rules_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                    AS BIGINT) AS total_chars,
+               CAST(len(list_filter(t, x -> list_contains(
+                    ['the','and','of','to','in','is','that','it'],
+                    lower(x)))) AS BIGINT) AS n_stop_hits
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, total_chars, n_stop_hits,
+           n_tokens BETWEEN 50 AND 100000 AS r_word_count,
+           3 * n_tokens <= total_chars AND total_chars <= 10 * n_tokens
+               AS r_mean_word_len,
+           n_stop_hits >= 2 AS r_stop_words,
+           (CAST(n_tokens BETWEEN 50 AND 100000 AS INTEGER)
+            + CAST(3 * n_tokens <= total_chars
+                   AND total_chars <= 10 * n_tokens AS INTEGER)
+            + CAST(n_stop_hits >= 2 AS INTEGER)) = 3 AS keep
+    FROM s
+    """,
+)
+def text_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality RULES filter (Rae et al. 2021,
+    MassiveText §A.1.1, adapted to the signals this corpus carries):
+    per-doc hard rules — 50 <= word count <= 100,000; mean word length
+    in [3, 10] (CROSS-MULTIPLIED as 3n <= chars <= 10n, so the decision
+    is pure BIGINT comparison, no division anywhere); >= 2 stop-word
+    hits — plus the conjunction as `keep`. Every rule column is emitted
+    (the curation-audit form: you tune rules by looking at what each
+    one rejects, not just the survivor set). Map-only, zero shuffle;
+    at sf0.01 the rules reject 223/500, 0/500, and 276/500 docs
+    respectively — real discrimination, not a pass-through."""
+    t = F.expr(
+        r"CASE WHEN trim(text) = '' THEN array() "
+        r"ELSE split(trim(text), '\\s+') END"
+    )
+    stop = F.array([F.lit(w) for w in
+                    ["the", "and", "of", "to", "in", "is", "that", "it"]])
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(t, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0).cast("long"),
+        ).alias("total_chars"),
+        F.size(
+            F.filter(t, lambda x: F.array_contains(stop, F.lower(x)))
+        ).cast("long").alias("n_stop_hits"),
+    )
+    r_count = (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000)
+    r_len = (F.lit(3) * F.col("n_tokens") <= F.col("total_chars")) & (
+        F.col("total_chars") <= F.lit(10) * F.col("n_tokens")
+    )
+    r_stop = F.col("n_stop_hits") >= 2
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "total_chars",
+        "n_stop_hits",
+        r_count.alias("r_word_count"),
+        r_len.alias("r_mean_word_len"),
+        r_stop.alias("r_stop_words"),
+        (r_count & r_len & r_stop).alias("keep"),
+    )
+
+
+@query(
+    "dedup_source_overlap",
+    oracle="""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(length(text) - 7, 0) + 1),
+                       i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
+            FROM documents)
+    ), cap AS (
+        SELECT greatest(1, CAST(ceil(0.04 * count(DISTINCT doc_id))
+                                AS BIGINT)) AS max_df
+        FROM sh0
+    ), freq AS (
+        SELECT shingle FROM sh0, cap
+        GROUP BY shingle, max_df HAVING count(*) <= max_df
+    ), ssh AS (
+        SELECT DISTINCT d.source AS g, s.shingle
+        FROM sh0 s JOIN freq USING (shingle)
+        JOIN documents d USING (doc_id)
+    ), sizes AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_sh FROM ssh GROUP BY g
+    ), inter AS (
+        SELECT a.g AS src_a, b.g AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = src_a
+    JOIN sizes sb ON sb.g = src_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix
+    (operators/dedup.source_overlap_matrix): per source pair, the
+    Jaccard of their df-capped char-8 shingle sets — "how much does
+    source A republish source B", the question that decides which
+    source to DROP when near-dup clusters straddle origins. The
+    doc-level df cap runs before source aggregation (a stop-shingle in
+    every source is noise, not overlap), the self-join rides the same
+    capped key as the pairwise dedups, and the output is bounded by
+    #sources². Counts exact, Jaccard one double division.
+
+    The cap is the SCALE-STABLE fractional form (max_df_frac=0.04: drop
+    shingles in >4% of shingle-bearing docs — ceil(0.04 * n) = 20 at
+    sf0.01, the old absolute cap exactly, but invariant in MEANING as
+    the corpus grows; SCALE.md measured the absolute max_df=20 emitting
+    89 pairs at 10x vs 190 at 1x because rotation-shared shingles drift
+    past a fixed df). The fraction resolves with zero extra corpus
+    passes (`char_shingles` pins the distinct pairs once and rides the
+    denominator in on a one-row broadcast)."""
+    from usgs_lidar_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(
+        _t(spark, sf_dir, "documents"),
+        "text", "doc_id", "source", k=8, max_df=None, max_df_frac=0.04,
+    )
+
+
+@query(
+    "pipe_dsir_select",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_TOK_LOWER_SQL}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), feats AS (
+        SELECT doc_id, lang,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS f
+        FROM toks
+    ), fc AS (
+        SELECT g.fid AS f,
+               CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+               CAST(coalesce(ct, 0) AS BIGINT) AS ct
+        FROM (SELECT unnest(range(0, 64)) AS fid) g
+        LEFT JOIN (
+            SELECT f, count(*) AS cr,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+            FROM feats GROUP BY f) c ON g.fid = c.f
+    ), tot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS tr,
+               CAST(sum(ct) AS BIGINT) AS tt
+        FROM fc
+    ), wts AS (
+        SELECT f AS feature_id,
+               CAST((length(to_base(ct + 1, 2)) - 1)
+                  + (length(to_base(tr + 64, 2)) - 1)
+                  - (length(to_base(cr + 1, 2)) - 1)
+                  - (length(to_base(tt + 64, 2)) - 1) AS BIGINT) AS weight
+        FROM fc CROSS JOIN tot
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w2.weight) AS BIGINT) AS dsir_bits
+        FROM feats t JOIN wts w2 ON t.f = w2.feature_id
+        GROUP BY t.doc_id
+    ), ranked AS (
+        SELECT doc_id, n_tokens, dsir_bits,
+               CAST(row_number() OVER (ORDER BY dsir_bits, doc_id)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, dsir_bits, r * 4 > 3 * n AS keep
+    FROM ranked
+    """,
+)
+def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) end to end, exact-integer:
+    train IMPORTANCE weights from the target-vs-raw hashed-feature
+    distributions (`operators/textquality.dsir_weights_bits`, target =
+    the lang='en' slice standing in for a trusted quality corpus),
+    score every token-bearing document with the per-token summed
+    log-ratio (`hashed_feature_score` — the serving pass is shared with
+    the supervised classifier, same feature space by construction), and
+    RESAMPLE by keeping the top quartile under the exact distributed
+    global rank on (dsir_bits, doc_id) — `ranking.global_rank`, no
+    single-task window; the corpus total rides a one-row broadcast so
+    the keep decision is a lazy integer comparison (r*4 > 3n). Output
+    is every TOKEN-BEARING doc with its weight and the keep verdict —
+    zero-token (empty/whitespace-only) documents are excluded BEFORE
+    the rank: they carry no feature evidence, can never be selected as
+    training data, and counting them in the rank denominator would
+    shift every real doc's quartile cut by the corpus's junk fraction
+    (n_tokens > 0 is exactly the oracle's length(trim(text)) > 0 —
+    whitespace tokenization yields a token iff trimmed text is
+    non-empty)."""
+    from usgs_lidar_spark.operators.ranking import global_rank
+    from usgs_lidar_spark.operators.textquality import (
+        dsir_weights_bits,
+        hashed_feature_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    weights = dsir_weights_bits(d, F.col("lang") == "en", n_features=64)
+    # Pin: `scored`'s lineage (explode + broadcast-weight join over the
+    # corpus) is referenced by BOTH the rank path and the count rider —
+    # unpinned, the un-replanned NO_AQE tree executes it twice (the
+    # pipe_end_to_end_v5 lesson).
+    scored = (
+        hashed_feature_score(d, weights, n_features=64)
+        .filter(F.col("n_tokens") > 0)
+        .select("doc_id", "n_tokens", F.col("score").alias("dsir_bits"))
+        .localCheckpoint(eager=False)
+    )
+    ranked = global_rank(scored, ["dsir_bits", "doc_id"], rank_col="__r")
+    n = scored.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_tokens",
+        "dsir_bits",
+        (F.col("__r") * 4 > 3 * F.col("__n")).alias("keep"),
+    )
+
+
+@query(
+    "stats_bootstrap_by_lang",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, 16)) AS b),
+    cells AS (
+        SELECT d.lang, r.b AS replicate, d.n_chars,
+               (CASE WHEN u >= 790015083 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 1580030167 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 1975037709 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 2106706890 THEN 1 ELSE 0 END
+              + CASE WHEN u >= 2139624185 THEN 1 ELSE 0 END) AS m
+        FROM documents d CROSS JOIN reps r
+        CROSS JOIN LATERAL (SELECT
+            {_LEHMER_LONG(_FOLD64("d.doc_id") + " * 131 + r.b")}
+            AS u) h
+    ), agg AS (
+        SELECT lang, replicate, CAST(sum(m) AS BIGINT) AS n_eff,
+               CAST(sum(m * n_chars) AS BIGINT) AS value_sum
+        FROM cells WHERE m > 0 GROUP BY lang, replicate
+    )
+    SELECT g.lang AS "group", CAST(r.b AS BIGINT) AS replicate,
+           CAST(coalesce(a.n_eff, 0) AS BIGINT) AS n_eff,
+           CAST(coalesce(a.value_sum, 0) AS BIGINT) AS value_sum
+    FROM (SELECT DISTINCT lang FROM documents) g
+    CROSS JOIN reps r
+    LEFT JOIN agg a ON g.lang = a.lang AND r.b = a.replicate
+    """,
+)
+def stats_bootstrap_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Poisson-bootstrap replicates of sum/count of
+    n_chars (`operators/stats.poisson_bootstrap_grouped`, B=16): the
+    per-source CI report — same deterministic multiplicities as the
+    global bootstrap (slicing by group does not perturb any row's
+    draw), one map-only pass, |groups| x B partials per partition."""
+    from usgs_lidar_spark.operators.stats import poisson_bootstrap_grouped
+
+    return poisson_bootstrap_grouped(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", "doc_id",
+        n_replicates=16,
+    )
