@@ -276,6 +276,50 @@ def test_char_shingles_fractional_cap(spark):
     assert pairs(one, max_df=2) != [] and pairs(three, max_df=2) == []
 
 
+def test_semdedup_flags_min_id_keeper_and_cell_blocking(spark):
+    """SemDeDup contract: scaled re-encodes (cosine 1, bytes differ)
+    are dropped with the group's MIN id kept; vectors merely sharing a
+    cell but not similar stay; and — the documented cluster-blocking
+    tradeoff — a duplicate pair split across cells is NOT flagged
+    (cell search is what buys sum-of-cell² instead of corpus²)."""
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),   # scaled dup of 0 (cos = 1)
+        (2, [0.8, 0.6, 0.0, 0.0]),   # same cell as 0, cos 0.8: not a dup
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        # 4 and 5: a TRUE near-dup pair (cos = 0.9992 >= threshold)
+        # deliberately straddling the cell boundary — 4 leans toward
+        # the x centroid (cos 0.713 vs 0.685), 5 toward the y/z one
+        # (0.713 vs 0.688) — the pair cell blocking cannot see.
+        (4, [0.52, 0.3989, 0.32, 0.0]),
+        (5, [0.50, 0.42, 0.32, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.5, 0.0])]
+    got = {
+        r["vec_id"]: (r["cid"], r["n_dups"], r["keep"])
+        for r in semdedup_flags(corpus, cents, threshold=0.99).collect()
+    }
+    assert got[0] == (0, 0, True)      # group min id survives
+    assert got[1] == (0, 1, False)     # scaled dup dropped
+    assert got[2][2] is True           # same cell, cos 0.8: kept
+    # The boundary pair is a genuine miss: above threshold, different
+    # cells, both survive — the cost of sum-of-cell² vs corpus².
+    assert got[4] == (0, 0, True) and got[5] == (3, 0, True)
+    # Determinism under repartitioning.
+    got2 = {
+        r["vec_id"]: (r["cid"], r["n_dups"], r["keep"])
+        for r in semdedup_flags(
+            corpus.repartition(7), cents, threshold=0.99
+        ).collect()
+    }
+    assert got2 == got
+
+
 def test_simhash_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps over it"), (2, "the quick brown fox jumps over it")],

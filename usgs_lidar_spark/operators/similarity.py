@@ -333,6 +333,74 @@ def ivf_assign(
     return out.drop(tmp) if tmp is not None else out
 
 
+def semdedup_flags(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup — semantic (embedding-space) deduplication via
+    cluster-then-dedup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): assign every vector to its nearest coarse
+    centroid, then search for near-duplicate pairs ONLY within each
+    cluster — the step that makes embedding-cosine dedup tractable at
+    corpus scale, since semantic duplicates land in the same cell by
+    construction and the all-pairs cost collapses from corpus² to
+    sum over cells of cell_size².
+
+    Plan: assignment is `ivf_assign` — a map-side broadcast/expression
+    argmax inside the scan stage, no corpus shuffle (the quantizer is
+    k driver-side vectors, the same contract as every IVF path here);
+    the assigned frame is checkpoint-pinned once and self-joined on the
+    CELL id (an equi-join — the bounded blowup of every blocked dedup
+    in this engine, never a cross join); the keep rule is the
+    engine-wide min-id convention: a row is dropped iff some LOWER-id
+    row in its cell has rounded cosine >= ``threshold``. Cosines are
+    the same double-exact sequential-fold + ROUND(_, round_digits) the
+    oracled ANN queries use, so the keep DECISION is cross-engine
+    hash-stable, not just the counts.
+
+    Returns (id, cid, n_dups, keep) for every corpus row — the audit
+    form: n_dups counts the row's above-threshold lower-id cell
+    neighbors; keep = (n_dups == 0), i.e. each duplicate group's
+    minimum id survives.
+    """
+    from usgs_lidar_spark.functions.vectors import cosine
+
+    assigned = (
+        ivf_assign(corpus, centroids, vec_col, round_digits)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.col("__cid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        cosine(F.col("a.__v"), F.col("b.__v")), round_digits
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.__cid") == F.col("b.__cid"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .filter(cos >= F.lit(float(threshold)))
+        .groupBy(F.col("a.__id").alias("__id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
+    )
+    return assigned.join(dups, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__cid").cast("long").alias("cid"),
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
+    )
+
+
 def ivf_append(
     base_assigned: DataFrame,
     new_vectors: DataFrame,

@@ -25,6 +25,7 @@ from usgs_lidar_spark.plans.q1_classic import (
 from usgs_lidar_spark.plans.q2_ann_pipeline import (
     _LEHMER_BUCKET,
     _LEHMER_STREAM,
+    _cos4,
 )
 from usgs_lidar_spark.plans.q4_graph_search import (
     _FOLD64,
@@ -1720,3 +1721,75 @@ def stats_bootstrap_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "lang", "n_chars", "doc_id",
         n_replicates=16,
     )
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        -- re-encodes: every 7th vector appears again under a new id,
+        -- SCALED by 1.25 — a different byte payload (exact dedup blind)
+        -- with cosine ~1 to its original, the case semantic dedup exists
+        -- to catch. x*1.25 is exact in double; the float32 round-trip is
+        -- the same correctly-rounded op in both engines.
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+                   AS embedding
+        FROM embeddings WHERE vec_id % 7 = 0
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM m e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), dups AS (
+        SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND b.vec_id < a.vec_id
+        WHERE {_cos4("a.embedding", "b.embedding")} >= 0.99
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+           coalesce(d.n_dups, 0) = 0 AS keep
+    FROM assigned a LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (`operators/similarity.semdedup_flags` — Abbas et al.
+    2023, arXiv:2303.09540): cluster-then-dedup over the embedding
+    column, the semantic tier of the dedup family (exact -> MinHash ->
+    SimHash -> Levenshtein -> THIS). The corpus is embeddings plus a
+    deterministic re-encode slice — every 7th vector again under a new
+    id, scaled 1.25x: byte-different (exact/media dedup blind to it),
+    cosine ~1 (semantic dedup's whole reason to exist) — so real
+    duplicate groups collapse: keeper = the original id, n_dups = 1 on
+    each re-encode. Assignment is the map-side broadcast argmax against
+    the 8 seed centroids (no corpus shuffle), candidates come from the
+    cell equi-join (sum of cell² blowup, never corpus²), and the oracle
+    replays assignment + within-cell pair search over the same rounded
+    cosines — the keep DECISION hashes identically cross-engine."""
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(reups)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ] or [(0, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
+    return semdedup_flags(corpus, cents, threshold=0.99)
