@@ -122,6 +122,11 @@ HEADLINE = [
     # dedup -> reassembly -> sequence packing).
     "sim_ivf_trained_serving",
     "pipe_end_to_end_v6",
+    # round 11 additions: the scale-stable fractional-cap overlap matrix
+    # (the absolute cap measurably thinned answers at 10x) and semantic
+    # cluster-then-dedup over embeddings (SemDeDup).
+    "dedup_source_overlap",
+    "dedup_semantic_semdedup",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled
@@ -133,6 +138,10 @@ HASH_FORCED = {
     "dedup_chunk_reassemble",
     "text_bigram_surprisal",
     "pipe_end_to_end_v6",
+    # the within-cell pair join feeds a LEFT join whose right side is
+    # unique per key — a bare count() would let Catalyst ELIMINATE the
+    # whole dedup subtree (join elimination), timing only the scan.
+    "dedup_semantic_semdedup",
 }
 
 

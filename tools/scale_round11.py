@@ -12,6 +12,14 @@ What each scenario is meant to prove:
     docs with zero extra corpus passes inside `char_shingles`): the
     pair count must be STABLE 1x -> 10x while shuffle stays linear in
     capped shingle occurrences.
+  * dedup_semantic_semdedup — the sf1 replicated embeddings are scaled
+    (1 + 1e-4 k) copies of the originals, i.e. cosine-1 near-dups by
+    construction: at 10x every cell is ~10x denser in REAL duplicates,
+    so the within-cell candidate join pays its quadratic-per-cell cost
+    on exactly the corpus SemDeDup is built for. The 100 TB mitigation
+    is the standard one (k ~ sqrt(corpus): more, smaller cells as the
+    corpus grows — the quantizer is a knob, the join shape is fixed);
+    this row measures the fixed-k worst case honestly.
 
 Method identical to tools/scale_round10.py: warm second run reported
 (first pays whole-stage-codegen JIT), results fully materialized via an
@@ -36,6 +44,7 @@ from tools.sf1_bench import SF1, SF01, WORK, build_sf1  # noqa: E402
 
 SCENARIOS = [
     "dedup_source_overlap",
+    "dedup_semantic_semdedup",
 ]
 
 #: ingest-probe experiment: history batches per scale tag.
@@ -113,6 +122,49 @@ def run_probe(name: str, sf_dir: str, tag: str, width: int, pruned: bool):
     return timed(name, tag, body)
 
 
+def run_semdedup_sqrtk(sf_dir: str, tag: str) -> dict:
+    """The SemDeDup scale knob measured: same corpus as the registered
+    query (embeddings + 1.25x re-encodes) but k = ceil(sqrt(n)) seed
+    cells instead of the fixed 8 — the standard SemDeDup sizing, which
+    turns the sum-of-cell-squared candidate cost from n^2/k into
+    ~n^1.5. The quantizer stays a driver-side list (k*dim floats) and
+    assignment switches to ivf_assign's broadcast path past 64 cells —
+    exactly what a real deployment does as the corpus grows."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    def body(spark) -> int:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        reups = emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+            ).alias("embedding"),
+        )
+        corpus = emb.unionByName(reups)
+        n = corpus.count()
+        k = math.ceil(math.sqrt(n))
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < k).collect()
+        ]
+        out = semdedup_flags(corpus, cents, threshold=0.99)
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64(*out.columns), F.lit(1_000_000_007))
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"])
+
+    return timed("semdedup_sqrtk", tag, body)
+
+
 def run(name: str, sf_dir: str, tag: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -136,6 +188,11 @@ def main() -> None:
     build_sf1()
     timed("warmup", "0", lambda spark: spark.range(10).count())
     for name in names:
+        if name == "semdedup_sqrtk":
+            for tag, sf in (("1x", str(SF01)), ("10x", str(SF1))):
+                run_semdedup_sqrtk(sf, tag)  # warm
+                print(json.dumps(run_semdedup_sqrtk(sf, tag)), flush=True)
+            continue
         if name == "ingest_probe":
             for tag, sf in (("1x", str(SF01)), ("10x", str(SF1))):
                 for width, pruned in ((2, False), (2, True), (3, True)):
