@@ -375,6 +375,25 @@ HEADLINE_DIGESTS = {
         "BroadcastExchange": 1,
         "BroadcastHashJoin": 1,
     },
+    # Round-11 headliners. dedup_source_overlap's 7 shuffles are the
+    # shingle distinct + fractional-cap window + per-source distinct
+    # (pinned once via localCheckpoint — an unpinned draft showed the
+    # cap-window subtree replicated into 17 shuffles across the three
+    # gsh references) + the shingle self-join legs and the two size
+    # joins (SMJ at this size; the sizes table is #sources rows and
+    # broadcasts under AQE at scale). semdedup's two shuffles are the
+    # within-cell pair aggregate and the per-id dup rollup; assignment
+    # is map-side (no corpus shuffle — the IVF contract).
+    "dedup_source_overlap": {
+        "shuffle_exchange": 7,
+        "SortMergeJoin": 3,
+    },
+    "dedup_semantic_semdedup": {
+        "shuffle_exchange": 2,
+        "BroadcastExchange": 1,
+        "BroadcastHashJoin": 1,
+        "SortMergeJoin": 1,
+    },
 }
 
 

@@ -240,6 +240,9 @@ def source_overlap_matrix(
     pairs = char_shingles(
         docs, text_col, id_col, k=k, max_df=max_df, max_df_frac=max_df_frac
     )
+    # Pin: gsh is referenced three times below (sizes + both self-join
+    # legs); unpinned, the df-cap window upstream of it re-executes per
+    # reference (the NO_AQE multi-reference trap).
     gsh = (
         pairs.join(
             docs.select(
@@ -250,6 +253,7 @@ def source_overlap_matrix(
         )
         .select("__g", "shingle")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = gsh.groupBy("__g").agg(
         F.count(F.lit(1)).cast("long").alias("n_sh")
