@@ -503,3 +503,82 @@ def test_proximity_match_equals_python_reference(spark, docs, window,
         for r in proximity_match(df, tset, window).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),   # score
+            st.integers(min_value=0, max_value=9),      # weight
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=0, max_value=120),
+)
+@settings(**SET)
+def test_budget_prefix_select_matches_greedy_property(spark, rows, budget):
+    """The distributed budget prefix (round 11 bucketed form) == the
+    sequential greedy over (score DESC, id ASC) for arbitrary scores
+    (negative, duplicated), zero weights, and budgets at/over/under the
+    total — including the empty frame."""
+    from usgs_lidar_spark.operators.ranking import budget_prefix_select
+
+    data = [(i, s, w) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, score long, w long"
+    ) if data else spark.createDataFrame([], "doc_id long, score long, w long")
+
+    acc, want = 0, set()
+    for s, i, w in sorted(
+        ((s, i, w) for i, s, w in data), key=lambda x: (-x[0], x[1])
+    ):
+        if acc + w <= budget:
+            acc += w
+            want.add(i)
+        else:
+            break
+    got = {
+        r["doc_id"]
+        for r in budget_prefix_select(df, "score", "w", budget).collect()
+    }
+    assert got == want, (budget, data)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcX ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=12,
+    ),
+    frac=st.sampled_from([0.34, 0.5, 1.0]),
+)
+@settings(**SET)
+def test_char_shingles_fractional_equals_resolved_absolute(spark, texts, frac):
+    """For ANY corpus, max_df_frac behaves exactly as the absolute cap
+    it resolves to — greatest(1, ceil(frac * shingle-bearing docs)) —
+    and frac=1.0 keeps everything (equals the uncapped distinct set)."""
+    import math
+
+    from usgs_lidar_spark.operators.dedup import char_shingles
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    k = 4
+    un = char_shingles(df, "text", "doc_id", k=k, max_df=None).collect()
+    n_docs = len({r["doc_id"] for r in un})
+    resolved = max(1, math.ceil(frac * n_docs)) if n_docs else 1
+    got = sorted(
+        map(tuple, char_shingles(
+            df, "text", "doc_id", k=k, max_df_frac=frac
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, char_shingles(
+            df, "text", "doc_id", k=k, max_df=resolved
+        ).collect())
+    )
+    assert got == want
+    if frac == 1.0:
+        assert got == sorted(map(tuple, un))

@@ -1740,7 +1740,7 @@ def stats_bootstrap_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id % 7 = 0
     ), cent AS (
         SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < 48
     ), csim AS (
         SELECT e.vec_id, e.embedding, c.cid,
                {_cos4("e.embedding", "c.cvec")} AS csim
@@ -1773,11 +1773,16 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id, scaled 1.25x: byte-different (exact/media dedup blind to it),
     cosine ~1 (semantic dedup's whole reason to exist) — so real
     duplicate groups collapse: keeper = the original id, n_dups = 1 on
-    each re-encode. Assignment is the map-side broadcast argmax against
-    the 8 seed centroids (no corpus shuffle), candidates come from the
-    cell equi-join (sum of cell² blowup, never corpus²), and the oracle
-    replays assignment + within-cell pair search over the same rounded
-    cosines — the keep DECISION hashes identically cross-engine."""
+    each re-encode. Assignment is the map-side expression argmax against
+    48 seed centroids — the sqrt-of-corpus sizing SemDeDup prescribes at
+    this scale (SCALE.md measured fixed k=8 going quadratic at 10x,
+    566 s, while sqrt-k stays near-linear, 16.9 s); re-encodes land in
+    their original's cell under ANY quantizer (identical rounded
+    centroid cosines), so the dup answer is k-robust here. Candidates
+    come from the cell equi-join (sum of cell² blowup, never corpus²),
+    and the oracle replays assignment + within-cell pair search over
+    the same rounded cosines — the keep DECISION hashes identically
+    cross-engine."""
     from usgs_lidar_spark.operators.similarity import semdedup_flags
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1790,6 +1795,6 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(reups)
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < 8).collect()
+        for r in emb.filter(F.col("vec_id") < 48).collect()
     ] or [(0, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
     return semdedup_flags(corpus, cents, threshold=0.99)
