@@ -388,11 +388,15 @@ HEADLINE_DIGESTS = {
         "shuffle_exchange": 7,
         "SortMergeJoin": 3,
     },
+    # semdedup: the assignment subtree sits behind the lazy
+    # localCheckpoint (a LogicalRDD leaf — its broadcast-quantizer
+    # crossJoin is not part of THIS plan), so the digest covers the
+    # pair search: cell self-join + per-id dup rollup + the audit left
+    # join, SMJ at this size (AQE broadcasts the dups side at runtime;
+    # both joins are key-equi, never cartesian).
     "dedup_semantic_semdedup": {
-        "shuffle_exchange": 2,
-        "BroadcastExchange": 1,
-        "BroadcastHashJoin": 1,
-        "SortMergeJoin": 1,
+        "shuffle_exchange": 4,
+        "SortMergeJoin": 2,
     },
 }
 

@@ -200,12 +200,15 @@ def _py_norm(vec: list[float]) -> float:
     return float(sum(float(x) * float(x) for x in vec)) ** 0.5
 
 
-# Above this many cells the literal-unrolled expression path stops being
-# viable — the Catalyst tree is O(k*dim) nodes and plan compilation/codegen
-# fall over long before the data does — so `auto` switches to the broadcast
-# path, whose plan size is O(1) in k (the quantizer rides along as DATA in
-# a one-row broadcast, not as expression nodes).
+# Above these budgets the literal-unrolled expression path stops being
+# viable — the Catalyst tree is O(k*dim) nodes and plan ANALYSIS, not the
+# data, becomes the cost (measured round 11: k=48 x dim=64 = 3072 literal
+# nodes cost 3-4 s of driver-side plan construction per invocation, vs
+# 0.14 s on the broadcast path whose plan is O(1) in k — the quantizer
+# rides along as DATA in a one-row broadcast, not as expression nodes).
+# `auto` therefore bounds BOTH the cell count and the total node count.
 _EXPR_PATH_MAX_K = 64
+_EXPR_PATH_MAX_NODES = 1024
 
 
 def _centroid_sims(
@@ -268,7 +271,13 @@ def _with_centroid_sims(
     own `__cents` is never shadowed or dropped), or None on the expr path.
     """
     if method == "auto":
-        method = "expr" if len(centroids) <= _EXPR_PATH_MAX_K else "broadcast"
+        dim = len(centroids[0][1]) if centroids else 0
+        method = (
+            "expr"
+            if len(centroids) <= _EXPR_PATH_MAX_K
+            and len(centroids) * dim <= _EXPR_PATH_MAX_NODES
+            else "broadcast"
+        )
     if method == "expr":
         return df, _centroid_sims(vec_col, centroids, round_digits), None
     if method != "broadcast":
@@ -368,20 +377,33 @@ def semdedup_flags(
     neighbors; keep = (n_dups == 0), i.e. each duplicate group's
     minimum id survives.
     """
-    from usgs_lidar_spark.functions.vectors import cosine
+    from usgs_lidar_spark.functions.vectors import dot, norm
 
+    # Per-row norm is computed ONCE here and carried through the
+    # self-join: the pairwise cosine then costs one dot fold per pair
+    # instead of three (dot + both norms re-derived per pair) — a ~3x
+    # cut in interpreted higher-order-function work, with bit-identical
+    # results (norm(v) is the same sequential fold whether evaluated
+    # per row or per pair; the zero-norm guard matches vectors.cosine).
     assigned = (
         ivf_assign(corpus, centroids, vec_col, round_digits)
         .select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
+            norm(vec_col).alias("__n"),
             F.col("__cid"),
         )
         .localCheckpoint(eager=False)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
-        cosine(F.col("a.__v"), F.col("b.__v")), round_digits
+        F.when(
+            (F.col("a.__n") == 0) | (F.col("b.__n") == 0), F.lit(0.0)
+        ).otherwise(
+            dot(F.col("a.__v"), F.col("b.__v"))
+            / (F.col("a.__n") * F.col("b.__n"))
+        ),
+        round_digits,
     )
     dups = (
         a.join(
