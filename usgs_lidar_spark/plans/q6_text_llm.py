@@ -1773,8 +1773,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id, scaled 1.25x: byte-different (exact/media dedup blind to it),
     cosine ~1 (semantic dedup's whole reason to exist) — so real
     duplicate groups collapse: keeper = the original id, n_dups = 1 on
-    each re-encode. Assignment is the map-side expression argmax against
-    48 seed centroids — the sqrt-of-corpus sizing SemDeDup prescribes at
+    each re-encode. Assignment is the map-side broadcast-quantizer
+    argmax against 48 seed centroids (k*dim = 3072 literal nodes is past
+    the expression-path budget — the quantizer ships as one broadcast
+    row, plan O(1) in k) — the sqrt-of-corpus sizing SemDeDup prescribes at
     this scale (SCALE.md measured fixed k=8 going quadratic at 10x,
     566 s, while sqrt-k stays near-linear, 16.9 s); re-encodes land in
     their original's cell under ANY quantizer (identical rounded
