@@ -276,6 +276,48 @@ def test_char_shingles_fractional_cap(spark):
     assert pairs(one, max_df=2) != [] and pairs(three, max_df=2) == []
 
 
+def test_token_shingles_grams_and_guards(spark):
+    """token_shingles (round 11): n consecutive whitespace tokens
+    rejoined with single spaces, lowercased by default; docs with fewer
+    than n tokens yield nothing (the sequence(1,0) descending trap is
+    guarded exactly like char_shingles); the shared df-cap drops
+    corpus-wide stop-grams; n must be positive."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.dedup import token_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The  quick\tbrown fox jumps"),
+            (2, "quick brown fox leaps high"),
+            (3, "too short"),
+            (4, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["shingle"])
+        for r in token_shingles(docs, "text", "doc_id", n=3).collect()
+    }
+    assert (1, "the quick brown") in got          # multi-space collapsed
+    assert (1, "quick brown fox") in got
+    assert (2, "quick brown fox") in got          # shared phrase
+    assert not any(d in (3, 4) for d, _ in got)   # < n tokens: no grams
+    # df cap: the shared gram is in 2 docs; cap 1 drops it, keeps rest.
+    capped = {
+        (r["doc_id"], r["shingle"])
+        for r in token_shingles(docs, "text", "doc_id", n=3, max_df=1).collect()
+    }
+    assert (1, "quick brown fox") not in capped
+    assert (1, "the quick brown") in capped
+    with _pytest.raises(ValueError, match="n must be positive"):
+        token_shingles(docs, "text", "doc_id", n=0)
+    with _pytest.raises(ValueError, match="unit"):
+        from usgs_lidar_spark.operators.pipeline import contaminated_docs
+
+        contaminated_docs(docs, docs, unit="bytes")
+
+
 def test_semdedup_flags_min_id_keeper_and_cell_blocking(spark):
     """SemDeDup contract: scaled re-encodes (cosine 1, bytes differ)
     are dropped with the group's MIN id kept; vectors merely sharing a

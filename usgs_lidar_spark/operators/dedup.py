@@ -168,6 +168,20 @@ def char_shingles(
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle")
     )
+    return _df_capped_pairs(exploded, max_df, max_df_frac, fused_small_corpus)
+
+
+def _df_capped_pairs(
+    exploded: DataFrame,
+    max_df: int | None,
+    max_df_frac: float | None,
+    fused_small_corpus: bool,
+) -> DataFrame:
+    """The shared document-frequency cap over an exploded (doc_id,
+    shingle) frame — char_shingles' three cap strategies (fractional /
+    absolute-window / fused collect_set; see its docstring for the
+    memory and scale contracts of each), factored out so token-gram
+    shingling reuses them verbatim."""
     if max_df_frac is not None:
         pairs = exploded.distinct().localCheckpoint(eager=False)
         n_docs = pairs.agg(F.count_distinct("doc_id").alias("__n"))
@@ -200,6 +214,58 @@ def char_shingles(
         .filter(F.col("__df") <= max_df)
         .select("doc_id", "shingle")
     )
+
+
+def token_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    lowercase: bool = True,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+    fused_small_corpus: bool = False,
+) -> DataFrame:
+    """Distinct TOKEN n-grams per document: (doc_id, shingle), shingle =
+    n consecutive whitespace tokens re-joined with single spaces.
+
+    The decontamination unit of the GPT-3 lineage (Brown et al. 2020,
+    appendix C: 13-gram overlap against benchmarks; successors keep the
+    same shape) — character shingles catch near-verbatim bytes, token
+    n-grams catch verbatim PHRASES across whitespace/formatting
+    variation. Documents with fewer than ``n`` tokens yield no grams
+    (mirrors the oracle's empty range). Built with
+    sequence/transform/slice — JVM-side, no UDF; the df-cap strategies
+    are char_shingles' exactly (`_df_capped_pairs`), default UNCAPPED:
+    unlike char-8 shingles there is no stop-gram mass at n=13, and the
+    decontamination join is linear in corpus either way.
+    """
+    from usgs_lidar_spark.functions.textstats import ws_tokens
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    if max_df_frac is not None and not 0.0 < max_df_frac <= 1.0:
+        raise ValueError(
+            f"max_df_frac must be in (0, 1], got {max_df_frac}"
+        )
+    toks = ws_tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    m = F.size(toks)
+    # Same empty-array guard as char_shingles: sequence(1, 0) yields a
+    # DESCENDING [1, 0], which would fabricate grams for short docs.
+    grams = F.when(
+        m < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    )
+    return _df_capped_pairs(exploded, max_df, max_df_frac, fused_small_corpus)
 
 
 def source_overlap_matrix(

@@ -126,9 +126,14 @@ def contaminated_docs(
     max_df: int | None = 20,
     min_frac: float = 0.2,
     max_df_frac: float | None = None,
+    unit: str = "char",
 ) -> DataFrame:
     """Benchmark-contamination check: flag corpus documents sharing too
-    many character k-shingles with any benchmark/eval document.
+    many k-shingles with any benchmark/eval document. ``unit`` picks the
+    shingle alphabet: "char" (character k-grams — near-verbatim BYTES,
+    the default) or "token" (whitespace-token k-grams, the GPT-3-lineage
+    decontamination unit: Brown et al. 2020 appendix C flags 13-gram
+    overlap — verbatim PHRASES robust to whitespace/formatting drift).
 
     Output: (id, n_shingles, n_hit, hit_frac) for every corpus doc with
     at least one shared shingle and hit_frac >= min_frac.
@@ -156,17 +161,28 @@ def contaminated_docs(
     denominator riding a broadcast crossJoin into the cap comparison;
     corpus text is scanned exactly once end to end).
     """
-    from usgs_lidar_spark.operators.dedup import char_shingles
+    from usgs_lidar_spark.operators.dedup import char_shingles, token_shingles
 
+    if unit == "char":
+        def sh(d, cap_df, cap_frac):
+            return char_shingles(
+                d, text_col, id_col, k=k, max_df=cap_df, max_df_frac=cap_frac
+            )
+    elif unit == "token":
+        def sh(d, cap_df, cap_frac):
+            return token_shingles(
+                d, text_col, id_col, n=k, max_df=cap_df, max_df_frac=cap_frac
+            )
+    else:
+        raise ValueError(
+            f"unit must be 'char' or 'token', got {unit!r}"
+        )
     # The fractional cap (and its zero-extra-pass resolution) lives in
-    # char_shingles itself since round 11 — shared by every shingle
-    # consumer (Jaccard pairs, the overlap matrix, this check).
-    c_sh = char_shingles(
-        corpus, text_col, id_col, k=k, max_df=max_df,
-        max_df_frac=max_df_frac,
-    )
+    # the shingle builders themselves since round 11 — shared by every
+    # shingle consumer (Jaccard pairs, the overlap matrix, this check).
+    c_sh = sh(corpus, max_df, max_df_frac)
     b_sh = (
-        char_shingles(benchmark, text_col, id_col, k=k, max_df=None)
+        sh(benchmark, None, None)
         .select("shingle")
         .distinct()
         .withColumn("__hit", F.lit(1))

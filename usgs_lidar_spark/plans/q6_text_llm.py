@@ -1800,3 +1800,76 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 48).collect()
     ] or [(0, [0.0])]  # empty-corpus placeholder (see sim_topk_ivf)
     return semdedup_flags(corpus, cents, threshold=0.99)
+
+
+@query(
+    "pipe_decontamination_13gram",
+    oracle=r"""
+    WITH bench AS (
+        -- benchmark questions are EXCERPTS of web text (tokens 3..20 of
+        -- every 97th doc) — the realistic decontamination setup: the
+        -- corpus contains the page the benchmark quoted.
+        SELECT array_to_string(list_slice(
+            regexp_split_to_array(trim(text), '\s+'), 3, 20), ' ') AS text
+        FROM documents WHERE doc_id % 97 = 0
+    ), ct AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              w -> lower(w)) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), cg AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 12, 0) + 1),
+                      i -> array_to_string(list_slice(t, i, i + 12), ' ')))
+                   AS g
+        FROM ct
+    ), bt AS (
+        SELECT list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              w -> lower(w)) AS t
+        FROM bench WHERE length(trim(text)) > 0
+    ), bg AS (
+        SELECT DISTINCT
+               unnest(list_transform(range(1, greatest(len(t) - 12, 0) + 1),
+                      i -> array_to_string(list_slice(t, i, i + 12), ' ')))
+                   AS g
+        FROM bt
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM cg GROUP BY doc_id
+    ), hits AS (
+        SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM cg JOIN bg USING (g) GROUP BY cg.doc_id
+    )
+    SELECT h.doc_id, s.n_shingles, h.n_hit,
+           CAST(h.n_hit AS DOUBLE) / s.n_shingles AS hit_frac
+    FROM hits h JOIN sizes s USING (doc_id)
+    """,
+)
+def pipe_decontamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-lineage TOKEN-gram decontamination (`operators/pipeline.
+    contaminated_docs(unit="token")` over `dedup.token_shingles` —
+    Brown et al. 2020 appendix C: flag training documents sharing any
+    13-gram with a benchmark): the char-shingle contamination scan's
+    sibling for verbatim PHRASES, robust to whitespace/formatting drift
+    that breaks byte-level shingles. The benchmark here is built the
+    way real ones are contaminated — token excerpts (positions 3..20)
+    of every 97th document, so the corpus provably contains each
+    quoted source and the scan must recover exactly those docs (plus
+    any other doc sharing a full 13-token phrase; the synthetic corpus
+    has none — char-8 shingles DO cross-hit at this sf, which is the
+    two units' difference made visible). Same scale shape as
+    pipe_contamination: one gram-keyed equi-join against a tiny
+    benchmark side (AQE-broadcast), linear in corpus, no df cap needed
+    (13-grams have no stop-gram mass). min_frac=0: ANY shared 13-gram
+    flags — the GPT-3 rule."""
+    from usgs_lidar_spark.functions.textstats import ws_tokens
+    from usgs_lidar_spark.operators.pipeline import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.array_join(F.slice(ws_tokens("text"), 3, 18), " ").alias("text")
+    ).withColumn("doc_id", F.lit(0))
+    return contaminated_docs(
+        d, bench, "text", "doc_id", k=13, max_df=None, min_frac=0.0,
+        unit="token",
+    ).select("doc_id", "n_shingles", "n_hit", "hit_frac")
