@@ -1397,6 +1397,69 @@ def test_ingest_store_prefix_bucketing_prunes_probe(spark, tmp_path):
     assert 0 < n_pruned < n_full, (n_pruned, n_full)
 
 
+def test_ingest_store_compaction_preserves_probe(spark, tmp_path):
+    """Round 11: compacting the digest store's sealed batches
+    (compact_sink, partition_by=['dp']) is INVISIBLE to the probe —
+    read_store_before returns the identical digest set before and after
+    compaction (via the manifest branch; a plain recursive read would
+    silently skip the underscore `_compacted/` dir and lose all
+    compacted history), a replayed batch still rewrites identical
+    output, and a manifest covering a still-replayable batch fails
+    loudly instead of recreating the self-dedup bug."""
+    from usgs_lidar_spark.streaming.compact import compact_sink
+    from usgs_lidar_spark.streaming.ingest import (
+        chunk_dedup_ingest_writer,
+        read_store_before,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "digest_store")
+    out = str(tmp_path / "deduped_out")
+    ingest = chunk_dedup_ingest_writer(store, out, chunk_tokens=4)
+    ingest(docs.filter("doc_id < 17"), 0)
+    ingest(docs.filter("doc_id >= 17 AND doc_id < 34"), 1)
+    ingest(docs.filter("doc_id >= 34"), 2)
+
+    def probe(batch_id, prefixes=None):
+        return sorted(
+            r["digest"]
+            for r in read_store_before(
+                spark, store, batch_id, prefixes
+            ).collect()
+        )
+
+    before_all = probe(2)
+    some_prefixes = sorted({d[:2] for d in before_all})[:4]
+    before_pruned = probe(2, some_prefixes)
+    assert before_pruned and before_pruned != before_all
+
+    # Compact batches 0-1 (sealed); batch 2 may still replay.
+    res = compact_sink(spark, store, up_to_batch=1, partition_by=["dp"])
+    assert res is not None
+    assert not (tmp_path / "digest_store" / "batch_id=0").exists()
+
+    assert probe(2) == before_all
+    assert probe(2, some_prefixes) == before_pruned
+
+    # Replay of batch 2 against the compacted store: identical bytes.
+    first = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in spark.read.parquet(f"{out}/batch_id=2").collect()
+    }
+    ingest(docs.filter("doc_id >= 34"), 2)
+    replayed = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in spark.read.parquet(f"{out}/batch_id=2").collect()
+    }
+    assert replayed == first and any(v[1] > 0 for v in replayed.values())
+
+    # A manifest covering a replayable batch is a loud error.
+    with pytest.raises(ValueError, match="compacted through"):
+        read_store_before(spark, store, 1)
+
+
 def test_streaming_chunk_dedup_ingest_pack_exactly_once(spark, tmp_path):
     """The v6 ingest composition under the WORST crash window: the
     versioned-store foreachBatch ingest (streaming/ingest.py) dies

@@ -80,8 +80,65 @@ def read_store_before(
     metadata) re-raises and fails the batch — silently treating a
     broken store as "no committed history" would skip passage dedup for
     the batch and commit duplicate-retaining output, the exact
-    silent-rot class this module exists to prevent."""
+    silent-rot class this module exists to prevent.
+
+    COMPACTED stores are first-class: a long-running ingest compacts
+    sealed batch dirs via `streaming/compact.compact_sink` (pass
+    ``partition_by=["dp"]`` to keep the prefix pruning), and this probe
+    reads manifest-compacted data + the strictly-older uncompacted tail.
+    Without the manifest branch a compacted store would be SILENTLY
+    invisible (Spark ignores underscore-prefixed ``_compacted/`` dirs in
+    a plain recursive read), so post-compaction probes would see no
+    history and retain duplicates — row counts intact, values rotted.
+    A manifest covering ``batch_id`` itself (or newer) raises loudly:
+    compaction folding a still-replayable batch into history would
+    recreate the flat-store self-dedup bug; compact only batches the
+    stream's checkpoint has sealed."""
     from pyspark.errors import AnalysisException
+
+    from usgs_lidar_spark.streaming.compact import _batch_dirs, _read_manifest
+
+    pred = F.col("batch_id") < batch_id
+    if prefixes is not None:
+        # Literal partition filter: only the prefix buckets the probing
+        # batch can match are listed/read (bounded: <= 16^prefix_width
+        # values). An anti-join never needs non-matching history rows.
+        pred = pred & F.col("dp").isin(list(prefixes))
+
+    manifest = _read_manifest(store_path)
+    if manifest is not None:
+        covered = int(manifest["max_batch_id"])
+        if covered >= batch_id:
+            raise ValueError(
+                f"digest store {store_path!r} is compacted through "
+                f"batch {covered}, but batch {batch_id} may still be "
+                "replayed — its own digests would sit inside 'history' "
+                "and the replay would dedup the batch against itself. "
+                "Compact only batches sealed by the stream checkpoint."
+            )
+        from pathlib import Path
+
+        vdir = str(
+            Path(store_path) / "_compacted" / manifest["version_dir"]
+        )
+        # Pinned schema everywhere: the tail list is built by DIRECTORY
+        # name (strictly older than batch_id), so a crashed newer
+        # batch's partially-written files are never opened at all.
+        store = spark.read.option("basePath", vdir).schema(
+            STORE_SCHEMA
+        ).parquet(vdir)
+        tail = [
+            str(p)
+            for b, p in sorted(_batch_dirs(store_path).items())
+            if covered < b < batch_id
+        ]
+        if tail:
+            store = store.unionByName(
+                spark.read.option("basePath", store_path)
+                .schema(STORE_SCHEMA)
+                .parquet(*tail)
+            )
+        return store.filter(pred).select("digest")
 
     try:
         store = spark.read.schema(STORE_SCHEMA).parquet(store_path)
@@ -92,12 +149,6 @@ def read_store_before(
         if cond is not None and cond() == "PATH_NOT_FOUND":
             return spark.createDataFrame([], STORE_SCHEMA).select("digest")
         raise
-    pred = F.col("batch_id") < batch_id
-    if prefixes is not None:
-        # Literal partition filter: only the prefix buckets the probing
-        # batch can match are listed/read (bounded: <= 16^prefix_width
-        # values). An anti-join never needs non-matching history rows.
-        pred = pred & F.col("dp").isin(list(prefixes))
     return store.filter(pred).select("digest")
 
 
