@@ -189,3 +189,29 @@ def test_coverage_md_totals_match_registry():
     assert registered == len(q.QUERIES)
     assert oracled == len(q.ORACLE)
     assert golden == len(q.QUERIES) - len(q.ORACLE)
+    # The sweep-arithmetic sentence drifted unguarded two rounds
+    # running (227 vs 230 in r10, 230x4=920 vs 235x4=940 in r11)
+    # because only the Totals: sentence above was parsed. Guard it
+    # against the latest committed sweep artifact's own counters.
+    import json
+    import re as _re
+
+    sweep = _re.search(
+        r"(\d+)\s+queries x \{driver, odd-layout, NO_AQE, sf0\.1\} = "
+        r"(\d+)\s*\n?rows",
+        text,
+    )
+    assert sweep, "COVERAGE.md sweep-arithmetic sentence missing"
+    latest = max(
+        REPO.glob("REPLICA_r*.json"),
+        key=lambda f: int(_re.search(r"r(\d+)", f.name).group(1)),
+    )
+    art = json.loads(latest.read_text())
+    assert int(sweep.group(1)) == art["n_queries"], (
+        f"COVERAGE.md sweep sentence says {sweep.group(1)} queries but "
+        f"{latest.name} records {art['n_queries']}"
+    )
+    assert int(sweep.group(2)) == art["n_rows"], (
+        f"COVERAGE.md sweep sentence says {sweep.group(2)} rows but "
+        f"{latest.name} records {art['n_rows']}"
+    )

@@ -362,6 +362,104 @@ def test_semdedup_flags_min_id_keeper_and_cell_blocking(spark):
     assert got2 == got
 
 
+def test_semdedup_hot_cell_guard_parity_on_zipf_skew(spark):
+    """Round 12 (r11 verdict lead item): the within-cell self-join is
+    sum-of-cell² and sqrt-k sizing only keeps that linear for BALANCED
+    cells — a Zipf-clustered corpus parks a constant fraction of rows
+    in one cell at any k. With ``max_cell_size`` set, oversized cells
+    are secondarily blocked by the deterministic sign-LSH bucket with
+    Hamming<=1 multiprobe. Pins, on a deterministic Zipf-skewed fixture
+    (one cell holding 80% of rows, scaled re-encodes as true dups):
+
+    (a) guarded flags == exact flags, row for row — real near-dup
+        pairs have identical sign patterns (scaling never flips a
+        sign, perturbations stay below the coordinate magnitudes), so
+        the sub-block loses nothing here;
+    (b) determinism under repartitioning;
+    (c) the documented relaxation: a hot-cell pair whose first-
+        sub_bits signs differ in TWO bits (both coordinates essentially
+        zero) is missed by the guard while exact search flags it — the
+        contract the SQL oracle mirrors with bit_count(xor) <= 1."""
+    import random
+
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    rng = random.Random(7)
+    dim = 16
+    bases = [
+        [
+            (1.0 if rng.random() < 0.5 else -1.0) * (0.5 + rng.random())
+            for _ in range(dim)
+        ]
+        for _ in range(3)
+    ]
+    rows, vid = [], 0
+    for c, n in enumerate([160, 30, 10]):  # Zipf head: 80% in cell 0
+        for i in range(n):
+            v = [b + rng.uniform(-0.05, 0.05) for b in bases[c]]
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+            if i % 4 == 0:  # every 4th row has a scaled near-dup
+                rows.append((vid, [float(x * 1.25) for x in v]))
+                vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = [(c, b) for c, b in enumerate(bases)]
+
+    exact = sorted(
+        map(tuple, semdedup_flags(corpus, cents, threshold=0.99).collect())
+    )
+    guarded = sorted(
+        map(
+            tuple,
+            semdedup_flags(
+                corpus, cents, threshold=0.99, max_cell_size=50, sub_bits=8
+            ).collect(),
+        )
+    )
+    assert guarded == exact  # (a)
+    again = sorted(
+        map(
+            tuple,
+            semdedup_flags(
+                corpus.repartition(7),
+                cents,
+                threshold=0.99,
+                max_cell_size=50,
+                sub_bits=8,
+            ).collect(),
+        )
+    )
+    assert again == guarded  # (b)
+
+    # (c) the relaxation, pinned: cos(v1, v2) ~ 1 but signs differ in
+    # bits 0 AND 1 (both coordinates sit at ~0) -> Hamming 2, missed
+    # by the guard, found by exact. Cell is hot (5 > max_cell_size=3).
+    eps = 1e-4
+    hot = [
+        (0, [eps, eps] + [1.0] * 6),
+        (1, [-eps, -eps] + [1.0] * 6),  # true dup of 0, 2 sign flips
+        (2, [1.0] * 8),
+        (3, [0.9, 1.1] + [1.0] * 6),
+        (4, [1.1, 0.9] + [1.0] * 6),
+    ]
+    hdf = spark.createDataFrame(hot, "vec_id long, embedding array<double>")
+    hc = [(0, [1.0] * 8)]
+    ex = {
+        r["vec_id"]: r["n_dups"]
+        for r in semdedup_flags(hdf, hc, threshold=0.99).collect()
+    }
+    gd = {
+        r["vec_id"]: r["n_dups"]
+        for r in semdedup_flags(
+            hdf, hc, threshold=0.99, max_cell_size=3, sub_bits=8
+        ).collect()
+    }
+    assert ex[1] >= 1          # exact sees the pair
+    assert gd[1] == ex[1] - 1  # guard misses exactly the Hamming-2 pair
+
+
 def test_simhash_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps over it"), (2, "the quick brown fox jumps over it")],
@@ -4400,6 +4498,36 @@ def test_budget_prefix_select_rejects_fractional_weights(spark):
             df.withColumn("w", df["w"].cast("decimal(38,0)")),
             "score", "w", budget=3,
         )
+
+
+def test_budget_prefix_select_rejects_infinite_scores(spark):
+    """ADVICE r11 (low): +/-Infinity scores are legal doubles but made
+    the range-bucket domain literal the bare SQL token `inf`, surfacing
+    as UNRESOLVED_COLUMN instead of the documented loud contract error
+    (a regression vs the pre-round-11 collect-based form). Pins: both
+    infinities raise the contract ValueError, and finite doubles of
+    extreme magnitude still work."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.ranking import budget_prefix_select
+
+    for bad in (float("inf"), float("-inf")):
+        df = spark.createDataFrame(
+            [(1, bad, 1), (2, 5.0, 1)], "doc_id long, score double, w long"
+        )
+        with _pytest.raises(ValueError, match="Infinity"):
+            budget_prefix_select(df, "score", "w", budget=2)
+
+    # Finite extremes are fine (the guard is isnan|isinf, not a range).
+    big = spark.createDataFrame(
+        [(1, 1.7e308, 1), (2, -1.7e308, 1), (3, 0.0, 1)],
+        "doc_id long, score double, w long",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in budget_prefix_select(big, "score", "w", budget=2).collect()
+    )
+    assert got == [1, 3]  # best two scores fit the 2-token budget
 
 
 def test_budget_prefix_select_vs_bruteforce(spark):

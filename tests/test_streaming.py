@@ -1397,6 +1397,53 @@ def test_ingest_store_prefix_bucketing_prunes_probe(spark, tmp_path):
     assert 0 < n_pruned < n_full, (n_pruned, n_full)
 
 
+def test_ingest_probe_keeps_dp_less_legacy_history(spark, tmp_path):
+    """ADVICE r11 (medium): a digest store written BEFORE the dp column
+    existed (flat batch_id=<n>/ dirs, no dp= buckets) reads back with
+    dp=NULL under the pinned STORE_SCHEMA. The prefix filter must treat
+    NULL dp as ALWAYS matching — `isin` alone evaluates NULL to NULL
+    (filtered out), which silently dropped the ENTIRE legacy history:
+    the probe reported zero committed digests and chunk dedup was
+    skipped with intact row counts. Pins: (a) legacy rows survive a
+    prefix-filtered probe in full, (b) the pre-dp rows carry dp as a
+    plain NULL data column (not a partition), so dp stays usable, and
+    (c) a MIXED layout (legacy flat batch + dp-bucketed batch in one
+    store) fails LOUDLY — Spark refuses conflicting partition layouts
+    (CONFLICTING_PARTITION_COLUMN_NAMES) rather than silently merging;
+    the migration path is compact_sink(partition_by=['dp']), after
+    which the version dir is uniformly bucketed."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.streaming.ingest import read_store_before
+
+    legacy = ["a" * 64, "b" * 64, "c" * 64]
+    spark.createDataFrame(
+        [(d,) for d in legacy], "digest string"
+    ).write.parquet(str(tmp_path / "store" / "batch_id=0"))
+    store = str(tmp_path / "store")
+
+    # (a) a prefix set matching NONE of the legacy digests still sees
+    # all of them (dp is NULL, not a real bucket).
+    got = {
+        r["digest"]
+        for r in read_store_before(spark, store, 1, ["ff"]).collect()
+    }
+    assert got == set(legacy), got
+    # ... and an unfiltered probe agrees (the filter added nothing).
+    assert {
+        r["digest"] for r in read_store_before(spark, store, 1).collect()
+    } == set(legacy)
+
+    # (c) mixed layouts are a loud error, not silent rot.
+    spark.createDataFrame(
+        [("d" * 64, "dd")], "digest string, dp string"
+    ).write.partitionBy("dp").parquet(str(tmp_path / "store" / "batch_id=1"))
+    from pyspark.errors import PySparkException
+
+    with _pytest.raises(PySparkException, match="CONFLICTING_PARTITION"):
+        read_store_before(spark, store, 2, ["dd"]).collect()
+
+
 def test_ingest_store_compaction_preserves_probe(spark, tmp_path):
     """Round 11: compacting the digest store's sealed batches
     (compact_sink, partition_by=['dp']) is INVISIBLE to the probe —

@@ -295,14 +295,26 @@ def budget_prefix_select(
         )
     s, w = F.col(score_col), F.col(weight_col)
     stype = df.schema[score_col].dataType.simpleString()
-    nan_bad = F.isnan(s) if stype in ("float", "double") else F.lit(False)
-    bad = df.filter(s.isNull() | nan_bad | w.isNull() | (w < 0))
+    # Non-finite scores are rejected alongside NaN: an Infinity score
+    # would make the bucket domain's `hi` literal the bare token `inf`
+    # in the width_bucket SQL (UNRESOLVED_COLUMN — a confusing analysis
+    # error instead of this contract error), and +/-inf has no usable
+    # range-bucket position anyway (every other score collapses into
+    # one bucket against an infinite domain width).
+    nonfinite = (
+        (F.isnan(s) | (F.abs(s) == F.lit(float("inf"))))
+        if stype in ("float", "double")
+        else F.lit(False)
+    )
+    bad = df.filter(s.isNull() | nonfinite | w.isNull() | (w < 0))
     if not bad.isEmpty():
         raise ValueError(
-            "budget_prefix_select: NULL/NaN score, NULL weight, or "
-            "negative weight values present — the running prefix total "
-            "is only monotone for non-negative weights and NULL/NaN "
-            "have no position in a total order; filter or impute first"
+            "budget_prefix_select: NULL/NaN/Infinity score, NULL "
+            "weight, or negative weight values present — the running "
+            "prefix total is only monotone for non-negative weights, "
+            "NULL/NaN have no position in a total order, and a "
+            "non-finite score breaks the range-bucket domain; filter "
+            "or impute first"
         )
     per_score = df.groupBy(s.alias("__s")).agg(
         F.sum(w.cast("long")).alias("__wsum")

@@ -10,10 +10,17 @@ modules — `registry` (the QUERIES/ORACLE dicts, the @query decorator, and
 the shared dec_sum/dec_avg/_t/_cached_index_path helpers) plus six query
 modules imported below IN THE ORIGINAL DEFINITION ORDER (backward
 `ORACLE[...]` references between queries require it). Query function source
-text is byte-identical to the single-file original, so every REPLICA
-fingerprint (sha256 of query source + oracle SQL) is unchanged by the
-split. This module stays the import surface: `QUERIES`, `ORACLE`, and the
-helper names below re-export exactly what the single file exposed.
+text was byte-identical to the single-file original AT THE SPLIT COMMIT, so
+every REPLICA fingerprint (sha256 of query source + oracle SQL) survived
+the split itself unchanged. Later round-11 work then deliberately edited
+three query bodies (`pipe_dsir_select` — empty-doc contract aligned with
+its oracle; `pipe_budget_select` — collect-based prefix sum replaced by the
+two-phase range-bucket form; `dedup_source_overlap` — fractional df cap)
+and added five new queries; each of those changes re-swept its four
+REPLICA rows with fresh fingerprints in the same commit, which is exactly
+the drift the fingerprint guard exists to force. This module stays the
+import surface: `QUERIES`, `ORACLE`, and the helper names below re-export
+exactly what the single file exposed.
 
 Conventions that keep the oracle hash stable (driver compares row count +
 schema + order-insensitive value hash, columns sorted by name):

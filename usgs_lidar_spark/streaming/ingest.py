@@ -93,7 +93,16 @@ def read_store_before(
     A manifest covering ``batch_id`` itself (or newer) raises loudly:
     compaction folding a still-replayable batch into history would
     recreate the flat-store self-dedup bug; compact only batches the
-    stream's checkpoint has sealed."""
+    stream's checkpoint has sealed.
+
+    Pre-dp stores (written before digest-prefix bucketing existed) read
+    back with dp=NULL under the pinned schema; NULL dp ALWAYS matches
+    the prefix filter, so legacy history is never silently dropped
+    (ADVICE r11). A store MIXING flat legacy batches with dp-bucketed
+    batches fails loudly (Spark's CONFLICTING_PARTITION_COLUMN_NAMES —
+    partition layouts can't merge in one recursive scan); migrate by
+    compacting the sealed legacy batches with
+    ``compact_sink(..., partition_by=["dp"])`` first."""
     from pyspark.errors import AnalysisException
 
     from usgs_lidar_spark.streaming.compact import _batch_dirs, _read_manifest
@@ -103,7 +112,18 @@ def read_store_before(
         # Literal partition filter: only the prefix buckets the probing
         # batch can match are listed/read (bounded: <= 16^prefix_width
         # values). An anti-join never needs non-matching history rows.
-        pred = pred & F.col("dp").isin(list(prefixes))
+        # NULL dp must ALWAYS match: a store (or compacted version dir)
+        # written before the dp column existed reads back with dp=NULL
+        # under the pinned STORE_SCHEMA, and `isin` alone would silently
+        # drop ALL of that history — the probe would report zero
+        # committed digests and the batch would retain duplicates with
+        # intact row counts, the exact silent-rot class this module
+        # exists to prevent. Partition pruning on dp-bucketed stores is
+        # unaffected (a hive-partitioned dp is never NULL on disk, and
+        # IsNull on a partition column prunes to nothing there).
+        pred = pred & (
+            F.col("dp").isNull() | F.col("dp").isin(list(prefixes))
+        )
 
     manifest = _read_manifest(store_path)
     if manifest is not None:
