@@ -1873,3 +1873,95 @@ def pipe_decontamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, bench, "text", "doc_id", k=13, max_df=None, min_frac=0.0,
         unit="token",
     ).select("doc_id", "n_shingles", "n_hit", "hit_frac")
+
+
+def _sign_bucket8(col: str) -> str:
+    """DuckDB sign-LSH bucket over the first 8 dims of a list column —
+    the exact SQL twin of `functions/vectors.sign_lsh_bucket(col, 8)`
+    (axis-aligned sign bits, seedless, engine-reproducible)."""
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@query(
+    "dedup_semdedup_hotcell",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+                   AS embedding
+        FROM embeddings WHERE vec_id % 7 = 0
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM m e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid,
+               {_sign_bucket8("embedding")} AS sub
+        FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), hot AS (
+        SELECT cid, count(*) > 72 AS is_hot FROM assigned GROUP BY cid
+    ), dups AS (
+        SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND b.vec_id < a.vec_id
+        JOIN hot h ON h.cid = a.cid
+        WHERE (NOT h.is_hot OR bit_count(xor(a.sub, b.sub)) <= 1)
+          AND {_cos4("a.embedding", "b.embedding")} >= 0.99
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+           coalesce(d.n_dups, 0) = 0 AS keep
+    FROM assigned a LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def dedup_semdedup_hotcell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the HOT-CELL GUARD (`semdedup_flags(max_cell_size
+    =72, sub_bits=8)`) — the r11 verdict's lead item made a first-class
+    oracled query. The corpus and keep rule match
+    `dedup_semantic_semdedup`, but the quantizer is deliberately the
+    FIXED k=8 seed set — the regime SCALE.md measured going quadratic
+    at 10x (566 s): every cell holds ~n/8 rows, so sqrt-k sizing can't
+    save the within-cell join and the guard must. Cells above 72 rows
+    are sub-blocked by the deterministic axis-aligned sign bucket of
+    the first 8 dims with Hamming<=1 multiprobe (the
+    `sim_topk_lsh_multiprobe` probe set, applied to a SELF-join);
+    cells at or under 72 keep the exact search — at sf0.01 the corpus
+    splits 5 hot / 3 cold cells, so BOTH regimes execute, and at
+    sf0.1 all 8 cells are hot. The oracle replays the guard semantics
+    EXACTLY (bit_count(xor(sub_a, sub_b)) <= 1 on hot cells), so the
+    keep decision under the relaxation hashes identically cross-engine
+    — the guard is part of the contract, not silent approximation.
+    Scaled re-encodes share their original's sign pattern (positive
+    scaling never flips a sign bit), so every true dup group still
+    collapses to its min id."""
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(reups)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ] or [(0, [0.0])]
+    return semdedup_flags(
+        corpus, cents, threshold=0.99, max_cell_size=72, sub_bits=8
+    )
