@@ -127,6 +127,16 @@ HEADLINE = [
     # cluster-then-dedup over embeddings (SemDeDup).
     "dedup_source_overlap",
     "dedup_semantic_semdedup",
+    # round 13 additions (r12 verdict item 6 — every tier gets a bench
+    # presence): CDC changelog replay, mergeable HLL sketch rollup,
+    # positional proximity search, incremental materialized-view
+    # refresh, and the hot-cell-guarded SemDeDup (the suite's designed
+    # quadratic regime — exactly what the bench should watch).
+    "cdc_apply_changelog",
+    "sketch_hll_mergeable",
+    "search_proximity",
+    "rollup_incremental_refresh",
+    "dedup_semdedup_hotcell",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled
@@ -142,6 +152,7 @@ HASH_FORCED = {
     # unique per key — a bare count() would let Catalyst ELIMINATE the
     # whole dedup subtree (join elimination), timing only the scan.
     "dedup_semantic_semdedup",
+    "dedup_semdedup_hotcell",  # same left-join shape as the unguarded form
 }
 
 

@@ -460,6 +460,218 @@ def test_semdedup_hot_cell_guard_parity_on_zipf_skew(spark):
     assert gd[1] == ex[1] - 1  # guard misses exactly the Hamming-2 pair
 
 
+def _drain_batches(spark, rows, cents, n_history, batch_sizes, **kw):
+    """Split `rows` (id-sorted) into history + consecutive batches and
+    drain them through semdedup_append_flags/ivf_append; returns
+    {vec_id: (cid, n_dups, keep)} for all batch rows."""
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_append,
+        ivf_assign,
+        semdedup_append_flags,
+    )
+
+    def df(sub):
+        return spark.createDataFrame(
+            sub, "vec_id long, embedding array<double>"
+        )
+
+    hist = ivf_assign(df(rows[:n_history]), cents)
+    out, lo = {}, n_history
+    for n in batch_sizes:
+        batch = rows[lo : lo + n]
+        lo += n
+        for r in semdedup_append_flags(hist, df(batch), cents, **kw).collect():
+            out[r["vec_id"]] = (r["cid"], r["n_dups"], r["keep"])
+        hist = ivf_append(hist, df(batch), cents)
+    assert lo == len(rows)
+    return out
+
+
+def test_semdedup_append_drain_equals_oneshot(spark):
+    """Multi-batch drain (r12 verdict item 2): flags computed batch-by-
+    batch via semdedup_append_flags + ivf_append must equal the one-shot
+    semdedup_flags answer restricted to batch ids — the monotone-id
+    immutability argument, checked over THREE batches whose duplicate
+    pairs span every arm (batch x history, batch x earlier batch,
+    within-batch)."""
+    import random
+
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    rng = random.Random(13)
+    dim = 8
+    bases = [
+        [
+            (1.0 if rng.random() < 0.5 else -1.0) * (0.5 + rng.random())
+            for _ in range(dim)
+        ]
+        for _ in range(3)
+    ]
+    rows = []
+    for vid in range(60):
+        if vid % 5 == 4:
+            # scaled near-dup of an EARLIER row — dup pairs cross every
+            # history/batch boundary as the drain cuts move.
+            src = rows[vid - rng.randrange(1, min(vid, 25) + 1)][1]
+            rows.append((vid, [x * 1.25 for x in src]))
+        else:
+            b = bases[vid % 3]
+            rows.append(
+                (vid, [x + rng.uniform(-0.05, 0.05) for x in b])
+            )
+    cents = list(enumerate(bases))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    oneshot = {
+        r["vec_id"]: (r["cid"], r["n_dups"], r["keep"])
+        for r in semdedup_flags(corpus, cents, threshold=0.99).collect()
+        if r["vec_id"] >= 24
+    }
+    drained = _drain_batches(
+        spark, rows, cents, n_history=24, batch_sizes=[12, 12, 12],
+        threshold=0.99,
+    )
+    assert drained == oneshot
+
+
+def test_semdedup_append_guard_matches_oneshot_when_history_hot(spark):
+    """Guarded incremental (ADVICE r12 low): with max_cell_size threaded
+    through, batch-wise flags equal the GUARDED one-shot answer whenever
+    each touched cell sits on the same side of the hotness threshold at
+    flag time as in the final corpus — here history alone makes every
+    cell hot, the always-true case the docstring names. Also pins that
+    the guard actually engages (same relaxation as the one-shot: the
+    keep decision may differ from the EXACT path only on Hamming>1
+    sign-pattern pairs, none of which exist in this fixture)."""
+    import random
+
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    rng = random.Random(29)
+    dim = 8
+    base = [1.0] * dim
+    rows = []
+    for vid in range(40):
+        if vid % 4 == 3:
+            src = rows[vid - rng.randrange(1, min(vid, 10) + 1)][1]
+            rows.append((vid, [x * 1.5 for x in src]))
+        else:
+            rows.append(
+                (vid, [x + rng.uniform(-0.3, 0.3) for x in base])
+            )
+    cents = [(0, base)]  # one cell; history (20 rows) >> max_cell_size
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.99, max_cell_size=8, sub_bits=8)
+    oneshot = {
+        r["vec_id"]: (r["cid"], r["n_dups"], r["keep"])
+        for r in semdedup_flags(corpus, cents, **kw).collect()
+        if r["vec_id"] >= 20
+    }
+    drained = _drain_batches(
+        spark, rows, cents, n_history=20, batch_sizes=[10, 10], **kw
+    )
+    assert drained == oneshot
+    # the guarded drain loses nothing vs the exact drain here (all
+    # coordinates bounded away from 0 -> dup signs identical)
+    exact = _drain_batches(
+        spark, rows, cents, n_history=20, batch_sizes=[10, 10],
+        threshold=0.99,
+    )
+    assert drained == exact
+
+
+def test_ivf_two_level_probe_all_matches_flat(spark):
+    """Large-k quantizer tier (r12 verdict item 4 / r11 item 3): with the
+    quantizer as a DataFrame, coarse->fine assignment probing ALL coarse
+    cells must be BIT-IDENTICAL to flat ivf_assign — same rounded-cosine
+    arithmetic, same (max sim, min cid) tie rule — including __csim and
+    under repartitioning. Smaller n_probe_coarse is the documented IMI
+    approximation: never a better sim than flat, never null."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        derive_coarse_quantizer,
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 24).collect()
+    ]
+    cdf = spark.createDataFrame(cents, "cid long, cvec array<double>")
+    flat = sorted(
+        (r["vec_id"], r["__cid"], r["__csim"])
+        for r in ivf_assign(emb, cents, keep_sim=True).collect()
+    )
+    coarse = derive_coarse_quantizer(cdf)
+    assert 2 <= len(coarse) < len(cents)  # genuinely two-level
+    tl = sorted(
+        (r["vec_id"], r["__cid"], r["__csim"])
+        for r in ivf_assign_two_level(
+            emb, cdf, coarse=coarse, n_probe_coarse=len(coarse),
+            keep_sim=True,
+        ).collect()
+    )
+    assert tl == flat
+    again = sorted(
+        (r["vec_id"], r["__cid"], r["__csim"])
+        for r in ivf_assign_two_level(
+            emb.repartition(7), cdf, coarse=coarse,
+            n_probe_coarse=len(coarse), keep_sim=True,
+        ).collect()
+    )
+    assert again == flat
+    # n_probe=1: the IMI approximation contract — assigned sim never
+    # exceeds the flat optimum, assignment never null.
+    one = sorted(
+        (r["vec_id"], r["__cid"], r["__csim"])
+        for r in ivf_assign_two_level(
+            emb, cdf, coarse=coarse, n_probe_coarse=1, keep_sim=True
+        ).collect()
+    )
+    assert all(c is not None for _v, c, _s in one)
+    assert all(a[2] <= b[2] for a, b in zip(one, flat))
+
+
+def test_semdedup_flags_accepts_dataframe_quantizer(spark):
+    """semdedup_flags/ivf_append take the DataFrame quantizer form through
+    ivf_assign's dispatch. True dup groups still collapse under ANY
+    n_probe_coarse — a scaled copy has identical rounded cosines to every
+    centroid, hence identical coarse probes and identical final cell."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    reups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(reups)
+    cdf = emb.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    out = {
+        r["vec_id"]: (r["n_dups"], r["keep"])
+        for r in semdedup_flags(corpus, cdf, threshold=0.99).collect()
+    }
+    n = emb.count()
+    assert len(out) == n + (n + 6) // 7
+    for v in range(0, n, 7):
+        assert out[v] == (0, True)  # group min id survives
+        assert out[v + 100000] == (1, False)  # its re-encode is dropped
+
+
 def test_simhash_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps over it"), (2, "the quick brown fox jumps over it")],

@@ -398,6 +398,25 @@ HEADLINE_DIGESTS = {
         "shuffle_exchange": 4,
         "SortMergeJoin": 2,
     },
+    # Round-13 headliners (r12 verdict item 6: every tier gets a bench
+    # presence). cdc_apply_changelog's SortAggregates are the
+    # latest-change-per-key max_by over struct buffers (struct agg
+    # buffers are not hash-aggregable — intended, not a regression);
+    # sketch_hll_mergeable's 4 shuffles are the per-group partial
+    # sketch + merge levels; dedup_semdedup_hotcell digests fewer nodes
+    # than the unguarded form because its assigned frame is
+    # localCheckpoint-pinned (the digest covers the post-checkpoint
+    # pair-join stages: the hot-cell broadcast + the cell self-join).
+    "cdc_apply_changelog": {"shuffle_exchange": 1, "SortAggregate": 2},
+    "sketch_hll_mergeable": {"shuffle_exchange": 4},
+    "search_proximity": {"shuffle_exchange": 1},
+    "rollup_incremental_refresh": {"shuffle_exchange": 2},
+    "dedup_semdedup_hotcell": {
+        "shuffle_exchange": 2,
+        "BroadcastExchange": 1,
+        "BroadcastHashJoin": 1,
+        "SortMergeJoin": 1,
+    },
 }
 
 

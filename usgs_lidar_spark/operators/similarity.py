@@ -316,7 +316,7 @@ def _with_centroid_sims(
 
 def ivf_assign(
     corpus: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | DataFrame,
     vec_col: str = "embedding",
     round_digits: int = 4,
     method: str = "auto",
@@ -331,7 +331,24 @@ def ivf_assign(
     PLAN O(1) in k as well, which is what survives a real quantizer.
     ``keep_sim`` additionally attaches `__csim`, the rounded cosine to the
     assigned centroid (the quantization-quality signal drift metrics
-    read)."""
+    read).
+
+    ``centroids`` may ALSO be a DataFrame of (cid, cvec) — the round-13
+    large-k form: past the one-row-broadcast ceiling (k ~ sqrt(corpus)
+    reaches 10^5..10^6 cells at 10^10..10^12 docs, k*dim doubles no
+    longer a sane single broadcast row), the quantizer stays distributed
+    and assignment goes through `ivf_assign_two_level` (coarse level a
+    small broadcast, fine level an equi-join on the coarse cell). The
+    flat list path is bit-identical and remains the right call while
+    k*dim fits the broadcast budget."""
+    if isinstance(centroids, DataFrame):
+        return ivf_assign_two_level(
+            corpus,
+            centroids,
+            vec_col=vec_col,
+            round_digits=round_digits,
+            keep_sim=keep_sim,
+        )
     df, sims, tmp = _with_centroid_sims(
         corpus, centroids, vec_col, round_digits, method
     )
@@ -342,9 +359,162 @@ def ivf_assign(
     return out.drop(tmp) if tmp is not None else out
 
 
+def derive_coarse_quantizer(
+    centroids_df: DataFrame,
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    n_coarse: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse level for `ivf_assign_two_level`: ~sqrt(k)
+    evenly-cid-strided members of the fine quantizer itself (the same
+    seed-from-the-data convention every quantizer path here uses; train
+    with `kmeans_refine` over the CENTROIDS when quality matters). The
+    collect is <= sqrt(k) rows — bounded by the quantizer, never the
+    corpus: at k = 10^6 cells that is 1000 vectors on the driver, the
+    same budget class as every flat quantizer list."""
+    import math
+
+    k = centroids_df.count()
+    if k == 0:
+        return [(0, [0.0])]
+    g = n_coarse or max(1, math.ceil(math.sqrt(k)))
+    stride = max(1, math.ceil(k / g))
+    w = Window.orderBy(F.col(cid_col))
+    rows = (
+        centroids_df.select(cid_col, cvec_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") - 1) % stride == 0)
+        .collect()
+    )
+    return [(int(r[cid_col]), [float(x) for x in r[cvec_col]]) for r in rows]
+
+
+def ivf_assign_two_level(
+    corpus: DataFrame,
+    centroids_df: DataFrame,
+    coarse: list[tuple[int, list[float]]] | None = None,
+    n_probe_coarse: int = 1,
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    keep_sim: bool = False,
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """`ivf_assign` for quantizers too large to ship as one broadcast
+    row: ``centroids_df`` is a DATAFRAME of (cid, cvec) — k rows that
+    never touch the driver — and assignment becomes coarse-then-fine
+    (the inverted-multi-index shape, Babenko & Lempitsky 2012):
+
+      1. the fine centroids are themselves assigned to a small COARSE
+         quantizer (<= ~sqrt(k) vectors — ``coarse``, default
+         `derive_coarse_quantizer`) and packed ONE ROW PER COARSE CELL
+         as array<struct<cid, cvec, cnorm>> (~sqrt(k)*dim doubles per
+         row — the per-row payload the one-row-broadcast path would
+         have made k*dim);
+      2. each corpus row map-side coarse-assigns (small broadcast /
+         literal expressions — the flat path, plan O(1)) and takes its
+         ``n_probe_coarse`` nearest coarse cells;
+      3. one equi-join PER PROBE against the packed cell table binds
+         the candidate centroid pack, and an `array_max(transform(...))`
+         HOF computes the per-pack argmax; `greatest` across probes
+         merges. No corpus groupBy, no row-id requirement, corpus rows
+         never multiply: the plan is n_probe_coarse equi-joins, each
+         matching <= 1 packed row per corpus row. When the packed table
+         exceeds the broadcast threshold the join shuffles the corpus
+         by coarse cell — the honest, bounded cost of an
+         above-broadcast-budget quantizer (AQE's skew splitting applies:
+         the build side is one row per key).
+
+    Semantics: probing ALL coarse cells (n_probe_coarse = n_cells) is
+    BIT-IDENTICAL to flat `ivf_assign` — same rounded-cosine
+    expressions, same (max sim, min cid) tie rule via the shared
+    struct(sim, negcid) ordering — pinned by
+    test_ivf_two_level_probe_all_matches_flat. Smaller n_probe_coarse
+    is the standard IMI approximation: a row whose true cell hides
+    behind a non-probed coarse cell gets its best PROBED cell (same
+    knob contract as `cosine_topk_lsh`'s bucketing; zero-vectors and
+    empty probed cells degrade the same documented way). Every
+    downstream consumer (`semdedup_flags`, `semdedup_append_flags`,
+    `ivf_append`) accepts the DataFrame form through `ivf_assign`'s
+    dispatch."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    if coarse is None:
+        coarse = derive_coarse_quantizer(centroids_df, cid_col, cvec_col)
+    n_probe = max(1, min(int(n_probe_coarse), len(coarse)))
+
+    packed = (
+        ivf_assign(centroids_df, coarse, vec_col=cvec_col,
+                   round_digits=round_digits)
+        .select(
+            F.col("__cid").alias("__gid"),
+            F.struct(
+                F.col(cid_col).cast("long").alias("cid"),
+                F.col(cvec_col).alias("cvec"),
+                norm(cvec_col).alias("cnorm"),
+            ).alias("__cand"),
+        )
+        .groupBy("__gid")
+        .agg(F.collect_list("__cand").alias("__cands"))
+    )
+
+    df, gsims, gtmp = _with_centroid_sims(
+        corpus, coarse, vec_col, round_digits
+    )
+    # array_sort orders struct<sim, negcid> ascending -> reversed is the
+    # flat path's array_max ordering (sim DESC, then negcid DESC = cid
+    # ASC), so probe p is the p-th nearest coarse cell with the same tie
+    # rule as every argmax in this module.
+    probes = F.slice(F.reverse(F.array_sort(gsims)), 1, n_probe)
+    out = df.withColumn("__probes", probes)
+    if gtmp is not None:
+        out = out.drop(gtmp)
+
+    vnorm = norm(vec_col)
+    bests = []
+    for p in range(n_probe):
+        side = packed.select(
+            F.col("__gid").alias(f"__gid_{p}"),
+            F.col("__cands").alias(f"__cands_{p}"),
+        )
+        out = out.join(
+            side,
+            -F.element_at("__probes", p + 1)["negcid"]
+            == F.col(f"__gid_{p}"),
+            "left",
+        )
+        bests.append(
+            F.array_max(
+                F.transform(
+                    F.col(f"__cands_{p}"),
+                    lambda c: F.struct(
+                        F.round(
+                            F.when(
+                                (vnorm == 0) | (c["cnorm"] == 0), F.lit(0.0)
+                            ).otherwise(
+                                dot(vec_col, c["cvec"])
+                                / (vnorm * c["cnorm"])
+                            ),
+                            round_digits,
+                        ).alias("sim"),
+                        (-c["cid"]).alias("negcid"),
+                    ),
+                )
+            )
+        )
+    best = F.greatest(*bests) if len(bests) > 1 else bests[0]
+    out = out.withColumn("__cid", -best["negcid"])
+    if keep_sim:
+        out = out.withColumn("__csim", best["sim"])
+    drop = ["__probes"] + [
+        c for p in range(n_probe) for c in (f"__gid_{p}", f"__cands_{p}")
+    ]
+    return out.drop(*drop)
+
+
 def semdedup_flags(
     corpus: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | DataFrame,
     threshold: float = 0.99,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -512,19 +682,20 @@ def semdedup_flags(
 def semdedup_append_flags(
     history_assigned: DataFrame,
     new_vectors: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | DataFrame,
     threshold: float = 0.99,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 4,
+    max_cell_size: int | None = None,
+    sub_bits: int = 8,
 ) -> DataFrame:
     """Incremental SemDeDup — the streaming-corpus maintenance form of
-    `semdedup_flags` (round 12, r11 verdict item 6): dedup an appended
-    batch against committed history + itself WITHOUT re-scoring any
-    history-history pair, composing `ivf_append`'s
-    assign-only-the-batch step with the min-id keep rule (the
-    `chunk_dedup_incremental` anti-join shape, lifted to embedding
-    space).
+    `semdedup_flags`: dedup an appended batch against committed
+    history + itself WITHOUT re-scoring any history-history pair,
+    composing `ivf_append`'s assign-only-the-batch step with the
+    min-id keep rule (the `chunk_dedup_incremental` anti-join shape,
+    lifted to embedding space).
 
     Contract: ``history_assigned`` is the committed corpus in
     `ivf_assign` output form (original columns + ``__cid``) — the
@@ -535,9 +706,11 @@ def semdedup_append_flags(
     from a later batch (their flags are immutable once written), and
     the batch rows' flags computed here are IDENTICAL to what a
     one-shot `semdedup_flags` over history+batch would assign them —
-    batch-wise processing converges to the one-shot answer, pinned by
-    the `dedup_semdedup_incremental` oracle query and the multi-batch
-    drain test.
+    batch-wise processing converges to the one-shot answer. Pinned by
+    the `dedup_semdedup_incremental` oracle query (two batches drained
+    in-query vs a one-shot DuckDB replay restricted to batch ids) and
+    the multi-batch drain test
+    (tests/test_operators.py::test_semdedup_append_drain_equals_oneshot).
 
     Cost per batch: one map-side quantizer assignment over the batch
     (history moves zero bytes to assign), then one cell equi-join of
@@ -549,32 +722,93 @@ def semdedup_append_flags(
     `read_store_before` prefix-probe pattern) — so batch cost is
     ~|batch| x (touched-cell history density), never history².
     Returns (id, cid, n_dups, keep) for the BATCH rows only.
-    """
-    from usgs_lidar_spark.functions.vectors import dot, norm
 
-    newly = (
-        ivf_assign(new_vectors, centroids, vec_col, round_digits)
-        .select(
+    HOT-CELL GUARD: with ``max_cell_size`` set, the same sign-LSH
+    Hamming<=1 multiprobe sub-blocking as `semdedup_flags` applies to
+    the batch-vs-(history+batch) pair join — without it, a
+    Zipf-clustered corpus makes batch cost ~|batch| x |hot-cell
+    history|, the quadratic the guard exists to bound (batch-side a
+    explodes sub_bits+1 probe masks; the b side keeps its home
+    bucket). Hotness is evaluated PER STEP over the pruned history +
+    batch of that step — a prefix of the final corpus — so a cell
+    already hot at step i stays hot at every later step (sizes only
+    grow), and batch-wise guarded flags equal the one-shot guarded
+    answer exactly when each touched cell is on the same side of the
+    threshold at flag time as in the final corpus (always true when
+    history alone crosses the threshold; pinned by
+    test_semdedup_append_guard_matches_oneshot_when_history_hot). The
+    default ``max_cell_size=None`` is the exact path, where batch-wise
+    == one-shot unconditionally.
+    """
+    from usgs_lidar_spark.functions.vectors import dot, norm, sign_lsh_bucket
+
+    def _sel(df: DataFrame) -> DataFrame:
+        cols = [
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
             norm(vec_col).alias("__n"),
             F.col("__cid"),
-        )
-        .localCheckpoint(eager=False)
-    )
+        ]
+        if max_cell_size is not None:
+            cols.append(sign_lsh_bucket(vec_col, sub_bits).alias("__sub"))
+        return df.select(*cols)
+
+    newly = _sel(
+        ivf_assign(new_vectors, centroids, vec_col, round_digits)
+    ).localCheckpoint(eager=False)
     # Bounded by k (a knob, never data): the batch's touched cells.
     bcids = newly.select("__cid").distinct()
-    hist = (
-        history_assigned.select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            norm(vec_col).alias("__n"),
-            F.col("__cid"),
+    hist = _sel(history_assigned).join(F.broadcast(bcids), "__cid", "semi")
+    b_all = hist.unionByName(newly)
+    if max_cell_size is not None:
+        # Same shape as semdedup_flags' guard: cell sizes are a <= k-row
+        # aggregate riding back on a broadcast join; hot rows key on
+        # their sign bucket, small cells pin -1 on both sides.
+        hot = (
+            b_all.groupBy("__cid")
+            .agg(F.count(F.lit(1)).alias("__csize"))
+            .filter(F.col("__csize") > int(max_cell_size))
+            .select("__cid", F.lit(True).alias("__hot"))
         )
-        .join(F.broadcast(bcids), "__cid", "semi")
-    )
-    a = newly.alias("a")
-    b = hist.unionByName(newly).alias("b")
+
+        def _key(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(hot), "__cid", "left").withColumn(
+                "__key",
+                F.when(F.col("__hot"), F.col("__sub")).otherwise(
+                    F.lit(-1).cast("long")
+                ),
+            )
+
+        masks = F.array(
+            *[
+                F.lit(m).cast("long")
+                for m in [0] + [1 << j for j in range(sub_bits)]
+            ]
+        )
+        a = (
+            _key(newly)
+            .withColumn(
+                "__mask",
+                F.explode(
+                    F.when(F.col("__hot"), masks).otherwise(
+                        F.array(F.lit(0).cast("long"))
+                    )
+                ),
+            )
+            .withColumn("__key", F.col("__key").bitwiseXOR(F.col("__mask")))
+            .alias("a")
+        )
+        b = _key(b_all).alias("b")
+        pair_cond = (
+            (F.col("a.__cid") == F.col("b.__cid"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("b.__id") < F.col("a.__id"))
+        )
+    else:
+        a, b = newly.alias("a"), b_all.alias("b")
+        pair_cond = (F.col("a.__cid") == F.col("b.__cid")) & (
+            F.col("b.__id") < F.col("a.__id")
+        )
     cos = F.round(
         F.when(
             (F.col("a.__n") == 0) | (F.col("b.__n") == 0), F.lit(0.0)
@@ -585,11 +819,7 @@ def semdedup_append_flags(
         round_digits,
     )
     dups = (
-        a.join(
-            b,
-            (F.col("a.__cid") == F.col("b.__cid"))
-            & (F.col("b.__id") < F.col("a.__id")),
-        )
+        a.join(b, pair_cond)
         .filter(cos >= F.lit(float(threshold)))
         .groupBy(F.col("a.__id").alias("__id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
@@ -605,7 +835,7 @@ def semdedup_append_flags(
 def ivf_append(
     base_assigned: DataFrame,
     new_vectors: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | DataFrame,
     vec_col: str = "embedding",
     round_digits: int = 4,
     method: str = "auto",
