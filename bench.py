@@ -137,6 +137,10 @@ HEADLINE = [
     "search_proximity",
     "rollup_incremental_refresh",
     "dedup_semdedup_hotcell",
+    # round 13 (cont.): the representative-collapse rung above the
+    # hot-cell guard, benched in its engaged regime (sub_bits=2 buckets
+    # over the cap at sf0.1).
+    "dedup_semdedup_repcollapse",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled
@@ -153,6 +157,7 @@ HASH_FORCED = {
     # whole dedup subtree (join elimination), timing only the scan.
     "dedup_semantic_semdedup",
     "dedup_semdedup_hotcell",  # same left-join shape as the unguarded form
+    "dedup_semdedup_repcollapse",
 }
 
 

@@ -579,6 +579,69 @@ def test_semdedup_append_guard_matches_oneshot_when_history_hot(spark):
     assert drained == exact
 
 
+def test_semdedup_rep_collapse_keep_set_on_degenerate_cell(spark):
+    """Round 13: representative collapse (max_bucket_size) — the rung
+    above the hot-cell guard for the regime the sub-block cannot split
+    (near-identical hot cell = one sign pattern = one bucket). Pins, on
+    a fixture with a 30-row near-identical hot cell plus a small cold
+    cell with its own dup pair:
+
+    (a) KEEP SET equality with exact search — in the near-identical
+        regime every member matches the representative, so min id
+        survives and everything else drops, exactly like exact;
+    (b) the documented audit-count difference: jammed members see ONLY
+        the representative (n_dups == 1) where exact counts every
+        lower-id neighbor;
+    (c) the cold cell is byte-identical to exact (collapse touches only
+        jammed hot buckets);
+    (d) determinism under repartitioning;
+    (e) the contract error: max_bucket_size without max_cell_size."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    dim = 8
+    rows = [
+        # hot cell: 30 near-identical rows around [1]*8 (same signs,
+        # noise 1e-3 << 1 so every pairwise cosine ~ 1 >= 0.99)
+        (i, [1.0 + ((i * 37 + j * 11) % 19 - 9) * 1e-3 for j in range(dim)])
+        for i in range(30)
+    ] + [
+        # cold cell: 3 rows near -[1]*8, rows 100/101 a true dup pair
+        # (101 = 1.25x of 100), 102 orthogonal-ish enough to be kept
+        (100, [-1.0] * dim),
+        (101, [-1.25] * dim),
+        (102, [-1.0] * 4 + [-0.2] * 4),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0] * dim), (1, [-1.0] * dim)]
+    kw = dict(threshold=0.99, max_cell_size=8, sub_bits=8)
+    exact = {
+        r["vec_id"]: (r["n_dups"], r["keep"])
+        for r in semdedup_flags(corpus, cents, **kw).collect()
+    }
+    capped = {
+        r["vec_id"]: (r["n_dups"], r["keep"])
+        for r in semdedup_flags(
+            corpus, cents, max_bucket_size=8, **kw
+        ).collect()
+    }
+    assert {v for v, (_n, k) in exact.items() if k} == {0, 100, 102}
+    assert {v for v, (_n, k) in capped.items() if k} == {0, 100, 102}  # (a)
+    assert exact[29][0] == 29 and capped[29][0] == 1  # (b)
+    for v in (100, 101, 102):
+        assert capped[v] == exact[v]  # (c)
+    again = {
+        r["vec_id"]: (r["n_dups"], r["keep"])
+        for r in semdedup_flags(
+            corpus.repartition(7), cents, max_bucket_size=8, **kw
+        ).collect()
+    }
+    assert again == capped  # (d)
+    with _pytest.raises(ValueError, match="max_cell_size"):
+        semdedup_flags(corpus, cents, threshold=0.99, max_bucket_size=8)
+
+
 def test_ivf_two_level_probe_all_matches_flat(spark):
     """Large-k quantizer tier (r12 verdict item 4 / r11 item 3): with the
     quantizer as a DataFrame, coarse->fine assignment probing ALL coarse

@@ -417,6 +417,15 @@ HEADLINE_DIGESTS = {
         "BroadcastHashJoin": 1,
         "SortMergeJoin": 1,
     },
+    # repcollapse adds the jammed-bucket stats aggregate (1 shuffle) and
+    # its broadcast back onto the b side (1 BroadcastExchange/HashJoin)
+    # over the hotcell shape.
+    "dedup_semdedup_repcollapse": {
+        "shuffle_exchange": 3,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
+        "SortMergeJoin": 1,
+    },
 }
 
 

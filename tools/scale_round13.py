@@ -114,7 +114,8 @@ def zipf_corpus(spark, n: int, diverse: bool):
 
 
 def run_hotcell(name: str, tag: str, n: int, diverse: bool,
-                max_cell_size: int | None) -> dict:
+                max_cell_size: int | None,
+                max_bucket_size: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from usgs_lidar_spark.operators.similarity import semdedup_flags
@@ -130,6 +131,7 @@ def run_hotcell(name: str, tag: str, n: int, diverse: bool,
             threshold=0.99,
             max_cell_size=max_cell_size,
             sub_bits=8,
+            max_bucket_size=max_bucket_size,
         )
         row = out.agg(
             F.count(F.lit(1)).alias("n"),
@@ -140,6 +142,62 @@ def run_hotcell(name: str, tag: str, n: int, diverse: bool,
         return int(row["n"])
 
     return timed(name, tag, body)
+
+
+def synth_centroids(spark, k: int, dim: int = 64):
+    """Deterministic synthetic quantizer as a DataFrame — xxhash64-seeded
+    U(-0.5, 0.5) coordinates, generated distributively."""
+    from pyspark.sql import functions as F
+
+    return spark.range(k).select(
+        F.col("id").alias("cid"),
+        F.array(
+            *[_u(F.col("id"), j + 1).alias(f"c{j}") for j in range(dim)]
+        ).alias("cvec"),
+    )
+
+
+def run_two_level_ab(k: int, variant: str) -> dict:
+    """Assignment wall at quantizer size k: flat one-row-broadcast
+    `ivf_assign` vs `ivf_assign_two_level` (n_probe_coarse=1), corpus =
+    sf0.1 embeddings replicated 10x (20k rows, dim 64). Flat cost per
+    corpus row is k*dim HOF ops; two-level is ~2*sqrt(k)*dim plus one
+    equi-join — the crossover this measures."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.operators.similarity import (
+        derive_coarse_quantizer,
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+
+    def body(spark) -> int:
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.1/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        reps = spark.range(10).select(F.col("id").alias("rep"))
+        corpus = emb.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+        cdf = synth_centroids(spark, k).localCheckpoint()
+        if variant == "flat":
+            cents = [
+                (int(r["cid"]), [float(x) for x in r["cvec"]])
+                for r in cdf.collect()
+            ]
+            out = ivf_assign(corpus, cents)
+        else:
+            coarse = derive_coarse_quantizer(cdf)
+            out = ivf_assign_two_level(corpus, cdf, coarse=coarse)
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("vec_id", "__cid"),
+                         F.lit(1_000_000_007))).alias("h"),
+        ).collect()[0]
+        return int(row["n"])
+
+    return timed(f"assign_{variant}_k{k}", "20k_rows", body)
 
 
 def main() -> None:
@@ -156,9 +214,22 @@ def main() -> None:
                 )
     if "hotcell_degenerate" in names:
         for tag, n in DEGEN_N.items():
-            nm = "hotcell_degenerate_guarded"
-            run_hotcell(nm, tag, n, False, 96)  # warm
-            print(json.dumps(run_hotcell(nm, tag, n, False, 96)), flush=True)
+            for label, mbs in (("guarded", None), ("collapsed", 64)):
+                nm = f"hotcell_degenerate_{label}"
+                run_hotcell(nm, tag, n, False, 96, mbs)  # warm
+                print(
+                    json.dumps(run_hotcell(nm, tag, n, False, 96, mbs)),
+                    flush=True,
+                )
+    if "two_level_ab" in names:
+        # k stops at 1024: flat already loses at k=64 on this HOF-bound
+        # corpus and its wall grows linearly in k (interpreted transform
+        # over k candidate structs per row) — larger flat points are
+        # minutes of no-new-information.
+        for k in (64, 1024):
+            for variant in ("flat", "two_level"):
+                run_two_level_ab(k, variant)  # warm
+                print(json.dumps(run_two_level_ab(k, variant)), flush=True)
 
 
 if __name__ == "__main__":

@@ -521,6 +521,7 @@ def semdedup_flags(
     round_digits: int = 4,
     max_cell_size: int | None = None,
     sub_bits: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup — semantic (embedding-space) deduplication via
     cluster-then-dedup (Abbas et al. 2023, "SemDeDup: Data-efficient
@@ -578,6 +579,30 @@ def semdedup_flags(
     (bit_count(xor(bucket_a, bucket_b)) <= 1), keeping the keep
     decision hash-stable, not merely approximate. ``max_cell_size=
     None`` (the default) is byte-for-byte the pre-guard plan.
+
+    CAP / REPRESENTATIVE-COLLAPSE (round 13 — the degenerate-regime rung
+    SCALE.md's hot-cell measurement names). The sub-block splits a hot
+    cell only when its vectors are sign-DIVERSE; a hot cell of
+    near-identical vectors shares ONE sign pattern (true dups never
+    differ in sign), lands in a single sub-bucket, and the guarded cost
+    degrades back to bucket² exactly when duplication is most extreme —
+    measured superlinear in SCALE.md round 13. With ``max_bucket_size``
+    set (requires ``max_cell_size``), any hot (cell, sub-bucket) group
+    LARGER than it is collapsed: only its min-id REPRESENTATIVE remains
+    visible as a b-side (lower-id neighbor) candidate — to bucket
+    members and Hamming<=1 probers alike — so per-jammed-bucket pair
+    work drops from bucket² to bucket size. Every row still probes as
+    an a-side and still receives flags. Semantics: a row whose only
+    above-threshold lower-id neighbors are NON-representative members
+    of a jammed bucket is missed; in the near-identical regime the
+    collapse exists for, every member matches the representative
+    (cosine ~1 by the regime's definition), so the KEEP SET equals the
+    exact answer — the min id survives, everything else drops
+    (n_dups counts only VISIBLE neighbors, so audit counts shrink; the
+    keep decision is what the contract pins). The visibility rule is a
+    pure function of (cell, bucket, bucket size, min id) and is
+    mirrored EXACTLY by the SQL oracle of `dedup_semdedup_repcollapse`,
+    keeping the relaxed decision hash-stable cross-engine.
     """
     from usgs_lidar_spark.functions.vectors import dot, norm, sign_lsh_bucket
 
@@ -587,6 +612,11 @@ def semdedup_flags(
     # cut in interpreted higher-order-function work, with bit-identical
     # results (norm(v) is the same sequential fold whether evaluated
     # per row or per pair; the zero-norm guard matches vectors.cosine).
+    if max_bucket_size is not None and max_cell_size is None:
+        raise ValueError(
+            "max_bucket_size (representative collapse) requires "
+            "max_cell_size (the sub-blocking it caps)"
+        )
     cols = [
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -645,7 +675,33 @@ def semdedup_flags(
             )
             .alias("a")
         )
-        b = assigned.alias("b")
+        b_side = assigned
+        if max_bucket_size is not None:
+            # Jammed buckets: hot (cell, sub) groups over the cap. The
+            # aggregate is bounded by (#hot cells x 2^sub_bits) 3-long
+            # rows — broadcastable bucket STATS, never vectors. b-side
+            # visibility then keeps only each jammed bucket's min-id
+            # representative; a-side (probing) rows are untouched, so
+            # every row still gets flags.
+            jam = (
+                assigned.filter(F.col("__hot"))
+                .groupBy("__cid", "__sub")
+                .agg(
+                    F.count(F.lit(1)).alias("__bsize"),
+                    F.min("__id").alias("__rep"),
+                )
+                .filter(F.col("__bsize") > int(max_bucket_size))
+                .select("__cid", "__sub", "__rep")
+            )
+            b_side = (
+                assigned.join(F.broadcast(jam), ["__cid", "__sub"], "left")
+                .filter(
+                    F.col("__rep").isNull()
+                    | (F.col("__id") == F.col("__rep"))
+                )
+                .drop("__rep")
+            )
+        b = b_side.alias("b")
         pair_cond = (
             (F.col("a.__cid") == F.col("b.__cid"))
             & (F.col("a.__key") == F.col("b.__key"))

@@ -2076,3 +2076,106 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = ivf_append(hist, batch1, cents)
     flags2 = semdedup_append_flags(hist, batch2, cents, threshold=0.99)
     return flags1.unionByName(flags2)
+
+
+def _sign_bucketn(col: str, bits: int) -> str:
+    """DuckDB sign-LSH bucket over the first ``bits`` dims of a list
+    column — the parameterized form of `_sign_bucket8` (same axis-aligned
+    sign bits as `functions/vectors.sign_lsh_bucket(col, bits)`)."""
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@query(
+    "dedup_semdedup_repcollapse",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+                   AS embedding
+        FROM embeddings WHERE vec_id % 7 = 0
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM m e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid,
+               {_sign_bucketn("embedding", 2)} AS sub
+        FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), hot AS (
+        SELECT cid, count(*) > 72 AS is_hot FROM assigned GROUP BY cid
+    ), jam AS (
+        -- jammed buckets: hot (cell, sub) groups above the cap; their
+        -- min id is the sole b-side-visible representative.
+        SELECT a.cid, a.sub, min(a.vec_id) AS rep
+        FROM assigned a JOIN hot h ON h.cid = a.cid AND h.is_hot
+        GROUP BY a.cid, a.sub HAVING count(*) > 16
+    ), dups AS (
+        SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND b.vec_id < a.vec_id
+        JOIN hot h ON h.cid = a.cid
+        LEFT JOIN jam j ON j.cid = b.cid AND j.sub = b.sub
+        WHERE (NOT h.is_hot OR bit_count(xor(a.sub, b.sub)) <= 1)
+          AND (j.rep IS NULL OR b.vec_id = j.rep)
+          AND {_cos4("a.embedding", "b.embedding")} >= 0.99
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+           coalesce(d.n_dups, 0) = 0 AS keep
+    FROM assigned a LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def dedup_semdedup_repcollapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under CAP / REPRESENTATIVE-COLLAPSE (`semdedup_flags(
+    max_cell_size=72, sub_bits=2, max_bucket_size=16)`) — round 13's
+    rung above the hot-cell guard, for the regime the sub-block cannot
+    split (SCALE.md r13: a near-identical hot cell shares one sign
+    pattern and guarded cost degrades to bucket²). Same corpus and
+    fixed-k=8 worst-case quantizer as `dedup_semdedup_hotcell`, but
+    sub_bits=2 (4 buckets) so hot cells of ~100+ rows produce buckets
+    over the 16-row cap and the collapse ACTUALLY ENGAGES at both
+    driver scales (~20-35/bucket at sf0.01, ~70 at sf0.1): in a jammed
+    bucket only the min-id representative remains visible as a lower-id
+    neighbor — to members and Hamming<=1 probers alike — so jammed pair
+    work is bucket-size, not bucket². The oracle replays the visibility
+    rule EXACTLY (LEFT JOIN jam ... AND (rep IS NULL OR b = rep)), so
+    the relaxed keep decision hashes identically cross-engine: the
+    collapse is contract, not silent approximation. Scaled re-encodes
+    share their original's sign pattern, so each true dup group still
+    sits in one bucket; a re-encode whose bucket is jammed is flagged
+    iff it matches the bucket REPRESENTATIVE — the audit-count
+    difference vs exact search is the documented price of the cap
+    (keep-set equality in the near-identical regime is pinned by
+    test_semdedup_rep_collapse_keep_set_on_degenerate_cell)."""
+    from usgs_lidar_spark.operators.similarity import semdedup_flags
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(reups)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ] or [(0, [0.0])]
+    return semdedup_flags(
+        corpus, cents, threshold=0.99, max_cell_size=72, sub_bits=2,
+        max_bucket_size=16,
+    )
