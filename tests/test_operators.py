@@ -5398,3 +5398,56 @@ def test_poisson_bootstrap_grouped_consistent_with_global(spark):
         acc[r["replicate"]][1] += r["value_sum"]
     assert {b: tuple(v) for b, v in acc.items()} == tot
     assert None in groups  # NULL group kept, not dropped
+
+
+def test_semantic_contamination_flags_and_cell_blocking(spark):
+    """Semantic decontamination contract: a corpus row near (rounded
+    cosine >= threshold) ANY same-cell benchmark vector is flagged with
+    its hit count; rows merely sharing a cell stay clean; and — the
+    documented blocking tradeoff inherited from SemDeDup — a benchmark
+    near-dup assigned to a DIFFERENT cell is missed. Broadcast and
+    shuffle-join forms must agree (the physical strategy is a knob,
+    never semantics), as must any input partitioning."""
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),      # hit twice (scaled benches)
+            (1, [0.8, 0.6, 0.0, 0.0]),      # same cell as 0, cos 0.8: clean
+            (2, [0.0, 1.0, 0.0, 0.0]),      # hit once in the y-cell
+            # near-dup of a bench vector (cos 0.9992) that assigns to
+            # the OTHER cell — the cross-cell miss the contract documents.
+            (3, [0.50, 0.42, 0.32, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [
+            ([2.0, 0.0, 0.0, 0.0],),        # scaled re-encode of corpus 0
+            ([3.0, 0.0, 0.0, 0.0],),        # second re-encode of corpus 0
+            ([0.0, 0.9, 0.0, 0.0],),        # scaled re-encode of corpus 2
+            ([0.52, 0.3989, 0.32, 0.0],),   # near corpus 3, lands in cell 0
+        ],
+        "embedding array<float>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.5, 0.0])]
+    got = {
+        r["vec_id"]: (r["cid"], r["n_hits"], r["contaminated"])
+        for r in semantic_contamination(
+            corpus, bench, cents, threshold=0.99
+        ).collect()
+    }
+    assert got[0] == (0, 2, True)
+    assert got[1] == (0, 0, False)
+    assert got[2] == (3, 1, True)
+    # cross-cell bench neighbor: above threshold, different cell, missed.
+    assert got[3] == (3, 0, False)
+    for kwargs in ({"broadcast_bench": False}, {}):
+        got2 = {
+            r["vec_id"]: (r["cid"], r["n_hits"], r["contaminated"])
+            for r in semantic_contamination(
+                corpus.repartition(7), bench.repartition(3), cents,
+                threshold=0.99, **kwargs
+            ).collect()
+        }
+        assert got2 == got

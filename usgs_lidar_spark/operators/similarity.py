@@ -888,6 +888,94 @@ def semdedup_append_flags(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    centroids: list[tuple[int, list[float]]] | DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Embedding-space test-set decontamination — the SEMANTIC sibling
+    of `pipeline.contaminated_docs` (token 13-grams, the GPT-3-lineage
+    detector): flag every corpus document whose embedding is a near
+    neighbor (rounded cosine >= ``threshold``) of ANY benchmark
+    vector. Token-gram decontamination misses paraphrases and
+    re-encodes (different surface bytes, same content); this is the
+    pass that catches them — the decontamination analogue of what
+    SemDeDup is to exact dedup (Abbas et al. 2023, arXiv:2303.09540
+    §A applies the same cluster-then-compare shape across splits).
+
+    Plan (the SemDeDup blocking, asymmetric): BOTH sides are assigned
+    to their nearest coarse centroid by `ivf_assign` — a map-side
+    broadcast/expression argmax inside each scan stage, so the corpus
+    never shuffles to be assigned at any size — and candidate pairs
+    come from the CELL equi-join of corpus x bench, never corpus x
+    bench all-pairs. The benchmark side is the suite of eval/test
+    exemplars — thousands to low millions of rows against a corpus of
+    billions — so with ``broadcast_bench`` (the default) the assigned
+    bench frame ships as a broadcast hash join build side and the
+    pair search runs inside the corpus scan stage: ZERO corpus
+    shuffle end-to-end. Set it False past the broadcast budget and
+    the same plan degrades to a cell-keyed shuffle join (bench-side
+    cells are the build of AQE's choosing). A corpus document whose
+    only near-duplicate benchmark vector sits in a DIFFERENT cell is
+    missed — the same documented blocking relaxation as
+    `semdedup_flags`, mirrored exactly by the SQL oracle of
+    `pipe_semantic_decontamination`, so the flag DECISION is
+    cross-engine hash-stable, not merely approximate.
+
+    Returns the audit form over every corpus row: (id, cid, n_hits,
+    contaminated) — n_hits counts the row's above-threshold same-cell
+    benchmark neighbors; a training pipeline drops `contaminated` and
+    keeps the rest (the decision is per-corpus-row, so flags for a
+    fixed benchmark are immutable under corpus appends: new corpus
+    rows can be flagged incrementally with this same operator over
+    the batch alone)."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    ca = (
+        ivf_assign(corpus, centroids, vec_col, round_digits)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            norm(vec_col).alias("__n"),
+            F.col("__cid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bb = ivf_assign(bench, centroids, vec_col, round_digits).select(
+        F.col(vec_col).alias("__bv"),
+        norm(vec_col).alias("__bn"),
+        F.col("__cid").alias("__bcid"),
+    )
+    if broadcast_bench:
+        bb = F.broadcast(bb)
+    cos = F.round(
+        F.when(
+            (F.col("__n") == 0) | (F.col("__bn") == 0), F.lit(0.0)
+        ).otherwise(
+            dot(F.col("__v"), F.col("__bv"))
+            / (F.col("__n") * F.col("__bn"))
+        ),
+        round_digits,
+    )
+    hits = (
+        ca.join(bb, F.col("__cid") == F.col("__bcid"))
+        .filter(cos >= F.lit(float(threshold)))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return ca.join(hits, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__cid").cast("long").alias("cid"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def ivf_append(
     base_assigned: DataFrame,
     new_vectors: DataFrame,

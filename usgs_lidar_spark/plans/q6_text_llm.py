@@ -2179,3 +2179,83 @@ def dedup_semdedup_repcollapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, cents, threshold=0.99, max_cell_size=72, sub_bits=2,
         max_bucket_size=16,
     )
+
+
+@query(
+    "pipe_semantic_decontamination",
+    oracle=f"""
+    WITH bench AS (
+        -- the benchmark is built the way real ones leak: RE-ENCODES of
+        -- every 97th corpus page (scaled 1.25, float32 round-trip) —
+        -- byte-different (token-gram decon may miss a paraphrase; here
+        -- the surface form is gone entirely), cosine ~1 to its source.
+        SELECT vec_id AS bid,
+               list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+                   AS embedding
+        FROM embeddings WHERE vec_id % 97 = 0
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 48
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), bsim AS (
+        SELECT b.bid, b.embedding, c.cid,
+               {_cos4("b.embedding", "c.cvec")} AS csim
+        FROM bench b CROSS JOIN cent c
+    ), bassigned AS (
+        SELECT embedding, cid FROM (
+            SELECT embedding, cid,
+                   row_number() OVER (PARTITION BY bid
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM bsim) WHERE rn = 1
+    ), hits AS (
+        SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM assigned a JOIN bassigned b ON a.cid = b.cid
+        WHERE {_cos4("a.embedding", "b.embedding")} >= 0.99
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM assigned a LEFT JOIN hits h USING (vec_id)
+    """,
+)
+def pipe_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space test-set decontamination (`operators/similarity.
+    semantic_contamination`) — the semantic tier of the contamination
+    family (char-8 shingles -> token 13-grams -> THIS): flag corpus
+    documents whose embedding is a near neighbor (rounded cosine >=
+    0.99) of any benchmark vector, catching the paraphrase/re-encode
+    leaks that share no surface n-gram with the benchmark. The bench
+    here is re-encodes (x1.25, float32) of every 97th corpus vector —
+    zero shared bytes with its source, cosine ~1 — so the scan must
+    recover exactly those sources plus any corpus vector semantically
+    near a benchmark entry. Candidates come from the SemDeDup cell
+    block (48 seed centroids, the sqrt-corpus sizing): both sides
+    assign map-side, the tiny assigned bench broadcasts, and the pair
+    search runs inside the corpus scan stage — zero corpus shuffle
+    end-to-end, vs the within-cell SELF-join SemDeDup pays. Cross-cell
+    benchmark neighbors are the documented blocking relaxation,
+    mirrored exactly by this oracle (same argmax assignment + rounded
+    cosines), so the flag decision hashes identically cross-engine."""
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 48).collect()
+    ] or [(0, [0.0])]
+    return semantic_contamination(emb, bench, cents, threshold=0.99)
