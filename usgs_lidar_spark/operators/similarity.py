@@ -933,46 +933,70 @@ def semantic_contamination(
     keeps the rest (the decision is per-corpus-row, so flags for a
     fixed benchmark are immutable under corpus appends: new corpus
     rows can be flagged incrementally with this same operator over
-    the batch alone)."""
+    the batch alone).
+
+    Why packed candidates instead of pair-join + regroup: the first
+    draft joined corpus x bench rows and grouped the hit PAIRS back by
+    corpus id to count them — and that re-join on row id compiled to a
+    SortMergeJoin that shuffles the whole CORPUS (AQE rescues it at
+    runtime when the hit set is small; NO_AQE pays the full exchange —
+    exactly the plan-bomb class the REPLICA sweep exists to catch).
+    Packing the assigned bench one row per cell (`collect_list` of
+    (vector, norm) structs — bench-per-cell bounded, the same contract
+    as `ivf_assign_two_level`'s candidate packs) lets each corpus row
+    count its hits INLINE with one higher-order fold over its cell's
+    pack: same candidate pairs, same rounded cosines, zero corpus
+    exchange in the static plan and no second join at any size."""
     from usgs_lidar_spark.functions.vectors import dot, norm
 
-    ca = (
-        ivf_assign(corpus, centroids, vec_col, round_digits)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            norm(vec_col).alias("__n"),
-            F.col("__cid"),
-        )
-        .localCheckpoint(eager=False)
+    ca = ivf_assign(corpus, centroids, vec_col, round_digits).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm(vec_col).alias("__n"),
+        F.col("__cid"),
     )
-    bb = ivf_assign(bench, centroids, vec_col, round_digits).select(
-        F.col(vec_col).alias("__bv"),
-        norm(vec_col).alias("__bn"),
-        F.col("__cid").alias("__bcid"),
+    bcells = (
+        ivf_assign(bench, centroids, vec_col, round_digits)
+        .select(
+            F.col("__cid").alias("__bcid"),
+            F.struct(
+                F.col(vec_col).alias("v"), norm(vec_col).alias("n")
+            ).alias("__cand"),
+        )
+        .groupBy("__bcid")
+        .agg(F.collect_list("__cand").alias("__cands"))
     )
     if broadcast_bench:
-        bb = F.broadcast(bb)
-    cos = F.round(
-        F.when(
-            (F.col("__n") == 0) | (F.col("__bn") == 0), F.lit(0.0)
-        ).otherwise(
-            dot(F.col("__v"), F.col("__bv"))
-            / (F.col("__n") * F.col("__bn"))
+        bcells = F.broadcast(bcells)
+
+    def _is_hit(c):
+        cos = F.round(
+            F.when(
+                (F.col("__n") == 0) | (c["n"] == 0), F.lit(0.0)
+            ).otherwise(
+                dot(F.col("__v"), c["v"]) / (F.col("__n") * c["n"])
+            ),
+            round_digits,
+        )
+        return F.when(
+            cos >= F.lit(float(threshold)), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    n_hits = F.coalesce(
+        F.aggregate(
+            "__cands", F.lit(0).cast("long"), lambda acc, c: acc + _is_hit(c)
         ),
-        round_digits,
+        F.lit(0).cast("long"),
     )
-    hits = (
-        ca.join(bb, F.col("__cid") == F.col("__bcid"))
-        .filter(cos >= F.lit(float(threshold)))
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    return ca.join(hits, "__id", "left").select(
-        F.col("__id").alias(id_col),
-        F.col("__cid").cast("long").alias("cid"),
-        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    return (
+        ca.join(bcells, F.col("__cid") == F.col("__bcid"), "left")
+        .withColumn("n_hits", n_hits)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cid").cast("long").alias("cid"),
+            F.col("n_hits"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
     )
 
 
