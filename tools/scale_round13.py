@@ -200,6 +200,64 @@ def run_two_level_ab(k: int, variant: str) -> dict:
     return timed(f"assign_{variant}_k{k}", "20k_rows", body)
 
 
+def run_semantic_decon(tag: str, reps: int, broadcast: bool) -> dict:
+    """Semantic decontamination at 1x/10x corpus, FIXED benchmark (the
+    real setting: the eval suite does not grow with the crawl). Corpus =
+    sf0.1 embeddings replicated `reps`x under tiny per-replica rescales
+    (cosine-invariant, so every replica of a leaked page stays a hit);
+    bench = float32 x1.25 re-encodes of every 97th base vector (the
+    registered query's construction). broadcast=True is the default
+    zero-corpus-exchange plan; False is the cell-keyed shuffle-join
+    fallback past the broadcast budget — both must scale ~linearly,
+    and the broadcast form's shuffle bytes must stay ~0 at both
+    scales (the packed bench side is the only thing that moves)."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    def body(spark) -> int:
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.1/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        rdf = spark.range(reps).select(F.col("id").alias("rep"))
+        corpus = emb.crossJoin(F.broadcast(rdf)).select(
+            (F.col("vec_id") * reps + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (
+                    x * (F.lit(1.0) + F.col("rep").cast("double") * 1e-4)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+            ).alias("embedding")
+        )
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < 48).collect()
+        ]
+        out = semantic_contamination(
+            corpus, bench, cents, threshold=0.99, broadcast_bench=broadcast
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64("vec_id", "cid", "n_hits", "contaminated"),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("h"),
+            F.sum(F.col("contaminated").cast("long")).alias("flagged"),
+        ).collect()[0]
+        print(f"#   flagged={row['flagged']}", flush=True)
+        return int(row["n"])
+
+    variant = "bcast" if broadcast else "shuffle"
+    return timed(f"semantic_decon_{variant}", tag, body)
+
+
 def main() -> None:
     names = sys.argv[1:] or ["hotcell_zipf", "hotcell_degenerate"]
     timed("warmup", "0", lambda spark: spark.range(10).count())
@@ -219,6 +277,14 @@ def main() -> None:
                 run_hotcell(nm, tag, n, False, 96, mbs)  # warm
                 print(
                     json.dumps(run_hotcell(nm, tag, n, False, 96, mbs)),
+                    flush=True,
+                )
+    if "semantic_decon" in names:
+        for tag, reps in (("1x", 1), ("10x", 10)):
+            for broadcast in (True, False):
+                run_semantic_decon(tag, reps, broadcast)  # warm
+                print(
+                    json.dumps(run_semantic_decon(tag, reps, broadcast)),
                     flush=True,
                 )
     if "two_level_ab" in names:
