@@ -5451,3 +5451,48 @@ def test_semantic_contamination_flags_and_cell_blocking(spark):
             ).collect()
         }
         assert got2 == got
+
+
+def test_collapse_clusters_keep_best_argmax_keeper(spark):
+    """Quality-aware cluster collapse: keeper = argmax(score) per
+    connected component with ties broken to the MIN id (never max —
+    the determinism rule every keeper in this engine follows);
+    singletons keep themselves; cluster_size counts all members.
+    Partitioning must not perturb any of it."""
+    from usgs_lidar_spark.operators.graph import collapse_clusters_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            # cluster {0,1,2}: 1 has the best score -> keeper, NOT min id 0
+            (0, 10), (1, 99), (2, 50),
+            # cluster {3,4}: tied scores -> min id 3 keeps
+            (3, 7), (4, 7),
+            # singleton
+            (5, 1),
+        ],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keeper_id"],
+                      r["is_kept"])
+        for r in collapse_clusters_keep_best(
+            docs, pairs, score_col="score"
+        ).collect()
+    }
+    assert got[0] == (0, 3, 1, False)
+    assert got[1] == (0, 3, 1, True)     # best score wins over min id
+    assert got[2] == (0, 3, 1, False)
+    assert got[3] == (3, 2, 3, True)     # tie -> min id
+    assert got[4] == (3, 2, 3, False)
+    assert got[5] == (5, 1, 5, True)     # singleton keeps itself
+    got2 = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keeper_id"],
+                      r["is_kept"])
+        for r in collapse_clusters_keep_best(
+            docs.repartition(5), pairs.repartition(3), score_col="score"
+        ).collect()
+    }
+    assert got2 == got

@@ -517,6 +517,52 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+    scored AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+               FROM cc JOIN documents d USING (doc_id)),
+    best AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+                    first(doc_id ORDER BY n_chars DESC, doc_id) AS keeper_id
+             FROM scored GROUP BY cluster_id)
+    SELECT s.doc_id, s.cluster_id, b.cluster_size, b.keeper_id,
+           s.doc_id = b.keeper_id AS is_kept
+    FROM scored s JOIN best b USING (cluster_id)
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster collapse with QUALITY-AWARE keeper selection
+    (`operators/graph.collapse_clusters_keep_best`): same MinHash pair
+    graph and connected components as `dedup_cluster_collapse`, but the
+    retained document per cluster is the argmax of a per-doc quality
+    signal (here n_chars — longest version wins; ties -> min id), the
+    production choice over first-crawled-wins. Keeper selection is one
+    extra cluster-keyed max_by-style aggregate ((score, -id) struct
+    max — map-side combinable, no per-cluster window sort); the oracle
+    replays it with an ordered-set min over (n_chars DESC, doc_id)."""
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+    from usgs_lidar_spark.operators.graph import collapse_clusters_keep_best
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=8, num_perm=64, bands=32,
+        threshold=0.6, max_df=20,
+    )
+    return collapse_clusters_keep_best(
+        d, pairs, score_col="n_chars", id_col="doc_id"
+    )
+
+
+@query(
     "skew_salted_count_distinct",
     oracle="""
     SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct
