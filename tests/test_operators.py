@@ -5496,3 +5496,41 @@ def test_collapse_clusters_keep_best_argmax_keeper(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_semantic_contamination_batchwise_equals_oneshot(spark):
+    """The docstring's incremental claim, pinned: flags are per-corpus-row
+    against a fixed benchmark, so draining the corpus in batches through
+    the same operator and unioning the outputs IS the one-shot answer —
+    no history ever re-scores."""
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.8, 0.6, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.50, 0.42, 0.32, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [([2.0, 0.0, 0.0, 0.0],), ([0.0, 0.9, 0.0, 0.0],)],
+        "embedding array<float>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.5, 0.0])]
+
+    def rows(df):
+        return {
+            r["vec_id"]: (r["cid"], r["n_hits"], r["contaminated"])
+            for r in df.collect()
+        }
+
+    oneshot = rows(semantic_contamination(corpus, bench, cents))
+    batched = {}
+    for lo, hi in ((0, 2), (2, 4)):
+        batch = corpus.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        batched.update(rows(semantic_contamination(batch, bench, cents)))
+    assert batched == oneshot
