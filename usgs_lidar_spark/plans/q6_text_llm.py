@@ -2259,3 +2259,137 @@ def pipe_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         for r in emb.filter(F.col("vec_id") < 48).collect()
     ] or [(0, [0.0])]
     return semantic_contamination(emb, bench, cents, threshold=0.99)
+
+
+@query(
+    "pipe_end_to_end_v7",
+    oracle=rf"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(id, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+    scored AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+               FROM cc JOIN documents d USING (doc_id)),
+    keepers AS (SELECT first(doc_id ORDER BY n_chars DESC, doc_id) AS doc_id,
+                       cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM scored GROUP BY cluster_id),
+    bench AS (
+        SELECT list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+                   AS embedding
+        FROM embeddings WHERE vec_id % 97 = 0
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 48
+    ), corpus AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN keepers k ON e.vec_id = k.doc_id
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM corpus e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), bsim AS (
+        SELECT b.rn AS bid, b.embedding, c.cid,
+               {_cos4("b.embedding", "c.cvec")} AS csim
+        FROM (SELECT row_number() OVER () AS rn, embedding FROM bench) b
+        CROSS JOIN cent c
+    ), bassigned AS (
+        SELECT embedding, cid FROM (
+            SELECT embedding, cid,
+                   row_number() OVER (PARTITION BY bid
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM bsim) WHERE rn = 1
+    ), hits AS (
+        SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM assigned a JOIN bassigned b ON a.cid = b.cid
+        WHERE {_cos4("a.embedding", "b.embedding")} >= 0.99
+        GROUP BY a.vec_id
+    ), toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+                    END AS n_tokens
+        FROM documents
+    )
+    SELECT k.doc_id, CAST(k.cluster_id AS BIGINT) AS cluster_id,
+           k.cluster_size, CAST(t.n_tokens AS BIGINT) AS n_tokens
+    FROM keepers k
+    LEFT JOIN hits h ON h.vec_id = k.doc_id
+    JOIN toks t ON t.doc_id = k.doc_id
+    WHERE coalesce(h.n_hits, 0) = 0 AND t.n_tokens >= 8
+    """,
+)
+def pipe_end_to_end_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline v7 — the CURATION path, stitching round 13's
+    two new operators into the family (v6 = ingest; THIS = what runs
+    between crawl and tokenizer): (1) near-dup cluster collapse with
+    QUALITY-AWARE keeper selection (`collapse_clusters_keep_best` by
+    n_chars — longest version of each page wins, not first-crawled);
+    (2) SEMANTIC test-set decontamination of the keepers
+    (`semantic_contamination` over their embeddings vs x1.25 re-encode
+    benchmark — the paraphrase leak token-grams miss); (3) a minimum-
+    length gate (>= 8 whitespace tokens). Output: the surviving
+    training set with its audit columns (cluster id/size, token
+    count). Stage order is the cost argument: dedup first so the
+    per-row decon fold is paid only for keepers; decon's corpus side
+    is the keeper semi-join (broadcast bench, zero corpus exchange);
+    the length gate is a free scan predicate. Every stage's relaxations
+    are the ones its standalone oracle pins (cell blocking, LSH
+    banding); this oracle replays the full composition end-to-end."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+    from usgs_lidar_spark.operators.graph import collapse_clusters_keep_best
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=8, num_perm=64, bands=32,
+        threshold=0.6, max_df=20,
+    )
+    keepers = (
+        collapse_clusters_keep_best(d, pairs, score_col="n_chars")
+        .filter(F.col("is_kept"))
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.join(
+        keepers.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 48).collect()
+    ] or [(0, [0.0])]
+    # Drop by ANTI-join on the flagged set, not semi-join on the clean
+    # set: a keeper with no embedding row cannot be scored and therefore
+    # cannot be flagged — it must survive (the oracle's LEFT JOIN hits
+    # ... coalesce(n_hits, 0) = 0 semantics). At sf0.1 the embeddings
+    # table deliberately covers only a prefix of documents, so the
+    # difference is live, not theoretical.
+    flagged = (
+        semantic_contamination(corpus, bench, cents, threshold=0.99)
+        .filter(F.col("contaminated"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return (
+        keepers.join(flagged, "doc_id", "anti")
+        .join(d.select("doc_id", token_count("text").alias("n_tokens")),
+              "doc_id")
+        .filter(F.col("n_tokens") >= 8)
+        .select("doc_id", "cluster_id", "cluster_size", "n_tokens")
+    )
