@@ -141,6 +141,10 @@ HEADLINE = [
     # hot-cell guard, benched in its engaged regime (sub_bits=2 buckets
     # over the cap at sf0.1).
     "dedup_semdedup_repcollapse",
+    # round 13 (cont. 2): the CURATION composition (quality-keeper
+    # near-dup collapse -> semantic decon -> length gate) — every stage
+    # affects output cardinality, so count() forces the full chain.
+    "pipe_end_to_end_v7",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled

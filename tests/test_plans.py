@@ -426,6 +426,21 @@ HEADLINE_DIGESTS = {
         "BroadcastHashJoin": 2,
         "SortMergeJoin": 1,
     },
+    # Round-13 composition headliner. The cluster-collapse subtree runs
+    # at construction (CC rounds + the keeper aggregate behind the
+    # lazy-localCheckpointed keepers frame — the dedup_cluster_collapse
+    # precedent), so the digest covers the post-checkpoint stages:
+    # decon corpus semi-join + packed-bench broadcast + the flagged
+    # anti-join + the n_tokens output join. The 2 BroadcastNestedLoop-
+    # Joins are ivf_assign's one-row broadcast-quantizer riders (corpus
+    # and bench assignment), the engine-wide broadcast-scalar class.
+    "pipe_end_to_end_v7": {
+        "shuffle_exchange": 5,
+        "BroadcastExchange": 4,
+        "BroadcastHashJoin": 2,
+        "BroadcastNestedLoopJoin": 2,
+        "SortMergeJoin": 2,
+    },
 }
 
 

@@ -341,10 +341,13 @@ def collapse_clusters_keep_best(
         id_col=id_col, src_col=pair_a, dst_col=pair_b, max_iter=max_iter,
         checkpoint_mode=checkpoint_mode,
     ).withColumnRenamed("id", id_col)
+    # scored is consumed twice (keeper aggregate + output join); pin it
+    # once so the corpus-wide cc x docs join is not re-evaluated per
+    # consumer — the `semdedup_flags` assigned-frame convention.
     scored = cc.join(
         docs.select(F.col(id_col), F.col(score_col).alias("__score")),
         id_col,
-    )
+    ).localCheckpoint(eager=False)
     # argmax(score, tie -> min id) as a struct-max: (score, -id) orders
     # lexicographically, so max() picks the highest score and, within a
     # score, the smallest id — one hash aggregate with map-side combine.

@@ -2357,10 +2357,14 @@ def pipe_end_to_end_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", k=8, num_perm=64, bands=32,
         threshold=0.6, max_df=20,
     )
+    # keepers feeds three consumers (decon corpus semi-join, the flagged
+    # anti-join's lineage, the final output join) — pin it once or the
+    # whole cluster-collapse subtree re-evaluates per consumer.
     keepers = (
         collapse_clusters_keep_best(d, pairs, score_col="n_chars")
         .filter(F.col("is_kept"))
         .select("doc_id", "cluster_id", "cluster_size")
+        .localCheckpoint(eager=False)
     )
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.join(
