@@ -53,6 +53,12 @@ QUERIES_UNDER_TEST = [
     # degree-capped co-purchase build)
     "graph_triangles_parts",
     "graph_pagerank_parts",
+    # round 13: the new curation tier at the sf1 point — quality-aware
+    # keeper collapse and semantic decon run on the DENSIFIED near-dup
+    # graph / replicated embeddings, and the v7 composition pays both.
+    "dedup_cluster_keep_best",
+    "pipe_semantic_decontamination",
+    "pipe_end_to_end_v7",
 ]
 
 
@@ -137,7 +143,8 @@ def run_query(name: str, sf_dir: str, tag: str) -> dict:
 def main() -> None:
     WORK.mkdir(parents=True, exist_ok=True)
     build_sf1()
-    for name in QUERIES_UNDER_TEST:
+    names = sys.argv[1:] or QUERIES_UNDER_TEST
+    for name in names:
         for sf_dir, tag in ((str(SF01), "1x"), (str(SF1), "10x")):
             print(json.dumps(run_query(name, sf_dir, tag)), flush=True)
 
