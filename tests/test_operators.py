@@ -5534,3 +5534,64 @@ def test_semantic_contamination_batchwise_equals_oneshot(spark):
         )
         batched.update(rows(semantic_contamination(batch, bench, cents)))
     assert batched == oneshot
+
+
+def test_semantic_contamination_hot_pack_guard_parity(spark):
+    """Hot-pack guard contract: on a benchmark whose hot-cell vectors are
+    SIGN-DIVERSE only away from each true leak (scaled copies share all
+    signs), the guarded answer equals the exact one — every true hit
+    meets its source at Hamming 0 while the sub-packing prunes pair
+    work. A small cell stays on the exact per-cell pack. Deterministic
+    fixture: one hot cell (x-axis) holding 24 bench vectors with mixed
+    leading signs, cap 8."""
+    import random
+
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    rng = random.Random(13)
+    corpus_rows, bench_rows = [], []
+    # 12 corpus rows in the x-cell with diverse sign patterns on the
+    # first 8 dims; each contributes a x1.25 bench copy (a true leak)
+    # plus one noise bench vector with an independent sign pattern.
+    for i in range(12):
+        lead = [rng.choice([-0.5, 0.5]) for _ in range(8)]
+        v = lead + [4.0, 0.0]          # strong +x tail: lands in cell 0
+        corpus_rows.append((i, [float(x) for x in v]))
+        bench_rows.append(([float(x * 1.25) for x in v],))
+        noise = [rng.choice([-0.5, 0.5]) for _ in range(8)] + [4.0, 0.0]
+        bench_rows.append(([float(x) for x in noise],))
+    # one corpus row + its leak in the y-cell (stays under the cap:
+    # exact per-cell pack, key -1 on both sides).
+    corpus_rows.append((100, [0.1] * 8 + [0.0, 4.0]))
+    bench_rows.append(([0.125] * 8 + [0.0, 5.0],))
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>"
+    )
+    bench = spark.createDataFrame(bench_rows, "embedding array<float>")
+    cents = [
+        (0, [0.0] * 8 + [1.0, 0.0]),
+        (1, [0.0] * 8 + [0.0, 1.0]),
+    ]
+
+    def rows(**kw):
+        return {
+            r["vec_id"]: (r["cid"], r["n_hits"], r["contaminated"])
+            for r in semantic_contamination(
+                corpus, bench, cents, threshold=0.99, **kw
+            ).collect()
+        }
+
+    exact = rows()
+    guarded = rows(max_pack_size=8, sub_bits=8)
+    assert guarded == exact
+    # Every corpus row's leak was found in both forms.
+    assert all(v[2] for v in exact.values())
+    # Partitioning invariance under the guard.
+    guarded2 = {
+        r["vec_id"]: (r["cid"], r["n_hits"], r["contaminated"])
+        for r in semantic_contamination(
+            corpus.repartition(7), bench.repartition(5), cents,
+            threshold=0.99, max_pack_size=8, sub_bits=8,
+        ).collect()
+    }
+    assert guarded2 == exact

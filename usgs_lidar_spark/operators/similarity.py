@@ -897,6 +897,8 @@ def semantic_contamination(
     id_col: str = "vec_id",
     round_digits: int = 4,
     broadcast_bench: bool = True,
+    max_pack_size: int | None = None,
+    sub_bits: int = 8,
 ) -> DataFrame:
     """Embedding-space test-set decontamination — the SEMANTIC sibling
     of `pipeline.contaminated_docs` (token 13-grams, the GPT-3-lineage
@@ -946,26 +948,108 @@ def semantic_contamination(
     as `ivf_assign_two_level`'s candidate packs) lets each corpus row
     count its hits INLINE with one higher-order fold over its cell's
     pack: same candidate pairs, same rounded cosines, zero corpus
-    exchange in the static plan and no second join at any size."""
-    from usgs_lidar_spark.functions.vectors import dot, norm
+    exchange in the static plan and no second join at any size.
 
-    ca = ivf_assign(corpus, centroids, vec_col, round_digits).select(
+    HOT-PACK GUARD (the `semdedup_flags` hot-cell guard, transplanted to
+    the asymmetric join). Real benchmarks are topically CLUSTERED — a
+    million-exemplar eval suite can park a large fraction of its vectors
+    in one cell, and every corpus row in that cell then pays a fold
+    linear in the hot pack. With ``max_pack_size`` set, any bench cell
+    larger than it is secondarily packed by the deterministic sign-LSH
+    bucket of the first ``sub_bits`` dimensions, and the Hamming<=1
+    multiprobe is pre-expanded on the BENCH side: each hot-cell bench
+    vector lands in its home bucket's pack and each of the ``sub_bits``
+    one-bit-flip packs, so the pack at key k holds exactly the bench
+    vectors within Hamming 1 of k and the corpus still performs ONE
+    equi-join on its own (cell, key) — no corpus-side probe explosion,
+    no extra joins, zero corpus exchange as before (a bench vector
+    appears at most once per pack, so no row ever double-counts it).
+    Cells at or under the cap keep the exact per-cell pack (key -1 on
+    both sides). Semantics under the guard: a hot-cell pair is counted
+    only if its sign patterns differ in at most one of the leading
+    ``sub_bits`` — true near-duplicates (cosine >= 0.99) disagree on a
+    sign only where a coordinate sits at zero, the same pigeonhole
+    contract as the SemDeDup guard, and the relaxation is mirrored
+    EXACTLY by the SQL oracle of `pipe_semantic_decon_hotbench`
+    (bit_count(xor) <= 1). ``max_pack_size=None`` (default) is
+    byte-for-byte the unguarded plan. The expansion multiplies the hot
+    packs by ~(sub_bits+1)/2^sub_bits of their pairings: bench-side
+    memory grows by at most (sub_bits+1)x on hot cells — bounded by the
+    bench's own size, never the corpus."""
+    from usgs_lidar_spark.functions.vectors import dot, norm, sign_lsh_bucket
+
+    ca_cols = [
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         norm(vec_col).alias("__n"),
         F.col("__cid"),
-    )
-    bcells = (
-        ivf_assign(bench, centroids, vec_col, round_digits)
-        .select(
-            F.col("__cid").alias("__bcid"),
-            F.struct(
-                F.col(vec_col).alias("v"), norm(vec_col).alias("n")
-            ).alias("__cand"),
+    ]
+    if max_pack_size is not None:
+        ca_cols.append(sign_lsh_bucket(vec_col, sub_bits).alias("__sub"))
+    ca = ivf_assign(corpus, centroids, vec_col, round_digits).select(*ca_cols)
+    b_cols = [
+        F.col("__cid").alias("__bcid"),
+        F.struct(
+            F.col(vec_col).alias("v"), norm(vec_col).alias("n")
+        ).alias("__cand"),
+    ]
+    if max_pack_size is not None:
+        b_cols.append(sign_lsh_bucket(vec_col, sub_bits).alias("__bsub"))
+    ba = ivf_assign(bench, centroids, vec_col, round_digits).select(*b_cols)
+    if max_pack_size is None:
+        bcells = ba.groupBy("__bcid").agg(
+            F.collect_list("__cand").alias("__cands")
         )
-        .groupBy("__bcid")
-        .agg(F.collect_list("__cand").alias("__cands"))
-    )
+        join_cond = F.col("__cid") == F.col("__bcid")
+    else:
+        # Hot bench cells (pack over the cap): a <= k-row aggregate,
+        # broadcast back — same shape as the semdedup hot-cell stats.
+        hot = (
+            ba.groupBy("__bcid")
+            .agg(F.count(F.lit(1)).alias("__psize"))
+            .filter(F.col("__psize") > int(max_pack_size))
+            .select("__bcid", F.lit(True).alias("__hot"))
+        )
+        masks = F.array(
+            *[
+                F.lit(m).cast("long")
+                for m in [0] + [1 << j for j in range(sub_bits)]
+            ]
+        )
+        # Pre-expand Hamming<=1 on the bench side: hot vectors explode
+        # home + one-bit-flip keys; cold cells pack once under key -1
+        # (-1 ^ 0 == -1 keeps the single mask a no-op).
+        bkeyed = (
+            ba.join(F.broadcast(hot), "__bcid", "left")
+            .withColumn(
+                "__key0",
+                F.when(F.col("__hot"), F.col("__bsub")).otherwise(
+                    F.lit(-1).cast("long")
+                ),
+            )
+            .withColumn(
+                "__mask",
+                F.explode(
+                    F.when(F.col("__hot"), masks).otherwise(
+                        F.array(F.lit(0).cast("long"))
+                    )
+                ),
+            )
+            .withColumn("__bkey", F.col("__key0").bitwiseXOR(F.col("__mask")))
+        )
+        bcells = bkeyed.groupBy("__bcid", "__bkey").agg(
+            F.collect_list("__cand").alias("__cands")
+        )
+        ca = ca.join(F.broadcast(hot.withColumnRenamed("__bcid", "__cid")),
+                     "__cid", "left").withColumn(
+            "__key",
+            F.when(F.col("__hot"), F.col("__sub")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        )
+        join_cond = (F.col("__cid") == F.col("__bcid")) & (
+            F.col("__key") == F.col("__bkey")
+        )
     if broadcast_bench:
         bcells = F.broadcast(bcells)
 
@@ -989,7 +1073,7 @@ def semantic_contamination(
         F.lit(0).cast("long"),
     )
     return (
-        ca.join(bcells, F.col("__cid") == F.col("__bcid"), "left")
+        ca.join(bcells, join_cond, "left")
         .withColumn("n_hits", n_hits)
         .select(
             F.col("__id").alias(id_col),

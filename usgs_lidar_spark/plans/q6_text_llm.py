@@ -2397,3 +2397,86 @@ def pipe_end_to_end_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens") >= 8)
         .select("doc_id", "cluster_id", "cluster_size", "n_tokens")
     )
+
+
+@query(
+    "pipe_semantic_decon_hotbench",
+    oracle=f"""
+    WITH bench AS (
+        SELECT list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+                   AS embedding
+        FROM embeddings WHERE vec_id % 3 = 0
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid,
+               {_sign_bucket8("embedding")} AS sub
+        FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), bsim AS (
+        SELECT b.rn AS bid, b.embedding, c.cid,
+               {_cos4("b.embedding", "c.cvec")} AS csim
+        FROM (SELECT row_number() OVER () AS rn, embedding FROM bench) b
+        CROSS JOIN cent c
+    ), bassigned AS (
+        SELECT embedding, cid, {_sign_bucket8("embedding")} AS bsub
+        FROM (
+            SELECT embedding, cid,
+                   row_number() OVER (PARTITION BY bid
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM bsim) WHERE rn = 1
+    ), psize AS (
+        SELECT cid, count(*) > 16 AS is_hot FROM bassigned GROUP BY cid
+    ), hits AS (
+        SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM assigned a JOIN bassigned b ON a.cid = b.cid
+        JOIN psize p ON p.cid = a.cid
+        WHERE (NOT p.is_hot OR bit_count(xor(a.sub, b.bsub)) <= 1)
+          AND {_cos4("a.embedding", "b.embedding")} >= 0.99
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM assigned a LEFT JOIN hits h USING (vec_id)
+    """,
+)
+def pipe_semantic_decon_hotbench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination under the HOT-PACK GUARD
+    (`semantic_contamination(max_pack_size=16, sub_bits=8)`) — the
+    SemDeDup hot-cell guard transplanted to the asymmetric corpus x
+    bench join, exercised in its engaged regime: a deliberately coarse
+    fixed k=8 quantizer plus a LARGE clustered benchmark (re-encodes of
+    every 3rd vector, ~a third of the corpus) parks bench packs well
+    over the 16-vector cap, so hot cells pre-expand Hamming<=1 packs on
+    the bench side while cold cells keep the exact per-cell pack — BOTH
+    regimes live at the driver scales (~20/cell at sf0.01, ~80 at
+    sf0.1). Re-encodes share their source's sign pattern exactly
+    (positive scaling never flips a sign), so every true leak survives
+    the block; the relaxation (hot pairs counted only within Hamming<=1
+    of the leading 8 sign bits) is mirrored exactly by this oracle's
+    bit_count(xor) <= 1, keeping the flag decision hash-stable
+    cross-engine — contract, not silent approximation."""
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ] or [(0, [0.0])]
+    return semantic_contamination(
+        emb, bench, cents, threshold=0.99, max_pack_size=16, sub_bits=8
+    )
