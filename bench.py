@@ -145,6 +145,10 @@ HEADLINE = [
     # near-dup collapse -> semantic decon -> length gate) — every stage
     # affects output cardinality, so count() forces the full chain.
     "pipe_end_to_end_v7",
+    # round 13 (cont. 3): semantic decon under the hot-pack guard in
+    # its engaged regime (fixed k=8, bench = every 3rd vector — the
+    # designed clustered-benchmark worst case the bench should watch).
+    "pipe_semantic_decon_hotbench",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled
@@ -162,6 +166,10 @@ HASH_FORCED = {
     "dedup_semantic_semdedup",
     "dedup_semdedup_hotcell",  # same left-join shape as the unguarded form
     "dedup_semdedup_repcollapse",
+    # packs are unique per (cell, key), so the decon left join never
+    # changes cardinality and a bare count() would join-eliminate the
+    # whole fold — hash-force it like the semdedup family above.
+    "pipe_semantic_decon_hotbench",
 }
 
 

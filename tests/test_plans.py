@@ -441,6 +441,18 @@ HEADLINE_DIGESTS = {
         "BroadcastNestedLoopJoin": 2,
         "SortMergeJoin": 2,
     },
+    # Hot-pack-guarded semantic decon: the 3 shuffles are the bench-side
+    # pack-size stats, the Hamming<=1 explode+regroup, and the (cell,
+    # key) pack aggregate; the 3 broadcasts are hot-stats onto bench,
+    # hot-stats onto corpus, and the packed bench build side. The
+    # corpus side contributes ZERO shuffle exchanges — the operator's
+    # contract (quantizer rides the ivf_assign expression path at k=8,
+    # so no BroadcastNestedLoopJoin rider here).
+    "pipe_semantic_decon_hotbench": {
+        "shuffle_exchange": 3,
+        "BroadcastExchange": 3,
+        "BroadcastHashJoin": 3,
+    },
 }
 
 

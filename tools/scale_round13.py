@@ -258,6 +258,64 @@ def run_semantic_decon(tag: str, reps: int, broadcast: bool) -> dict:
     return timed(f"semantic_decon_{variant}", tag, body)
 
 
+def run_hotbench(tag: str, reps: int, max_pack_size) -> dict:
+    """Semantic decon under a GROWING clustered benchmark (the hot-pack
+    guard's design case): corpus = sf0.1 embeddings (fixed), quantizer =
+    the deliberately coarse fixed k=8 (hot packs by construction), bench
+    = x1.25 re-encodes of every 3rd corpus vector replicated `reps`x
+    under cosine-invariant rescales — sign patterns preserved, so every
+    replica remains a true leak AND the pack stays sign-DIVERSE (one
+    pattern per source row). Unguarded, every corpus row in a hot cell
+    folds over the WHOLE pack (cost ~ corpus-in-cell x bench-in-cell);
+    guarded, a row folds only over its Hamming<=1 pre-expanded pack
+    (~(sub_bits+1)/2^sub_bits of it). Guarded wall should stay near-flat
+    as the bench grows 10x; unguarded should grow ~linearly with it."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    def body(spark) -> int:
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.1/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        rdf = spark.range(reps).select(F.col("id").alias("rep"))
+        bench = (
+            emb.filter(F.col("vec_id") % 3 == 0)
+            .crossJoin(F.broadcast(rdf))
+            .select(
+                F.transform(
+                    "embedding",
+                    lambda x: (
+                        x * (F.lit(1.25) + F.col("rep").cast("double") * 1e-4)
+                    ).cast("float"),
+                ).alias("embedding")
+            )
+        )
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < 8).collect()
+        ]
+        out = semantic_contamination(
+            emb, bench, cents, threshold=0.99,
+            max_pack_size=max_pack_size, sub_bits=8,
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64("vec_id", "cid", "n_hits", "contaminated"),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("h"),
+            F.sum(F.col("contaminated").cast("long")).alias("flagged"),
+        ).collect()[0]
+        print(f"#   flagged={row['flagged']}", flush=True)
+        return int(row["n"])
+
+    label = "guarded" if max_pack_size is not None else "exact"
+    return timed(f"hotbench_{label}", tag, body)
+
+
 def main() -> None:
     names = sys.argv[1:] or ["hotcell_zipf", "hotcell_degenerate"]
     timed("warmup", "0", lambda spark: spark.range(10).count())
@@ -279,6 +337,11 @@ def main() -> None:
                     json.dumps(run_hotcell(nm, tag, n, False, 96, mbs)),
                     flush=True,
                 )
+    if "hotbench" in names:
+        for tag, reps in (("1x", 1), ("10x", 10)):
+            for mps in (None, 16):
+                run_hotbench(tag, reps, mps)  # warm
+                print(json.dumps(run_hotbench(tag, reps, mps)), flush=True)
     if "semantic_decon" in names:
         for tag, reps in (("1x", 1), ("10x", 10)):
             for broadcast in (True, False):
