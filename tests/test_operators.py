@@ -5595,3 +5595,50 @@ def test_semantic_contamination_hot_pack_guard_parity(spark):
         ).collect()
     }
     assert guarded2 == exact
+
+
+def test_semantic_contamination_accepts_dataframe_quantizer(spark):
+    """semantic_contamination inherits ivf_assign's DataFrame-quantizer
+    dispatch (the past-the-broadcast-ceiling form, n_probe_coarse=1 —
+    the IMI approximation, so cell ASSIGNMENTS may differ from the flat
+    list and exact flag equality is not the contract). What IS the
+    contract (the semdedup DataFrame-quantizer precedent): a true leak
+    has identical rounded cosines to every centroid as its source,
+    hence identical coarse probes and identical final cell — so every
+    re-encoded benchmark entry still flags its source under ANY
+    quantizer form."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bench = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 24).collect()
+    ]
+    cdf = emb.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    flat = {
+        r["vec_id"]: r["contaminated"]
+        for r in semantic_contamination(emb, bench, cents).collect()
+    }
+    framed = {
+        r["vec_id"]: r["contaminated"]
+        for r in semantic_contamination(emb, bench, cdf).collect()
+    }
+    # same audit surface (one row per corpus vector) in both forms
+    assert set(framed) == set(flat)
+    # every 7th vector's re-encode flags its source in BOTH forms —
+    # leak detection survives the quantizer-form switch.
+    assert all(flat[v] for v in flat if v % 7 == 0)
+    assert all(framed[v] for v in framed if v % 7 == 0)

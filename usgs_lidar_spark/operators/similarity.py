@@ -975,7 +975,17 @@ def semantic_contamination(
     byte-for-byte the unguarded plan. The expansion multiplies the hot
     packs by ~(sub_bits+1)/2^sub_bits of their pairings: bench-side
     memory grows by at most (sub_bits+1)x on hot cells — bounded by the
-    bench's own size, never the corpus."""
+    bench's own size, never the corpus. Residual margin (the SemDeDup
+    degenerate regime, transplanted): a benchmark with massive INTERNAL
+    duplication — one exemplar re-encoded 10^5x — shares a single sign
+    pattern, lands in one jammed pack, and the guard cannot split it.
+    The principled fix is compositional, not a new knob: SemDeDup the
+    benchmark itself first (`semdedup_flags` over the bench, keepers
+    only) — in this regime the copies are cosine-~1 rescales that land
+    in their keeper's cell, so for the contaminated DECISION the
+    deduplicated benchmark flags exactly the rows every copy would
+    (n_hits audit counts shrink; the decision is what matters
+    downstream)."""
     from usgs_lidar_spark.functions.vectors import dot, norm, sign_lsh_bucket
 
     ca_cols = [
