@@ -8,7 +8,7 @@ loops, so the 10x corpus costs nothing to build):
 
   * hotcell_zipf — 80% of rows in one cell (Zipf head), within-cell
     vectors SIGN-DIVERSE on the first 8 dims (the sub_bits window):
-    8 "weak" leading coordinates are pure ±0.5 noise, 8 "strong"
+    8 "weak" leading coordinates are pure ±1.0 noise, 8 "strong"
     trailing coordinates carry the cell direction. Every 5th row is a
     1.25x-scaled copy of its predecessor — a true dup that shares its
     source's signs exactly (positive scaling never flips a sign), so
@@ -76,7 +76,7 @@ def _u(src, salt: int):
 def zipf_corpus(spark, n: int, diverse: bool):
     """80/13/7 Zipf cell split. dim=16: coords 0-7 lead (the sub_bits
     window), coords 8-15 carry the cell direction. ``diverse=True`` puts
-    pure ±0.5 noise in the leading coords (sign-diverse hot cell —
+    pure ±1.0 noise in the leading coords (sign-diverse hot cell —
     the guard's design case); ``diverse=False`` makes every coordinate
     base-dominated with ~±0.005 noise (near-identical hot cell — the
     degenerate single-bucket case). Every 5th row is its predecessor

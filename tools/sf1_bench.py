@@ -117,17 +117,37 @@ def build_sf1() -> None:
     (SF1 / "_BUILT").touch()
 
 
+#: Queries whose expensive work lives in output expressions a bare
+#: count() lets Catalyst prune (bench.py's HASH_FORCED rationale):
+#: pipe_semantic_decontamination's packed bench side is unique per join
+#: key, so count() join-eliminates the whole per-cell cosine fold and
+#: times only scan + assignment — exactly the work the row exists to
+#: measure. Same forcing expression as bench.py's _force.
+HASH_FORCED = {"pipe_semantic_decontamination"}
+
+
+def _force(df) -> int:
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64(*df.columns), F.lit(1_000_000_007))
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"])
+
+
 def run_query(name: str, sf_dir: str, tag: str) -> dict:
     from usgs_lidar_spark.plans.queries import QUERIES
 
     log_dir = WORK / f"log_{name}_{tag}"
     shutil.rmtree(log_dir, ignore_errors=True)
     spark = make_session(f"{name}-{tag}", log_dir)
+    force = _force if name in HASH_FORCED else (lambda df: df.count())
     # One untimed warmup at the smallest SF compiles the plan shape, so
     # the timed run measures steady-state execution (bench.py convention).
-    QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    force(QUERIES[name](spark, "/root/testdata/sf0.001"))
     t0 = time.perf_counter()
-    n_rows = QUERIES[name](spark, sf_dir).count()
+    n_rows = force(QUERIES[name](spark, sf_dir))
     dt = time.perf_counter() - t0
     spark.stop()
     rd, wr = shuffle_bytes(log_dir)

@@ -329,7 +329,10 @@ def collapse_clusters_keep_best(
     Plan: same min-label-propagation components as `collapse_clusters`
     (labels-only shuffle, per-round checkpoint), then ONE extra
     cluster-keyed reduction — a max_by-style aggregate of the
-    (score, -id) pair per cluster broadcast-joined back — instead of a
+    (score, -id) pair per cluster joined back on cluster_id (one row
+    per cluster, so the join is cluster-count-sized: AQE broadcasts it
+    when small, and a singleton-heavy graph where it is corpus-sized
+    degrades to an ordinary equi-join, never worse) — instead of a
     per-cluster sort: keeper selection is an O(|cluster|) fold, not an
     O(|cluster| log |cluster|) window sort, and the giant-cluster skew
     case degrades like any other hash aggregate (partial map-side

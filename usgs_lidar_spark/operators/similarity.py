@@ -342,6 +342,19 @@ def ivf_assign(
     flat list path is bit-identical and remains the right call while
     k*dim fits the broadcast budget."""
     if isinstance(centroids, DataFrame):
+        if method != "auto":
+            # The flat strategies (broadcast row / literal expressions)
+            # do not exist for a distributed quantizer, and the
+            # two-level default is the n_probe_coarse=1 IMI
+            # approximation — silently honoring an explicit flat-path
+            # request with different semantics is the accuracy-rot
+            # class this engine fails loudly on.
+            raise ValueError(
+                "ivf_assign: method is a flat-quantizer strategy knob "
+                f"(got {method!r}); a DataFrame quantizer dispatches to "
+                "ivf_assign_two_level — call it directly to control "
+                "coarse probing (n_probe_coarse)"
+            )
         return ivf_assign_two_level(
             corpus,
             centroids,
@@ -371,7 +384,14 @@ def derive_coarse_quantizer(
     with `kmeans_refine` over the CENTROIDS when quality matters). The
     collect is <= sqrt(k) rows — bounded by the quantizer, never the
     corpus: at k = 10^6 cells that is 1000 vectors on the driver, the
-    same budget class as every flat quantizer list."""
+    same budget class as every flat quantizer list.
+
+    The global stride ranking needs a single-partition window, so it
+    runs over the cid column ALONE (8 bytes/row — k = 10^6 is 8 MB
+    through one task) and the selected ids semi-join back to fetch
+    their vectors distributed; ranking (cid, vector) rows directly
+    would drag the full k x dim quantizer through one task — the exact
+    single-partition bottleneck the two-level tier exists to avoid."""
     import math
 
     k = centroids_df.count()
@@ -380,10 +400,15 @@ def derive_coarse_quantizer(
     g = n_coarse or max(1, math.ceil(math.sqrt(k)))
     stride = max(1, math.ceil(k / g))
     w = Window.orderBy(F.col(cid_col))
-    rows = (
-        centroids_df.select(cid_col, cvec_col)
+    picked = (
+        centroids_df.select(cid_col)
         .withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") - 1) % stride == 0)
+        .select(cid_col)
+    )
+    rows = (
+        centroids_df.select(cid_col, cvec_col)
+        .join(F.broadcast(picked), cid_col, "semi")
         .collect()
     )
     return [(int(r[cid_col]), [float(x) for x in r[cvec_col]]) for r in rows]
