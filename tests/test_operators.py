@@ -5642,3 +5642,35 @@ def test_semantic_contamination_accepts_dataframe_quantizer(spark):
     # leak detection survives the quantizer-form switch.
     assert all(flat[v] for v in flat if v % 7 == 0)
     assert all(framed[v] for v in framed if v % 7 == 0)
+
+
+def test_viterbi_min_pieces_beats_greedy_and_handles_fallback(spark):
+    """Optimality contract: on 'aabab' with vocab {aab, aa, bab} the
+    greedy longest-match-from-left tokenization spends 3 pieces
+    (aab|a|b) while the optimal split is 2 (aa|bab) — the DP must find
+    2. Whole-text pieces, pure-fallback texts, and unmatched docs all
+    take their exact minima; partitioning must not perturb anything."""
+    from usgs_lidar_spark.operators.textquality import viterbi_min_pieces
+
+    docs = spark.createDataFrame(
+        [(1, "aabab"), (2, "zzzz"), (3, "qqq"), (4, "x")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("aab",), ("aa",), ("bab",), ("zzzz",), ("zz",)], "piece string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_pieces"])
+        for r in viterbi_min_pieces(docs, vocab).collect()
+    }
+    assert got[1] == (5, 2)   # aa|bab — greedy would take 3
+    assert got[2] == (4, 1)   # whole-text piece beats zz|zz
+    assert got[3] == (3, 3)   # no match: pure single-char fallback
+    assert got[4] == (1, 1)
+    got2 = {
+        r["doc_id"]: (r["n_chars"], r["n_pieces"])
+        for r in viterbi_min_pieces(
+            docs.repartition(3), vocab.repartition(2)
+        ).collect()
+    }
+    assert got2 == got

@@ -1129,3 +1129,156 @@ def dsir_weights_bits(
             - flog2(F.col("tt") + v)
         ).cast("long").alias("weight"),
     )
+
+
+def derive_piece_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 64,
+    min_len: int = 2,
+    max_len: int = 5,
+) -> DataFrame:
+    """Deterministic substring piece vocabulary: the ``vocab_size`` most
+    frequent character substrings of length [min_len, max_len] over the
+    corpus, ties broken lexicographically. The seed-from-the-data
+    convention the quantizer paths use, applied to segmentation — train
+    with a real unigram-LM EM loop when quality matters; the point here
+    is an exactly-reproducible vocab both engines derive identically.
+
+    Plan: substring explode (the `char_shingles` shape, one row per
+    (position, length)), hash-aggregate counts with map-side combine,
+    then a DISTRIBUTED top-k (orderBy + limit -> TakeOrderedAndProject,
+    the o3_topk precedent) — never a global row_number window over the
+    full distinct-piece set."""
+    d = docs.select(F.col(text_col).alias("__t")).filter(
+        F.length("__t") >= min_len
+    )
+    cand = (
+        d.select(
+            "__t",
+            F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__s"),
+        )
+        .select(
+            "__t",
+            "__s",
+            F.explode(
+                F.sequence(F.lit(int(min_len)), F.lit(int(max_len)))
+            ).alias("__l"),
+        )
+        .filter(F.col("__s") + F.col("__l") - 1 <= F.length("__t"))
+        .select(F.expr("substring(__t, __s, __l)").alias("piece"))
+    )
+    freq = cand.groupBy("piece").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    return freq.orderBy(F.desc("freq"), F.asc("piece")).limit(int(vocab_size))
+
+
+def viterbi_min_pieces(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 2,
+    max_len: int = 5,
+) -> DataFrame:
+    """OPTIMAL (Viterbi / shortest-path) segmentation of every document
+    against a piece vocabulary — the objective greedy left-to-right BPE
+    tokenization (`bpe_apply`) approximates: the minimum number of
+    pieces covering the text, where a piece is any vocab entry or a
+    single-character fallback (SentencePiece's unigram-LM Viterbi step,
+    Kudo 2018 arXiv:1804.10959, with unit piece costs — the exact
+    integer objective both engines reproduce bit-for-bit; weighted
+    -log p costs would need cross-engine-identical logs, which no
+    engine guarantees).
+
+    Plan: the match LATTICE is relational — substring explode joined
+    against the broadcast vocab gives (doc, start, end) spans, packed
+    one row per doc (`collect_list`, bounded by text length x piece
+    lengths); the DP itself is a single JVM-side higher-order fold
+    (`F.aggregate` over char positions — the events_ewma_dyadic exact-
+    sequential-fold precedent, no UDF): cost[i] = least(min over vocab
+    spans ending at i of cost[start-1] + 1, cost[i-1] + 1), the
+    single-char fallback making every position reachable so the fold
+    never sees an empty min (array_min of no candidates is NULL and
+    `least` skips NULLs — pinned semantics in BOTH engines). One
+    corpus-keyed shuffle (the span pack), O(len x |spans|) fold work
+    per doc, no driver participation. The DuckDB oracle replays the
+    identical fold with `list_reduce` (`pipe` prefix queries' lambda
+    tier), so optimality itself is hash-checked, not approximated.
+
+    Output: (id, n_chars, n_pieces, compression = n_chars / n_pieces
+    as the correctly-rounded double of two exact integers)."""
+    d = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("int").alias("__n"),
+    ).filter(F.col("__n") > 0)
+    cand = (
+        d.select(
+            "__id",
+            "__t",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__s"),
+        )
+        .select(
+            "__id",
+            "__t",
+            "__n",
+            "__s",
+            F.explode(
+                F.sequence(F.lit(int(min_len)), F.lit(int(max_len)))
+            ).alias("__l"),
+        )
+        .filter(F.col("__s") + F.col("__l") - 1 <= F.col("__n"))
+        .select(
+            "__id",
+            "__s",
+            (F.col("__s") + F.col("__l") - 1).alias("__e"),
+            F.expr("substring(__t, __s, __l)").alias("piece"),
+        )
+    )
+    spans = cand.join(F.broadcast(vocab.select("piece")), "piece").select(
+        "__id",
+        F.struct(F.col("__s").alias("s"), F.col("__e").alias("e")).alias(
+            "__sp"
+        ),
+    )
+    packs = spans.groupBy("__id").agg(F.collect_list("__sp").alias("__spans"))
+    base = d.join(packs, "__id", "left").withColumn(
+        "__spans",
+        F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<s:int,e:int>>"),
+        ),
+    )
+    one = F.lit(1).cast("long")
+    costs = F.aggregate(
+        F.sequence(F.lit(1), F.col("__n")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.least(
+                    F.array_min(
+                        F.transform(
+                            F.filter(
+                                F.col("__spans"), lambda sp: sp["e"] == i
+                            ),
+                            lambda sp: F.element_at(acc, sp["s"]) + one,
+                        )
+                    ),
+                    F.element_at(acc, i) + one,
+                )
+            ),
+        ),
+    )
+    return base.select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("long").alias("n_chars"),
+        F.element_at(costs, F.col("__n") + 1).alias("n_pieces"),
+        (
+            F.col("__n").cast("double")
+            / F.element_at(costs, F.col("__n") + 1)
+        ).alias("compression"),
+    )

@@ -2480,3 +2480,75 @@ def pipe_semantic_decon_hotbench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_contamination(
         emb, bench, cents, threshold=0.99, max_pack_size=16, sub_bits=8
     )
+
+
+@query(
+    "text_viterbi_segment",
+    oracle=r"""
+    WITH cand AS (
+        SELECT d.doc_id, CAST(s.s AS INTEGER) AS s,
+               CAST(s.s + l.l - 1 AS INTEGER) AS e,
+               substring(d.text, CAST(s.s AS INTEGER), CAST(l.l AS INTEGER))
+                   AS piece
+        FROM documents d
+        CROSS JOIN LATERAL (SELECT unnest(range(1, length(d.text) + 1)) AS s) s
+        CROSS JOIN (SELECT unnest([2, 3, 4, 5]) AS l) l
+        WHERE s.s + l.l - 1 <= length(d.text)
+    ), freq AS (
+        SELECT piece, CAST(count(*) AS BIGINT) AS freq
+        FROM cand GROUP BY piece
+    ), vocab AS (
+        SELECT piece FROM freq ORDER BY freq DESC, piece LIMIT 64
+    ), spans AS (
+        SELECT c.doc_id, c.s, c.e FROM cand c JOIN vocab v USING (piece)
+    ), packs AS (
+        SELECT doc_id, list({'s': s, 'e': e}) AS spans
+        FROM spans GROUP BY doc_id
+    ), dp AS (
+        SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n,
+               list_reduce(
+                 list_prepend([CAST(0 AS BIGINT)],
+                     list_transform(range(1, length(d.text) + 1),
+                                    i -> [CAST(i AS BIGINT)])),
+                 (acc, x) -> list_append(acc,
+                   least(
+                     list_min(list_transform(
+                       list_filter(
+                         coalesce(p.spans,
+                                  CAST([] AS STRUCT(s INTEGER, e INTEGER)[])),
+                         sp -> sp.e = x[1]),
+                       sp -> acc[sp.s] + 1)),
+                     acc[CAST(x[1] AS INTEGER)] + 1))
+               ) AS costs
+        FROM documents d LEFT JOIN packs p USING (doc_id)
+        WHERE length(d.text) > 0
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           costs[n + 1] AS n_pieces,
+           CAST(n AS DOUBLE) / costs[n + 1] AS compression
+    FROM dp
+    """,
+)
+def text_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMAL segmentation (`operators/textquality.viterbi_min_pieces`
+    over `derive_piece_vocab`) — the Viterbi step of a SentencePiece
+    unigram tokenizer (Kudo 2018) with unit piece costs: minimum piece
+    count per document against the corpus's own top-64 substring vocab
+    (lengths 2-5, ties lexicographic), single-char fallback keeping
+    every position reachable. The greedy BPE tier (`text_bpe_tokenize`)
+    approximates exactly this objective; here OPTIMALITY ITSELF is
+    under the hash oracle — the DuckDB side replays the identical
+    shortest-path fold with list_reduce, so a DP off-by-one or a
+    wrong tie-break breaks the value hash, not just a unit fixture.
+    Scale shape: lattice = substring explode joined against the
+    broadcast 64-piece vocab (the char_shingles shape), one span pack
+    per doc, DP as a JVM-side sequential fold (no UDF, no driver);
+    vocab derivation is a distributed top-k, never a global window."""
+    from usgs_lidar_spark.operators.textquality import (
+        derive_piece_vocab,
+        viterbi_min_pieces,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = derive_piece_vocab(d, vocab_size=64, min_len=2, max_len=5)
+    return viterbi_min_pieces(d, vocab, min_len=2, max_len=5)
