@@ -5674,3 +5674,43 @@ def test_viterbi_min_pieces_beats_greedy_and_handles_fallback(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_round14_advice_guards(spark):
+    """The three r13 ADVICE items, pinned: (1) derive_coarse_quantizer
+    returns a cid-SORTED list (the docstring's determinism covers the
+    list itself, not just the order-independent argmax downstream);
+    (2) viterbi_min_pieces rejects documents over max_chars loudly
+    instead of launching the quadratic fold; (3)
+    collapse_clusters_keep_best rejects a string id column up front
+    (the (score, -id) struct-max tie-break silently assumes signed
+    numeric ids)."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.graph import collapse_clusters_keep_best
+    from usgs_lidar_spark.operators.similarity import derive_coarse_quantizer
+    from usgs_lidar_spark.operators.textquality import viterbi_min_pieces
+
+    cents = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(9)],
+        "cid long, cvec array<double>",
+    ).repartition(4)
+    for _ in range(3):
+        coarse = derive_coarse_quantizer(cents)
+        assert [c for c, _v in coarse] == sorted(c for c, _v in coarse)
+
+    docs = spark.createDataFrame(
+        [(1, "ab" * 40)], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("ab",)], "piece string")
+    with _pytest.raises(ValueError, match="max_chars"):
+        viterbi_min_pieces(docs, vocab, max_chars=10)
+    ok = viterbi_min_pieces(docs, vocab, max_chars=80).collect()
+    assert ok[0]["n_pieces"] == 40
+
+    sdocs = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "doc_id string, score long"
+    )
+    spairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with _pytest.raises(TypeError, match="signed numeric"):
+        collapse_clusters_keep_best(sdocs, spairs, score_col="score")

@@ -338,7 +338,26 @@ def collapse_clusters_keep_best(
     case degrades like any other hash aggregate (partial map-side
     combine), not like a single-partition window.
 
-    Output: (id, cluster_id, cluster_size, keeper_id, is_kept)."""
+    Output: (id, cluster_id, cluster_size, keeper_id, is_kept).
+
+    ``id_col`` must be SIGNED NUMERIC: the ties->min-id keeper rule is
+    implemented as a struct-max over (score, -id), and the min-label
+    component propagation already requires ordered numeric labels — a
+    string or unsigned-at-the-boundary id would tie-break wrong or fail
+    deep inside the plan, so the type is validated loudly up front
+    (ADVICE r13)."""
+    from pyspark.sql import types as _T
+
+    id_field = docs.schema[id_col].dataType
+    if not isinstance(
+        id_field, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
+                   _T.FloatType, _T.DoubleType, _T.DecimalType)
+    ):
+        raise TypeError(
+            f"collapse_clusters_keep_best: id column {id_col!r} must be "
+            f"signed numeric (ties->min-id uses a (score, -id) struct-max "
+            f"and min-label CC orders labels), got {id_field.simpleString()}"
+        )
     cc = connected_components(
         docs.select(F.col(id_col)), pairs,
         id_col=id_col, src_col=pair_a, dst_col=pair_b, max_iter=max_iter,

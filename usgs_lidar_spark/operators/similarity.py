@@ -411,6 +411,12 @@ def derive_coarse_quantizer(
         .join(F.broadcast(picked), cid_col, "semi")
         .collect()
     )
+    # The semi-join returns rows in task-completion order — sort
+    # driver-side (<= sqrt(k) rows, cost nil) so the promised
+    # determinism covers the LIST itself, not just the downstream
+    # order-independent argmax: a caller that fingerprints or zips the
+    # coarse list must not see run-to-run drift (ADVICE r13).
+    rows = sorted(rows, key=lambda r: int(r[cid_col]))
     return [(int(r[cid_col]), [float(x) for x in r[cvec_col]]) for r in rows]
 
 

@@ -1181,6 +1181,7 @@ def viterbi_min_pieces(
     id_col: str = "doc_id",
     min_len: int = 2,
     max_len: int = 5,
+    max_chars: int = 100_000,
 ) -> DataFrame:
     """OPTIMAL (Viterbi / shortest-path) segmentation of every document
     against a piece vocabulary — the objective greedy left-to-right BPE
@@ -1202,13 +1203,41 @@ def viterbi_min_pieces(
     single-char fallback making every position reachable so the fold
     never sees an empty min (array_min of no candidates is NULL and
     `least` skips NULLs — pinned semantics in BOTH engines). One
-    corpus-keyed shuffle (the span pack), O(len x |spans|) fold work
-    per doc, no driver participation. The DuckDB oracle replays the
-    identical fold with `list_reduce` (`pipe` prefix queries' lambda
-    tier), so optimality itself is hash-checked, not approximated.
+    corpus-keyed shuffle (the span pack), no driver participation.
+
+    COMPLEXITY, honestly (ADVICE r13): the fold's accumulator is the
+    whole cost prefix, appended one element per position with
+    `concat(acc, array(...))` — a copy of the accumulator per step, so
+    per-doc work is O(len^2 + len x |spans|) array churn, QUADRATIC in
+    document length, not the linear DP a mutable-array engine runs
+    (the DuckDB oracle's `list_append` accumulation has the identical
+    shape, which is exactly why cross-engine parity holds). Fine at
+    typical web-document lengths; a single 100k+-char outlier makes
+    the fold quadratic in both time and transient memory, so documents
+    longer than ``max_chars`` are REJECTED LOUDLY up front (a
+    driver-side one-row bound check, not a silent truncation — a
+    truncated segmentation would report a wrong optimum). Raise the
+    cap deliberately, or pre-split pathological documents, when the
+    corpus is known-heavy. The DuckDB oracle replays the identical
+    fold with `list_reduce` (`pipe` prefix queries' lambda tier), so
+    optimality itself is hash-checked, not approximated.
 
     Output: (id, n_chars, n_pieces, compression = n_chars / n_pieces
     as the correctly-rounded double of two exact integers)."""
+    if max_chars is not None:
+        # One-row corpus agg over the length column alone (pruned scan):
+        # the quadratic fold must never be launched over an unbounded
+        # document — fail loudly with the offending length instead.
+        mx = docs.agg(
+            F.max(F.length(text_col)).alias("mx")
+        ).collect()[0]["mx"]
+        if mx is not None and int(mx) > int(max_chars):
+            raise ValueError(
+                f"viterbi_min_pieces: longest document is {int(mx)} chars, "
+                f"over max_chars={int(max_chars)}; the position fold is "
+                "quadratic in document length (see docstring) — raise "
+                "max_chars deliberately or pre-split long documents"
+            )
     d = docs.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__t"),
