@@ -149,6 +149,11 @@ HEADLINE = [
     # its engaged regime (fixed k=8, bench = every 3rd vector — the
     # designed clustered-benchmark worst case the bench should watch).
     "pipe_semantic_decon_hotbench",
+    # round 14: perceptual image near-dup — dHash banding + CC over
+    # documents' bytes plus the perturbed re-upload slice; every stage
+    # (hash, band join, components) changes cardinality, so count()
+    # forces the full chain.
+    "mm_near_dedup",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled

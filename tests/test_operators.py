@@ -5714,3 +5714,128 @@ def test_round14_advice_guards(spark):
     spairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
     with _pytest.raises(TypeError, match="signed numeric"):
         collapse_clusters_keep_best(sdocs, spairs, score_col="score")
+
+
+def test_fake_dhash_bands_and_known_values(spark):
+    """The deterministic dHash tier, pinned by hand: a payload of
+    exactly 72 strictly-increasing bytes samples itself (k*72//72 = k),
+    so every adjacent comparison within a row is 'smaller > larger' =
+    False EXCEPT none — all bands 0 for ascending bytes; a strictly
+    DEscending payload sets every comparison bit -> all bands 0xFFFF.
+    Empty payloads hash to all-zero bands. Partitioning must not
+    perturb the hash."""
+    from usgs_lidar_spark.multimodal import fake_dhash_image
+
+    asc = bytes(range(72))
+    desc = bytes(range(100, 28, -1))
+    media = spark.createDataFrame(
+        [(1, asc), (2, desc), (3, b"")],
+        "media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in fake_dhash_image(media).collect()
+    }
+    assert got[1] == (0, 0, 0, 0)
+    assert got[2] == (0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF)
+    assert got[3] == (0, 0, 0, 0)
+    got2 = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in fake_dhash_image(media.repartition(3)).collect()
+    }
+    assert got2 == got
+
+
+def test_near_dup_dhash_banding_lossless(spark):
+    """The pigeonhole claim, pinned against brute force: at
+    max_hamming <= 3 the four-band blocking finds EVERY pair a full
+    all-pairs Hamming scan finds (3 differing bits cannot touch all 4
+    bands), on a synthetic hash population dense enough to exercise
+    same-band collisions, multi-band agreements, and far pairs. Also:
+    the radius guard rejects max_hamming >= 8."""
+    import itertools
+    import pytest as _pytest
+
+    from usgs_lidar_spark.multimodal import near_dup_media_by_dhash
+
+    # deterministic pseudo-random 16-bit bands + planted near-dups
+    rows = []
+    for i in range(40):
+        b = [(i * 7919 + q * 104729) % 65536 for q in range(4)]
+        rows.append((i, *b))
+    for i in range(40, 60):
+        src = rows[i - 40]
+        b = list(src[1:])
+        b[i % 4] ^= 1 << (i % 16)           # 1 bit off a base row
+        if i % 3 == 0:
+            b[(i + 1) % 4] ^= 1 << ((i + 5) % 16)  # sometimes 2 bits
+        rows.append((i, *b))
+    hashes = spark.createDataFrame(
+        rows, "media_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in near_dup_media_by_dhash(hashes, max_hamming=3).collect()
+    }
+    want = {}
+    for (ia, *ba), (ib, *bb) in itertools.combinations(rows, 2):
+        h = sum(bin(x ^ y).count("1") for x, y in zip(ba, bb))
+        if h <= 3:
+            want[(min(ia, ib), max(ia, ib))] = h
+    assert got == want and len(want) >= 20
+    with _pytest.raises(ValueError, match="max_hamming"):
+        near_dup_media_by_dhash(hashes, max_hamming=8)
+
+
+def test_dhash_image_pil_gated(spark):
+    """Real-pixel dHash via PIL where available: a re-encoded and a
+    uniformly brightened copy of a gradient image stay within Hamming
+    3 of the original (difference hashing is invariant to monotone
+    brightness maps), while a reversed-gradient image lands far away.
+    Skipped (with the fake-tier twin above always running) when the
+    container ships no imaging library."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.multimodal import (
+        dhash_image,
+        have_pil,
+        near_dup_media_by_dhash,
+    )
+
+    if not have_pil():
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            dhash_image(
+                spark.createDataFrame(
+                    [(1, b"x")], "media_id long, content binary"
+                )
+            )
+        _pytest.skip("PIL not available; gated-raise contract asserted")
+
+    import io
+
+    from PIL import Image
+
+    def png(pixels, size=(36, 32)) -> bytes:
+        im = Image.new("L", size)
+        im.putdata(pixels)
+        out = io.BytesIO()
+        im.save(out, format="PNG")
+        return out.getvalue()
+
+    w, h = 36, 32
+    grad = [(x * 255) // w for y in range(h) for x in range(w)]
+    bright = [min(255, p + 40) for p in grad]
+    rev = list(reversed(grad))
+    media = spark.createDataFrame(
+        [(1, png(grad)), (2, png(bright)), (3, png(rev)), (4, png(grad))],
+        "media_id long, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in near_dup_media_by_dhash(
+            dhash_image(media), max_hamming=3
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 0          # identical re-encode
+    assert (1, 2) in pairs             # brightness shift: near-dup
+    assert not any(3 in p for p in pairs)   # reversed gradient: far

@@ -1,0 +1,233 @@
+"""Round-14 scale measurements (SCALE.md).
+
+Scenarios (each generated DISTRIBUTIVELY — spark.range + xxhash64-seeded
+expressions, no driver loops — and measured warm, second run reported,
+results fully materialized via an all-column xxhash64 aggregate):
+
+  * dhash_neardup — the perceptual near-dup path end to end
+    (`fake_dhash_image` -> `near_dup_media_by_dhash` -> min-label CC)
+    over a synthetic media corpus where every 5th payload is a
+    one-middle-byte perturbation of its predecessor (the mm_near_dedup
+    planted-duplicate shape, at scale). 1x vs 10x: the hash pass is
+    map-only and the pair search is band-bucketed, so wall must stay
+    near-linear and shuffled bytes must be (id, 4-band)-row-sized —
+    payload bytes never appear in the shuffle (the payloads here are
+    ~150 B; a real image corpus is 5-6 orders heavier per row, which
+    is exactly why only-hashes-move is the design line).
+
+  * decon_jammed_bench — the documented jammed-pack regime of
+    `semantic_contamination` (an internally-duplicated benchmark: ONE
+    exemplar re-encoded into 60% of the bench rows, all sharing one
+    sign pattern, so the hot-pack guard's sub-block collapses into a
+    single pack) measured with and without the compositional fix the
+    round-13 docstring argued but never pinned: SemDeDup the bench
+    first (`semdedup_flags`, keepers only) and run decon against the
+    deduped bench. 1x vs 10x BENCH duplication at fixed corpus: the
+    unfixed fold cost grows with the jammed pack (~linear in bench
+    copies, paid per corpus row in the hot cell), the fixed one stays
+    flat. Decision equality of the fix is pinned by the registered
+    query `pipe_decon_dedup_bench`'s oracle, not here.
+
+Usage: python tools/scale_round14.py [dhash_neardup decon_jammed_bench]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tools.scale_round8 import timed  # noqa: E402
+
+#: media corpus sizes (rows; every 5th row is a perturbed near-copy).
+DHASH_N = {"1x": 20_000, "10x": 200_000}
+
+#: decon sizes: fixed corpus, growing internally-duplicated bench.
+DECON_CORPUS = 30_000
+DECON_BENCH = {"1x": 2_000, "10x": 20_000}
+
+
+def _media(spark, n: int):
+    """Synthetic media frame (media_id, content): 150 lowercase chars
+    per payload, xxhash64-derived; every 5th row repeats its
+    predecessor's payload with the middle byte swapped for '~' — a
+    perceptual near-dup the exact-content tier cannot catch."""
+    base = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        # rows 5k and 5k+? share a seed: every 5th row re-derives its
+        # PREDECESSOR's text, then perturbs one middle char.
+        F.when(F.col("id") % 5 == 0, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("seed"),
+    )
+    text = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(150)),
+            lambda i: F.char(
+                F.lit(97) + F.pmod(F.xxhash64(F.col("seed"), i), F.lit(26))
+            ),
+        ),
+    )
+    perturbed = F.concat(
+        F.substring(text, 1, 74), F.lit("~"), F.substring(text, 76, 75)
+    )
+    return base.select(
+        "media_id",
+        F.encode(
+            F.when(F.col("media_id") % 5 == 0, perturbed).otherwise(text),
+            "UTF-8",
+        ).alias("content"),
+    )
+
+
+def dhash_neardup(tag: str, n: int) -> dict:
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+
+    def run(spark) -> int:
+        media = _media(spark, n).localCheckpoint()  # exclude generation
+        hashes = fake_dhash_image(media)
+        pairs = near_dup_media_by_dhash(hashes, max_hamming=3)
+        out = collapse_clusters(
+            media.select("media_id"), pairs,
+            id_col="media_id", pair_a="id_a", pair_b="id_b",
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64(*out.columns), F.lit(1_000_000_007))
+            ).alias("h"),
+            F.sum(F.col("is_kept").cast("long")).alias("kept"),
+        ).collect()[0]
+        print(f"    [{tag}] rows={row['n']} kept={row['kept']}")
+        return int(row["n"])
+
+    return timed("dhash_neardup", tag, run)
+
+
+def _decon_frames(spark, n_corpus: int, n_bench: int):
+    """Corpus: unit-ish 16-dim vectors spread over sign space. Bench:
+    40% diverse re-encodes of corpus rows + 60% copies of ONE exemplar
+    (rescaled per copy — cosine exactly 1 to each other, one shared
+    sign pattern: the jammed pack)."""
+    dims = list(range(16))
+    corpus = spark.range(n_corpus).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001))
+                    - 1000
+                ).cast("double")
+                / 1000.0
+                for d in dims
+            ]
+        ).alias("embedding"),
+    )
+    n_div = max(1, (n_bench * 2) // 5)
+    diverse = spark.range(n_div).select(
+        (F.col("id") * 97 % n_corpus).alias("src"),
+        F.col("id").alias("bid"),
+    )
+    diverse = diverse.join(
+        corpus.select(F.col("vec_id").alias("src"), "embedding"), "src"
+    ).select(
+        "bid",
+        F.transform("embedding", lambda x: x * 1.25).alias("embedding"),
+    )
+    jam = spark.range(n_div, n_bench).select(
+        F.col("id").alias("bid"),
+        F.array(
+            *[
+                (F.lit(0.7) + F.lit(0.01) * d) * (
+                    1.0 + F.col("id").cast("double") / 1e7
+                )
+                for d in dims
+            ]
+        ).alias("embedding"),
+    )
+    return corpus, diverse.unionByName(jam)
+
+
+def decon_jammed_bench(tag: str, n_bench: int) -> dict:
+    from usgs_lidar_spark.operators.similarity import (
+        semantic_contamination,
+        semdedup_flags,
+    )
+
+    def run(spark) -> int:
+        corpus, bench = _decon_frames(spark, DECON_CORPUS, n_bench)
+        corpus = corpus.localCheckpoint()
+        bench = bench.localCheckpoint()
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in corpus.limit(24).collect()
+        ]
+
+        def flags_hash(b) -> tuple[int, int]:
+            out = semantic_contamination(
+                corpus, b, cents, threshold=0.99,
+                max_pack_size=64, sub_bits=8,
+            )
+            row = out.agg(
+                F.sum(F.col("contaminated").cast("long")).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            return int(row["c"]), int(row["n"])
+
+        import time
+
+        t0 = time.perf_counter()
+        c_raw, n = flags_hash(bench)
+        t_raw = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        bflags = semdedup_flags(
+            bench.select(
+                F.col("bid").alias("vec_id"), "embedding"
+            ),
+            cents, threshold=0.99,
+        )
+        keepers = (
+            bench.join(
+                bflags.filter("keep").select(
+                    F.col("vec_id").alias("bid")
+                ),
+                "bid",
+            )
+        )
+        c_fix, _ = flags_hash(keepers)
+        t_fix = time.perf_counter() - t0
+        print(
+            f"    [{tag}] corpus={DECON_CORPUS} bench={n_bench} "
+            f"raw: {t_raw:.2f}s flagged={c_raw} | "
+            f"dedup-first: {t_fix:.2f}s flagged={c_fix} "
+            f"decision_equal={c_raw == c_fix}"
+        )
+        return n
+
+    return timed("decon_jammed_bench", tag, run)
+
+
+def main() -> None:
+    which = sys.argv[1:] or ["dhash_neardup", "decon_jammed_bench"]
+    if "dhash_neardup" in which:
+        for tag, n in DHASH_N.items():
+            print(json.dumps(dhash_neardup(tag, n)), flush=True)
+    if "decon_jammed_bench" in which:
+        for tag, n in DECON_BENCH.items():
+            print(json.dumps(decon_jammed_bench(tag, n)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

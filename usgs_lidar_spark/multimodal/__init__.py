@@ -15,10 +15,18 @@ Transform tier: `resize_image` (PIL-gated) / `fake_resize_image`
 `sample_frames` — byte-chunk frame sampling, the one-to-many mapInPandas
 shape (real for raw frame buffers; container formats would wrap a codec
 decode in the same contract), oracle-checked as `mm_frame_sample`.
+
+Near-dup tier: `dhash_image` (PIL-gated perceptual difference-hash,
+four 16-bit bands) / `fake_dhash_image` (identical band packing over a
+deterministic byte-grid decode — DuckDB-reproducible) and
+`near_dup_media_by_dhash` — Hamming-banded near-dup pairs, lossless at
+Hamming <= 3 by pigeonhole, never all-pairs; oracle-checked as
+`mm_dhash_fingerprint` / `mm_near_dedup`.
 """
 
 from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     DECODED_SCHEMA,
+    DHASH_SCHEMA,
     FRAMES_SCHEMA,
     MEDIA_SCHEMA,
     RESIZED_SCHEMA,
@@ -26,9 +34,12 @@ from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     binary_feature_extract,
     decode_image,
     dedup_media_by_content,
+    dhash_image,
     fake_decode_image,
+    fake_dhash_image,
     fake_resize_image,
     have_pil,
+    near_dup_media_by_dhash,
     probe_image_dims,
     resize_image,
     sample_frames,

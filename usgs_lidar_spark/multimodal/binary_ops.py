@@ -463,3 +463,197 @@ def dedup_media_by_content(media: DataFrame) -> DataFrame:
         )
         .select("keeper_id", "n_copies", "content_md5")
     )
+
+
+#: Output schema of the dHash tiers: the 64-bit perceptual hash packed
+#: as four 16-bit bands (b0..b3, each in [0, 65536)) — band-packed at
+#: birth because (a) every downstream consumer (the banded near-dup
+#: join) needs the bands, not the packed word, and (b) a single 64-bit
+#: word would put bit 63 in the BIGINT sign, a cross-engine wrap
+#: hazard the split representation never has.
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def _pack_dhash_bands(pixels: list[int]) -> tuple[int, int, int, int]:
+    """64 adjacent-pixel comparisons over a row-major 8x9 grid -> four
+    16-bit bands. Comparison j (row r = j//8, col c = j%8) sets bit
+    j%16 of band j//16 iff pixel(r,c) > pixel(r,c+1) — the classic
+    difference-hash: invariant to brightness/contrast shifts (any
+    monotone per-pixel map preserves every > comparison), sensitive to
+    structure."""
+    bands = [0, 0, 0, 0]
+    for j in range(64):
+        r, c = divmod(j, 8)
+        if pixels[r * 9 + c] > pixels[r * 9 + c + 1]:
+            bands[j // 16] |= 1 << (j % 16)
+    return bands[0], bands[1], bands[2], bands[3]
+
+
+def dhash_image(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over image payloads via PIL:
+    decode -> grayscale -> 9x8 downsample -> 64 adjacent-pixel
+    comparisons, packed as four 16-bit bands (DHASH_SCHEMA). The
+    standard near-dup fingerprint for images: re-encodes, resizes,
+    brightness/contrast shifts, and small crops land within a few bits
+    of Hamming distance, while distinct images are ~32 bits apart
+    (each comparison is a fair coin across unrelated images).
+
+    Import-gated like `decode_image` (no imaging libs in this
+    container); `fake_dhash_image` computes the SAME band packing over
+    a deterministic byte-grid decode, exercising the identical
+    schema/batch path with DuckDB-reproducible values. Undecodable
+    payloads hash to all-zero bands (they group with each other, never
+    with real images that have any gradient).
+
+    Scale: map-only — payloads are read where they already sit and
+    only (id, 4x16-bit bands) rows leave the stage; the near-dup pass
+    downstream (`near_dup_media_by_dhash`) never moves a payload."""
+    if not have_pil():
+        raise NotImplementedError(
+            "dHash over decoded pixels requires PIL, not present in this "
+            "environment; fake_dhash_image exercises the identical band "
+            "packing over a deterministic byte-grid decode"
+        )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        def one(b) -> tuple[int, int, int, int]:
+            try:
+                with Image.open(io.BytesIO(bytes(b))) as im:
+                    px = list(im.convert("L").resize((9, 8)).getdata())
+                    return _pack_dhash_bands(px)
+            except Exception:
+                return 0, 0, 0, 0
+
+        for pdf in batches:
+            bands = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{
+                        f"b{q}": bands.map(lambda t, q=q: t[q]).astype(
+                            "int64"
+                        )
+                        for q in range(4)
+                    },
+                }
+            )
+
+    return media.mapInPandas(hash_batch, DHASH_SCHEMA)
+
+
+def fake_dhash_image(media: DataFrame) -> DataFrame:
+    """Deterministic dHash stand-in: the 'decode' treats the payload
+    bytes as the image — a nearest-neighbor downsample of the byte
+    stream into the 8x9 grid (sample k of 72 is byte (k*n)//72) — then
+    applies the EXACT band packing of `dhash_image`. A pure integer
+    function of the input bytes, so a SQL engine reproduces it
+    byte-for-byte (the mm_near_dedup oracle does, via ord/substr on
+    ASCII payloads), and the schema/batch path is the real tier's.
+    Empty payloads hash to all-zero bands (mirroring the real tier's
+    undecodable convention)."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b) -> tuple[int, int, int, int]:
+            b = bytes(b) if b is not None else b""
+            n = len(b)
+            if n == 0:
+                return 0, 0, 0, 0
+            samples = [b[(k * n) // 72] for k in range(72)]
+            return _pack_dhash_bands(samples)
+
+        for pdf in batches:
+            bands = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{
+                        f"b{q}": bands.map(lambda t, q=q: t[q]).astype(
+                            "int64"
+                        )
+                        for q in range(4)
+                    },
+                }
+            )
+
+    return media.mapInPandas(hash_batch, DHASH_SCHEMA)
+
+
+def near_dup_media_by_dhash(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-bucketed near-dup pairs over dHash bands — NEVER
+    all-pairs: two 64-bit hashes within Hamming distance ``max_hamming``
+    <= 3 must agree on at least one of the four 16-bit bands
+    (pigeonhole: 3 differing bits cannot touch all 4 bands), so
+    candidate pairs come from four band-keyed equi-self-joins (one
+    `posexplode` + self-join on (band index, band value)), exactly the
+    LSH-band blocking `minhash_lsh_pairs` uses with the bit-exact
+    guarantee LSH lacks: at max_hamming <= 3 the banding is LOSSLESS,
+    every qualifying pair shares a band bucket by construction (pinned
+    vs brute force by test_near_dup_dhash_banding_lossless).
+    ``max_hamming`` in [4, 7] keeps the same plan but misses pairs
+    whose differing bits spread across all four bands — the documented
+    banding relaxation, same contract as every bucketed path here;
+    past 7 the four-band split cannot support the radius (> 2 bits per
+    band on average), so the call fails loudly rather than silently
+    under-recalling.
+
+    Scale: only (id, 4 bands) rows shuffle — 40 bytes/row at any
+    payload size; candidates are per-(band, value) buckets, and the
+    within-bucket pairing is quadratic ONLY in bucket occupancy. Skew
+    posture: exact duplicates all share every band, so collapse them
+    first (`dedup_media_by_content` — its keeper set is this
+    operator's natural input) and a flat-image corpus (all-zero bands)
+    is the remaining hot key — the same df-cap/representative-collapse
+    regime as `minhash_lsh_pairs`/`semdedup_flags`, applied upstream.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair."""
+    if not 0 <= int(max_hamming) <= 7:
+        raise ValueError(
+            f"max_hamming must be in [0, 7] for 4x16-bit banding, got "
+            f"{max_hamming} (>= 8 differing bits can avoid every band; "
+            "use a wider hash or more bands)"
+        )
+    bands = F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+        "band_idx", "band_val"
+    )
+    keyed = hashes.select("media_id", "b0", "b1", "b2", "b3", bands)
+    a = keyed.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"b{q}").alias(f"a{q}") for q in range(4)],
+    )
+    b = keyed.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"b{q}").alias(f"c{q}") for q in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{q}").bitwiseXOR(F.col(f"c{q}")))
+        for q in range(4)
+    ).cast("long")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= int(max_hamming))
+        # a pair sharing several bands appears once per shared band —
+        # distinct on the pair key alone (hamming is functionally
+        # dependent, carried through the aggregate-free way)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -1798,3 +1798,153 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# =====================================================================
+# Round 14: perceptual image near-dup — the one LLM-pipeline modality
+# (text, embeddings, binary-exact all had one) without a near-dup
+# operator until now. dHash over a deterministic byte-grid decode
+# (`fake_dhash_image` — the PIL-gated `dhash_image` computes the SAME
+# band packing over real pixels), then Hamming-banded pair search.
+# =====================================================================
+
+
+def _dhash_band_sql(q: int, src: str = "smp") -> str:
+    """DuckDB expression for dHash band ``q`` over a 72-sample list
+    ``src`` (1-indexed): comparison j = 16q+m sits at grid row j//8,
+    col j%8 -> samples (j//8)*9 + j%8 + 1 vs + 2 — the exact packing
+    of multimodal/binary_ops._pack_dhash_bands."""
+    return f"""CAST(list_sum(list_transform(range(0, 16), j ->
+        CASE WHEN {src}[CAST(((16*{q}+j)//8)*9 + ((16*{q}+j)%8) + 1 AS INTEGER)]
+                > {src}[CAST(((16*{q}+j)//8)*9 + ((16*{q}+j)%8) + 2 AS INTEGER)]
+             THEN (1 << CAST(j AS INTEGER)) ELSE 0 END)) AS BIGINT)"""
+
+
+#: Shared oracle CTE: media table -> per-media dHash bands (the fake
+#: byte-grid decode: sample k of 72 is byte (k*n)//72, ord(substr())
+#: equals the byte for these ASCII payloads — the mm_audio_rms
+#: convention).
+_DHASH_CTE = f"""s AS (
+  SELECT media_id, length(text) AS n,
+         CASE WHEN length(text) = 0 THEN NULL
+              ELSE list_transform(range(0, 72),
+                 k -> ord(substr(text,
+                          CAST(k * length(text) // 72 AS INTEGER) + 1, 1)))
+         END AS smp
+  FROM m
+), h AS (
+  SELECT media_id,
+         CASE WHEN n = 0 THEN 0 ELSE {_dhash_band_sql(0)} END AS b0,
+         CASE WHEN n = 0 THEN 0 ELSE {_dhash_band_sql(1)} END AS b1,
+         CASE WHEN n = 0 THEN 0 ELSE {_dhash_band_sql(2)} END AS b2,
+         CASE WHEN n = 0 THEN 0 ELSE {_dhash_band_sql(3)} END AS b3
+  FROM s
+)"""
+
+
+@query(
+    "mm_dhash_fingerprint",
+    oracle=f"""
+    WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+    {_DHASH_CTE}
+    SELECT media_id, b0, b1, b2, b3 FROM h
+    """,
+)
+def mm_dhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash fingerprints over media payloads
+    (multimodal/binary_ops.fake_dhash_image — the deterministic
+    byte-grid decode tier; `dhash_image` is the PIL-gated real-pixel
+    tier with the identical band packing): each payload downsamples to
+    an 8x9 grid and 64 adjacent comparisons pack into four 16-bit
+    bands. Map-only (payloads never shuffle; 4 small longs per item
+    leave the scan stage), and every band value is pure integer
+    arithmetic on the bytes — the oracle replays it with ord/substr
+    list arithmetic, so the hash itself is cross-engine hash-checked,
+    not just its downstream effects."""
+    from usgs_lidar_spark.multimodal import fake_dhash_image, to_media_table
+
+    d = _t(spark, sf_dir, "documents")
+    return fake_dhash_image(to_media_table(d, "doc_id", "text"))
+
+
+@query(
+    "mm_near_dedup",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        -- near re-uploads: every 7th payload reappears under a new id
+        -- with ONE middle byte swapped for '~' — byte-different (exact
+        -- content dedup misses it), perceptually ~1 sample of 72 off.
+        SELECT doc_id + 100000 AS media_id,
+               substr(text, 1, length(text) // 2)
+                 || '~' || substr(text, length(text) // 2 + 2) AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_DHASH_CTE},
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ), edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(id, reach) AS (
+        SELECT media_id, media_id FROM m
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS media_id, min(reach) AS cluster_id
+           FROM walk GROUP BY id),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY cluster_id)
+    SELECT cc.media_id, CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+           CAST(csize.cluster_size AS BIGINT) AS cluster_size,
+           cc.media_id = cc.cluster_id AS is_kept
+    FROM cc JOIN csize USING (cluster_id)
+    """,
+)
+def mm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup dedup over image payloads — the composition
+    `fake_dhash_image` -> `near_dup_media_by_dhash` (Hamming-banded
+    pairs, LOSSLESS at radius 3 by pigeonhole over the four 16-bit
+    bands) -> min-label connected components -> min-id keeper. The
+    media table is documents' bytes plus a re-upload slice where ONE
+    middle byte changed: exact content dedup (`mm_dedup_media`'s md5)
+    can never catch those — this operator exists for exactly that gap,
+    and at sf0.01 every one of the 72 perturbed re-uploads must land
+    back in its original's cluster (572 rows, 500 keepers). Payloads
+    never shuffle: the hash pass is map-only, the pair search moves
+    (id, 4 bands) rows through band-keyed buckets, and CC moves labels.
+    The oracle replays hash, banding, radius, and components exactly
+    (recursive walk CTE), so keeper decisions hash cross-engine."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr(
+                "substring(text, CAST(length(text) / 2 AS INT) + 2)"
+            ),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.select("doc_id", "text").unionByName(reup), "doc_id", "text"
+    )
+    hashes = fake_dhash_image(media)
+    pairs = near_dup_media_by_dhash(hashes, max_hamming=3)
+    return collapse_clusters(
+        media.select(F.col("media_id")), pairs,
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
