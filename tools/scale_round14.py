@@ -116,23 +116,38 @@ def dhash_neardup(tag: str, n: int) -> dict:
 
 
 def _decon_frames(spark, n_corpus: int, n_bench: int):
-    """Corpus: unit-ish 16-dim vectors spread over sign space. Bench:
-    40% diverse re-encodes of corpus rows + 60% copies of ONE exemplar
+    """Corpus: 80% unit-ish random 16-dim vectors spread over sign
+    space, 20% rescaled copies of ONE leaked exemplar D (the realistic
+    contamination case: the corpus actually contains mass near the
+    leaked direction, all sharing D's sign pattern). Bench: 40%
+    diverse re-encodes of random corpus rows + 60% copies of D
     (rescaled per copy — cosine exactly 1 to each other, one shared
-    sign pattern: the jammed pack)."""
+    cell AND one sign pattern: the jammed pack the hot-pack guard's
+    sub-block cannot split). Raw decon then pays |jam pack| fold work
+    PER leaked corpus row; bench-dedup-first pays 1."""
     dims = list(range(16))
+    exemplar = [0.5 + 0.02 * d for d in dims]
+    rnd = F.array(
+        *[
+            (
+                F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001))
+                - 1000
+            ).cast("double")
+            / 1000.0
+            for d in dims
+        ]
+    )
+    leaked = F.array(
+        *[
+            F.lit(exemplar[d]) * (1.0 + F.col("id").cast("double") / 1e8)
+            for d in dims
+        ]
+    )
     corpus = spark.range(n_corpus).select(
         F.col("id").alias("vec_id"),
-        F.array(
-            *[
-                (
-                    F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001))
-                    - 1000
-                ).cast("double")
-                / 1000.0
-                for d in dims
-            ]
-        ).alias("embedding"),
+        F.when(F.col("id") % 5 == 0, leaked).otherwise(rnd).alias(
+            "embedding"
+        ),
     )
     n_div = max(1, (n_bench * 2) // 5)
     diverse = spark.range(n_div).select(
@@ -149,9 +164,8 @@ def _decon_frames(spark, n_corpus: int, n_bench: int):
         F.col("id").alias("bid"),
         F.array(
             *[
-                (F.lit(0.7) + F.lit(0.01) * d) * (
-                    1.0 + F.col("id").cast("double") / 1e7
-                )
+                F.lit(exemplar[d])
+                * (1.25 + F.col("id").cast("double") / 1e7)
                 for d in dims
             ]
         ).alias("embedding"),
@@ -192,11 +206,18 @@ def decon_jammed_bench(tag: str, n_bench: int) -> dict:
         t_raw = time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        # The bench self-dedup MUST run under the r13 representative
+        # collapse: the jammed exemplar shares one cell AND one sign
+        # pattern, so unguarded within-cell search is copies² (measured:
+        # 277 s at 10x where the guarded form is seconds), while the
+        # collapse keeps pair work linear and the keep set exact in
+        # this regime (r13's pinned contract).
         bflags = semdedup_flags(
             bench.select(
                 F.col("bid").alias("vec_id"), "embedding"
             ),
             cents, threshold=0.99,
+            max_cell_size=64, sub_bits=8, max_bucket_size=16,
         )
         keepers = (
             bench.join(

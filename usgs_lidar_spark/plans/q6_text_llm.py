@@ -2552,3 +2552,147 @@ def text_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     vocab = derive_piece_vocab(d, vocab_size=64, min_len=2, max_len=5)
     return viterbi_min_pieces(d, vocab, min_len=2, max_len=5)
+
+
+# =====================================================================
+# Round 14: the jammed-pack compositional fix, PINNED — r13's
+# `semantic_contamination` docstring argued that an internally-
+# duplicated benchmark should be SemDeDup'd first (keepers only) and
+# that the contamination DECISION survives; this query registers that
+# claim under the hard oracle instead of leaving it prose.
+# =====================================================================
+
+
+@query(
+    "pipe_decon_dedup_bench",
+    oracle=f"""
+    WITH bench AS (
+        -- internally-duplicated benchmark: every 97th corpus vector
+        -- re-encoded FIVE times (x(1.25 + 0.05j), float32 round-trip)
+        -- under distinct ids — same exemplar, cosine exactly 1 after
+        -- rounding, one shared cell: the jammed-pack regime.
+        SELECT e.vec_id * 5 + j.j AS bid,
+               list_transform(e.embedding,
+                   x -> CAST(x * (1.25 + 0.05 * j.j) AS REAL)) AS embedding
+        FROM embeddings e, (SELECT unnest(range(0, 5)) AS j) j
+        WHERE e.vec_id % 97 = 0
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 48
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), bsim AS (
+        SELECT b.bid, b.embedding, c.cid,
+               {_cos4("b.embedding", "c.cvec")} AS csim
+        FROM bench b CROSS JOIN cent c
+    ), bassigned AS (
+        SELECT bid, embedding, cid FROM (
+            SELECT bid, embedding, cid,
+                   row_number() OVER (PARTITION BY bid
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM bsim) WHERE rn = 1
+    ), bdup AS (
+        -- SemDeDup keep rule over the BENCH: drop iff some lower-id
+        -- same-cell neighbor has rounded cosine >= 0.99.
+        SELECT DISTINCT a.bid
+        FROM bassigned a JOIN bassigned b
+          ON a.cid = b.cid AND b.bid < a.bid
+        WHERE {_cos4("a.embedding", "b.embedding")} >= 0.99
+    ), keepers AS (
+        SELECT * FROM bassigned WHERE bid NOT IN (SELECT bid FROM bdup)
+    ), hits_full AS (
+        SELECT a.vec_id, count(*) AS n
+        FROM assigned a JOIN bassigned b ON a.cid = b.cid
+        WHERE {_cos4("a.embedding", "b.embedding")} >= 0.99
+        GROUP BY a.vec_id
+    ), hits_dedup AS (
+        SELECT a.vec_id, count(*) AS n
+        FROM assigned a JOIN keepers b ON a.cid = b.cid
+        WHERE {_cos4("a.embedding", "b.embedding")} >= 0.99
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           coalesce(hd.n, 0) > 0 AS contaminated_dedup,
+           coalesce(hf.n, 0) > 0 AS contaminated_full,
+           (coalesce(hd.n, 0) > 0) = (coalesce(hf.n, 0) > 0) AS agree
+    FROM assigned a
+    LEFT JOIN hits_dedup hd ON hd.vec_id = a.vec_id
+    LEFT JOIN hits_full hf ON hf.vec_id = a.vec_id
+    """,
+)
+def pipe_decon_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-self-dedup decontamination — the jammed-pack fix as a
+    REGISTERED composition (`semdedup_flags` over the benchmark,
+    keepers only -> `semantic_contamination`), pinned for DECISION
+    EQUALITY against decon over the full duplicated bench. The fixture
+    is the degenerate regime the hot-pack guard cannot split: every
+    97th corpus vector re-encoded five times under cosine-invariant
+    rescales, so all copies of an exemplar share one cell (and one
+    sign pattern). SemDeDup'ing the bench first keeps one copy per
+    exemplar — a bench-sized pass — and the per-corpus-row fold cost
+    drops by the duplication factor (measured flat in SCALE.md round
+    14, decon_jammed_bench), while the contaminated decision is
+    UNCHANGED: each dropped copy is cosine ~1 to its keeper, in the
+    keeper's cell, so any corpus row above threshold to a copy is
+    above threshold to the keeper (at sf0.01: 500/500 agree, 6
+    contaminated either way). Output carries BOTH decisions plus the
+    agreement bit, and the oracle replays bench dedup, both decon
+    passes, and the comparison — so equality is under the value hash,
+    not asserted in prose. Production runs only the dedup path; the
+    full path exists here to keep the equality claim checkable."""
+    from usgs_lidar_spark.operators.similarity import (
+        semantic_contamination,
+        semdedup_flags,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+        )
+        .select(
+            (F.col("vec_id") * 5 + F.col("j")).alias("bid"),
+            F.transform(
+                "embedding",
+                lambda x: (
+                    x * (F.lit(1.25) + F.lit(0.05) * F.col("j"))
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 48).collect()
+    ] or [(0, [0.0])]
+    bflags = semdedup_flags(bench, cents, threshold=0.99, id_col="bid")
+    keepers = bench.join(
+        bflags.filter("keep").select("bid"), "bid"
+    ).select("embedding")
+    dedup = semantic_contamination(
+        emb, keepers, cents, threshold=0.99
+    ).select(
+        "vec_id", "cid", F.col("contaminated").alias("contaminated_dedup")
+    )
+    full = semantic_contamination(
+        emb, bench.select("embedding"), cents, threshold=0.99
+    ).select("vec_id", F.col("contaminated").alias("contaminated_full"))
+    return dedup.join(full, "vec_id").select(
+        "vec_id",
+        "cid",
+        "contaminated_dedup",
+        "contaminated_full",
+        (F.col("contaminated_dedup") == F.col("contaminated_full")).alias(
+            "agree"
+        ),
+    )
