@@ -5839,3 +5839,53 @@ def test_dhash_image_pil_gated(spark):
     assert pairs[(1, 4)] == 0          # identical re-encode
     assert (1, 2) in pairs             # brightness shift: near-dup
     assert not any(3 in p for p in pairs)   # reversed gradient: far
+
+
+def test_trained_coarse_probe_all_matches_flat_and_is_deterministic(spark):
+    """The trained coarse split (r13 verdict item 3): Lloyd-refined
+    coarse centroids over the fine-quantizer frame keep the pinned
+    probe-ALL contract — bit-identical to flat ivf_assign, including
+    __csim, under repartitioning — because the split only decides which
+    pack owns each fine centroid, never the argmax arithmetic. The
+    trained list itself must be deterministic across invocations and
+    input partitionings, and an unknown method must raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        derive_coarse_quantizer,
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 24).collect()
+    ]
+    cdf = spark.createDataFrame(cents, "cid long, cvec array<double>")
+    trained = derive_coarse_quantizer(cdf, method="trained")
+    assert trained == derive_coarse_quantizer(
+        cdf.repartition(5), method="trained"
+    )
+    stride = derive_coarse_quantizer(cdf)
+    assert len(trained) == len(stride)
+    # training moved at least one coarse centroid off its stride seed
+    assert trained != stride
+    flat = sorted(
+        (r["vec_id"], r["__cid"], r["__csim"])
+        for r in ivf_assign(emb, cents, keep_sim=True).collect()
+    )
+    tl = sorted(
+        (r["vec_id"], r["__cid"], r["__csim"])
+        for r in ivf_assign_two_level(
+            emb, cdf, coarse=trained, n_probe_coarse=len(trained),
+            keep_sim=True,
+        ).collect()
+    )
+    assert tl == flat
+    with _pytest.raises(ValueError, match="stride.*trained"):
+        derive_coarse_quantizer(cdf, method="kmeans++")

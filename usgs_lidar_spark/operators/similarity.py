@@ -377,14 +377,32 @@ def derive_coarse_quantizer(
     cid_col: str = "cid",
     cvec_col: str = "cvec",
     n_coarse: int | None = None,
+    method: str = "stride",
+    n_iter: int = 2,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse level for `ivf_assign_two_level`: ~sqrt(k)
     evenly-cid-strided members of the fine quantizer itself (the same
-    seed-from-the-data convention every quantizer path here uses; train
-    with `kmeans_refine` over the CENTROIDS when quality matters). The
+    seed-from-the-data convention every quantizer path here uses). The
     collect is <= sqrt(k) rows — bounded by the quantizer, never the
     corpus: at k = 10^6 cells that is 1000 vectors on the driver, the
     same budget class as every flat quantizer list.
+
+    ``method="trained"`` (round 14 — r13 verdict item 3) refines the
+    stride seeds with ``n_iter`` exact Lloyd iterations of
+    `kmeans_train_centroids` run over the CENTROIDS FRAME itself (k
+    rows — the training corpus here is the fine quantizer, so each
+    iteration shuffles k*dim bounded stats, never data): the coarse
+    split then tracks the fine centroids' actual clustering instead of
+    their cid order, which is what decides the IMI approximation's
+    recall at n_probe_coarse < n_cells (measured in SCALE.md round 14:
+    on clumped quantizers the trained split's probe-1 assignment
+    agreement is far above stride's). Probe-ALL semantics are
+    unaffected by the split — bit-identical to flat `ivf_assign` under
+    either method (the pinned two-level contract) — because every fine
+    centroid sits in exactly one pack regardless of which coarse cell
+    owns it. Trained coarse ids are the seed cids carried through the
+    update (labels only — `ivf_assign_two_level` groups by them, their
+    values never enter a comparison).
 
     The global stride ranking needs a single-partition window, so it
     runs over the cid column ALONE (8 bytes/row — k = 10^6 is 8 MB
@@ -417,7 +435,19 @@ def derive_coarse_quantizer(
     # order-independent argmax: a caller that fingerprints or zips the
     # coarse list must not see run-to-run drift (ADVICE r13).
     rows = sorted(rows, key=lambda r: int(r[cid_col]))
-    return [(int(r[cid_col]), [float(x) for x in r[cvec_col]]) for r in rows]
+    seeds = [
+        (int(r[cid_col]), [float(x) for x in r[cvec_col]]) for r in rows
+    ]
+    if method == "stride":
+        return seeds
+    if method == "trained":
+        return kmeans_train_centroids(
+            centroids_df, seeds, vec_col=cvec_col, n_iter=n_iter
+        )
+    raise ValueError(
+        f"derive_coarse_quantizer: method must be 'stride' or 'trained', "
+        f"got {method!r}"
+    )
 
 
 def ivf_assign_two_level(

@@ -2563,3 +2563,51 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+@query(
+    "sim_assign_two_level_trained",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 48
+    ), csim AS (
+        SELECT e.vec_id, c.cid, {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rn
+        FROM csim) WHERE rn = 1
+    """,
+)
+def sim_assign_two_level_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level assignment with a TRAINED coarse split (round 14 —
+    `derive_coarse_quantizer(method="trained")`: stride seeds refined
+    by exact Lloyd iterations over the fine-centroid FRAME, k*dim
+    bounded shuffle per iteration, never data) probing ALL coarse
+    cells. The oracle is deliberately the FLAT assignment SQL: probe-
+    all two-level is pinned bit-identical to flat `ivf_assign`
+    regardless of how the coarse split carves the packs — same rounded
+    cosines, same (max sim, min cid) tie rule — so a hash match here
+    proves the trained split changes WHERE fine centroids live, not
+    what anything assigns to. The fine quantizer is a 48-row DataFrame
+    (never collected); the coarse collect is its ~sqrt — the two-level
+    memory contract. Recall at n_probe_coarse < all is the measured
+    IMI approximation (SCALE.md round 14: trained vs stride agreement
+    curves on clumped quantizers)."""
+    from usgs_lidar_spark.operators.similarity import (
+        derive_coarse_quantizer,
+        ivf_assign_two_level,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cdf = emb.filter(F.col("vec_id") < 48).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    coarse = derive_coarse_quantizer(cdf, method="trained")
+    out = ivf_assign_two_level(
+        emb, cdf, coarse=coarse, n_probe_coarse=len(coarse)
+    )
+    return out.select("vec_id", F.col("__cid").cast("long").alias("cid"))
