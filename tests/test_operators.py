@@ -5889,3 +5889,54 @@ def test_trained_coarse_probe_all_matches_flat_and_is_deterministic(spark):
     assert tl == flat
     with _pytest.raises(ValueError, match="stride.*trained"):
         derive_coarse_quantizer(cdf, method="kmeans++")
+
+
+def test_viterbi_min_cost_weighted_optimum(spark):
+    """Weighted DP contract: on 'aabab' with costs {aab:1, aa:10,
+    bab:10} and fallback 2, the weighted optimum is aab|a|b = 5 — a
+    DIFFERENT segmentation than the unit-cost optimum aa|bab (2
+    pieces, weighted cost 20), so weights demonstrably steer the DP.
+    With all costs 1 and fallback 1 the function degenerates exactly
+    to viterbi_min_pieces' optimum. Partitioning must not perturb
+    either."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.operators.textquality import (
+        viterbi_min_cost,
+        viterbi_min_pieces,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aabab"), (2, "zz"), (3, "q")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame(
+        [("aab", 1), ("aa", 10), ("bab", 10), ("zz", 3)],
+        "piece string, cost long",
+    )
+    got = {
+        r["doc_id"]: r["total_cost"]
+        for r in viterbi_min_cost(docs, vocab, fallback_cost=2).collect()
+    }
+    assert got[1] == 5      # aab(1) + a(2) + b(2), beats aa|bab = 20
+    assert got[2] == 3      # zz piece(3) < z|z fallback(4)
+    assert got[3] == 2      # pure fallback
+    got2 = {
+        r["doc_id"]: r["total_cost"]
+        for r in viterbi_min_cost(
+            docs.repartition(3), vocab.repartition(2), fallback_cost=2
+        ).collect()
+    }
+    assert got2 == got
+
+    unit_vocab = vocab.select("piece", F.lit(1).alias("cost"))
+    unit = {
+        r["doc_id"]: r["total_cost"]
+        for r in viterbi_min_cost(
+            docs, unit_vocab, fallback_cost=1
+        ).collect()
+    }
+    pieces = {
+        r["doc_id"]: r["n_pieces"]
+        for r in viterbi_min_pieces(docs, vocab.select("piece")).collect()
+    }
+    assert unit == pieces

@@ -1311,3 +1311,135 @@ def viterbi_min_pieces(
             / F.element_at(costs, F.col("__n") + 1)
         ).alias("compression"),
     )
+
+
+def viterbi_min_cost(
+    docs: DataFrame,
+    vocab: DataFrame,
+    fallback_cost: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cost_col: str = "cost",
+    min_len: int = 2,
+    max_len: int = 5,
+    max_chars: int = 100_000,
+) -> DataFrame:
+    """WEIGHTED Viterbi segmentation — `viterbi_min_pieces` with an
+    integer cost per vocab piece instead of unit costs: the minimum
+    TOTAL COST cover of each document, where a span costs its vocab
+    row's ``cost_col`` and the single-char fallback costs
+    ``fallback_cost``. This is the quality-aware rung of the unigram-LM
+    Viterbi step (Kudo 2018, arXiv:1804.10959): real tokenizers charge
+    -log p(piece); cross-engine logs don't reproduce bit-for-bit, so
+    the engine-exact stand-in is any INTEGER cost schedule — the
+    registered query uses frequency rank (cost = the piece's 1-based
+    rank in `derive_piece_vocab`'s freq-desc/piece-asc order, fallback
+    = vocab_size + 1), which preserves the -log p ORDERING (rank is
+    monotone in frequency) while keeping the DP exact-integer and
+    therefore oracle-hashable. Unit costs are the special case
+    cost=1/fallback=1, and this function degenerates to
+    `viterbi_min_pieces`' optimum value then.
+
+    Plan and complexity are `viterbi_min_pieces`' exactly (lattice =
+    substring explode x broadcast vocab, one span pack per doc, one
+    JVM-side sequential fold carrying (s, e, w) structs; the fold's
+    accumulator copy is quadratic in doc length — same honest caveat —
+    so ``max_chars`` rejects outliers loudly up front).
+
+    Output: (id, n_chars, total_cost, cost_per_char = the correctly-
+    rounded double of two exact integers)."""
+    if fallback_cost is None or int(fallback_cost) <= 0:
+        raise ValueError(
+            f"fallback_cost must be a positive integer, got {fallback_cost}"
+        )
+    if max_chars is not None:
+        mx = docs.agg(
+            F.max(F.length(text_col)).alias("mx")
+        ).collect()[0]["mx"]
+        if mx is not None and int(mx) > int(max_chars):
+            raise ValueError(
+                f"viterbi_min_cost: longest document is {int(mx)} chars, "
+                f"over max_chars={int(max_chars)}; the position fold is "
+                "quadratic in document length — raise max_chars "
+                "deliberately or pre-split long documents"
+            )
+    d = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("int").alias("__n"),
+    ).filter(F.col("__n") > 0)
+    cand = (
+        d.select(
+            "__id",
+            "__t",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__s"),
+        )
+        .select(
+            "__id",
+            "__t",
+            "__n",
+            "__s",
+            F.explode(
+                F.sequence(F.lit(int(min_len)), F.lit(int(max_len)))
+            ).alias("__l"),
+        )
+        .filter(F.col("__s") + F.col("__l") - 1 <= F.col("__n"))
+        .select(
+            "__id",
+            "__s",
+            (F.col("__s") + F.col("__l") - 1).alias("__e"),
+            F.expr("substring(__t, __s, __l)").alias("piece"),
+        )
+    )
+    spans = cand.join(
+        F.broadcast(
+            vocab.select("piece", F.col(cost_col).cast("long").alias("__w"))
+        ),
+        "piece",
+    ).select(
+        "__id",
+        F.struct(
+            F.col("__s").alias("s"),
+            F.col("__e").alias("e"),
+            F.col("__w").alias("w"),
+        ).alias("__sp"),
+    )
+    packs = spans.groupBy("__id").agg(F.collect_list("__sp").alias("__spans"))
+    base = d.join(packs, "__id", "left").withColumn(
+        "__spans",
+        F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<s:int,e:int,w:long>>"),
+        ),
+    )
+    fb = F.lit(int(fallback_cost)).cast("long")
+    costs = F.aggregate(
+        F.sequence(F.lit(1), F.col("__n")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.least(
+                    F.array_min(
+                        F.transform(
+                            F.filter(
+                                F.col("__spans"), lambda sp: sp["e"] == i
+                            ),
+                            lambda sp: F.element_at(acc, sp["s"]) + sp["w"],
+                        )
+                    ),
+                    F.element_at(acc, i) + fb,
+                )
+            ),
+        ),
+    )
+    return base.select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("long").alias("n_chars"),
+        F.element_at(costs, F.col("__n") + 1).alias("total_cost"),
+        (
+            F.element_at(costs, F.col("__n") + 1).cast("double")
+            / F.col("__n")
+        ).alias("cost_per_char"),
+    )

@@ -2696,3 +2696,93 @@ def pipe_decon_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
             "agree"
         ),
     )
+
+
+@query(
+    "text_viterbi_weighted",
+    oracle=r"""
+    WITH cand AS (
+        SELECT d.doc_id, CAST(s.s AS INTEGER) AS s,
+               CAST(s.s + l.l - 1 AS INTEGER) AS e,
+               substring(d.text, CAST(s.s AS INTEGER), CAST(l.l AS INTEGER))
+                   AS piece
+        FROM documents d
+        CROSS JOIN LATERAL (SELECT unnest(range(1, length(d.text) + 1)) AS s) s
+        CROSS JOIN (SELECT unnest([2, 3, 4, 5]) AS l) l
+        WHERE s.s + l.l - 1 <= length(d.text)
+    ), freq AS (
+        SELECT piece, CAST(count(*) AS BIGINT) AS freq
+        FROM cand GROUP BY piece
+    ), vocab AS (
+        SELECT piece,
+               CAST(row_number() OVER (ORDER BY freq DESC, piece) AS BIGINT)
+                   AS w
+        FROM freq ORDER BY freq DESC, piece LIMIT 64
+    ), spans AS (
+        SELECT c.doc_id, c.s, c.e, v.w
+        FROM cand c JOIN vocab v USING (piece)
+    ), packs AS (
+        SELECT doc_id, list({'s': s, 'e': e, 'w': w}) AS spans
+        FROM spans GROUP BY doc_id
+    ), dp AS (
+        SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n,
+               list_reduce(
+                 list_prepend([CAST(0 AS BIGINT)],
+                     list_transform(range(1, length(d.text) + 1),
+                                    i -> [CAST(i AS BIGINT)])),
+                 (acc, x) -> list_append(acc,
+                   least(
+                     list_min(list_transform(
+                       list_filter(
+                         coalesce(p.spans,
+                                  CAST([] AS
+                                       STRUCT(s INTEGER, e INTEGER,
+                                              w BIGINT)[])),
+                         sp -> sp.e = x[1]),
+                       sp -> acc[sp.s] + sp.w)),
+                     acc[CAST(x[1] AS INTEGER)] + 65))
+               ) AS costs
+        FROM documents d LEFT JOIN packs p USING (doc_id)
+        WHERE length(d.text) > 0
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           costs[n + 1] AS total_cost,
+           CAST(costs[n + 1] AS DOUBLE) / n AS cost_per_char
+    FROM dp
+    """,
+)
+def text_viterbi_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Viterbi segmentation (round 14 — r13 verdict item 6):
+    `operators/textquality.viterbi_min_cost` with integer frequency-
+    RANK costs — piece cost = its 1-based rank in `derive_piece_vocab`'s
+    freq-desc/piece-asc order, single-char fallback = vocab_size + 1
+    (= 65) — so segmentation prefers COMMON pieces, the quality-aware
+    objective a real unigram tokenizer's -log p costs encode, in the
+    integer form both engines reproduce bit-for-bit (rank is monotone
+    in frequency, so the preference ORDER matches -log p; cross-engine
+    float logs would break the hash in the last ulp). The DuckDB side
+    replays vocab ranking AND the weighted shortest-path fold with
+    list_reduce, so the weighted optimum itself is under the value
+    hash. Plan shape identical to `text_viterbi_segment`: broadcast
+    64-piece vocab, one span pack per doc, JVM-side sequential fold,
+    no UDF, no driver participation; the rank window runs over the
+    64-row vocab frame only, never data."""
+    from pyspark.sql import Window as W
+
+    from usgs_lidar_spark.operators.textquality import (
+        derive_piece_vocab,
+        viterbi_min_cost,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = derive_piece_vocab(d, vocab_size=64, min_len=2, max_len=5)
+    ranked = vocab.select(
+        "piece",
+        F.row_number()
+        .over(W.orderBy(F.desc("freq"), F.asc("piece")))
+        .cast("long")
+        .alias("cost"),
+    )
+    return viterbi_min_cost(
+        d, ranked, fallback_cost=65, min_len=2, max_len=5
+    )
