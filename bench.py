@@ -154,6 +154,11 @@ HEADLINE = [
     # (hash, band join, components) changes cardinality, so count()
     # forces the full chain.
     "mm_near_dedup",
+    # round 14 (cont.): the INGEST + DECON composition (passage dedup
+    # -> semantic decon gate -> packing) — the batch twin the streaming
+    # decon drain is pinned against; every stage changes cardinality,
+    # so count() forces the full chain.
+    "pipe_end_to_end_v8",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled

@@ -1738,3 +1738,139 @@ def test_streaming_gram_store_maintenance(spark, tmp_path):
     a = sorted(map(tuple, read_gram_store(spark, path).collect()))
     b = sorted(map(tuple, read_gram_store(spark, rebuilt).collect()))
     assert a == b
+
+
+def test_streaming_semantic_decon_ingest(spark, tmp_path):
+    """Incremental semantic decon (round 14): draining the corpus
+    through `semantic_decon_ingest_writer` in micro-batches — INCLUDING
+    a crash replay in the write→commit window — must reproduce the
+    one-shot `semantic_contamination` flags bit-for-bit (flags are
+    per-corpus-row pure functions of a fixed benchmark, so batches
+    share no state and a replay rewrites identical bytes). Composing
+    the drained flags with the drained chunk-dedup ingest and packing
+    must then equal the registered batch twin `pipe_end_to_end_v8`
+    exactly — the streaming composition under the same hard oracle."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+    from usgs_lidar_spark.plans.queries import QUERIES
+    from usgs_lidar_spark.streaming.ingest import (
+        chunk_dedup_ingest_writer,
+        semantic_decon_ingest_writer,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 48).collect()
+    ]
+    stream_dir = tmp_path / "emb_stream"
+    stream_dir.mkdir()
+    splits = (
+        "vec_id < 170", "vec_id >= 170 AND vec_id < 340", "vec_id >= 340"
+    )
+    for i, flt in enumerate(splits):
+        emb.filter(flt).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"eb{i}")
+        )
+        src = next((tmp_path / f"eb{i}").glob("*.parquet"))
+        _sh.copy(src, stream_dir / f"part-{i}.parquet")
+
+    out = str(tmp_path / "decon_out")
+    inner = semantic_decon_ingest_writer(bench, cents, out, threshold=0.99)
+    crash_marker = tmp_path / "decon_crashed_once"
+
+    def crashing(batch, batch_id):
+        inner(batch, batch_id)  # the flag write SUCCEEDS...
+        if batch_id == 1 and not crash_marker.exists():
+            crash_marker.write_text("boom")
+            raise RuntimeError("injected crash after write, before commit")
+
+    def start():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+            .writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", str(tmp_path / "decon_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.awaitTermination()
+        raise AssertionError("expected the injected crash")
+    except Exception:
+        pass
+    start().awaitTermination()  # restart replays batch 1, then drains
+
+    drained = spark.read.parquet(out).select(
+        "vec_id", "cid", "n_hits", "contaminated"
+    )
+    oneshot = semantic_contamination(emb, bench, cents, threshold=0.99)
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cid"], r["n_hits"], r["contaminated"])
+        for r in df.collect()
+    )
+    assert key(drained) == key(oneshot)
+
+    # compose: drained chunk-dedup ingest + drained decon flags + pack
+    # == the registered batch twin, bit-for-bit.
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    doc_stream = tmp_path / "doc_stream"
+    doc_stream.mkdir()
+    dsplits = ("doc_id < 170", "doc_id >= 170 AND doc_id < 340",
+               "doc_id >= 340")
+    for i, flt in enumerate(dsplits):
+        docs.filter(flt).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"db{i}")
+        )
+        src = next((tmp_path / f"db{i}").glob("*.parquet"))
+        _sh.copy(src, doc_stream / f"part-{i}.parquet")
+    ded_out = str(tmp_path / "ded_out")
+    (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(doc_stream))
+        .writeStream.foreachBatch(
+            chunk_dedup_ingest_writer(
+                str(tmp_path / "ded_store"), ded_out, chunk_tokens=4
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ded_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    ded = spark.read.parquet(ded_out).filter(F.col("n_kept") > 0)
+    flagged = drained.filter("contaminated").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    clean = ded.join(flagged, "doc_id", "left_anti")
+    composed = pack_sequences(
+        clean.select("doc_id", "n_chunks", "n_kept", "new_text"),
+        "doc_id",
+        token_count("new_text"),
+        budget=512,
+        n_streams=8,
+    ).select(
+        "doc_id", "n_chunks", "n_kept", "pack_stream", "n_tokens",
+        "token_start", "pack_id", "pack_offset", "split_across",
+    )
+    batch_twin = QUERIES["pipe_end_to_end_v8"](spark, SF_SMALL)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(composed) == rows(batch_twin)

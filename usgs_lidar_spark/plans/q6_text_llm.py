@@ -2786,3 +2786,137 @@ def text_viterbi_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viterbi_min_cost(
         d, ranked, fallback_cost=65, min_len=2, max_len=5
     )
+
+
+@query(
+    "pipe_end_to_end_v8",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, s + 1, s + 4), ' ') AS ct
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 4)) AS s FROM t)
+    ), ranked AS (
+        SELECT doc_id, chunk_id, ct,
+               row_number() OVER (PARTITION BY ct
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM ch
+    ), kept AS (SELECT doc_id, chunk_id, ct FROM ranked WHERE rn = 1),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM ch GROUP BY doc_id
+    ), kp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ct, ' ' ORDER BY chunk_id) AS new_text
+        FROM kept GROUP BY doc_id
+    ), bench AS (
+        SELECT list_transform(embedding, x -> CAST(x * 1.25 AS REAL))
+                   AS embedding
+        FROM embeddings WHERE vec_id % 97 = 0
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 48
+    ), csim AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM csim) WHERE rn = 1
+    ), bsim AS (
+        SELECT b.rn AS bid, b.embedding, c.cid,
+               {_cos4("b.embedding", "c.cvec")} AS csim
+        FROM (SELECT row_number() OVER () AS rn, embedding FROM bench) b
+        CROSS JOIN cent c
+    ), bassigned AS (
+        SELECT embedding, cid FROM (
+            SELECT embedding, cid,
+                   row_number() OVER (PARTITION BY bid
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM bsim) WHERE rn = 1
+    ), hits AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN bassigned b ON a.cid = b.cid
+        WHERE {_cos4("a.embedding", "b.embedding")} >= 0.99
+    ), alive AS (
+        SELECT tot.doc_id, tot.n_chunks, kp.n_kept,
+               CASE WHEN trim(kp.new_text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(kp.new_text), '\s+'))
+                    END AS n_tokens,
+               {_LEHMER_STREAM("tot.doc_id", 8)} AS pack_stream
+        FROM tot JOIN kp ON tot.doc_id = kp.doc_id
+        WHERE kp.n_kept > 0
+          AND tot.doc_id NOT IN (SELECT vec_id FROM hits)
+    ), packed AS (
+        SELECT doc_id, n_chunks, n_kept, pack_stream,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT)
+                   AS token_start,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS token_end
+        FROM alive
+        WINDOW w AS (PARTITION BY pack_stream ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT doc_id, n_chunks, n_kept, pack_stream, n_tokens, token_start,
+           CAST(floor(token_start / 512.0) AS BIGINT) AS pack_id,
+           token_start % 512 AS pack_offset,
+           token_end > (floor(token_start / 512.0) + 1) * 512
+               AS split_across
+    FROM packed
+    """,
+)
+def pipe_end_to_end_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline v8 — the INGEST + DECON path (round 14): v6's
+    cross-document passage dedup + reassembly (`chunk_dedup_docs`,
+    4-token chunks, drop fully-deduped docs), then a SEMANTIC
+    decontamination gate over the survivors' embeddings
+    (`semantic_contamination` vs the x1.25 re-encode benchmark, anti-
+    join on the flagged set — a doc with no embedding row survives,
+    the v7 convention), then 512-token Lehmer-stream sequence packing
+    over what remains. This is the batch twin of the STREAMING
+    composition `streaming/ingest.py::semantic_decon_ingest_writer` +
+    `chunk_dedup_ingest_writer`: the drain-parity test pins that
+    draining both foreachBatch ingests (including a crash replay) and
+    composing their outputs reproduces THIS query bit-for-bit, so the
+    oracle hard-checks the incremental decon too. Packing runs AFTER
+    the gate — token offsets are over the decontaminated stream, the
+    order a real pipeline needs (dropping flagged docs post-packing
+    would leave holes in every pack)."""
+    from usgs_lidar_spark.functions.textstats import token_count
+    from usgs_lidar_spark.operators.dedup import chunk_dedup_docs
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+    from usgs_lidar_spark.operators.similarity import semantic_contamination
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ded = chunk_dedup_docs(d, chunk_tokens=4).filter(F.col("n_kept") > 0)
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 48).collect()
+    ] or [(0, [0.0])]
+    flagged = (
+        semantic_contamination(emb, bench, cents, threshold=0.99)
+        .filter("contaminated")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    clean = ded.join(flagged, "doc_id", "left_anti")
+    return pack_sequences(
+        clean.select("doc_id", "n_chunks", "n_kept", "new_text"),
+        "doc_id",
+        token_count("new_text"),
+        budget=512,
+        n_streams=8,
+    ).select(
+        "doc_id", "n_chunks", "n_kept", "pack_stream", "n_tokens",
+        "token_start", "pack_id", "pack_offset", "split_across",
+    )

@@ -246,3 +246,93 @@ def run_chunk_dedup_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def semantic_decon_ingest_writer(
+    bench: DataFrame,
+    centroids,
+    out_path: str,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_pack_size: int | None = None,
+    sub_bits: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback for INCREMENTAL semantic test-set
+    decontamination (round 14 — r13 verdict item 4): flag each arriving
+    corpus micro-batch against a FIXED benchmark
+    (`operators/similarity.semantic_contamination`) and publish the
+    flags to ``out/batch_id=<n>`` with overwrite.
+
+    Why this needs NO digest store (unlike `chunk_dedup_ingest_writer`):
+    a decon flag is a pure per-corpus-row function of (row, benchmark) —
+    the operator's own immutability contract ("flags for a fixed
+    benchmark are immutable under corpus appends") — so batches share no
+    state, a replayed batch recomputes byte-identical flags from its own
+    rows alone, and the batch_id-keyed overwrite makes every write
+    idempotent. Exactly-once falls out of purity + addressable output;
+    there is no history to version because there is no history.
+
+    Drain parity: with ANY batch split of the corpus, the union of
+    published flags equals the one-shot `semantic_contamination` over
+    the full corpus bit-for-bit — pinned (including a crash replay in
+    the write→commit window) by
+    tests/test_streaming.py::test_streaming_semantic_decon_ingest.
+
+    Scale: per batch the corpus side still moves ZERO bytes (map-side
+    assignment + broadcast/cell-keyed bench pack — the batch operator's
+    own plan); the benchmark assignment is recomputed per batch, which
+    is the deliberate trade for statelessness — pre-assign and persist
+    the packed bench once if the benchmark is large (the `bcells` frame
+    is bench-sized, the same budget class as the digest store)."""
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        from usgs_lidar_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        flags = semantic_contamination(
+            batch,
+            bench,
+            centroids,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_pack_size=max_pack_size,
+            sub_bits=sub_bits,
+        )
+        flags.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return ingest
+
+
+def run_semantic_decon_ingest(
+    stream_df: DataFrame,
+    bench: DataFrame,
+    centroids,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_pack_size: int | None = None,
+    sub_bits: int = 8,
+) -> None:
+    """Drain all available corpus input through the incremental decon
+    (availableNow trigger). Restart with the same checkpoint resumes
+    after the last committed batch; replays rewrite identical bytes
+    into the same batch_id directory (see writer docstring)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            semantic_decon_ingest_writer(
+                bench, centroids, out_path, threshold,
+                vec_col, id_col, max_pack_size, sub_bits,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
