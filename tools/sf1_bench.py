@@ -59,7 +59,26 @@ QUERIES_UNDER_TEST = [
     "dedup_cluster_keep_best",
     "pipe_semantic_decontamination",
     "pipe_end_to_end_v7",
+    # round 14 (r13 verdict item 5): sf1 points for the two tiers with
+    # the densest shuffles that previously had only 1x/10x SCALE rows —
+    # retrieval (BM25 build-per-call + hybrid RRF fusion) and the
+    # persisted-edge graph serving pair.
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "graph_pagerank_from_edges",
+    "graph_triangles_from_edges",
 ]
+
+#: Queries whose CLAIM is steady-state serving from a persisted
+#: artifact (the bucketed edge table): warm at the TARGET sf_dir so the
+#: timed run measures serving, not the iteration-invariant build the
+#: from_edges split exists to amortize (tools/scale_round8.py measured
+#: the build separately). Everything else keeps the sf0.001 warmup
+#: (plan compile only) so existing rows stay comparable.
+WARM_AT_TARGET = {
+    "graph_pagerank_from_edges",
+    "graph_triangles_from_edges",
+}
 
 
 def build_sf1() -> None:
@@ -145,6 +164,19 @@ def run_query(name: str, sf_dir: str, tag: str) -> dict:
     force = _force if name in HASH_FORCED else (lambda df: df.count())
     # One untimed warmup at the smallest SF compiles the plan shape, so
     # the timed run measures steady-state execution (bench.py convention).
+    # Persisted-artifact serving queries (WARM_AT_TARGET) additionally
+    # warm at the TARGET dir in a SEPARATE session first, so the build
+    # lands in neither the timed wall NOR this log's shuffle totals —
+    # the timed session re-registers the existing files (the external-
+    # table DDL branch) and measures pure serving.
+    if name in WARM_AT_TARGET:
+        spark.stop()
+        warm_log = WORK / f"log_{name}_{tag}_warm"
+        shutil.rmtree(warm_log, ignore_errors=True)
+        wspark = make_session(f"{name}-{tag}-warm", warm_log)
+        force(QUERIES[name](wspark, sf_dir))
+        wspark.stop()
+        spark = make_session(f"{name}-{tag}", log_dir)
     force(QUERIES[name](spark, "/root/testdata/sf0.001"))
     t0 = time.perf_counter()
     n_rows = force(QUERIES[name](spark, sf_dir))
