@@ -5940,3 +5940,55 @@ def test_viterbi_min_cost_weighted_optimum(spark):
         for r in viterbi_min_pieces(docs, vocab.select("piece")).collect()
     }
     assert unit == pieces
+
+
+def test_near_dup_dhash_combo_lossless_and_guards(spark):
+    """The band-combination join (8 bands / combo 2): at radius <= 6 it
+    finds EVERY pair a brute-force 128-bit Hamming scan finds
+    (pigeonhole: 6 differing bits leave >= 2 intact bands => >= 1
+    intact combination), on a population with planted 1-6-bit
+    perturbations and pseudo-random far pairs. The generalized packer
+    at n_bands=4 must equal the classic 64-bit packer bit-for-bit, and
+    the radius/combo guards must fail loudly."""
+    import itertools
+    import pytest as _pytest
+
+    from usgs_lidar_spark.multimodal import near_dup_media_by_dhash_combo
+    from usgs_lidar_spark.multimodal.binary_ops import (
+        _pack_dhash_bands,
+        _pack_dhash_bands_n,
+    )
+
+    px = [(i * 37 + 11) % 251 for i in range(72)]
+    assert _pack_dhash_bands_n(px, 4) == _pack_dhash_bands(px)
+
+    rows = []
+    for i in range(30):
+        rows.append(
+            (i, *[(i * 7919 + q * 104729) % 65536 for q in range(8)])
+        )
+    for i in range(30, 55):
+        b = list(rows[i - 30][1:])
+        for f in range(1 + i % 6):           # 1..6 bit flips
+            b[(i + f) % 8] ^= 1 << ((i * 3 + f) % 16)
+        rows.append((i, *b))
+    schema = "media_id long, " + ", ".join(f"b{q} long" for q in range(8))
+    hashes = spark.createDataFrame(rows, schema)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in near_dup_media_by_dhash_combo(
+            hashes, max_hamming=6, n_bands=8, combo=2
+        ).collect()
+    }
+    want = {}
+    for (ia, *ba), (ib, *bb) in itertools.combinations(rows, 2):
+        h = sum(bin(x ^ y).count("1") for x, y in zip(ba, bb))
+        if h <= 6:
+            want[(min(ia, ib), max(ia, ib))] = h
+    assert got == want and len(want) >= 15
+    with _pytest.raises(ValueError, match="max_hamming"):
+        near_dup_media_by_dhash_combo(hashes, max_hamming=7, n_bands=8,
+                                      combo=2)
+    with _pytest.raises(ValueError, match="combo"):
+        near_dup_media_by_dhash_combo(hashes, max_hamming=2, n_bands=8,
+                                      combo=8)

@@ -240,6 +240,43 @@ def decon_jammed_bench(tag: str, n_bench: int) -> dict:
     return timed("decon_jammed_bench", tag, run)
 
 
+def dhash_combo(tag: str, n: int) -> dict:
+    """The wide-hash band-COMBINATION variant of dhash_neardup: 128-bit
+    `fake_dhash_image_wide` + `near_dup_media_by_dhash_combo` (8 bands,
+    combo 2, radius 6). Exploded rows are C(8,2)=7x the single-band
+    join's per item, but bucket keys are 32 bits — the trade that wins
+    once uniform 16-bit buckets hold multiple rows (corpus in the low
+    millions; analytic crossover, the measured claim here is that the
+    combo plan itself stays linear and affordable at these sizes)."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image_wide,
+        near_dup_media_by_dhash_combo,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+
+    def run(spark) -> int:
+        media = _media(spark, n).localCheckpoint()
+        hashes = fake_dhash_image_wide(media, n_bands=8)
+        pairs = near_dup_media_by_dhash_combo(
+            hashes, max_hamming=6, n_bands=8, combo=2
+        )
+        out = collapse_clusters(
+            media.select("media_id"), pairs,
+            id_col="media_id", pair_a="id_a", pair_b="id_b",
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64(*out.columns), F.lit(1_000_000_007))
+            ).alias("h"),
+            F.sum(F.col("is_kept").cast("long")).alias("kept"),
+        ).collect()[0]
+        print(f"    [{tag}] rows={row['n']} kept={row['kept']}")
+        return int(row["n"])
+
+    return timed("dhash_combo", tag, run)
+
+
 def main() -> None:
     which = sys.argv[1:] or ["dhash_neardup", "decon_jammed_bench"]
     if "dhash_neardup" in which:
@@ -248,6 +285,9 @@ def main() -> None:
     if "decon_jammed_bench" in which:
         for tag, n in DECON_BENCH.items():
             print(json.dumps(decon_jammed_bench(tag, n)), flush=True)
+    if "dhash_combo" in which:
+        for tag, n in DHASH_N.items():
+            print(json.dumps(dhash_combo(tag, n)), flush=True)
 
 
 if __name__ == "__main__":

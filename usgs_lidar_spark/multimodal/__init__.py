@@ -37,9 +37,11 @@ from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     dhash_image,
     fake_decode_image,
     fake_dhash_image,
+    fake_dhash_image_wide,
     fake_resize_image,
     have_pil,
     near_dup_media_by_dhash,
+    near_dup_media_by_dhash_combo,
     probe_image_dims,
     resize_image,
     sample_frames,

@@ -657,3 +657,143 @@ def near_dup_media_by_dhash(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def _dhash_schema(n_bands: int) -> T.StructType:
+    """DHASH_SCHEMA generalized to ``n_bands`` 16-bit bands (b0..b{n-1})."""
+    return T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [T.StructField(f"b{q}", T.LongType()) for q in range(n_bands)]
+    )
+
+
+def _pack_dhash_bands_n(pixels: list[int], n_bands: int) -> tuple[int, ...]:
+    """16*n_bands adjacent-pixel comparisons over a row-major
+    8 x (2*n_bands + 1) grid -> ``n_bands`` 16-bit bands. Comparison j
+    (row r = j // (2*n_bands), col c = j % (2*n_bands)) sets bit j%16
+    of band j//16 iff pixel(r,c) > pixel(r,c+1). n_bands=4 is the
+    classic 64-bit dHash `_pack_dhash_bands` packs."""
+    per_row = 2 * n_bands
+    cols = per_row + 1
+    bands = [0] * n_bands
+    for j in range(16 * n_bands):
+        r, c = divmod(j, per_row)
+        if pixels[r * cols + c] > pixels[r * cols + c + 1]:
+            bands[j // 16] |= 1 << (j % 16)
+    return tuple(bands)
+
+
+def fake_dhash_image_wide(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """`fake_dhash_image` at a WIDER fingerprint: the byte-grid decode
+    samples 8 x (2*n_bands + 1) bytes (s_k = byte (k*n)//(8*(2b+1))) and
+    packs 16*n_bands comparisons into ``n_bands`` 16-bit bands — at
+    n_bands=8 a 128-bit dHash, the fingerprint width the band-
+    COMBINATION join (`near_dup_media_by_dhash_combo`) needs to kill
+    the 16-bit-bucket birthday term at large corpus sizes. Same pure-
+    integer contract as the 4-band tier: a SQL engine replays it
+    byte-for-byte (mm_near_dedup_wide's oracle does). n_bands=4 + the
+    single-band join is exactly the `fake_dhash_image` path."""
+    if not 2 <= int(n_bands) <= 16:
+        raise ValueError(f"n_bands must be in [2, 16], got {n_bands}")
+    n_samples = 8 * (2 * n_bands + 1)
+    schema = _dhash_schema(n_bands)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b) -> tuple[int, ...]:
+            b = bytes(b) if b is not None else b""
+            n = len(b)
+            if n == 0:
+                return tuple([0] * n_bands)
+            samples = [b[(k * n) // n_samples] for k in range(n_samples)]
+            return _pack_dhash_bands_n(samples, n_bands)
+
+        for pdf in batches:
+            bands = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{
+                        f"b{q}": bands.map(lambda t, q=q: t[q]).astype(
+                            "int64"
+                        )
+                        for q in range(n_bands)
+                    },
+                }
+            )
+
+    return media.mapInPandas(hash_batch, schema)
+
+
+def near_dup_media_by_dhash_combo(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    combo: int = 2,
+) -> DataFrame:
+    """Band-COMBINATION near-dup pairs (Manku/Das/Sarma 2007's simhash
+    block-permutation trick, §3, applied to dHash bands): candidates
+    must agree on an ENTIRE ``combo``-band combination, joined on the
+    C(n_bands, combo) composite keys. Pigeonhole: a pair within Hamming
+    ``max_hamming`` has >= n_bands - max_hamming intact bands, so any
+    radius <= n_bands - combo is LOSSLESS (validated loudly); at the
+    defaults (8 bands / combo 2 / radius 6) that is a WIDER exact
+    radius than the single-band 4x16 path's 3.
+
+    Why this kills the birthday term the single-band join pays
+    (SCALE.md round 14): bucket keys are combo*16 bits wide, so uniform
+    occupancy drops from n/2^16 to n/2^32 per bucket — candidate volume
+    C(8,2)/C(4,1) = 7x more exploded rows per item but ~2^16/7x fewer
+    collision pairs at large n; the crossover is at corpus sizes in the
+    low millions, exactly where the single-band join's quadratic
+    candidates start to bite. Exploded rows still carry only (id,
+    n_bands longs): payloads never move.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair."""
+    import itertools
+
+    if not 1 <= int(combo) < int(n_bands):
+        raise ValueError(f"combo must be in [1, {n_bands - 1}], got {combo}")
+    if not 0 <= int(max_hamming) <= int(n_bands) - int(combo):
+        raise ValueError(
+            f"max_hamming must be in [0, {n_bands - combo}] for "
+            f"{n_bands}-band combo-{combo} joins (a pair with more "
+            "differing bits can avoid every intact combination), got "
+            f"{max_hamming}"
+        )
+    bcols = [f"b{q}" for q in range(n_bands)]
+    combos = list(itertools.combinations(range(n_bands), combo))
+    keys = F.posexplode(
+        F.array(
+            *[
+                F.struct(
+                    *[F.col(bcols[q]).alias(f"k{i}") for i, q in enumerate(c)]
+                )
+                for c in combos
+            ]
+        )
+    ).alias("combo_idx", "combo_key")
+    keyed = hashes.select("media_id", *bcols, keys)
+    a = keyed.select(
+        "combo_idx",
+        "combo_key",
+        F.col("media_id").alias("id_a"),
+        *[F.col(b).alias(f"a{q}") for q, b in enumerate(bcols)],
+    )
+    b = keyed.select(
+        "combo_idx",
+        "combo_key",
+        F.col("media_id").alias("id_b"),
+        *[F.col(bb).alias(f"c{q}") for q, bb in enumerate(bcols)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{q}").bitwiseXOR(F.col(f"c{q}")))
+        for q in range(n_bands)
+    ).cast("long")
+    return (
+        a.join(b, ["combo_idx", "combo_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

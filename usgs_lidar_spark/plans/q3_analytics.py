@@ -1948,3 +1948,127 @@ def mm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.select(F.col("media_id")), pairs,
         id_col="media_id", pair_a="id_a", pair_b="id_b",
     )
+
+
+def _dhash_band_sql_wide(q: int, n_bands: int, src: str = "smp") -> str:
+    """`_dhash_band_sql` generalized to an 8 x (2*n_bands+1) grid: the
+    comparison index j = 16q+m sits at grid row j // (2*n_bands), col
+    j % (2*n_bands) — exact mirror of
+    multimodal/binary_ops._pack_dhash_bands_n."""
+    pr, cols = 2 * n_bands, 2 * n_bands + 1
+    return f"""CAST(list_sum(list_transform(range(0, 16), j ->
+        CASE WHEN {src}[CAST(((16*{q}+j)//{pr})*{cols}
+                            + ((16*{q}+j)%{pr}) + 1 AS INTEGER)]
+                > {src}[CAST(((16*{q}+j)//{pr})*{cols}
+                             + ((16*{q}+j)%{pr}) + 2 AS INTEGER)]
+             THEN (1 << CAST(j AS INTEGER)) ELSE 0 END)) AS BIGINT)"""
+
+
+#: 128-bit (8-band) dHash CTE over media table m — 136 byte-grid samples.
+_DHASH8_CTE = f"""s AS (
+  SELECT media_id, length(text) AS n,
+         CASE WHEN length(text) = 0 THEN NULL
+              ELSE list_transform(range(0, 136),
+                 k -> ord(substr(text,
+                          CAST(k * length(text) // 136 AS INTEGER) + 1, 1)))
+         END AS smp
+  FROM m
+), h AS (
+  SELECT media_id,
+         {", ".join(
+             f"CASE WHEN n = 0 THEN 0 ELSE {_dhash_band_sql_wide(q, 8)} END"
+             f" AS b{q}"
+             for q in range(8)
+         )}
+  FROM s
+)"""
+
+
+@query(
+    "mm_near_dedup_wide",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS media_id,
+               substr(text, 1, length(text) // 2)
+                 || '~' || substr(text, length(text) // 2 + 2) AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_DHASH8_CTE},
+    pairs AS (
+      -- band-COMBINATION candidates: >= 1 intact 2-band combo
+      -- <=> >= 2 agreeing bands; radius 6 is pigeonhole-lossless at
+      -- 8 bands / combo 2.
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND ({" + ".join(
+               f"CASE WHEN a.b{q} = b.b{q} THEN 1 ELSE 0 END"
+               for q in range(8)
+           )}) >= 2
+      WHERE ({" + ".join(
+                f"bit_count(xor(a.b{q}, b.b{q}))" for q in range(8)
+            )}) <= 6
+    ), edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(id, reach) AS (
+        SELECT media_id, media_id FROM m
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS media_id, min(reach) AS cluster_id
+           FROM walk GROUP BY id),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY cluster_id)
+    SELECT cc.media_id, CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+           CAST(csize.cluster_size AS BIGINT) AS cluster_size,
+           cc.media_id = cc.cluster_id AS is_kept
+    FROM cc JOIN csize USING (cluster_id)
+    """,
+)
+def mm_near_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup at the WIDE fingerprint (round 14, the
+    birthday-term fix the 4-band SCALE row names): 128-bit dHash
+    (`fake_dhash_image_wide`, 8 bands) with the band-COMBINATION join
+    (`near_dup_media_by_dhash_combo`, combo=2 — Manku's simhash block
+    trick): candidates must agree on a whole 2-band combination, so
+    bucket keys are 32 bits wide and uniform occupancy drops 2^16x vs
+    the single-band join, while radius <= 6 stays pigeonhole-LOSSLESS
+    (vs 3 at 4x16). Same planted fixture as `mm_near_dedup` (every 7th
+    payload re-uploaded with one middle byte swapped) and the same
+    keeper contract: the one-byte perturbation lands within radius 6
+    of the wider hash, so every re-upload must rejoin its original.
+    The oracle replays the 136-sample grid hash, the >=2-agreeing-bands
+    candidate rule (exactly the union of combo joins), the radius, and
+    the components."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image_wide,
+        near_dup_media_by_dhash_combo,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr(
+                "substring(text, CAST(length(text) / 2 AS INT) + 2)"
+            ),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.select("doc_id", "text").unionByName(reup), "doc_id", "text"
+    )
+    hashes = fake_dhash_image_wide(media, n_bands=8)
+    pairs = near_dup_media_by_dhash_combo(
+        hashes, max_hamming=6, n_bands=8, combo=2
+    )
+    return collapse_clusters(
+        media.select(F.col("media_id")), pairs,
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
