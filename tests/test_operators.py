@@ -5992,3 +5992,48 @@ def test_near_dup_dhash_combo_lossless_and_guards(spark):
     with _pytest.raises(ValueError, match="combo"):
         near_dup_media_by_dhash_combo(hashes, max_hamming=2, n_bands=8,
                                       combo=8)
+
+
+def test_audio_energy_fingerprint_contract(spark):
+    """The audio near-dup fingerprint: (1) a one-sample edit flips at
+    most 2 comparison bits (each block is contiguous, only its two
+    boundary comparisons can change), so the edited copy pairs with
+    its original at radius 3; (2) payloads under 65 samples emit NULL
+    bands and NEVER pair — singletons, not a degenerate cluster; (3)
+    deterministic under repartitioning."""
+    from usgs_lidar_spark.multimodal import (
+        audio_energy_fingerprint,
+        near_dup_media_by_dhash,
+    )
+
+    loud = bytes((128 + ((i * 37) % 90) - 45) % 256 for i in range(400))
+    edited = loud[:200] + bytes([loud[200] ^ 0x55]) + loud[201:]
+    other = bytes((128 + ((i * 53 + 7) % 90) - 45) % 256
+                  for i in range(400))
+    media = spark.createDataFrame(
+        [(1, loud), (2, edited), (3, other), (4, b"tiny"), (5, b"tiny")],
+        "media_id long, content binary",
+    )
+    fps = audio_energy_fingerprint(media)
+    rows = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in fps.collect()}
+    assert rows[4] == (None, None, None, None)
+    assert rows[5] == (None, None, None, None)
+    ham12 = sum(
+        bin(a ^ b).count("1") for a, b in zip(rows[1], rows[2])
+    )
+    # one edit moves one block's energy: at most the block's 2 boundary
+    # comparisons can flip (0 when the energy ORDER is preserved)
+    assert ham12 <= 2
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_media_by_dhash(fps, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+    # identical too-short payloads must NOT pair (NULL bands match
+    # nothing), and nothing pairs with the unrelated profile
+    assert (4, 5) not in pairs
+    assert not any(3 in p or 4 in p or 5 in p for p in pairs)
+    rows2 = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+             for r in audio_energy_fingerprint(media.repartition(4)).collect()}
+    assert rows2 == rows

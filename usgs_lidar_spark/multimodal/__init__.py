@@ -30,6 +30,7 @@ from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     FRAMES_SCHEMA,
     MEDIA_SCHEMA,
     RESIZED_SCHEMA,
+    audio_energy_fingerprint,
     audio_rms_windows,
     binary_feature_extract,
     decode_image,

@@ -2072,3 +2072,121 @@ def mm_near_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.select(F.col("media_id")), pairs,
         id_col="media_id", pair_a="id_a", pair_b="id_b",
     )
+
+
+def _audio_band_sql(q: int) -> str:
+    """DuckDB expression for audio-energy band ``q``: 64 adjacent
+    comparisons over the 65-block energy list — the exact packing of
+    multimodal/binary_ops.audio_energy_fingerprint."""
+    return f"""CAST(list_sum(list_transform(range(0, 16), j ->
+        CASE WHEN en[CAST(16*{q}+j+1 AS INTEGER)]
+                > en[CAST(16*{q}+j+2 AS INTEGER)]
+             THEN (1 << CAST(j AS INTEGER)) ELSE 0 END)) AS BIGINT)"""
+
+
+@query(
+    "mm_audio_near_dedup",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        -- near re-uploads: every 11th payload reappears with ONE middle
+        -- sample changed — exact content dedup misses it; the energy
+        -- profile moves by <= 2 comparison bits.
+        SELECT doc_id + 100000 AS media_id,
+               substr(text, 1, length(text) // 2)
+                 || '~' || substr(text, length(text) // 2 + 2) AS text
+        FROM documents WHERE doc_id % 11 = 0
+    ), e AS (
+      SELECT media_id, length(text) AS n,
+             CASE WHEN length(text) < 65 THEN NULL ELSE
+               list_transform(range(0, 65), k ->
+                 list_sum(list_transform(
+                   list_transform(
+                     range(CAST(k * length(text) // 65 AS INTEGER),
+                           CAST((k+1) * length(text) // 65 AS INTEGER)),
+                     p -> CAST(ord(substr(text, CAST(p AS INTEGER) + 1, 1))
+                               AS BIGINT) - 128),
+                   x -> x * x)))
+             END AS en
+      FROM m
+    ), h AS (
+      SELECT media_id,
+             CASE WHEN en IS NULL THEN NULL ELSE {_audio_band_sql(0)} END
+                 AS b0,
+             CASE WHEN en IS NULL THEN NULL ELSE {_audio_band_sql(1)} END
+                 AS b1,
+             CASE WHEN en IS NULL THEN NULL ELSE {_audio_band_sql(2)} END
+                 AS b2,
+             CASE WHEN en IS NULL THEN NULL ELSE {_audio_band_sql(3)} END
+                 AS b3
+      FROM e
+    ), pairs AS (
+      -- NULL bands match nothing (equality-with-NULL), so too-short
+      -- payloads never pair — mirrored exactly by the Spark join.
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ), edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(id, reach) AS (
+        SELECT media_id, media_id FROM m
+        UNION
+        SELECT w.id, e2.v FROM walk w JOIN edges e2 ON e2.u = w.reach
+    ),
+    cc AS (SELECT id AS media_id, min(reach) AS cluster_id
+           FROM walk GROUP BY id),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY cluster_id)
+    SELECT cc.media_id, CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+           CAST(csize.cluster_size AS BIGINT) AS cluster_size,
+           cc.media_id = cc.cluster_id AS is_kept
+    FROM cc JOIN csize USING (cluster_id)
+    """,
+)
+def mm_audio_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup (round 14 — completes the modality
+    matrix: text, embeddings, image, now audio): energy-profile
+    difference hash (`audio_energy_fingerprint` — 65 length-normalized
+    blocks, int64-exact sumsq energies, 64 adjacent comparisons as
+    four 16-bit bands) into the SAME modality-agnostic banded join and
+    CC keeper as the image tier. Fixture: documents' bytes as u8 PCM
+    plus every 11th payload re-uploaded with one middle sample changed
+    — at sf0.01, 44 of 46 re-uploads must rejoin their originals and
+    the 2 too-short ones (< 65 samples → NULL bands) must stay
+    SINGLETONS, never pair (546 rows, 502 keepers, zero spurious
+    clusters — the fixed-window design this replaced jammed 255
+    unrelated docs, see the operator docstring). The oracle replays
+    blocks, energies, packing, NULL-band exclusion, banding, radius,
+    and components exactly."""
+    from usgs_lidar_spark.multimodal import (
+        audio_energy_fingerprint,
+        near_dup_media_by_dhash,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr(
+                "substring(text, CAST(length(text) / 2 AS INT) + 2)"
+            ),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.select("doc_id", "text").unionByName(reup), "doc_id", "text"
+    )
+    hashes = audio_energy_fingerprint(media)
+    pairs = near_dup_media_by_dhash(hashes, max_hamming=3)
+    return collapse_clusters(
+        media.select(F.col("media_id")), pairs,
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
