@@ -6037,3 +6037,57 @@ def test_audio_energy_fingerprint_contract(spark):
     rows2 = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
              for r in audio_energy_fingerprint(media.repartition(4)).collect()}
     assert rows2 == rows
+
+
+def test_near_dup_video_by_frames_contract(spark):
+    """Frame-set containment near-dup: a trimmed copy (first frame
+    dropped) pairs at containment 1.0 where Jaccard would dilute it; a
+    video sharing half its frames does NOT pass 0.9; the df cap drops
+    a stop-frame shared by everything BEFORE pairing (so unrelated
+    videos sharing only the stop-frame never pair); payloads under one
+    frame have no digests and never pair. Deterministic under
+    repartitioning."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.multimodal import near_dup_video_by_frames
+
+    f = lambda ch: bytes([ch]) * 8  # noqa: E731  8-byte frames
+    stop = f(0)
+    v1 = stop + f(1) + f(2) + f(3) + f(4)
+    v1_trim = f(1) + f(2) + f(3) + f(4)          # minus frame 0
+    v_half = stop + f(1) + f(2) + f(9) + f(8)    # shares 3 of 5 sigs
+    v_other = stop + f(5) + f(6) + f(7)
+    tiny = b"abc"
+    media = spark.createDataFrame(
+        [(1, v1), (2, v1_trim), (3, v_half), (4, v_other), (5, tiny)],
+        "media_id long, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["shared_frames"], r["containment"])
+        for r in near_dup_video_by_frames(
+            media, frame_size=8, min_containment=0.9, max_df=2
+        ).collect()
+    }
+    # df cap at 2 drops stop (df 3) AND f1/f2 (df 3, shared with
+    # v_half): v1 and v1_trim survive with {f3, f4} each -> shared 2,
+    # containment 1.0; v1/v_half keep no common sigs at all.
+    assert pairs == {(1, 2): (2, 1.0)}
+    # without the cap the stop-frame alone must STILL not pair
+    # unrelated videos (1 shared / min 4 sigs = 0.25)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_video_by_frames(
+            media, frame_size=8, min_containment=0.9
+        ).collect()
+    }
+    assert uncapped == {(1, 2)}
+    again = {
+        (r["id_a"], r["id_b"]): (r["shared_frames"], r["containment"])
+        for r in near_dup_video_by_frames(
+            media.repartition(4), frame_size=8, min_containment=0.9,
+            max_df=2,
+        ).collect()
+    }
+    assert again == pairs
+    with _pytest.raises(ValueError, match="min_containment"):
+        near_dup_video_by_frames(media, frame_size=8, min_containment=0.0)

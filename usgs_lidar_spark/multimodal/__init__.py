@@ -43,6 +43,7 @@ from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     have_pil,
     near_dup_media_by_dhash,
     near_dup_media_by_dhash_combo,
+    near_dup_video_by_frames,
     probe_image_dims,
     resize_image,
     sample_frames,

@@ -866,3 +866,86 @@ def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(fp, DHASH_SCHEMA)
+
+
+def near_dup_video_by_frames(
+    media: DataFrame,
+    frame_size: int,
+    min_containment: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Perceptual VIDEO near-dup pairs — frame-set containment (the
+    content-ID shape: two videos are near-dups when most of the
+    shorter one's distinct frames appear in the other, which catches
+    trims, re-muxes, and frame-accurate re-uploads that byte-level
+    md5 misses the moment one frame differs):
+
+      1. `sample_frames` splits each payload into complete
+         ``frame_size``-byte frames (raw frame buffers — the module's
+         standing decode stand-in; a codec tier slots in behind the
+         same contract);
+      2. each frame reduces to its md5 digest, distinct per video —
+         frame identity here is EXACT; for decoded image frames the
+         dHash tiers compose in this slot (hash the frame, band it),
+         trading exactness for per-frame perceptual tolerance;
+      3. candidate pairs come from the digest equi-self-join — videos
+         meet ONLY through shared frames, never all-pairs — and
+         ``containment = shared / least(n_a, n_b)`` keeps a trimmed
+         copy at 1.0 (every surviving frame matches) where Jaccard
+         would dilute it;
+      4. ``max_df`` drops digests present in more than that many
+         videos BEFORE pairing (both the sig counts and the shared
+         counts see the capped set, so containment stays consistent):
+         stop-frames — black frames, title cards — are the hot keys of
+         this join, the same df-cap contract as `minhash_lsh_pairs`.
+
+    Videos with zero complete frames (payload < frame_size) have no
+    digests and never pair — singletons, the audio tier's too-short
+    convention. Only (video id, 16-byte digest) rows shuffle; frame
+    BYTES never leave their scan stage.
+
+    Returns (id_a, id_b, shared_frames, containment) with id_a < id_b."""
+    if not 0.0 < float(min_containment) <= 1.0:
+        raise ValueError(
+            f"min_containment must be in (0, 1], got {min_containment}"
+        )
+    frames = sample_frames(media, frame_size)
+    sigs = frames.select(
+        "media_id", F.md5(F.col("frame")).alias("digest")
+    ).distinct()
+    if max_df is not None:
+        ok = (
+            sigs.groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= int(max_df))
+            .select("digest")
+        )
+        sigs = sigs.join(ok, "digest")
+    counts = sigs.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sigs")
+    )
+    a = sigs.select(F.col("media_id").alias("id_a"), "digest")
+    b = sigs.select(F.col("media_id").alias("id_b"), "digest")
+    shared = (
+        a.join(b, "digest")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+    )
+    ca = counts.select(
+        F.col("media_id").alias("id_a"), F.col("n_sigs").alias("__na")
+    )
+    cb = counts.select(
+        F.col("media_id").alias("id_b"), F.col("n_sigs").alias("__nb")
+    )
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("shared_frames").cast("double")
+            / F.least("__na", "__nb"),
+        )
+        .filter(F.col("containment") >= float(min_containment))
+        .select("id_a", "id_b", "shared_frames", "containment")
+    )

@@ -2190,3 +2190,96 @@ def mm_audio_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.select(F.col("media_id")), pairs,
         id_col="media_id", pair_a="id_a", pair_b="id_b",
     )
+
+
+@query(
+    "mm_video_near_dedup",
+    oracle="""
+    WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        -- trimmed re-uploads: every 13th video reappears minus its
+        -- first 32-byte frame — byte-level md5 misses it, the frame
+        -- SET is near-identical (containment 1.0 on survivors).
+        SELECT doc_id + 100000 AS media_id, substr(text, 33) AS text
+        FROM documents WHERE doc_id % 13 = 0
+    ), fr AS (
+        SELECT media_id,
+               md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS digest
+        FROM m, LATERAL (SELECT unnest(range(0, length(text) // 32)) AS i) s
+    ), sigs AS (SELECT DISTINCT media_id, digest FROM fr),
+    ok_digests AS (
+        SELECT digest FROM sigs GROUP BY digest HAVING count(*) <= 20
+    ), capped AS (
+        SELECT s.media_id, s.digest
+        FROM sigs s JOIN ok_digests USING (digest)
+    ), counts AS (
+        SELECT media_id, CAST(count(*) AS BIGINT) AS n_sigs
+        FROM capped GROUP BY media_id
+    ), shared AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared_frames
+        FROM capped a JOIN capped b
+          ON a.digest = b.digest AND a.media_id < b.media_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN counts ca ON ca.media_id = s.id_a
+        JOIN counts cb ON cb.media_id = s.id_b
+        WHERE CAST(s.shared_frames AS DOUBLE)
+              / least(ca.n_sigs, cb.n_sigs) >= 0.9
+    ), edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(id, reach) AS (
+        SELECT media_id, media_id FROM m
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS media_id, min(reach) AS cluster_id
+           FROM walk GROUP BY id),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY cluster_id)
+    SELECT cc.media_id, CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+           CAST(csize.cluster_size AS BIGINT) AS cluster_size,
+           cc.media_id = cc.cluster_id AS is_kept
+    FROM cc JOIN csize USING (cluster_id)
+    """,
+)
+def mm_video_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup (round 14 — the last modality:
+    frame-SET containment via `near_dup_video_by_frames` over
+    `sample_frames`, the content-ID shape): payloads split into 32-byte
+    raw frames, distinct per-frame md5 digests, videos paired through
+    shared digests (df-capped at 20 — the stop-frame hot-key guard)
+    with containment = shared / least(n_a, n_b) >= 0.9, then the
+    shared CC keeper. Fixture: documents' bytes as frame buffers plus
+    every 13th payload re-uploaded TRIMMED by its first frame — exact
+    content dedup misses every one; here 36 of 39 must rejoin their
+    originals (the 3 with under two complete frames stay singletons —
+    the too-short convention), and 24 original pairs differing only in
+    the dropped partial tail frame merge because their complete-frame
+    sets are IDENTICAL — genuinely the same video under this
+    definition, mirrored by the oracle. Only (id, digest) rows
+    shuffle; frame bytes never leave their scan stage."""
+    from usgs_lidar_spark.multimodal import (
+        near_dup_video_by_frames,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    reup = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 33)").alias("text"),
+    )
+    media = to_media_table(
+        d.select("doc_id", "text").unionByName(reup), "doc_id", "text"
+    )
+    pairs = near_dup_video_by_frames(
+        media, frame_size=32, min_containment=0.9, max_df=20
+    )
+    return collapse_clusters(
+        media.select(F.col("media_id")), pairs,
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
