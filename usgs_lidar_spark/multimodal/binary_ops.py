@@ -629,7 +629,12 @@ def near_dup_media_by_dhash(
     bands = F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
         "band_idx", "band_val"
     )
-    keyed = hashes.select("media_id", "b0", "b1", "b2", "b3", bands)
+    # Pin the hash frame ONCE: both self-join sides consume it, and
+    # without the pin the upstream hash pass (a mapInPandas decode at
+    # the real tiers) executes once per side — the engine-wide
+    # consumed-twice convention (semdedup's assigned-frame pin).
+    pinned = hashes.localCheckpoint(eager=False)
+    keyed = pinned.select("media_id", "b0", "b1", "b2", "b3", bands)
     a = keyed.select(
         F.col("band_idx"),
         F.col("band_val"),
@@ -772,7 +777,10 @@ def near_dup_media_by_dhash_combo(
             ]
         )
     ).alias("combo_idx", "combo_key")
-    keyed = hashes.select("media_id", *bcols, keys)
+    # consumed-twice pin, as in near_dup_media_by_dhash
+    keyed = hashes.localCheckpoint(eager=False).select(
+        "media_id", *bcols, keys
+    )
     a = keyed.select(
         "combo_idx",
         "combo_key",
@@ -910,9 +918,15 @@ def near_dup_video_by_frames(
             f"min_containment must be in (0, 1], got {min_containment}"
         )
     frames = sample_frames(media, frame_size)
-    sigs = frames.select(
-        "media_id", F.md5(F.col("frame")).alias("digest")
-    ).distinct()
+    # Pin the distinct sig frame ONCE: it feeds up to four consumers
+    # (the df-cap aggregate, the per-video counts, and both self-join
+    # sides) — without the pin the one-to-many mapInPandas framing
+    # pass re-executes per consumer.
+    sigs = (
+        frames.select("media_id", F.md5(F.col("frame")).alias("digest"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_df is not None:
         ok = (
             sigs.groupBy("digest")
