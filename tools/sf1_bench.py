@@ -67,6 +67,11 @@ QUERIES_UNDER_TEST = [
     "search_hybrid_rrf",
     "graph_pagerank_from_edges",
     "graph_triangles_from_edges",
+    # round 14 (cont.): the two new compositions at the sf1 point —
+    # perceptual near-dup over the token-rotated document replicas and
+    # the ingest+decon pipeline.
+    "mm_near_dedup",
+    "pipe_end_to_end_v8",
 ]
 
 #: Queries whose CLAIM is steady-state serving from a persisted
