@@ -1874,3 +1874,114 @@ def test_streaming_semantic_decon_ingest(spark, tmp_path):
     batch_twin = QUERIES["pipe_end_to_end_v8"](spark, SF_SMALL)
     rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert rows(composed) == rows(batch_twin)
+
+
+def test_streaming_media_neardup_ingest(spark, tmp_path):
+    """Incremental perceptual media near-dup (round 14): draining media
+    through `media_neardup_ingest_writer` in micro-batches — each batch
+    dHashed, paired against committed history through the prefix-pruned
+    band index, folded in with incremental CC — must reproduce the
+    ONE-SHOT collapse_clusters over the full corpus bit-for-bit,
+    INCLUDING a crash replay in the write→commit window (the replayed
+    batch must consult only strictly-older store/labels partitions —
+    its own crashed outputs are directory-excluded). The fixture plants
+    near-dups both inside batches and ACROSS them (perturbed re-uploads
+    arrive two batches after their originals)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+    from usgs_lidar_spark.streaming.media_ingest import (
+        media_neardup_ingest_writer,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr("substring(text, CAST(length(text) / 2 AS INT) + 2)"),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.select("doc_id", "text").unionByName(reup), "doc_id", "text"
+    ).select("media_id", "content")
+    stream_dir = tmp_path / "media_stream"
+    stream_dir.mkdir()
+    splits = (
+        "media_id < 170",
+        "media_id >= 170 AND media_id < 340",
+        "media_id >= 340",  # originals' tail + ALL re-uploads
+    )
+    for i, flt in enumerate(splits):
+        media.filter(flt).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"mb{i}")
+        )
+        src = next((tmp_path / f"mb{i}").glob("*.parquet"))
+        _sh.copy(src, stream_dir / f"part-{i}.parquet")
+
+    store = str(tmp_path / "band_store")
+    labels = str(tmp_path / "labels")
+    inner = media_neardup_ingest_writer(store, labels, max_hamming=3)
+    crash_marker = tmp_path / "media_crashed_once"
+
+    def crashing(batch, batch_id):
+        inner(batch, batch_id)  # BOTH state writes succeed...
+        if batch_id == 1 and not crash_marker.exists():
+            crash_marker.write_text("boom")
+            raise RuntimeError("injected crash after writes, before commit")
+
+    def start():
+        return (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+            .writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", str(tmp_path / "media_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.awaitTermination()
+        raise AssertionError("expected the injected crash")
+    except Exception:
+        pass
+    start().awaitTermination()  # replays batch 1, then drains batch 2
+
+    from pathlib import Path
+
+    sealed = sorted(
+        int(p.name.split("=")[1])
+        for p in Path(labels).glob("batch_id=*")
+    )
+    assert sealed == [0, 1, 2]
+    drained = {
+        (r["id"], r["label"])
+        for r in spark.read.parquet(
+            f"{labels}/batch_id={sealed[-1]}"
+        ).collect()
+    }
+    oneshot = collapse_clusters(
+        media.select("media_id"),
+        near_dup_media_by_dhash(fake_dhash_image(media), max_hamming=3),
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
+    want = {
+        (r["media_id"], r["cluster_id"]) for r in oneshot.collect()
+    }
+    assert drained == want
+    # the cross-batch merges actually happened: at least one re-upload
+    # (arriving in batch 2) carries its batch-0 original's label
+    assert any(mid >= 100000 and lab < 170 for mid, lab in drained)
