@@ -43,7 +43,7 @@ if str(REPO) not in sys.path:
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from tools.scale_round8 import timed  # noqa: E402
+from tools.scale_round8 import WORK, timed  # noqa: E402
 
 #: media corpus sizes (rows; every 5th row is a perturbed near-copy).
 DHASH_N = {"1x": 20_000, "10x": 200_000}
@@ -53,30 +53,41 @@ DECON_CORPUS = 30_000
 DECON_BENCH = {"1x": 2_000, "10x": 20_000}
 
 
-def _media(spark, n: int):
+def _media(spark, n: int, offset: int = 0, chars: int = 150):
     """Synthetic media frame (media_id, content): 150 lowercase chars
     per payload, xxhash64-derived; every 5th row repeats its
     predecessor's payload with the middle byte swapped for '~' — a
-    perceptual near-dup the exact-content tier cannot catch."""
+    perceptual near-dup the exact-content tier cannot catch.
+    ``offset`` shifts BOTH the ids and the payload seeds (ids stay
+    multiples of 5 apart across calls), so disjoint offset ranges
+    generate disjoint payload populations — what the per-batch
+    ingest scenario needs; ``chars`` sizes the payload (the ingest
+    scenario uses heavier payloads so the one-shot comparison pays a
+    realistic re-read cost)."""
     base = spark.range(n).select(
-        F.col("id").alias("media_id"),
+        (F.col("id") + int(offset)).alias("media_id"),
         # rows 5k and 5k+? share a seed: every 5th row re-derives its
         # PREDECESSOR's text, then perturbs one middle char.
-        F.when(F.col("id") % 5 == 0, F.col("id") - 1)
-        .otherwise(F.col("id"))
-        .alias("seed"),
+        (
+            F.when(F.col("id") % 5 == 0, F.col("id") - 1)
+            .otherwise(F.col("id"))
+            + int(offset)
+        ).alias("seed"),
     )
+    half = int(chars) // 2
     text = F.concat_ws(
         "",
         F.transform(
-            F.sequence(F.lit(1), F.lit(150)),
+            F.sequence(F.lit(1), F.lit(int(chars))),
             lambda i: F.char(
                 F.lit(97) + F.pmod(F.xxhash64(F.col("seed"), i), F.lit(26))
             ),
         ),
     )
     perturbed = F.concat(
-        F.substring(text, 1, 74), F.lit("~"), F.substring(text, 76, 75)
+        F.substring(text, 1, half - 1),
+        F.lit("~"),
+        F.substring(text, half + 1, int(chars) - half),
     )
     return base.select(
         "media_id",
@@ -288,7 +299,119 @@ def main() -> None:
     if "dhash_combo" in which:
         for tag, n in DHASH_N.items():
             print(json.dumps(dhash_combo(tag, n)), flush=True)
+    if "media_ingest" in which:
+        media_ingest_incremental()
 
+
+
+def media_ingest_incremental(
+    n_batches: int = 5, batch_rows: int = 20_000, chars: int = 4_000
+):
+    """Incremental media near-dup ingest vs re-cluster-from-scratch:
+    drive `media_neardup_ingest_writer` directly (batch loop, no stream
+    harness — the writer is the unit under test) over ``n_batches``
+    equal media batches and record PER-BATCH wall, then compare the
+    LAST batch's cost against a one-shot `collapse_clusters` over the
+    full accumulated corpus (what a non-incremental pipeline would pay
+    on every arrival). The incremental claim: per-batch wall stays
+    ~flat as history grows (hash pass is batch-sized, the banded probe
+    reads only prefix-matched history index rows, contracted CC is
+    O(touched + batch)), while the one-shot cost grows with the corpus.
+    Every 5th row inside a batch is a near-copy of its predecessor
+    (intra-batch pairs) and each batch's first 1,000 rows are
+    re-uploads of the PREVIOUS batch's first 1,000 (cross-batch
+    merges), so the incremental fold genuinely exercises history."""
+    import shutil as _sh
+    import time
+
+    from pyspark.sql import functions as FF
+
+    from tools.scale_experiment import make_session
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+    from usgs_lidar_spark.streaming.media_ingest import (
+        media_neardup_ingest_writer,
+    )
+
+    work = WORK / "media_ingest"
+    _sh.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+    spark = make_session("media-ingest-scale", work / "log")
+    writer = media_neardup_ingest_writer(
+        str(work / "store"), str(work / "labels"), max_hamming=3,
+        dp_buckets=16,
+    )
+
+    def batch_df(b: int):
+        base = _media(
+            spark, batch_rows, offset=b * batch_rows, chars=chars
+        ).select("media_id", "content")
+        if b == 0:
+            return base
+        # the batch's LAST 1,000 ids instead re-upload the PREVIOUS
+        # batch's first 1,000 payloads byte-for-byte — guaranteed
+        # cross-batch merges the incremental fold must perform.
+        prev = _media(
+            spark, 1000, offset=(b - 1) * batch_rows, chars=chars
+        ).select(FF.col("media_id").alias("src_id"), "content")
+        reup = prev.select(
+            (
+                FF.col("src_id")
+                - (b - 1) * batch_rows
+                + b * batch_rows
+                + batch_rows
+                - 1000
+            ).alias("media_id"),
+            "content",
+        )
+        return base.filter(
+            FF.col("media_id") < b * batch_rows + batch_rows - 1000
+        ).unionByName(reup)
+
+    walls = []
+    for b in range(n_batches):
+        df = batch_df(b).localCheckpoint()
+        t0 = time.perf_counter()
+        writer(df, b)
+        walls.append(round(time.perf_counter() - t0, 2))
+    # one-shot over the full corpus (what every arrival would cost
+    # without the incremental fold)
+    full = None
+    for b in range(n_batches):
+        d = batch_df(b)
+        full = d if full is None else full.unionByName(d)
+    full = full.localCheckpoint()
+    t0 = time.perf_counter()
+    one = collapse_clusters(
+        full.select("media_id"),
+        near_dup_media_by_dhash(fake_dhash_image(full), max_hamming=3),
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
+    n_one = one.count()
+    t_one = time.perf_counter() - t0
+    # parity: drained labels == one-shot labels
+    drained = spark.read.parquet(
+        str(work / "labels" / f"batch_id={n_batches - 1}")
+    )
+    got = {(r["id"], r["label"]) for r in drained.collect()}
+    want = {(r["media_id"], r["cluster_id"]) for r in one.collect()}
+    print(
+        json.dumps(
+            {
+                "scenario": "media_ingest_incremental",
+                "batch_rows": batch_rows,
+                "per_batch_sec": walls,
+                "oneshot_full_corpus_sec": round(t_one, 2),
+                "corpus_rows": n_one,
+                "drain_equals_oneshot": got == want,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
 
 if __name__ == "__main__":
     main()

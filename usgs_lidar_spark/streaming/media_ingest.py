@@ -134,12 +134,31 @@ def media_neardup_ingest_writer(
     labels_path: str,
     max_hamming: int = 3,
     hasher: Callable[[DataFrame], DataFrame] | None = None,
+    dp_buckets: int = 256,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback implementing the versioned near-dup
     protocol above. Batch input: media rows (media_id, content).
     Publishes the batch's band-index rows and the updated full corpus
     labeling; both writes are pure functions of (batch, committed
-    history), so replays rewrite identical bytes."""
+    history), so replays rewrite identical bytes.
+
+    ``dp_buckets`` sizes the store's band-value partitioning (probe
+    pruning granularity vs files-per-batch; the prefix set collected
+    per batch is bounded by it). A store must keep ONE value for its
+    lifetime — dp is part of the on-disk layout.
+
+    WHEN INCREMENTAL PAYS (measured, SCALE.md round 14): per batch this
+    writer re-reads NO payloads — the hash pass touches only the
+    arriving batch — but it does rewrite the full O(corpus) labeling
+    and probe the band index, so at toy payload sizes a from-scratch
+    re-cluster of everything can be cheaper than one ingest batch. The
+    crossover is payload-bound: one-shot-per-arrival re-decodes every
+    payload every time (the dominant cost of a real image/video corpus
+    — decode is orders of magnitude heavier than these fixtures' fake
+    byte-grid hash), while the incremental fold's marginal cost is
+    batch decode + index-row work. Run the ingest when payload decode
+    dominates or the corpus no longer fits a comfortable re-cluster;
+    re-cluster in batch when it does."""
     if not 0 <= int(max_hamming) <= 7:
         raise ValueError(
             f"max_hamming must be in [0, 7] for 4x16-bit banding, got "
@@ -157,7 +176,10 @@ def media_neardup_ingest_writer(
             eager=False
         )
         ex = _exploded_bands(hashes).withColumn(
-            "dp", F.pmod(F.col("band_val"), F.lit(256)).cast("string")
+            "dp",
+            F.pmod(F.col("band_val"), F.lit(int(dp_buckets))).cast(
+                "string"
+            ),
         ).localCheckpoint(eager=False)
         prefixes = [
             r["dp"] for r in ex.select("dp").distinct().collect()
