@@ -11,12 +11,15 @@ its first attempt saw and rewrites identical bytes):
 
   * ``store/batch_id=<n>/dp=<bucket>/`` — the batch's EXPLODED band
     index rows (band_idx, band_val, media_id, all four bands), hive-
-    bucketed by ``dp`` = band_val % 256. The probe pushes the incoming
-    batch's distinct dp values (<= 256, a knob-bounded collect) as a
-    literal partition filter; pruning is SOUND because a candidate
-    pair must share an exact (band_idx, band_val) key, so any history
-    row that can pair with the batch lives in a dp bucket the batch
-    itself occupies.
+    bucketed by ``dp`` = band_val % dp_buckets (a writer knob, fixed
+    for the store's lifetime; size it so batch-rows/bucket lands in
+    the thousands — SCALE.md round 14 measured 256 buckets turning
+    small batches into a small-file storm). The probe pushes the
+    incoming batch's distinct dp values (<= dp_buckets, a knob-bounded
+    collect) as a literal partition filter; pruning is SOUND because a
+    candidate pair must share an exact (band_idx, band_val) key, so
+    any history row that can pair with the batch lives in a dp bucket
+    the batch itself occupies.
   * ``labels/batch_id=<n>/`` — the FULL (id, label) corpus labeling
     after batch n (min-id labels, the engine-wide keeper convention).
     O(corpus) 16-byte rows per batch: the labeling IS the product; old
