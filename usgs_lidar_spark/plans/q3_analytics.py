@@ -2283,3 +2283,118 @@ def mm_video_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.select(F.col("media_id")), pairs,
         id_col="media_id", pair_a="id_a", pair_b="id_b",
     )
+
+
+@query(
+    "mm_near_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+        -- the corpus arrives DAMAGED for every 7th item (one '~'
+        -- artifact mid-payload); the clean version is re-uploaded
+        -- LATER under a higher id — min-id dedup keeps the damaged
+        -- copy, quality-aware dedup must keep the clean one.
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                   substr(text, 1, length(text) // 2) || '~'
+                     || substr(text, length(text) // 2 + 2)
+               ELSE text END AS text
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS media_id, text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_DHASH_CTE},
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ), edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(id, reach) AS (
+        SELECT media_id, media_id FROM m
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS media_id, min(reach) AS cluster_id
+           FROM walk GROUP BY id),
+    scored AS (
+        SELECT cc.media_id, cc.cluster_id,
+               -(length(m.text) - length(replace(m.text, '~', '')))
+                   AS quality
+        FROM cc JOIN m USING (media_id)
+    ),
+    keepers AS (
+        SELECT cluster_id,
+               first(media_id ORDER BY quality DESC, media_id)
+                   AS keeper_id,
+               CAST(count(*) AS BIGINT) AS cluster_size
+        FROM scored GROUP BY cluster_id
+    )
+    SELECT s.media_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
+           k.cluster_size, k.keeper_id,
+           s.media_id = k.keeper_id AS is_kept
+    FROM scored s JOIN keepers k USING (cluster_id)
+    """,
+)
+def mm_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE perceptual media dedup (round 14 — the curation
+    rule real media pipelines use: keep the best copy, not the
+    first-crawled): same dHash -> banded pairs -> components path as
+    `mm_near_dedup`, but the keeper is `collapse_clusters_keep_best`'s
+    argmax over an artifact score (quality = minus the payload's '~'
+    artifact count — any per-item signal plugs in: resolution, bitrate,
+    a classifier). The fixture makes the min-id rule demonstrably
+    WRONG: every 7th item arrives damaged and its clean version is
+    re-uploaded later under a HIGHER id, so at sf0.01 all 72 clean
+    re-uploads must win their cluster elections over their lower-id
+    damaged originals (572 rows, 500 keepers). The keeper is a
+    struct-max fold, never a per-cluster window sort; the oracle
+    replays hash, banding, components, scoring, and the
+    (quality DESC, id) election."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters_keep_best
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    damaged = F.concat(
+        F.substring("text", 1, F.floor(n / 2).cast("int")),
+        F.lit("~"),
+        F.expr("substring(text, CAST(length(text) / 2 AS INT) + 2)"),
+    )
+    base = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, damaged)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    media = to_media_table(base.unionByName(reup), "doc_id", "text")
+    scored = media.select(
+        "media_id",
+        (
+            -(
+                F.length(F.decode("content", "UTF-8"))
+                - F.length(
+                    F.replace(
+                        F.decode("content", "UTF-8"), F.lit("~"), F.lit("")
+                    )
+                )
+            ).cast("long")
+        ).alias("quality"),
+    )
+    pairs = near_dup_media_by_dhash(
+        fake_dhash_image(media), max_hamming=3
+    )
+    return collapse_clusters_keep_best(
+        scored, pairs, score_col="quality",
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
