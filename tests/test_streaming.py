@@ -1985,3 +1985,135 @@ def test_streaming_media_neardup_ingest(spark, tmp_path):
     # the cross-batch merges actually happened: at least one re-upload
     # (arriving in batch 2) carries its batch-0 original's label
     assert any(mid >= 100000 and lab < 170 for mid, lab in drained)
+
+
+def _tiny_media(spark, texts: dict[int, str]):
+    from usgs_lidar_spark.multimodal import to_media_table
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    return to_media_table(df, "doc_id", "text").select("media_id", "content")
+
+
+def test_media_ingest_dp_meta_lifecycle(spark, tmp_path):
+    """dp_buckets is part of the store's on-disk layout (ADVICE r14):
+    the resolved value must be PERSISTED on first write, derived from
+    the first batch when not given (max(1, rows // 4096) — never the
+    measured small-file-storm constant), validated on every later open
+    (raise on conflict, both in the writer and in a prefix-pruned
+    direct read), forwarded by the stream runner, and loudly warned
+    about when an explicit value lands in the storm regime."""
+    from usgs_lidar_spark.streaming.media_ingest import (
+        media_neardup_ingest_writer,
+        read_dp_buckets,
+        read_hash_store_before,
+        run_media_neardup_ingest,
+    )
+
+    texts = {
+        i: "".join(chr(97 + (i * 7 + j * j) % 26) for j in range(240))
+        for i in range(20)
+    }
+    media = _tiny_media(spark, texts)
+    store, labels = str(tmp_path / "store"), str(tmp_path / "labels")
+
+    # Fresh store, no explicit knob: derive from the first batch.
+    media_neardup_ingest_writer(store, labels)(media, 0)
+    assert read_dp_buckets(spark, store) == 1  # max(1, 20 // 4096)
+
+    # Reopen with a CONFLICTING explicit value: loud layout error.
+    with pytest.raises(ValueError, match="dp_buckets mismatch"):
+        media_neardup_ingest_writer(store, labels, dp_buckets=8)(media, 1)
+    # Prefix-pruned direct read under the wrong bucket count: same.
+    with pytest.raises(ValueError, match="dp_buckets mismatch"):
+        read_hash_store_before(spark, store, 1, ["0"], dp_buckets=8)
+    # Matching explicit value (and prefix read) both fine.
+    read_hash_store_before(spark, store, 1, ["0"], dp_buckets=1)
+    media_neardup_ingest_writer(store, labels, dp_buckets=1)(media, 1)
+
+    # Explicit storm-regime value on a FRESH store warns loudly.
+    with pytest.warns(UserWarning, match="small-file"):
+        media_neardup_ingest_writer(
+            str(tmp_path / "store2"), str(tmp_path / "labels2"),
+            dp_buckets=256,
+        )(media, 0)
+
+    # The stream runner forwards the knob (ADVICE r14: it used to lock
+    # every store to the old default).
+    sdir = tmp_path / "mstream"
+    sdir.mkdir()
+    media.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "mb"))
+    shutil.copy(
+        next((tmp_path / "mb").glob("*.parquet")), sdir / "part-0.parquet"
+    )
+    run_media_neardup_ingest(
+        spark.readStream.schema(media.schema).parquet(str(sdir)),
+        str(tmp_path / "store3"),
+        str(tmp_path / "labels3"),
+        str(tmp_path / "ckpt3"),
+        dp_buckets=2,
+    )
+    assert read_dp_buckets(spark, str(tmp_path / "store3")) == 2
+
+
+def test_media_ingest_duplicate_id_redelivery(spark, tmp_path):
+    """At-least-once sources can RE-DELIVER a media_id in a later batch
+    (checkpoint replay only covers same-batch retries; ADVICE r14).
+    First delivery wins: the re-delivered id must keep exactly ONE
+    label row (no conflicting duplicates in the published labeling),
+    stay pairable as history, and the drained labeling must still
+    equal the one-shot collapse over the DISTINCT corpus."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+    from usgs_lidar_spark.streaming.media_ingest import (
+        media_neardup_ingest_writer,
+    )
+
+    t1 = "abcdefgh" * 30
+    t2 = "".join(chr(97 + (j * 7) % 26) for j in range(240))
+    t3 = "".join(chr(65 + (j * j) % 26) for j in range(240))
+    t4 = t1[:120] + "~" + t1[121:]  # near-dup of t1 (one byte)
+    media0 = _tiny_media(spark, {1: t1, 2: t2, 3: t3})
+    # batch 1 re-delivers id 1 (same bytes, plus a byte-identical
+    # in-batch duplicate row) alongside the new near-dup id 4
+    media1 = _tiny_media(spark, {1: t1, 4: t4}).unionByName(
+        _tiny_media(spark, {1: t1})
+    )
+    store, labels = str(tmp_path / "store"), str(tmp_path / "labels")
+    writer = media_neardup_ingest_writer(store, labels, max_hamming=3)
+    writer(media0, 0)
+    writer(media1, 1)
+
+    got = sorted(
+        (r["id"], r["label"])
+        for r in spark.read.parquet(f"{labels}/batch_id=1").collect()
+    )
+    assert [i for i, _ in got] == [1, 2, 3, 4]  # one row per id
+    labmap = dict(got)
+    assert labmap[4] == labmap[1]  # cross-batch merge via history probe
+    assert labmap[2] != labmap[1] and labmap[3] != labmap[1]
+
+    distinct_media = _tiny_media(spark, {1: t1, 2: t2, 3: t3, 4: t4})
+    oneshot = collapse_clusters(
+        distinct_media.select("media_id"),
+        near_dup_media_by_dhash(
+            fake_dhash_image(distinct_media), max_hamming=3
+        ),
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
+    want = sorted(
+        (r["media_id"], r["cluster_id"]) for r in oneshot.collect()
+    )
+    assert got == want
+    # the re-delivered rows also never re-enter the band index
+    stored_ids = {
+        r["media_id"]
+        for r in spark.read.parquet(f"{store}/batch_id=1").select(
+            "media_id"
+        ).distinct().collect()
+    }
+    assert stored_ids == {4}

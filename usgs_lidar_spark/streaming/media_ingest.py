@@ -11,20 +11,27 @@ its first attempt saw and rewrites identical bytes):
 
   * ``store/batch_id=<n>/dp=<bucket>/`` — the batch's EXPLODED band
     index rows (band_idx, band_val, media_id, all four bands), hive-
-    bucketed by ``dp`` = band_val % dp_buckets (a writer knob, fixed
-    for the store's lifetime; size it so batch-rows/bucket lands in
-    the thousands — SCALE.md round 14 measured 256 buckets turning
-    small batches into a small-file storm). The probe pushes the
-    incoming batch's distinct dp values (<= dp_buckets, a knob-bounded
-    collect) as a literal partition filter; pruning is SOUND because a
-    candidate pair must share an exact (band_idx, band_val) key, so
-    any history row that can pair with the batch lives in a dp bucket
-    the batch itself occupies.
+    bucketed by ``dp`` = band_val % dp_buckets. dp_buckets is part of
+    the ON-DISK LAYOUT and therefore lifetime-fixed per store: it is
+    persisted into ``store/_dp_buckets`` on the first batch and every
+    later open validates against it (a silently-different value would
+    make the partition-prune filter exclude history rows that share a
+    band key with the batch — missed pairs, wrong clusterings, no
+    error). By default it is DERIVED from the first batch as
+    ``max(1, first_batch_rows // 4096)`` so batch-rows/bucket lands in
+    the thousands — SCALE.md round 14 measured 256 buckets turning 20k-
+    row batches into a 4-8x small-file storm, which is why there is no
+    fixed numeric default. The probe pushes the incoming batch's
+    distinct dp values (<= dp_buckets, a knob-bounded collect) as a
+    literal partition filter; pruning is SOUND because a candidate pair
+    must share an exact (band_idx, band_val) key, so any history row
+    that can pair with the batch lives in a dp bucket the batch itself
+    occupies.
   * ``labels/batch_id=<n>/`` — the FULL (id, label) corpus labeling
     after batch n (min-id labels, the engine-wide keeper convention).
     O(corpus) 16-byte rows per batch: the labeling IS the product; old
-    versions are sealed history and can be vacuumed once the stream
-    checkpoint passes them.
+    versions are sealed history — `vacuum_media_labels` removes the
+    ones no recovering stream can ever consult.
 
 Per batch: hash (map-only, payloads never leave their scan), one
 prefix-pruned banded join against history + the batch itself (only
@@ -43,6 +50,22 @@ Hasher contract: any DHASH_SCHEMA-shaped hasher plugs in
 `audio_energy_fingerprint` for audio). Items whose hasher emits NULL
 bands (audio's too-short convention) are indexed as vertices but never
 pair — they stay singletons, exactly as in the batch operator.
+
+Input contract: at-least-once sources may RE-DELIVER a media_id in a
+LATER batch (checkpoint replay only covers same-batch retries). The
+writer guards this: arriving ids already present in the committed
+labeling are dropped before pairing/labeling (their content was already
+folded in — first-delivery wins, the same convention as the chunk-dedup
+ingest's committed-flags-are-immutable rule), and byte-identical
+duplicate rows inside one batch collapse. Two rows in ONE batch sharing
+media_id with DIFFERENT content remain a caller error (ids must name
+content uniquely); the labeling would carry both hash rows.
+
+All driver-side state listing/metadata IO goes through the Hadoop
+FileSystem API of the store's own filesystem — a labels directory on
+HDFS/S3 must never silently read as empty the way a local-only
+``pathlib`` probe would (that silent miss would rebuild the corpus
+labeling from one batch); unexpected listing errors re-raise loudly.
 """
 
 from __future__ import annotations
@@ -62,6 +85,80 @@ HASH_STORE_SCHEMA = (
 )
 
 LABELS_SCHEMA = "id bigint, label bigint"
+
+#: Store-layout metadata file holding the lifetime-fixed dp bucket
+#: count (one integer line), written on the store's first batch.
+DP_META = "_dp_buckets"
+
+#: Sizing rule for the derived dp_buckets default: aim for batch-rows/
+#: bucket in the thousands (SCALE.md round 14 measured the small-file
+#: storm when this quotient drops to the tens).
+ROWS_PER_BUCKET = 4096
+
+
+def _jfs(spark, path: str):
+    """(Hadoop FileSystem, Path, jvm) for ``path`` — the path's OWN
+    filesystem (file://, hdfs://, s3a://...), not the local one."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jfs, jpath, jvm
+
+
+def list_sealed_batches(spark, root: str) -> list[int]:
+    """Sorted batch ids of ``root``'s ``batch_id=<n>`` directories via
+    the Hadoop FileSystem API (works on any scheme Spark can read — a
+    local-only pathlib glob would silently return [] on HDFS/S3 and
+    the caller would rebuild state from one batch). Missing root reads
+    as no batches; any OTHER listing failure re-raises loudly (the
+    silent-rot contract of `streaming/ingest.read_store_before`)."""
+    jfs, jpath, _ = _jfs(spark, root)
+    if not jfs.exists(jpath):
+        return []
+    out: list[int] = []
+    for st in jfs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            tail = name.split("=", 1)[1]
+            if tail.isdigit():
+                out.append(int(tail))
+    return sorted(out)
+
+
+def read_dp_buckets(spark, store_path: str) -> int | None:
+    """The store's persisted dp bucket count, or None for a store that
+    has not committed its first batch yet. Corrupt metadata re-raises
+    — guessing a layout parameter is exactly the silent-miss bug the
+    metadata exists to prevent."""
+    jfs, _, jvm = _jfs(spark, store_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{store_path}/{DP_META}")
+    if not jfs.exists(p):
+        return None
+    stream = jfs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = reader.readLine()
+    finally:
+        stream.close()
+    text = (line or "").strip()
+    if not text.isdigit() or int(text) < 1:
+        raise ValueError(
+            f"corrupt dp_buckets metadata at {store_path}/{DP_META}: "
+            f"{line!r} (expected one positive integer line)"
+        )
+    return int(text)
+
+
+def _write_dp_buckets(spark, store_path: str, dp_buckets: int) -> None:
+    jfs, _, jvm = _jfs(spark, store_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{store_path}/{DP_META}")
+    out = jfs.create(p, True)
+    try:
+        out.write(bytearray(f"{int(dp_buckets)}\n".encode()))
+    finally:
+        out.close()
 
 
 def _exploded_bands(hashes: DataFrame) -> DataFrame:
@@ -85,14 +182,31 @@ def read_hash_store_before(
     store_path: str,
     batch_id: int,
     prefixes: list[str] | None = None,
+    dp_buckets: int | None = None,
 ) -> DataFrame:
     """Band-index rows of all batches STRICTLY older than ``batch_id``,
     optionally restricted to the dp buckets in ``prefixes`` (sound for
-    pair probing — see module docstring). Missing store (first batch)
-    reads as zero rows; any other read failure re-raises loudly (the
-    silent-rot contract of `streaming/ingest.read_store_before`)."""
+    pair probing — see module docstring). Callers passing ``prefixes``
+    should also pass the ``dp_buckets`` they computed them with: it is
+    validated against the store's persisted layout metadata and a
+    mismatch raises (prefixes computed under a different bucket count
+    would silently prune history rows that share band keys with the
+    probe). Missing store (first batch) reads as zero rows; any other
+    read failure re-raises loudly (the silent-rot contract of
+    `streaming/ingest.read_store_before`)."""
     from pyspark.errors import AnalysisException
 
+    if prefixes is not None and dp_buckets is not None:
+        stored = read_dp_buckets(spark, store_path)
+        if stored is not None and stored != int(dp_buckets):
+            raise ValueError(
+                f"dp_buckets mismatch: store {store_path} was laid out "
+                f"with dp_buckets={stored} (persisted in {DP_META}) but "
+                f"the probe's prefixes were computed with "
+                f"dp_buckets={int(dp_buckets)} — dp is lifetime-fixed; "
+                "prefix pruning under a different bucket count silently "
+                "misses history pairs"
+            )
     pred = F.col("batch_id") < batch_id
     if prefixes is not None:
         pred = pred & F.col("dp").isin(list(prefixes))
@@ -112,24 +226,57 @@ def read_labels_before(spark, labels_path: str, batch_id: int) -> DataFrame:
     """The committed labeling as of the LATEST batch strictly older
     than ``batch_id`` (directory-addressed, so a replayed batch's own
     crashed labels/batch_id=n output is never consulted). Fresh store
-    reads as zero rows."""
-    from pathlib import Path
-
-    root = Path(labels_path)
-    if not root.exists():
-        return spark.createDataFrame([], LABELS_SCHEMA)
-    sealed = [
-        int(p.name.split("=", 1)[1])
-        for p in root.glob("batch_id=*")
-        if p.is_dir() and p.name.split("=", 1)[1].isdigit()
-    ]
+    reads as zero rows. Listing goes through the path's own Hadoop
+    filesystem — see module docstring for why a local-only probe is a
+    correctness bug, not a style choice."""
+    sealed = list_sealed_batches(spark, labels_path)
     older = [b for b in sealed if b < batch_id]
     if not older:
         return spark.createDataFrame([], LABELS_SCHEMA)
-    latest = max(older)
     return spark.read.schema(LABELS_SCHEMA).parquet(
-        f"{labels_path}/batch_id={latest}"
+        f"{labels_path}/batch_id={max(older)}"
     )
+
+
+def _resolve_dp_buckets(
+    spark, store_path: str, requested: int | None, hashes: DataFrame
+) -> int:
+    """The store's lifetime dp bucket count: persisted metadata wins
+    (an explicit conflicting request raises); a fresh store takes the
+    request or derives ``max(1, first_batch_rows // ROWS_PER_BUCKET)``
+    and persists it BEFORE any data write (a crash in between replays
+    to the identical derived value — the derivation is a pure function
+    of the committed-identical first batch)."""
+    import warnings
+
+    stored = read_dp_buckets(spark, store_path)
+    if stored is not None:
+        if requested is not None and int(requested) != stored:
+            raise ValueError(
+                f"dp_buckets mismatch: store {store_path} was laid out "
+                f"with dp_buckets={stored} (persisted in {DP_META}) but "
+                f"the writer was constructed with "
+                f"dp_buckets={int(requested)} — dp is part of the "
+                "on-disk layout and must keep one value for the store's "
+                "lifetime"
+            )
+        return stored
+    n = hashes.count()
+    if requested is not None:
+        dp = int(requested)
+        if dp > 1 and n // dp < ROWS_PER_BUCKET // 4:
+            warnings.warn(
+                f"dp_buckets={dp} gives ~{max(n // dp, 0)} rows/bucket "
+                f"for a {n}-row first batch — the measured small-file "
+                "storm regime (SCALE.md round 14); size dp_buckets so "
+                "batch-rows/bucket lands in the thousands, or omit it "
+                "to derive from the first batch",
+                stacklevel=3,
+            )
+    else:
+        dp = max(1, n // ROWS_PER_BUCKET)
+    _write_dp_buckets(spark, store_path, dp)
+    return dp
 
 
 def media_neardup_ingest_writer(
@@ -137,7 +284,7 @@ def media_neardup_ingest_writer(
     labels_path: str,
     max_hamming: int = 3,
     hasher: Callable[[DataFrame], DataFrame] | None = None,
-    dp_buckets: int = 256,
+    dp_buckets: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback implementing the versioned near-dup
     protocol above. Batch input: media rows (media_id, content).
@@ -146,9 +293,18 @@ def media_neardup_ingest_writer(
     history), so replays rewrite identical bytes.
 
     ``dp_buckets`` sizes the store's band-value partitioning (probe
-    pruning granularity vs files-per-batch; the prefix set collected
-    per batch is bounded by it). A store must keep ONE value for its
-    lifetime — dp is part of the on-disk layout.
+    pruning granularity vs files-per-batch). Leave it None to DERIVE
+    the value from the first batch (``max(1, rows // 4096)`` — the
+    measured batch-rows/bucket-in-the-thousands rule); either way the
+    resolved value is persisted into ``store/_dp_buckets`` and later
+    opens of the same store validate against it (raise on conflict,
+    loud warning when an explicit value lands in the measured
+    small-file-storm regime).
+
+    Re-delivered ids (see module docstring's input contract) are
+    dropped against the committed labeling before any pairing — the
+    guard is itself a pure function of (batch, committed history), so
+    replay purity holds.
 
     WHEN INCREMENTAL PAYS (measured, SCALE.md round 14): per batch this
     writer re-reads NO payloads — the hash pass touches only the
@@ -167,6 +323,8 @@ def media_neardup_ingest_writer(
             f"max_hamming must be in [0, 7] for 4x16-bit banding, got "
             f"{max_hamming}"
         )
+    if dp_buckets is not None and int(dp_buckets) < 1:
+        raise ValueError(f"dp_buckets must be >= 1, got {dp_buckets}")
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         from usgs_lidar_spark.multimodal import fake_dhash_image
@@ -175,19 +333,29 @@ def media_neardup_ingest_writer(
         )
 
         spark = batch.sparkSession
-        hashes = (hasher or fake_dhash_image)(batch).localCheckpoint(
-            eager=False
+        hashes = (
+            (hasher or fake_dhash_image)(batch)
+            .distinct()  # byte-identical same-batch re-deliveries
+            .localCheckpoint(eager=False)
         )
-        ex = _exploded_bands(hashes).withColumn(
+        dp = _resolve_dp_buckets(spark, store_path, dp_buckets, hashes)
+        old = read_labels_before(spark, labels_path, batch_id)
+        # Cross-batch re-delivery guard: ids already in the committed
+        # labeling were folded in by their first delivery — drop them
+        # before pairing/vertices (8-byte id rows shuffle, no payloads).
+        fresh = hashes.join(
+            old.select(F.col("id").alias("media_id")), "media_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        ex = _exploded_bands(fresh).withColumn(
             "dp",
-            F.pmod(F.col("band_val"), F.lit(int(dp_buckets))).cast(
-                "string"
-            ),
+            F.pmod(F.col("band_val"), F.lit(int(dp))).cast("string"),
         ).localCheckpoint(eager=False)
         prefixes = [
             r["dp"] for r in ex.select("dp").distinct().collect()
         ]
-        hist = read_hash_store_before(spark, store_path, batch_id, prefixes)
+        hist = read_hash_store_before(
+            spark, store_path, batch_id, prefixes, dp_buckets=dp
+        )
         # Candidates: batch side a vs (batch ∪ history) side b on the
         # exact band key — every pair has >= 1 new endpoint (the
         # incremental-CC contract); old-old pairs are already folded
@@ -223,10 +391,9 @@ def media_neardup_ingest_writer(
             )
             .distinct()
         )
-        old = read_labels_before(spark, labels_path, batch_id)
         labels = connected_components_incremental(
             old,
-            hashes.select(F.col("media_id").alias("id")),
+            fresh.select(F.col("media_id").alias("id")),
             pairs,
         )
         labels.write.mode("overwrite").parquet(
@@ -246,15 +413,18 @@ def run_media_neardup_ingest(
     checkpoint: str,
     max_hamming: int = 3,
     hasher: Callable[[DataFrame], DataFrame] | None = None,
+    dp_buckets: int | None = None,
 ) -> None:
     """Drain all available media through the exactly-once near-dup
     ingest (availableNow trigger). Restart with the same checkpoint
     resumes after the last committed batch; replays rewrite identical
-    bytes into the same batch_id directories."""
+    bytes into the same batch_id directories. ``dp_buckets`` forwards
+    to `media_neardup_ingest_writer` (None = derive from the first
+    batch and persist; an existing store's persisted value wins)."""
     q = (
         stream_df.writeStream.foreachBatch(
             media_neardup_ingest_writer(
-                store_path, labels_path, max_hamming, hasher
+                store_path, labels_path, max_hamming, hasher, dp_buckets
             )
         )
         .option("checkpointLocation", checkpoint)
