@@ -2117,3 +2117,158 @@ def test_media_ingest_duplicate_id_redelivery(spark, tmp_path):
         ).distinct().collect()
     }
     assert stored_ids == {4}
+
+
+def test_media_store_compaction_and_vacuum(spark, tmp_path):
+    """Lifecycle maintenance for the media ingest's versioned state
+    (VERDICT r14 item 2): `compact_media_store` merges sealed band-index
+    batch dirs into one dp-partitioned dataset behind a version-named
+    manifest, `vacuum_media_labels` drops label versions no recovering
+    stream can consult — and the compacted store must serve the probe a
+    row-identical view (pinned pre/post), survive a crash replay, and
+    yield a final labeling bit-identical to the one-shot collapse."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+    from usgs_lidar_spark.streaming.media_ingest import (
+        compact_media_store,
+        list_sealed_batches,
+        media_neardup_ingest_writer,
+        read_hash_store_before,
+        vacuum_media_labels,
+        vacuum_media_store,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr("substring(text, CAST(length(text) / 2 AS INT) + 2)"),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.unionByName(reup), "doc_id", "text"
+    ).select("media_id", "content")
+    stream_dir = tmp_path / "ms"
+    stream_dir.mkdir()
+    # 6 batches: originals in 4 slices, then re-uploads in 2 slices —
+    # cross-batch AND cross-compaction merges must happen.
+    splits = [
+        "media_id < 125", "media_id >= 125 AND media_id < 250",
+        "media_id >= 250 AND media_id < 375",
+        "media_id >= 375 AND media_id < 100000",
+        "media_id >= 100000 AND media_id < 100250", "media_id >= 100250",
+    ]
+    for i, flt in enumerate(splits):
+        media.filter(flt).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"b{i}")
+        )
+        shutil.copy(
+            next((tmp_path / f"b{i}").glob("*.parquet")),
+            stream_dir / f"part-{i}.parquet",
+        )
+
+    store, labels = str(tmp_path / "store"), str(tmp_path / "labels")
+    inner = media_neardup_ingest_writer(store, labels, max_hamming=3)
+    crash_marker = tmp_path / "crashed_once"
+
+    def crashing(batch, batch_id):
+        inner(batch, batch_id)
+        if batch_id == 4 and not crash_marker.exists():
+            crash_marker.write_text("boom")
+            raise RuntimeError("injected crash after writes, before commit")
+
+    def drain():
+        return (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+            .writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # Stage only the first 4 batch files, drain, then compact at the
+    # committed frontier (batch 3).
+    held = [stream_dir / f"part-{i}.parquet" for i in (4, 5)]
+    parked = [tmp_path / f"held-{i}" for i in (4, 5)]
+    for h, p in zip(held, parked):
+        shutil.move(h, p)
+    drain().awaitTermination()
+
+    probe_rows = lambda: sorted(  # noqa: E731
+        map(tuple, read_hash_store_before(spark, store, 99).collect())
+    )
+    pre = probe_rows()
+    n_files_pre = len(list(Path(store).rglob("*.parquet")))
+    m = compact_media_store(spark, store, up_to_batch=3)
+    assert m == {"version": 1, "version_dir": "v1", "max_batch_id": 3}
+    assert list_sealed_batches(spark, store) == []  # all merged
+    assert probe_rows() == pre  # row-identical view through the manifest
+    n_files_post = len(list(Path(store).rglob("*.parquet")))
+    assert n_files_post < n_files_pre
+    assert vacuum_media_labels(spark, labels, committed_batch_id=3) == 3
+    assert list_sealed_batches(spark, labels) == [3]
+
+    # Resume: batches 4 (crashes once, replays against the compacted
+    # store) and 5.
+    for h, p in zip(held, parked):
+        shutil.move(p, h)
+    q = drain()
+    try:
+        q.awaitTermination()
+        raise AssertionError("expected the injected crash")
+    except Exception:
+        pass
+    drain().awaitTermination()
+
+    sealed = list_sealed_batches(spark, labels)
+    assert sealed == [3, 4, 5]
+    drained = sorted(
+        (r["id"], r["label"])
+        for r in spark.read.parquet(f"{labels}/batch_id=5").collect()
+    )
+    oneshot = collapse_clusters(
+        media.select("media_id"),
+        near_dup_media_by_dhash(fake_dhash_image(media), max_hamming=3),
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
+    want = sorted(
+        (r["media_id"], r["cluster_id"]) for r in oneshot.collect()
+    )
+    assert drained == want
+    # second compaction folds the tail into v2 and vacuum removes v1
+    m2 = compact_media_store(spark, store, up_to_batch=5)
+    assert m2["version"] == 2 and m2["max_batch_id"] == 5
+    # strictly-older filter still works against the all-compacted view:
+    # probing AT batch 4 must see exactly the pre-4 history
+    assert pre == sorted(
+        map(tuple, read_hash_store_before(spark, store, 4).collect())
+    )
+    post2 = sorted(
+        map(tuple, read_hash_store_before(spark, store, 99).collect())
+    )
+    assert len(post2) > len(pre)
+    removed = vacuum_media_store(spark, store)
+    assert removed["version_dirs"] == 0  # compact already deleted v1
+    assert Path(store, "_compacted", "v2").is_dir()
+    assert not Path(store, "_compacted", "v1").exists()
+    # vacuum after a simulated crash-after-publish: recreate a covered
+    # batch dir and an orphan version dir, then vacuum removes both.
+    (Path(store) / "batch_id=2").mkdir()
+    (Path(store) / "_compacted" / "v1").mkdir()
+    removed = vacuum_media_store(spark, store)
+    assert removed["batch_dirs"] == 1 and removed["version_dirs"] == 1

@@ -161,6 +161,223 @@ def _write_dp_buckets(spark, store_path: str, dp_buckets: int) -> None:
         out.close()
 
 
+# ---------------------------------------------------------------------------
+# Store compaction + vacuum (the `streaming/compact.py` protocol, re-bound
+# to Hadoop FS driver IO so it holds on HDFS/S3 like the rest of this
+# module). The band index accumulates one batch_id=<n>/dp=<bucket> tree per
+# micro-batch — at 100 TB that is the classic small-file problem on the
+# probe's read path. Compaction merges sealed batches into one well-sized
+# dp-partitioned dataset under `_compacted/v<K>/` and publishes it via a
+# version-named manifest (`_compacted/MANIFEST-<K>.json`, written tmp +
+# atomic rename; readers take the highest K) — the probe's consistent view
+# is then manifest dataset + batch dirs NEWER than it. Soundness: probes
+# only ever read `batch_id < current`, current only grows, and the merge
+# re-emits every row with its original batch_id column, so the view is
+# row-identical at every protocol point; dp stays a partition column in
+# the compacted layout, so prefix pruning keeps working. Crash-safe in the
+# compact.py sense: crash before manifest publish leaves an orphan v<K>
+# readers ignore; crash after publish leaves superseded batch dirs readers
+# skip (ids <= the manifest's max) — `vacuum_media_store` removes both.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_RE = "MANIFEST-"
+
+
+def _read_store_manifest(spark, store_path: str) -> dict | None:
+    """Highest-version manifest under ``store/_compacted``, or None when
+    no compaction has published yet. Hadoop-FS listing + read; corrupt
+    manifest re-raises (same loud-failure contract as the dp metadata)."""
+    import json
+
+    comp = f"{store_path}/_compacted"
+    jfs, _, jvm = _jfs(spark, comp)
+    jcomp = jvm.org.apache.hadoop.fs.Path(comp)
+    if not jfs.exists(jcomp):
+        return None
+    best: tuple[int, str] | None = None
+    for st in jfs.listStatus(jcomp):
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith(_MANIFEST_RE) and name.endswith(
+            ".json"
+        ):
+            tail = name[len(_MANIFEST_RE) : -len(".json")]
+            if tail.isdigit() and (best is None or int(tail) > best[0]):
+                best = (int(tail), name)
+    if best is None:
+        return None
+    stream = jfs.open(jvm.org.apache.hadoop.fs.Path(f"{comp}/{best[1]}"))
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        stream.close()
+    return json.loads("\n".join(lines))
+
+
+def _write_store_manifest(spark, store_path: str, manifest: dict) -> None:
+    """Publish atomically: write the complete JSON to a hidden tmp name,
+    then rename to its final version-named path (rename-to-fresh-name is
+    atomic on HDFS and posix; no overwrite semantics needed because each
+    version gets its own file — readers take the highest version)."""
+    import json
+
+    comp = f"{store_path}/_compacted"
+    jfs, _, jvm = _jfs(spark, comp)
+    name = f"{_MANIFEST_RE}{int(manifest['version'])}.json"
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{comp}/.{name}.tmp")
+    out = jfs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode()))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(f"{comp}/{name}")
+    if not jfs.rename(tmp, final):
+        raise OSError(f"could not publish manifest {comp}/{name}")
+
+
+def compact_media_store(
+    spark, store_path: str, up_to_batch: int
+) -> dict | None:
+    """Merge sealed band-index batch directories (ids in (previous
+    manifest max, ``up_to_batch``]) plus the previously compacted data
+    into one dp-partitioned dataset, publish the new manifest, then
+    delete the superseded batch dirs and the previous version dir.
+    Returns the new manifest, or None when there is nothing to do.
+
+    ``up_to_batch`` must be <= the stream checkpoint's last COMMITTED
+    batch id: a recovering stream only ever replays batches above that,
+    and a replayed batch's probe (``batch_id < n``) sees the identical
+    row set through manifest + tail — so compaction is safe against
+    crash replay (pinned by the test). NEVER pass the id of a batch
+    that may still be replayed: its directory would be merged AND
+    rewritten by the replay, duplicating its rows in the view."""
+    manifest = _read_store_manifest(spark, store_path)
+    covered = manifest["max_batch_id"] if manifest else -1
+    todo = [
+        b
+        for b in list_sealed_batches(spark, store_path)
+        if covered < b <= int(up_to_batch)
+    ]
+    if not todo:
+        return None
+    dp = read_dp_buckets(spark, store_path)
+    scan = (
+        spark.read.option("basePath", store_path)
+        .schema(HASH_STORE_SCHEMA)
+        .parquet(*[f"{store_path}/batch_id={b}" for b in todo])
+    )
+    if manifest:
+        prev = spark.read.schema(HASH_STORE_SCHEMA).parquet(
+            f"{store_path}/_compacted/{manifest['version_dir']}"
+        )
+        scan = scan.select(*prev.columns).unionByName(prev)
+    version = (manifest["version"] + 1) if manifest else 1
+    vdir = f"{store_path}/_compacted/v{version}"
+    # ~1 file per dp bucket: partition the shuffle by dp itself (capped —
+    # at huge dp counts a few buckets per task is fine).
+    scan.repartition(min(int(dp or 32), 256), F.col("dp")).write.partitionBy(
+        "dp"
+    ).mode("overwrite").parquet(vdir)
+    new_manifest = {
+        "version": version,
+        "version_dir": f"v{version}",
+        "max_batch_id": max(todo),
+    }
+    _write_store_manifest(spark, store_path, new_manifest)
+    # Post-publish cleanup (crash here leaves garbage vacuum removes).
+    jfs, _, jvm = _jfs(spark, store_path)
+    for b in todo:
+        jfs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id={b}"), True
+        )
+    if manifest:
+        jfs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{store_path}/_compacted/{manifest['version_dir']}"
+            ),
+            True,
+        )
+    return new_manifest
+
+
+def vacuum_media_store(spark, store_path: str) -> dict:
+    """Remove crash orphans the compaction protocol can leave behind:
+    batch dirs already covered by the manifest (crash after publish,
+    before deletes), version dirs other than the active one (crash
+    before publish, or before the previous version's delete), manifests
+    older than the active one, and stale tmp files. Everything removed
+    is unreachable through the manifest view, so this is safe to run at
+    any time; no manifest means nothing is superseded yet — no-op."""
+    manifest = _read_store_manifest(spark, store_path)
+    removed = {"batch_dirs": 0, "version_dirs": 0, "manifests": 0, "tmp": 0}
+    if manifest is None:
+        return removed
+    jfs, _, jvm = _jfs(spark, store_path)
+    hp = jvm.org.apache.hadoop.fs.Path
+    for b in list_sealed_batches(spark, store_path):
+        if b <= manifest["max_batch_id"]:
+            jfs.delete(hp(f"{store_path}/batch_id={b}"), True)
+            removed["batch_dirs"] += 1
+    comp = f"{store_path}/_compacted"
+    for st in jfs.listStatus(hp(comp)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name != manifest["version_dir"]:
+            jfs.delete(st.getPath(), True)
+            removed["version_dirs"] += 1
+        elif st.isFile() and name.startswith(f".{_MANIFEST_RE}"):
+            jfs.delete(st.getPath(), False)
+            removed["tmp"] += 1
+        elif (
+            st.isFile()
+            and name.startswith(_MANIFEST_RE)
+            and name.endswith(".json")
+            and name[len(_MANIFEST_RE) : -len(".json")].isdigit()
+            and int(name[len(_MANIFEST_RE) : -len(".json")])
+            < manifest["version"]
+        ):
+            jfs.delete(st.getPath(), False)
+            removed["manifests"] += 1
+    return removed
+
+
+def vacuum_media_labels(
+    spark, labels_path: str, committed_batch_id: int
+) -> int:
+    """Delete sealed label versions no recovering stream can consult:
+    each ``labels/batch_id=<n>`` is a FULL self-contained labeling, and
+    a replayed batch n (necessarily n > the checkpoint's last committed
+    id) reads only the LATEST version strictly older than n — at most
+    the latest sealed version <= ``committed_batch_id``. Everything
+    strictly older than that keep-point is unreachable history. Returns
+    the number of versions removed. Versions above the committed id
+    (a crashed batch's completed-but-uncommitted output) are never
+    touched — the replay overwrites them in place."""
+    sealed = list_sealed_batches(spark, labels_path)
+    keepable = [b for b in sealed if b <= int(committed_batch_id)]
+    if not keepable:
+        return 0
+    keep = max(keepable)
+    jfs, _, jvm = _jfs(spark, labels_path)
+    n = 0
+    for b in sealed:
+        if b < keep:
+            jfs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{labels_path}/batch_id={b}"
+                ),
+                True,
+            )
+            n += 1
+    return n
+
+
 def _exploded_bands(hashes: DataFrame) -> DataFrame:
     """(band_idx, band_val, media_id, b0..b3) — one row per non-NULL
     band; NULL-banded items (the audio too-short convention) emit no
@@ -193,9 +410,13 @@ def read_hash_store_before(
     would silently prune history rows that share band keys with the
     probe). Missing store (first batch) reads as zero rows; any other
     read failure re-raises loudly (the silent-rot contract of
-    `streaming/ingest.read_store_before`)."""
-    from pyspark.errors import AnalysisException
+    `streaming/ingest.read_store_before`).
 
+    The view is manifest-aware: compacted dataset (when
+    `compact_media_store` has published one) plus batch directories
+    NEWER than it — row-identical to the plain batch-dir union at every
+    protocol point, with dp a partition column in BOTH layouts so
+    prefix pruning reaches the file listing either way."""
     if prefixes is not None and dp_buckets is not None:
         stored = read_dp_buckets(spark, store_path)
         if stored is not None and stored != int(dp_buckets):
@@ -210,15 +431,33 @@ def read_hash_store_before(
     pred = F.col("batch_id") < batch_id
     if prefixes is not None:
         pred = pred & F.col("dp").isin(list(prefixes))
-    try:
-        store = spark.read.schema(HASH_STORE_SCHEMA).parquet(store_path)
-    except AnalysisException as e:
-        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", None))
-        if cond is not None and cond() == "PATH_NOT_FOUND":
-            return spark.createDataFrame([], HASH_STORE_SCHEMA).drop(
-                "batch_id", "dp"
-            )
-        raise
+    cols = [c.split(" ")[0] for c in HASH_STORE_SCHEMA.split(", ")]
+    manifest = _read_store_manifest(spark, store_path)
+    covered = manifest["max_batch_id"] if manifest else -1
+    tail = [
+        b for b in list_sealed_batches(spark, store_path) if b > covered
+    ]
+    parts: list[DataFrame] = []
+    if manifest:
+        parts.append(
+            spark.read.schema(HASH_STORE_SCHEMA)
+            .parquet(f"{store_path}/_compacted/{manifest['version_dir']}")
+            .select(*cols)
+        )
+    if tail:
+        parts.append(
+            spark.read.option("basePath", store_path)
+            .schema(HASH_STORE_SCHEMA)
+            .parquet(*[f"{store_path}/batch_id={b}" for b in tail])
+            .select(*cols)
+        )
+    if not parts:
+        return spark.createDataFrame([], HASH_STORE_SCHEMA).drop(
+            "batch_id", "dp"
+        )
+    store = parts[0]
+    for p in parts[1:]:
+        store = store.unionByName(p)
     return store.filter(pred).drop("batch_id", "dp")
 
 
