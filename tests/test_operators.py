@@ -6091,3 +6091,44 @@ def test_near_dup_video_by_frames_contract(spark):
     assert again == pairs
     with _pytest.raises(ValueError, match="min_containment"):
         near_dup_video_by_frames(media, frame_size=8, min_containment=0.0)
+
+
+def test_semantic_verify_pairs_rejects_dhash_collisions(spark):
+    """Two-tier media dedup (round 15): `semantic_verify_pairs` must
+    keep a perceptual candidate pair only when BOTH endpoints carry an
+    embedding and the rounded cosine clears the threshold — a
+    dHash-close but semantically-distinct pair is rejected (the
+    false-merge the verify tier exists for), and a pair with a missing
+    embedding drops (strict verify: no evidence, no merge)."""
+    from usgs_lidar_spark.multimodal import semantic_verify_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # same subject: cos ~ 1
+            (3, [0.0, 1.0, 0.0]),      # dHash collision, orthogonal
+            # id 4: no embedding row at all
+        ],
+        "media_id bigint, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in semantic_verify_pairs(
+            pairs, emb, threshold=0.9, id_col="media_id"
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 0.999
+    # zero-norm guard: a zero vector scores 0.0, never NaN/err
+    emb0 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "media_id bigint, embedding array<double>",
+    )
+    out = semantic_verify_pairs(
+        spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint"),
+        emb0, threshold=0.0, id_col="media_id",
+    ).collect()
+    assert [r["cos_sim"] for r in out] == [0.0]

@@ -47,5 +47,6 @@ from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     probe_image_dims,
     resize_image,
     sample_frames,
+    semantic_verify_pairs,
     to_media_table,
 )

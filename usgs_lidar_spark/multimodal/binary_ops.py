@@ -963,3 +963,63 @@ def near_dup_video_by_frames(
         .filter(F.col("containment") >= float(min_containment))
         .select("id_a", "id_b", "shared_frames", "containment")
     )
+
+
+def semantic_verify_pairs(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "media_id",
+    vec_col: str = "embedding",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-tier near-dup verification — filter PERCEPTUAL candidate
+    pairs by SEMANTIC cosine: keep a pair only when both endpoints have
+    an embedding row and their rounded cosine clears ``threshold``. The
+    production image-dedup shape: the cheap banded candidate stage
+    (dHash/audio/video containment) supplies recall, the embedding
+    verify supplies precision — a dHash collision between semantically
+    different items (crops of different subjects with similar byte
+    texture, re-encodes that happen to sample alike) is rejected before
+    it can glue two clusters together.
+
+    Strict-verify semantics: a pair with a MISSING embedding on either
+    side is DROPPED (no evidence, no merge) — the candidate tier alone
+    must not merge clusters when the verifier cannot run; unembedded
+    items therefore stay singletons unless another verified pair claims
+    them. Scale posture: pairs are banded-join output (never all-pairs)
+    and the two embedding joins shuffle only (pair ids x dim floats);
+    norms are computed once per side, not per pair; nothing collects.
+
+    Rounded-cosine convention matches the ANN tier (`F.round(cos, 4)`,
+    zero-norm guard to 0.0), so the DuckDB oracle replays the verify
+    bit-for-bit with the `_cos4` expression."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    emb = embeddings.select(
+        F.col(id_col).alias("__eid"),
+        F.col(vec_col).alias("__evec"),
+        norm(vec_col).alias("__enorm"),
+    )
+    ea = emb.select(
+        F.col("__eid").alias(pair_a),
+        F.col("__evec").alias("__va"),
+        F.col("__enorm").alias("__na"),
+    )
+    eb = emb.select(
+        F.col("__eid").alias(pair_b),
+        F.col("__evec").alias("__vb"),
+        F.col("__enorm").alias("__nb"),
+    )
+    raw = F.when(
+        (F.col("__na") == 0) | (F.col("__nb") == 0), F.lit(0.0)
+    ).otherwise(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")))
+    return (
+        pairs.join(ea, pair_a)
+        .join(eb, pair_b)
+        .withColumn("cos_sim", F.round(raw, round_digits))
+        .filter(F.col("cos_sim") >= float(threshold))
+        .select(pair_a, pair_b, "cos_sim")
+    )

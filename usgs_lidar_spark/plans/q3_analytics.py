@@ -2398,3 +2398,137 @@ def mm_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, pairs, score_col="quality",
         id_col="media_id", pair_a="id_a", pair_b="id_b",
     )
+
+
+@query(
+    "mm_near_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS media_id,
+               substr(text, 1, length(text) // 2)
+                 || '~' || substr(text, length(text) // 2 + 2) AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_DHASH_CTE},
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ),
+    -- embedding assignment: originals carry their own vector; every
+    -- third re-upload ((doc % 21 = 0) of the doc % 7 = 0 slice) carries
+    -- a DIFFERENT document's vector — dHash-close but semantically
+    -- distinct, the false-merge the verify tier must reject.
+    emap AS (
+      SELECT media_id,
+             CASE WHEN media_id >= 100000 THEN
+                 CASE WHEN (media_id - 100000) % 21 = 0
+                      THEN media_id - 100000 + 3
+                      ELSE media_id - 100000 END
+             ELSE media_id END AS eid
+      FROM m
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM pairs c
+      JOIN emap xa ON xa.media_id = c.id_a
+      JOIN embeddings ea ON ea.vec_id = xa.eid
+      JOIN emap xb ON xb.media_id = c.id_b
+      JOIN embeddings eb ON eb.vec_id = xb.eid
+      WHERE ROUND(
+          list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ea.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(eb.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.9
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM verified
+              UNION SELECT id_b AS u, id_a AS v FROM verified),
+    walk(id, reach) AS (
+        SELECT media_id, media_id FROM m
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS media_id, min(reach) AS cluster_id
+           FROM walk GROUP BY id),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY cluster_id)
+    SELECT cc.media_id, CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+           CAST(csize.cluster_size AS BIGINT) AS cluster_size,
+           cc.media_id = cc.cluster_id AS is_kept
+    FROM cc JOIN csize USING (cluster_id)
+    """,
+)
+def mm_near_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-TIER perceptual + semantic media dedup (round 15 — the
+    production image-dedup shape: candidates cheap, verify exact):
+    `fake_dhash_image` -> `near_dup_media_by_dhash` supplies RECALL
+    (banded Hamming candidates, never all-pairs), then
+    `multimodal.semantic_verify_pairs` supplies PRECISION — each
+    candidate pair joins both endpoints to the `embeddings` table and
+    survives only when the rounded cosine clears 0.9; only the verified
+    pairs reach connected components. The fixture plants the exact
+    failure the verify exists for: every third re-upload is dHash-close
+    to its original (one perturbed byte) but carries a DIFFERENT
+    document's embedding — perceptual-only dedup (`mm_near_dedup`)
+    merges it; here it must stay a singleton. At sf0.01: 72 candidate
+    re-upload pairs, 48 verified (identity embeddings, cosine 1.0), 24
+    rejected (shifted embeddings, cosine <= 0.37 measured). Items
+    without an embedding row drop their pairs (strict verify — no
+    evidence, no merge), which also makes the query live at sf0.1 where
+    embeddings cover only a vec_id prefix of documents. Scale: pairs
+    are banded output, the verify joins shuffle (pair ids x vectors),
+    CC moves labels; payloads and the corpus never re-shuffle."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+        semantic_verify_pairs,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr(
+                "substring(text, CAST(length(text) / 2 AS INT) + 2)"
+            ),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.select("doc_id", "text").unionByName(reup), "doc_id", "text"
+    )
+    doc0 = F.col("media_id") - 100000
+    eid = F.when(
+        F.col("media_id") >= 100000,
+        F.when(doc0 % 21 == 0, doc0 + 3).otherwise(doc0),
+    ).otherwise(F.col("media_id"))
+    media_emb = (
+        media.select("media_id", eid.alias("__eid"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("__eid"), "embedding"
+            ),
+            "__eid",
+        )
+        .select("media_id", "embedding")
+    )
+    cand = near_dup_media_by_dhash(fake_dhash_image(media), max_hamming=3)
+    verified = semantic_verify_pairs(
+        cand, media_emb, threshold=0.9, id_col="media_id"
+    )
+    return collapse_clusters(
+        media.select("media_id"), verified,
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
