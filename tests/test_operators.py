@@ -5703,8 +5703,12 @@ def test_round14_advice_guards(spark):
         [(1, "ab" * 40)], "doc_id long, text string"
     )
     vocab = spark.createDataFrame([("ab",)], "piece string")
-    with _pytest.raises(ValueError, match="max_chars"):
-        viterbi_min_pieces(docs, vocab, max_chars=10)
+    # round 15 (ADVICE r14): the bound is a LAZY per-row guard riding
+    # the scan — plan construction stays cheap (no eager max agg), the
+    # job fails at execution with the offending id/length in the text.
+    over = viterbi_min_pieces(docs, vocab, max_chars=10)  # no error yet
+    with _pytest.raises(Exception, match="max_chars=10"):
+        over.collect()
     ok = viterbi_min_pieces(docs, vocab, max_chars=80).collect()
     assert ok[0]["n_pieces"] == 40
 
@@ -6132,3 +6136,77 @@ def test_semantic_verify_pairs_rejects_dhash_collisions(spark):
         emb0, threshold=0.0, id_col="media_id",
     ).collect()
     assert [r["cos_sim"] for r in out] == [0.0]
+
+
+def test_kmeanspp_seeding_deterministic_and_probe_all_exact(spark):
+    """Round-15 k-means++-style coarse seeding: the deterministic
+    farthest-point seed list must (a) be reproducible across calls and
+    input partitionings, (b) contain n distinct cids starting from the
+    min cid, (c) actually spread — on a two-clump fixture the second
+    seed must come from the OTHER clump, where cid-stride picks by id
+    order and lands in the first clump — and (d) keep the pinned
+    probe-ALL contract: two-level assignment over kmeanspp-seeded
+    coarse == flat ivf_assign bit-for-bit. Unknown seeding raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.catalog import load_table
+    from usgs_lidar_spark.operators.similarity import (
+        derive_coarse_quantizer,
+        ivf_assign,
+        ivf_assign_two_level,
+        kmeanspp_seed_centroids,
+    )
+
+    # (c) spread: cids 0..3 in clump A (near +e1), cid 4 alone at -e1.
+    # Farthest-point's 2nd seed must be cid 4; stride-of-2 picks cid 2.
+    clumps = spark.createDataFrame(
+        [
+            (0, [1.0, 0.01]), (1, [1.0, 0.02]), (2, [1.0, 0.03]),
+            (3, [1.0, 0.04]), (4, [-1.0, 0.0]),
+        ],
+        "cid long, cvec array<double>",
+    )
+    pp = kmeanspp_seed_centroids(clumps, 2)
+    assert [cid for cid, _ in pp] == [0, 4]
+    st = derive_coarse_quantizer(clumps, n_coarse=2, seeding="stride")
+    assert [cid for cid, _ in st] == [0, 3]  # ceil(5/2)=3 stride by cid
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 24).collect()
+    ]
+    cdf = spark.createDataFrame(cents, "cid long, cvec array<double>")
+    # (a) determinism across calls and partitionings
+    pp1 = derive_coarse_quantizer(cdf, seeding="kmeanspp")
+    pp2 = derive_coarse_quantizer(cdf.repartition(5), seeding="kmeanspp")
+    assert pp1 == pp2
+    # (b) distinct cids, first = min cid, count = ceil(sqrt(24)) = 5
+    cids = [cid for cid, _ in pp1]
+    assert len(cids) == len(set(cids)) == 5 and cids[0] == 0
+    # composes with Lloyd refinement deterministically
+    ppt = derive_coarse_quantizer(
+        cdf, method="trained", n_iter=1, seeding="kmeanspp"
+    )
+    assert ppt == derive_coarse_quantizer(
+        cdf.repartition(3), method="trained", n_iter=1, seeding="kmeanspp"
+    )
+    # (d) probe-all == flat, bit-for-bit including __csim
+    flat = sorted(
+        (r["vec_id"], r["__cid"], r["__csim"])
+        for r in ivf_assign(emb, cents, keep_sim=True).collect()
+    )
+    for coarse in (pp1, ppt):
+        tl = sorted(
+            (r["vec_id"], r["__cid"], r["__csim"])
+            for r in ivf_assign_two_level(
+                emb, cdf, coarse=coarse, n_probe_coarse=len(coarse),
+                keep_sim=True,
+            ).collect()
+        )
+        assert tl == flat
+    with _pytest.raises(ValueError, match="seeding"):
+        derive_coarse_quantizer(cdf, seeding="d2-sample")

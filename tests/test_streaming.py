@@ -2272,3 +2272,96 @@ def test_media_store_compaction_and_vacuum(spark, tmp_path):
     (Path(store) / "_compacted" / "v1").mkdir()
     removed = vacuum_media_store(spark, store)
     assert removed["batch_dirs"] == 1 and removed["version_dirs"] == 1
+
+
+def test_streaming_image_text_gate_ingest(spark, tmp_path):
+    """Streaming image-text pair gating (round 15): draining paired
+    (caption, image) embedding rows through `image_text_gate_ingest_
+    writer` in micro-batches — crash replay included — must reproduce
+    the one-shot batch gate (`mm_image_text_gate`'s operator) exactly:
+    the verdict is a pure per-row function, so exactly-once falls out
+    of purity + batch_id-keyed overwrite, no state store needed."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.multimodal import image_text_gate
+    from usgs_lidar_spark.streaming.ingest import (
+        image_text_gate_ingest_writer,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    img_eid = F.when(
+        F.col("vec_id") % 3 == 0, F.col("vec_id") + 7
+    ).otherwise(F.col("vec_id"))
+    base = emb.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("caption_embedding"),
+        img_eid.alias("__img_eid"),
+    )
+    pairs = base.join(
+        emb.select(
+            F.col("vec_id").alias("__img_eid"),
+            F.col("embedding").alias("image_embedding"),
+        ),
+        "__img_eid",
+    ).drop("__img_eid")
+
+    stream_dir = tmp_path / "pairs_stream"
+    stream_dir.mkdir()
+    for i, flt in enumerate(
+        ["pair_id < 150", "pair_id >= 150 AND pair_id < 300",
+         "pair_id >= 300"]
+    ):
+        pairs.filter(flt).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"pb{i}")
+        )
+        shutil.copy(
+            next((tmp_path / f"pb{i}").glob("*.parquet")),
+            stream_dir / f"part-{i}.parquet",
+        )
+
+    out = str(tmp_path / "gated")
+    inner = image_text_gate_ingest_writer(out, threshold=0.9)
+    crash_marker = tmp_path / "gate_crashed_once"
+
+    def crashing(batch, batch_id):
+        inner(batch, batch_id)
+        if batch_id == 1 and not crash_marker.exists():
+            crash_marker.write_text("boom")
+            raise RuntimeError("injected crash after write, before commit")
+
+    def drain():
+        return (
+            spark.readStream.schema(pairs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+            .writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = drain()
+    try:
+        q.awaitTermination()
+        raise AssertionError("expected the injected crash")
+    except Exception:
+        pass
+    drain().awaitTermination()
+
+    drained = sorted(
+        (r["pair_id"], r["clip_score"], r["kept"])
+        for r in spark.read.parquet(out)
+        .select("pair_id", "clip_score", "kept")
+        .collect()
+    )
+    oneshot = sorted(
+        (r["pair_id"], r["clip_score"], r["kept"])
+        for r in image_text_gate(pairs, threshold=0.9)
+        .select("pair_id", "clip_score", "kept")
+        .collect()
+    )
+    assert drained == oneshot
+    # the gate discriminates: aligned pairs kept at 1.0, misaligned
+    # (every third id) dropped
+    kept = {p: k for p, _, k in drained}
+    assert kept[1] and kept[2] and not kept[0] and not kept[3]

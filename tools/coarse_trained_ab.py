@@ -124,10 +124,17 @@ def main() -> None:
     work = Path("/tmp/coarse_ab_logs")
     spark = make_session("coarse-trained-ab", work)
     corpus, fine, flat = build(spark)
-    coarses = {
-        "stride": derive_coarse_quantizer(fine),
-        "trained": derive_coarse_quantizer(fine, method="trained"),
-    }
+    # Round-15 grid: seeding x Lloyd iterations (it0 = raw seeds; the
+    # round-14 rows are stride_it0 ("stride") and stride_it2 ("trained")).
+    coarses = {}
+    for seeding in ("stride", "kmeanspp"):
+        for it in (0, 1, 2):
+            coarses[f"{seeding}_it{it}"] = derive_coarse_quantizer(
+                fine,
+                method=("stride" if it == 0 else "trained"),
+                n_iter=it,
+                seeding=seeding,
+            )
     for method, coarse in coarses.items():
         for p in (1, 2, 4, len(coarse)):
             # warmup compiles the plan; timed second run

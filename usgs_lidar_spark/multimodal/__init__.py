@@ -41,6 +41,7 @@ from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     fake_dhash_image_wide,
     fake_resize_image,
     have_pil,
+    image_text_gate,
     near_dup_media_by_dhash,
     near_dup_media_by_dhash_combo,
     near_dup_video_by_frames,

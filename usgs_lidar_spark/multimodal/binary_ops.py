@@ -1023,3 +1023,43 @@ def semantic_verify_pairs(
         .filter(F.col("cos_sim") >= float(threshold))
         .select(pair_a, pair_b, "cos_sim")
     )
+
+
+def image_text_gate(
+    pairs: DataFrame,
+    threshold: float,
+    text_vec_col: str = "caption_embedding",
+    image_vec_col: str = "image_embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Image-text PAIR quality gate (the LAION-style CLIP-score filter
+    — Schuhmann et al. 2021 kept web pairs whose caption/image embedding
+    cosine cleared a threshold): per paired row, the rounded cosine
+    between the two embedding columns as ``clip_score`` plus the
+    boolean ``kept`` verdict. AUDIT form — every input row is emitted
+    with its score and decision (the curation convention every gate in
+    this engine follows: the drop set is as much the product as the
+    keep set); callers filter on ``kept`` downstream.
+
+    Map-only: one row-wise expression over columns already on the row —
+    no join, no shuffle, no UDF — so the gate rides whatever scan
+    produces the pairs (at 100 TB it fuses into the ingest projection).
+    Zero-norm embeddings score 0.0 (the ANN tier's guard), NULL
+    embeddings yield NULL score and ``kept = false`` (an unembeddable
+    pair cannot demonstrate alignment — same strict-verify stance as
+    `semantic_verify_pairs`). Rounded-cosine convention matches `_cos4`,
+    so the oracle replays score and verdict bit-for-bit."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    na, nb = norm(text_vec_col), norm(image_vec_col)
+    raw = F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot(text_vec_col, image_vec_col) / (na * nb)
+    )
+    return pairs.withColumn(
+        "clip_score", F.round(raw, round_digits)
+    ).withColumn(
+        "kept",
+        F.coalesce(
+            F.col("clip_score") >= float(threshold), F.lit(False)
+        ),
+    )

@@ -372,6 +372,76 @@ def ivf_assign(
     return out.drop(tmp) if tmp is not None else out
 
 
+def kmeanspp_seed_centroids(
+    centroids_df: DataFrame,
+    n_seeds: int,
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    qbits: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means++-style seeding over a (cid, cvec) frame:
+    greedy FARTHEST-POINT (Gonzalez 1985 k-center — the derandomized
+    stand-in for k-means++'s D²-sampling: argmax of distance instead of
+    sampling proportional to D², so there is no RNG and any engine
+    replays the identical seed list). Start from the min-cid row; each
+    round picks the row whose MAXIMUM similarity to the chosen seeds is
+    MINIMAL (ties -> min cid) — i.e. the point worst-covered by the
+    current seed set, which is exactly the clump k-means++ exists to
+    find and cid-stride misses.
+
+    Arithmetic is the engine's exact-quantized convention: similarity
+    keys come from `_exact_argmax_structs` (integer dot over
+    `quantize_exact` vectors through correctly-rounded sqrt/divide),
+    row-normalized by the row's own exact integer norm — every double
+    is bit-identical in any IEEE engine, so the seed list (and
+    everything trained from it) is reproducible, not just "usually the
+    same".
+
+    Cost: ``n_seeds`` rounds x one scan of the CENTROIDS frame (k rows
+    — the fine quantizer, never the corpus); the driver holds only the
+    growing seed list (<= n_seeds x dim). At the two-level tier's
+    n_seeds ~ sqrt(k) that is the same budget class as one
+    `kmeans_train_centroids` iteration."""
+    rows = centroids_df.select(
+        F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cvec")
+    )
+    k = rows.count()
+    g = min(int(n_seeds), k)
+    if g <= 0:
+        return []
+    from usgs_lidar_spark.functions.vectors import dot_q, quantize_exact
+
+    df = (
+        rows.withColumn("__qv", quantize_exact("cvec", qbits))
+        .withColumn(
+            "__rn", F.sqrt(dot_q("__qv", "__qv").cast("double"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    first = df.orderBy("cid").limit(1).collect()[0]
+    seeds = [(int(first["cid"]), [float(x) for x in first["cvec"]])]
+    while len(seeds) < g:
+        qseeds = _quantize_centroids_exact(seeds, qbits)
+        best = F.array_max(_exact_argmax_structs(F.col("__qv"), qseeds))
+        simn = F.when(F.col("__rn") == 0, F.lit(0.0)).otherwise(
+            best["key"] / F.col("__rn")
+        )
+        picked = [cid for cid, _ in seeds]
+        pick = (
+            df.filter(~F.col("cid").isin(picked))
+            .select(
+                F.min(
+                    F.struct(
+                        simn.alias("s"), F.col("cid"), F.col("cvec")
+                    )
+                ).alias("p")
+            )
+            .collect()[0]["p"]
+        )
+        seeds.append((int(pick["cid"]), [float(x) for x in pick["cvec"]]))
+    return seeds
+
+
 def derive_coarse_quantizer(
     centroids_df: DataFrame,
     cid_col: str = "cid",
@@ -379,6 +449,7 @@ def derive_coarse_quantizer(
     n_coarse: int | None = None,
     method: str = "stride",
     n_iter: int = 2,
+    seeding: str = "stride",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse level for `ivf_assign_two_level`: ~sqrt(k)
     evenly-cid-strided members of the fine quantizer itself (the same
@@ -409,35 +480,56 @@ def derive_coarse_quantizer(
     through one task) and the selected ids semi-join back to fetch
     their vectors distributed; ranking (cid, vector) rows directly
     would drag the full k x dim quantizer through one task — the exact
-    single-partition bottleneck the two-level tier exists to avoid."""
+    single-partition bottleneck the two-level tier exists to avoid.
+
+    ``seeding`` picks HOW the initial coarse members are chosen:
+    ``"stride"`` (evenly by cid — cheap, one window over the cid
+    column) or ``"kmeanspp"`` (`kmeanspp_seed_centroids` — deterministic
+    farthest-point: the seeds already track the fine centroids'
+    clustering, so fewer/zero Lloyd iterations reach the trained
+    split's recall; round-15 A/B in SCALE.md). Orthogonal to ``method``:
+    ``"trained"`` refines WHICHEVER seeds with ``n_iter`` exact Lloyd
+    iterations; probe-all stays bit-identical to flat under every
+    combination (the pinned two-level contract)."""
     import math
 
     k = centroids_df.count()
     if k == 0:
         return [(0, [0.0])]
     g = n_coarse or max(1, math.ceil(math.sqrt(k)))
-    stride = max(1, math.ceil(k / g))
-    w = Window.orderBy(F.col(cid_col))
-    picked = (
-        centroids_df.select(cid_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") - 1) % stride == 0)
-        .select(cid_col)
-    )
-    rows = (
-        centroids_df.select(cid_col, cvec_col)
-        .join(F.broadcast(picked), cid_col, "semi")
-        .collect()
-    )
-    # The semi-join returns rows in task-completion order — sort
-    # driver-side (<= sqrt(k) rows, cost nil) so the promised
-    # determinism covers the LIST itself, not just the downstream
-    # order-independent argmax: a caller that fingerprints or zips the
-    # coarse list must not see run-to-run drift (ADVICE r13).
-    rows = sorted(rows, key=lambda r: int(r[cid_col]))
-    seeds = [
-        (int(r[cid_col]), [float(x) for x in r[cvec_col]]) for r in rows
-    ]
+    if seeding == "kmeanspp":
+        seeds = kmeanspp_seed_centroids(
+            centroids_df, g, cid_col=cid_col, cvec_col=cvec_col
+        )
+    elif seeding == "stride":
+        stride = max(1, math.ceil(k / g))
+        w = Window.orderBy(F.col(cid_col))
+        picked = (
+            centroids_df.select(cid_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") - 1) % stride == 0)
+            .select(cid_col)
+        )
+        rows = (
+            centroids_df.select(cid_col, cvec_col)
+            .join(F.broadcast(picked), cid_col, "semi")
+            .collect()
+        )
+        # The semi-join returns rows in task-completion order — sort
+        # driver-side (<= sqrt(k) rows, cost nil) so the promised
+        # determinism covers the LIST itself, not just the downstream
+        # order-independent argmax: a caller that fingerprints or zips
+        # the coarse list must not see run-to-run drift (ADVICE r13).
+        rows = sorted(rows, key=lambda r: int(r[cid_col]))
+        seeds = [
+            (int(r[cid_col]), [float(x) for x in r[cvec_col]])
+            for r in rows
+        ]
+    else:
+        raise ValueError(
+            f"derive_coarse_quantizer: seeding must be 'stride' or "
+            f"'kmeanspp', got {seeding!r}"
+        )
     if method == "stride":
         return seeds
     if method == "trained":

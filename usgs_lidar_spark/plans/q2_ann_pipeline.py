@@ -2611,3 +2611,48 @@ def sim_assign_two_level_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, cdf, coarse=coarse, n_probe_coarse=len(coarse)
     )
     return out.select("vec_id", F.col("__cid").cast("long").alias("cid"))
+
+
+@query(
+    "sim_assign_two_level_kmeanspp",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 48
+    ), csim AS (
+        SELECT e.vec_id, c.cid, {_cos4("e.embedding", "c.cvec")} AS csim
+        FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rn
+        FROM csim) WHERE rn = 1
+    """,
+)
+def sim_assign_two_level_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level assignment with a k-means++-SEEDED coarse split
+    (round 15 — `derive_coarse_quantizer(seeding="kmeanspp")`:
+    deterministic farthest-point over the fine-centroid frame, no RNG,
+    no Lloyd iterations) probing ALL coarse cells. Same deliberate
+    oracle as `sim_assign_two_level_trained`: the FLAT assignment SQL —
+    probe-all two-level is pinned bit-identical to flat `ivf_assign`
+    under ANY coarse split, so a hash match proves the seeding changes
+    pack ownership only. The seeding's recall-at-low-probe win over
+    stride (clump coverage without paying Lloyd) is the measured
+    round-15 A/B in SCALE.md; its cost is sqrt(k) scans of the k-row
+    centroid frame, never the corpus."""
+    from usgs_lidar_spark.operators.similarity import (
+        derive_coarse_quantizer,
+        ivf_assign_two_level,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cdf = emb.filter(F.col("vec_id") < 48).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    coarse = derive_coarse_quantizer(cdf, seeding="kmeanspp")
+    out = ivf_assign_two_level(
+        emb, cdf, coarse=coarse, n_probe_coarse=len(coarse)
+    )
+    return out.select("vec_id", F.col("__cid").cast("long").alias("cid"))

@@ -2532,3 +2532,69 @@ def mm_near_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.select("media_id"), verified,
         id_col="media_id", pair_a="id_a", pair_b="id_b",
     )
+
+
+@query(
+    "mm_image_text_gate",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id AS pair_id, embedding AS cap,
+             CASE WHEN vec_id % 3 = 0 THEN vec_id + 7 ELSE vec_id END
+                 AS img_eid
+      FROM embeddings
+    ), pairs AS (
+      SELECT b.pair_id, b.cap, i.embedding AS img
+      FROM base b JOIN embeddings i ON i.vec_id = b.img_eid
+    ), scored AS (
+      SELECT pair_id,
+             ROUND(
+               list_sum(list_transform(list_zip(cap, img),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(cap,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(img,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                 AS clip_score
+      FROM pairs
+    )
+    SELECT pair_id, clip_score, clip_score >= 0.9 AS kept FROM scored
+    """,
+)
+def mm_image_text_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text PAIR gating, LAION shape (round 15 —
+    `multimodal.image_text_gate`): keep/drop paired (caption embedding,
+    image embedding) rows by rounded cosine against a threshold, with
+    the AUDIT output (score, kept) every curation gate in this engine
+    emits — the multimodal counterpart of the text quality gate. The
+    fixture pairs every embedding with ITSELF as the image side
+    (aligned pairs, cosine 1.0) except every third vec_id, which is
+    paired with a DIFFERENT document's vector (vec_id + 7 — the
+    misaligned crawl pair the gate exists to drop; measured cross
+    cosine <= 0.39 at both sf, so threshold 0.9 separates cleanly and
+    no rounded value sits near the boundary). Map-only after one
+    equi-join that exists only to BUILD the fixture's pairs — the gate
+    itself adds no shuffle and fuses into the scan projection, the
+    100 TB posture for a per-row filter. Misaligned ids whose +7
+    partner is past the table edge drop at the build join in both
+    engines."""
+    from usgs_lidar_spark.multimodal import image_text_gate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    img_eid = F.when(
+        F.col("vec_id") % 3 == 0, F.col("vec_id") + 7
+    ).otherwise(F.col("vec_id"))
+    base = emb.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("caption_embedding"),
+        img_eid.alias("__img_eid"),
+    )
+    pairs = base.join(
+        emb.select(
+            F.col("vec_id").alias("__img_eid"),
+            F.col("embedding").alias("image_embedding"),
+        ),
+        "__img_eid",
+    )
+    return image_text_gate(pairs, threshold=0.9).select(
+        "pair_id", "clip_score", "kept"
+    )

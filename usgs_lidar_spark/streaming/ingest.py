@@ -336,3 +336,61 @@ def run_semantic_decon_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def image_text_gate_ingest_writer(
+    out_path: str,
+    threshold: float,
+    text_vec_col: str = "caption_embedding",
+    image_vec_col: str = "image_embedding",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback for STREAMING image-text pair gating
+    (round 15 — the multimodal counterpart of the semantic-decon
+    ingest): score each arriving micro-batch of (caption embedding,
+    image embedding) pairs with `multimodal.image_text_gate` and
+    publish the audit rows (every input row + clip_score + kept) to
+    ``out/batch_id=<n>`` with overwrite.
+
+    Same statelessness argument as `semantic_decon_ingest_writer`: the
+    gate verdict is a pure per-row function, batches share no state, a
+    replayed batch recomputes byte-identical scores from its own rows,
+    and the batch_id-keyed overwrite makes every write idempotent —
+    exactly-once from purity + addressable output, no store to version.
+    Drain parity with the one-shot batch gate (any batch split, crash
+    replay included) is pinned by
+    tests/test_streaming.py::test_streaming_image_text_gate_ingest."""
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        from usgs_lidar_spark.multimodal import image_text_gate
+
+        audited = image_text_gate(
+            batch, threshold, text_vec_col, image_vec_col
+        )
+        audited.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return ingest
+
+
+def run_image_text_gate_ingest(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    threshold: float,
+    text_vec_col: str = "caption_embedding",
+    image_vec_col: str = "image_embedding",
+) -> None:
+    """Drain all available pair input through the gate (availableNow
+    trigger); restartable/replay-safe per the writer docstring."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            image_text_gate_ingest_writer(
+                out_path, threshold, text_vec_col, image_vec_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
