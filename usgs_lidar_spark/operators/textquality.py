@@ -1174,6 +1174,47 @@ def derive_piece_vocab(
     return freq.orderBy(F.desc("freq"), F.asc("piece")).limit(int(vocab_size))
 
 
+def _viterbi_docs_frame(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_chars: int | None,
+    fn_name: str,
+) -> DataFrame:
+    """(__id, __t, __n) frame shared by the two Viterbi rungs, with the
+    max_chars bound as a LAZY per-row guard riding the existing scan
+    (ADVICE r14: the first draft ran an eager max(length) agg + collect
+    at plan-construction time — a second full text scan on every call).
+    An over-long row trips `raise_error` AT EXECUTION, failing the job
+    with the offending id/length before the quadratic fold runs for it;
+    valid corpora pay zero extra work and the plan stays lazy. None
+    disables the bound (the caller owns the quadratic risk)."""
+    n = F.length(text_col).cast("int")
+    if max_chars is not None:
+        n = F.when(
+            n > int(max_chars),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{fn_name}: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" is "),
+                    F.length(text_col).cast("string"),
+                    F.lit(
+                        f" chars, over max_chars={int(max_chars)}; the "
+                        "position fold is quadratic in document length "
+                        "(see docstring) — raise max_chars deliberately "
+                        "or pre-split long documents"
+                    ),
+                )
+            ).cast("int"),
+        ).otherwise(n)
+    return docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        n.alias("__n"),
+    ).filter(F.col("__n") > 0)
+
+
 def viterbi_min_pieces(
     docs: DataFrame,
     vocab: DataFrame,
@@ -1214,35 +1255,20 @@ def viterbi_min_pieces(
     shape, which is exactly why cross-engine parity holds). Fine at
     typical web-document lengths; a single 100k+-char outlier makes
     the fold quadratic in both time and transient memory, so documents
-    longer than ``max_chars`` are REJECTED LOUDLY up front (a
-    driver-side one-row bound check, not a silent truncation — a
-    truncated segmentation would report a wrong optimum). Raise the
-    cap deliberately, or pre-split pathological documents, when the
-    corpus is known-heavy. The DuckDB oracle replays the identical
+    longer than ``max_chars`` are REJECTED LOUDLY — a lazy per-row
+    `raise_error` guard riding the existing scan (no extra corpus
+    pass; the job fails at execution with the offending id/length),
+    never a silent truncation, which would report a wrong optimum.
+    Raise the cap deliberately, or pre-split pathological documents,
+    when the corpus is known-heavy. The DuckDB oracle replays the identical
     fold with `list_reduce` (`pipe` prefix queries' lambda tier), so
     optimality itself is hash-checked, not approximated.
 
     Output: (id, n_chars, n_pieces, compression = n_chars / n_pieces
     as the correctly-rounded double of two exact integers)."""
-    if max_chars is not None:
-        # One-row corpus agg over the length column alone (pruned scan):
-        # the quadratic fold must never be launched over an unbounded
-        # document — fail loudly with the offending length instead.
-        mx = docs.agg(
-            F.max(F.length(text_col)).alias("mx")
-        ).collect()[0]["mx"]
-        if mx is not None and int(mx) > int(max_chars):
-            raise ValueError(
-                f"viterbi_min_pieces: longest document is {int(mx)} chars, "
-                f"over max_chars={int(max_chars)}; the position fold is "
-                "quadratic in document length (see docstring) — raise "
-                "max_chars deliberately or pre-split long documents"
-            )
-    d = docs.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.length(text_col).cast("int").alias("__n"),
-    ).filter(F.col("__n") > 0)
+    d = _viterbi_docs_frame(
+        docs, text_col, id_col, max_chars, "viterbi_min_pieces"
+    )
     cand = (
         d.select(
             "__id",
@@ -1344,7 +1370,7 @@ def viterbi_min_cost(
     substring explode x broadcast vocab, one span pack per doc, one
     JVM-side sequential fold carrying (s, e, w) structs; the fold's
     accumulator copy is quadratic in doc length — same honest caveat —
-    so ``max_chars`` rejects outliers loudly up front).
+    so ``max_chars`` rejects outliers loudly via the lazy per-row scan guard).
 
     Output: (id, n_chars, total_cost, cost_per_char = the correctly-
     rounded double of two exact integers)."""
@@ -1352,22 +1378,9 @@ def viterbi_min_cost(
         raise ValueError(
             f"fallback_cost must be a positive integer, got {fallback_cost}"
         )
-    if max_chars is not None:
-        mx = docs.agg(
-            F.max(F.length(text_col)).alias("mx")
-        ).collect()[0]["mx"]
-        if mx is not None and int(mx) > int(max_chars):
-            raise ValueError(
-                f"viterbi_min_cost: longest document is {int(mx)} chars, "
-                f"over max_chars={int(max_chars)}; the position fold is "
-                "quadratic in document length — raise max_chars "
-                "deliberately or pre-split long documents"
-            )
-    d = docs.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.length(text_col).cast("int").alias("__n"),
-    ).filter(F.col("__n") > 0)
+    d = _viterbi_docs_frame(
+        docs, text_col, id_col, max_chars, "viterbi_min_cost"
+    )
     cand = (
         d.select(
             "__id",
