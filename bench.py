@@ -159,6 +159,10 @@ HEADLINE = [
     # decon drain is pinned against; every stage changes cardinality,
     # so count() forces the full chain.
     "pipe_end_to_end_v8",
+    # round 15: the TWO-TIER media dedup (dHash banded candidates ->
+    # embedding-cosine verify -> CC) — the candidates-cheap/verify-exact
+    # composition; every stage changes cardinality, count() forces all.
+    "mm_near_dedup_semantic",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled

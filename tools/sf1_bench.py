@@ -72,6 +72,18 @@ QUERIES_UNDER_TEST = [
     # the ingest+decon pipeline.
     "mm_near_dedup",
     "pipe_end_to_end_v8",
+    # round 15 (r14 verdict item 6): sf1 points for the round-14 queries
+    # that previously had only synthetic-scale evidence — the audio /
+    # video near-dup tiers, the quality-aware keeper, and the
+    # bench-self-dedup decon composition, all over the token-rotated
+    # document replicas / rescaled embedding replicas.
+    "mm_audio_near_dedup",
+    "mm_video_near_dedup",
+    "mm_near_dedup_keep_best",
+    "pipe_decon_dedup_bench",
+    # round 15 (cont.): the new two-tier verify and pair gate at sf1.
+    "mm_near_dedup_semantic",
+    "mm_image_text_gate",
 ]
 
 #: Queries whose CLAIM is steady-state serving from a persisted
