@@ -163,6 +163,10 @@ HEADLINE = [
     # embedding-cosine verify -> CC) — the candidates-cheap/verify-exact
     # composition; every stage changes cardinality, count() forces all.
     "mm_near_dedup_semantic",
+    # round 15 (cont.): the MULTIMODAL pipeline composition — two-tier
+    # dedup -> image-text gate -> byte-shard packing; the v-series
+    # headliner convention (v7, v8) one modality up.
+    "pipe_end_to_end_v9",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled

@@ -2365,3 +2365,73 @@ def test_streaming_image_text_gate_ingest(spark, tmp_path):
     # (every third id) dropped
     kept = {p: k for p, _, k in drained}
     assert kept[1] and kept[2] and not kept[0] and not kept[3]
+
+
+def test_media_ingest_two_tier_semantic_verify(spark, tmp_path):
+    """TWO-TIER streaming media ingest (round 15): with an embeddings
+    snapshot supplied, every candidate pair — history probes included —
+    must clear the cosine verify before merging, so a dHash-close but
+    semantically-distinct re-upload arriving in a LATER batch stays a
+    singleton, an embedding-less item never merges, and the drained
+    labeling equals the one-shot two-tier composition
+    (`semantic_verify_pairs` + `collapse_clusters`) bit-for-bit."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+        semantic_verify_pairs,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+    from usgs_lidar_spark.streaming.media_ingest import (
+        media_neardup_ingest_writer,
+    )
+
+    t1 = "abcdefgh" * 30
+    t2 = "".join(chr(97 + (j * 7) % 26) for j in range(240))
+    near1a = t1[:120] + "~" + t1[121:]
+    near1b = t1[:60] + "~" + t1[61:]
+    near2 = t2[:120] + "~" + t2[121:]
+    texts = {1: t1, 2: t2, 3: near1a, 4: near1b, 5: near2}
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.5, 0.5]),
+            (3, [1.0, 0.01]),   # same subject as 1 -> verifies
+            (4, [0.0, 1.0]),    # dHash-close to 1, orthogonal -> rejected
+            # 5: no embedding row -> strict verify drops its pairs
+        ],
+        "media_id bigint, embedding array<double>",
+    )
+    store, labels = str(tmp_path / "store"), str(tmp_path / "labels")
+    writer = media_neardup_ingest_writer(
+        store, labels, max_hamming=3, embeddings=emb, verify_threshold=0.9
+    )
+    writer(_tiny_media(spark, {1: t1, 2: t2}), 0)
+    writer(_tiny_media(spark, {3: near1a, 4: near1b, 5: near2}), 1)
+
+    got = sorted(
+        (r["id"], r["label"])
+        for r in spark.read.parquet(f"{labels}/batch_id=1").collect()
+    )
+    labmap = dict(got)
+    assert labmap[3] == labmap[1]          # verified cross-batch merge
+    assert labmap[4] == 4 and labmap[5] == 5  # rejected / unembedded
+    media = _tiny_media(spark, texts)
+    oneshot = collapse_clusters(
+        media.select("media_id"),
+        semantic_verify_pairs(
+            near_dup_media_by_dhash(fake_dhash_image(media), max_hamming=3),
+            emb, threshold=0.9, id_col="media_id",
+        ),
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
+    assert got == sorted(
+        (r["media_id"], r["cluster_id"]) for r in oneshot.collect()
+    )
+    # sanity: WITHOUT the verify the rejected pair would have merged
+    perceptual = collapse_clusters(
+        media.select("media_id"),
+        near_dup_media_by_dhash(fake_dhash_image(media), max_hamming=3),
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
+    pmap = {r["media_id"]: r["cluster_id"] for r in perceptual.collect()}
+    assert pmap[4] == pmap[1] and pmap[5] == pmap[2]

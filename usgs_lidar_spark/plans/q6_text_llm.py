@@ -2920,3 +2920,199 @@ def pipe_end_to_end_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chunks", "n_kept", "pack_stream", "n_tokens",
         "token_start", "pack_id", "pack_offset", "split_across",
     )
+
+
+def _V9_ORACLE() -> str:
+    from usgs_lidar_spark.plans.q3_analytics import _DHASH_CTE
+
+    cos_ab = """ROUND(
+          list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ea.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(eb.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)"""
+    return f"""
+    WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS media_id,
+               substr(text, 1, length(text) // 2)
+                 || '~' || substr(text, length(text) // 2 + 2) AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_DHASH_CTE},
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ),
+    emap AS (
+      SELECT media_id,
+             CASE WHEN media_id >= 100000 THEN
+                 CASE WHEN (media_id - 100000) % 21 = 0
+                      THEN media_id - 100000 + 3
+                      ELSE media_id - 100000 END
+             ELSE media_id END AS eid
+      FROM m
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM pairs c
+      JOIN emap xa ON xa.media_id = c.id_a
+      JOIN embeddings ea ON ea.vec_id = xa.eid
+      JOIN emap xb ON xb.media_id = c.id_b
+      JOIN embeddings eb ON eb.vec_id = xb.eid
+      WHERE {cos_ab} >= 0.9
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM verified
+              UNION SELECT id_b AS u, id_a AS v FROM verified),
+    walk(id, reach) AS (
+        SELECT media_id, media_id FROM m
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS media_id, min(reach) AS cluster_id
+           FROM walk GROUP BY id),
+    keepers AS (SELECT media_id FROM cc WHERE media_id = cluster_id),
+    gatein AS (
+      SELECT k.media_id, x.eid,
+             CASE WHEN x.eid % 5 = 0 THEN x.eid + 3 ELSE x.eid END
+                 AS img_eid
+      FROM keepers k JOIN emap x USING (media_id)
+    ),
+    gated AS (
+      SELECT g.media_id, {cos_ab} AS clip_score
+      FROM gatein g
+      JOIN embeddings ea ON ea.vec_id = g.eid
+      JOIN embeddings eb ON eb.vec_id = g.img_eid
+    ),
+    kept AS (
+      SELECT g.media_id, CAST(strlen(m.text) AS BIGINT) AS n_bytes,
+             {_LEHMER_STREAM("g.media_id", 8)} AS pack_stream
+      FROM gated g JOIN m USING (media_id)
+      WHERE g.clip_score >= 0.9
+    ),
+    packed AS (
+      SELECT media_id, pack_stream, n_bytes,
+             CAST(sum(n_bytes) OVER w - n_bytes AS BIGINT) AS byte_start,
+             CAST(sum(n_bytes) OVER w AS BIGINT) AS byte_end
+      FROM kept
+      WINDOW w AS (PARTITION BY pack_stream ORDER BY media_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT media_id, CAST(pack_stream AS BIGINT) AS pack_stream, n_bytes,
+           byte_start,
+           CAST(floor(byte_start / 4096.0) AS BIGINT) AS shard_id,
+           byte_start % 4096 AS shard_offset,
+           byte_end > (floor(byte_start / 4096.0) + 1) * 4096
+               AS split_across
+    FROM packed
+    """
+
+
+@query("pipe_end_to_end_v9", oracle=_V9_ORACLE())
+def pipe_end_to_end_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL curation (round 15 — the v-series moves to
+    image-text): two-tier near-dup dedup (dHash banded candidates ->
+    embedding-cosine verify -> CC, min-id keepers — the
+    `mm_near_dedup_semantic` composition) -> image-text pair gate over
+    the keepers (`image_text_gate`: rounded caption x image cosine >=
+    0.9; every fifth mapped id carries a mismatched image vector — the
+    misaligned-crawl drop) -> BYTE-budget shard packing of the aligned
+    survivors (`pack_sequences` over payload bytes, 4096-byte shards, 8
+    Lehmer streams) — the loader-facing output of a multimodal
+    training-data pipeline: which payload bytes land where in which
+    shard. Stage order is the cost argument: dedup first so the gate's
+    embedding joins are paid per KEEPER, gate before packing so shard
+    offsets cover exactly the trainable stream (the v8 rule, one
+    modality up). Payloads never shuffle — hashes, pair ids, embedding
+    ids, and byte counts move; the pack is one window over one
+    stream-keyed shuffle. Drop semantics at every tier are strict-
+    verify: no embedding row -> no merge at tier 1, no trainable pair
+    at tier 2 (inner joins in both engines)."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        image_text_gate,
+        near_dup_media_by_dhash,
+        semantic_verify_pairs,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr(
+                "substring(text, CAST(length(text) / 2 AS INT) + 2)"
+            ),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.select("doc_id", "text").unionByName(reup), "doc_id", "text"
+    ).localCheckpoint(eager=False)  # three consumers: hash, emap, sizes
+    doc0 = F.col("media_id") - 100000
+    eid = F.when(
+        F.col("media_id") >= 100000,
+        F.when(doc0 % 21 == 0, doc0 + 3).otherwise(doc0),
+    ).otherwise(F.col("media_id"))
+    emap = media.select("media_id", eid.alias("__eid"))
+    media_emb = emap.join(
+        emb.select(F.col("vec_id").alias("__eid"), "embedding"), "__eid"
+    ).select("media_id", "embedding")
+    verified = semantic_verify_pairs(
+        near_dup_media_by_dhash(fake_dhash_image(media), max_hamming=3),
+        media_emb, threshold=0.9, id_col="media_id",
+    )
+    keepers = collapse_clusters(
+        media.select("media_id"), verified,
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    ).filter(F.col("is_kept")).select("media_id")
+    img_eid = F.when(
+        F.col("__eid") % 5 == 0, F.col("__eid") + 3
+    ).otherwise(F.col("__eid"))
+    gate_in = (
+        keepers.join(emap, "media_id")
+        .withColumn("__img_eid", img_eid)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("__eid"),
+                F.col("embedding").alias("caption_embedding"),
+            ),
+            "__eid",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("__img_eid"),
+                F.col("embedding").alias("image_embedding"),
+            ),
+            "__img_eid",
+        )
+    )
+    kept = (
+        image_text_gate(gate_in, threshold=0.9)
+        .filter(F.col("kept"))
+        .join(media.select("media_id", "n_bytes"), "media_id")
+        .select("media_id", "n_bytes")
+    )
+    packed = pack_sequences(
+        kept, "media_id", F.col("n_bytes"), budget=4096, n_streams=8
+    )
+    return packed.select(
+        "media_id",
+        F.col("pack_stream").cast("long").alias("pack_stream"),
+        F.col("n_tokens").alias("n_bytes"),
+        F.col("token_start").alias("byte_start"),
+        F.col("pack_id").alias("shard_id"),
+        F.col("pack_offset").alias("shard_offset"),
+        "split_across",
+    )

@@ -524,6 +524,10 @@ def media_neardup_ingest_writer(
     max_hamming: int = 3,
     hasher: Callable[[DataFrame], DataFrame] | None = None,
     dp_buckets: int | None = None,
+    embeddings: DataFrame | None = None,
+    verify_threshold: float = 0.9,
+    embedding_id_col: str = "media_id",
+    embedding_vec_col: str = "embedding",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback implementing the versioned near-dup
     protocol above. Batch input: media rows (media_id, content).
@@ -544,6 +548,20 @@ def media_neardup_ingest_writer(
     dropped against the committed labeling before any pairing — the
     guard is itself a pure function of (batch, committed history), so
     replay purity holds.
+
+    ``embeddings`` (optional) turns the ingest TWO-TIER — the streaming
+    twin of the batch `mm_near_dedup_semantic` composition: every
+    candidate pair (history probes included) must additionally clear
+    `multimodal.semantic_verify_pairs` against this (id, vector) table
+    at ``verify_threshold`` before it can merge clusters; pairs with a
+    missing embedding drop (strict verify). Soundness of the
+    incremental fold is unchanged: the verify is a per-pair pure
+    function, so the verified subset of "pairs with >= 1 new endpoint"
+    is exactly the new-edge set of the verified pair graph. REPLAY
+    PURITY CONTRACT: the embeddings frame must be FIXED for the
+    stream's lifetime (a snapshot path, not a live table) — verifying
+    a replayed batch against different vectors would rewrite different
+    bytes; the same fixed-benchmark rule as the semantic-decon ingest.
 
     WHEN INCREMENTAL PAYS (measured, SCALE.md round 14): per batch this
     writer re-reads NO payloads — the hash pass touches only the
@@ -630,6 +648,18 @@ def media_neardup_ingest_writer(
             )
             .distinct()
         )
+        if embeddings is not None:
+            from usgs_lidar_spark.multimodal import semantic_verify_pairs
+
+            pairs = semantic_verify_pairs(
+                pairs,
+                embeddings,
+                threshold=verify_threshold,
+                id_col=embedding_id_col,
+                vec_col=embedding_vec_col,
+                pair_a="src",
+                pair_b="dst",
+            ).drop("cos_sim")
         labels = connected_components_incremental(
             old,
             fresh.select(F.col("media_id").alias("id")),
@@ -653,17 +683,27 @@ def run_media_neardup_ingest(
     max_hamming: int = 3,
     hasher: Callable[[DataFrame], DataFrame] | None = None,
     dp_buckets: int | None = None,
+    embeddings: DataFrame | None = None,
+    verify_threshold: float = 0.9,
 ) -> None:
     """Drain all available media through the exactly-once near-dup
     ingest (availableNow trigger). Restart with the same checkpoint
     resumes after the last committed batch; replays rewrite identical
     bytes into the same batch_id directories. ``dp_buckets`` forwards
     to `media_neardup_ingest_writer` (None = derive from the first
-    batch and persist; an existing store's persisted value wins)."""
+    batch and persist; an existing store's persisted value wins);
+    ``embeddings``/``verify_threshold`` forward the two-tier semantic
+    verify (fixed-snapshot contract — see the writer docstring)."""
     q = (
         stream_df.writeStream.foreachBatch(
             media_neardup_ingest_writer(
-                store_path, labels_path, max_hamming, hasher, dp_buckets
+                store_path,
+                labels_path,
+                max_hamming,
+                hasher,
+                dp_buckets,
+                embeddings=embeddings,
+                verify_threshold=verify_threshold,
             )
         )
         .option("checkpointLocation", checkpoint)
