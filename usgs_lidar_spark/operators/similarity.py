@@ -2972,3 +2972,65 @@ def kmeans_train_centroids(
         stats = kmeans_step_exact(corpus, centroids, vec_col, qbits).collect()
         centroids = _kmeans_update_exact(stats, centroids, qbits)
     return centroids
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Contrastive-training HARD-NEGATIVE mining: for each anchor, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    pairs that sit closest to the decision boundary, which is what
+    embedding-model training actually wants batched against each anchor
+    (random negatives are trivially separable; hard negatives carry the
+    gradient). Same plan shape and determinism contract as
+    `cosine_topk_bruteforce` (broadcast anchors x one corpus scan —
+    map-side, no all-pairs shuffle; ranking on (rounded sim DESC, id
+    ASC)), plus the label-mismatch predicate and both labels in the
+    output for audit. Self-pairs are excluded by id; rows with a NULL
+    label on either side are excluded (an unlabeled vector can't be
+    certified a negative — the strict-verify stance). At corpus scale
+    the anchor set is the bounded side (a training batch, not the
+    corpus); for anchor sets too large to broadcast, mine per
+    IVF-probed cell instead (`ivf_topk` with the same predicate)."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    cn = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("neg_label"),
+        norm(vec_col).alias("__cnorm"),
+    ).filter(F.col("neg_label").isNotNull())
+    a = anchors.select(
+        F.col(anchor_id_col),
+        F.col(vec_col).alias("__avec"),
+        F.col(label_col).alias("anchor_label"),
+        norm(vec_col).alias("__anorm"),
+    ).filter(F.col("anchor_label").isNotNull())
+    joined = cn.crossJoin(F.broadcast(a)).filter(
+        (F.col("neg_id") != F.col(anchor_id_col))
+        & (F.col("neg_label") != F.col("anchor_label"))
+    )
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__anorm") == 0), F.lit(0.0)
+    ).otherwise(
+        dot("__cvec", "__avec") / (F.col("__cnorm") * F.col("__anorm"))
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.col("sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        joined.withColumn("sim", F.round(raw, round_digits))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            anchor_id_col, "anchor_label", "neg_id", "neg_label",
+            "sim", "rank",
+        )
+    )

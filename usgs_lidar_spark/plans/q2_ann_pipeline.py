@@ -2656,3 +2656,56 @@ def sim_assign_two_level_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame
         emb, cdf, coarse=coarse, n_probe_coarse=len(coarse)
     )
     return out.select("vec_id", F.col("__cid").cast("long").alias("cid"))
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
+        FROM embeddings WHERE vec_id < 8 AND label IS NOT NULL
+    ), c AS (
+        SELECT vec_id AS neg_id, embedding AS cv, label AS neg_label
+        FROM embeddings WHERE label IS NOT NULL
+    ), sims AS (
+        SELECT a.anchor_id, CAST(a.anchor_label AS INTEGER) AS anchor_label,
+               c.neg_id, CAST(c.neg_label AS INTEGER) AS neg_label,
+               {_cos4("c.cv", "a.av")} AS sim
+        FROM c, a
+        WHERE c.neg_id <> a.anchor_id AND c.neg_label <> a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, sim,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY sim DESC, neg_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (round 15 —
+    `operators/similarity.hard_negative_mining`): per anchor, the top-5
+    most-similar corpus vectors with a DIFFERENT label — the near-the-
+    boundary pairs an embedding-model trainer batches against each
+    anchor (random negatives are trivially separable and carry no
+    gradient). Broadcast-anchors x one corpus scan, label-mismatch
+    predicate inside the scan, (rounded sim DESC, id ASC) rank —
+    `sim_topk_bruteforce`'s plan with the supervision predicate; NULL
+    labels are excluded on both sides (an unlabeled vector can't be
+    certified a negative)."""
+    from usgs_lidar_spark.operators.similarity import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = hard_negative_mining(
+        emb, anchors, id_col="vec_id", vec_col="embedding",
+        label_col="label", anchor_id_col="anchor_id", k=5,
+    )
+    return out.select(
+        "anchor_id",
+        F.col("anchor_label").cast("int").alias("anchor_label"),
+        "neg_id",
+        F.col("neg_label").cast("int").alias("neg_label"),
+        "sim", "rank",
+    )
