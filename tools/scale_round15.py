@@ -13,7 +13,12 @@ Scenarios:
     versions before vs after vacuum, and the post-compaction ingest
     wall of one more batch (the probe now reads the merged dataset).
 
-Usage: python tools/scale_round15.py [media_store_compaction]
+  * media_ingest_two_tier — per-batch cost of the TWO-TIER streaming
+    media ingest (dHash candidates + embedding-cosine pair verify)
+    vs the perceptual-only ingest on the same 5-batch drain: the
+    verify adds two id-keyed embedding joins per batch, priced here.
+
+Usage: python tools/scale_round15.py [media_store_compaction media_ingest_two_tier]
 """
 
 from __future__ import annotations
@@ -147,10 +152,95 @@ def media_store_compaction(
     spark.stop()
 
 
+def media_ingest_two_tier(
+    n_batches: int = 5, batch_rows: int = 20_000, chars: int = 4_000
+):
+    """Per-batch walls: perceptual-only vs two-tier (embedding verify)
+    over the same synthetic drain. Embeddings: every media_id gets a
+    deterministic 8-dim vector; planted near-copies share their
+    source's vector (verify keeps them), so cluster structure matches
+    the perceptual run and the delta is pure verify overhead."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as FF
+
+    from tools.scale_experiment import make_session
+    from tools.scale_round14 import _media
+    from usgs_lidar_spark.streaming.media_ingest import (
+        media_neardup_ingest_writer,
+    )
+
+    work = WORK / "media_two_tier"
+    _sh.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+    spark = make_session("media-two-tier-scale", work / "log")
+    total = n_batches * batch_rows + batch_rows
+
+    # vector id: near-copies (id % 5 == 0 inside _media share content
+    # with id-1) get id-1's vector so the verify confirms them.
+    base_ids = spark.range(total).select(FF.col("id").alias("media_id"))
+    src = FF.when(
+        (FF.col("media_id") % 5 == 0) & (FF.col("media_id") > 0),
+        FF.col("media_id") - 1,
+    ).otherwise(FF.col("media_id"))
+    emb = base_ids.select(
+        "media_id",
+        FF.array(
+            *[
+                (
+                    FF.pmod(FF.xxhash64(src, FF.lit(d)), FF.lit(201)) - 100
+                ).cast("double")
+                / 100.0
+                for d in range(8)
+            ]
+        ).alias("embedding"),
+    ).localCheckpoint()
+
+    def batch_df(b: int):
+        return _media(
+            spark, batch_rows, offset=b * batch_rows, chars=chars
+        ).select("media_id", "content")
+
+    out = {"scenario": "media_ingest_two_tier", "batch_rows": batch_rows}
+    for tag, kwargs in (
+        ("perceptual", {}),
+        ("two_tier", {"embeddings": emb, "verify_threshold": 0.9}),
+    ):
+        writer = media_neardup_ingest_writer(
+            str(work / f"store_{tag}"),
+            str(work / f"labels_{tag}"),
+            max_hamming=3,
+            dp_buckets=16,
+            **kwargs,
+        )
+        walls = []
+        for b in range(n_batches):
+            df = batch_df(b).localCheckpoint()
+            t0 = time.perf_counter()
+            writer(df, b)
+            walls.append(round(time.perf_counter() - t0, 2))
+        out[f"per_batch_sec_{tag}"] = walls
+    # same clusters? two-tier keeps planted pairs (same vector) so the
+    # labelings must agree exactly on this fixture.
+    a = spark.read.parquet(
+        str(work / f"labels_perceptual/batch_id={n_batches - 1}")
+    )
+    b = spark.read.parquet(
+        str(work / f"labels_two_tier/batch_id={n_batches - 1}")
+    )
+    out["labelings_equal"] = (
+        a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    )
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     which = sys.argv[1:] or ["media_store_compaction"]
     if "media_store_compaction" in which:
         media_store_compaction()
+    if "media_ingest_two_tier" in which:
+        media_ingest_two_tier()
 
 
 if __name__ == "__main__":
