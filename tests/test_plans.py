@@ -604,3 +604,27 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_image_text_gate_is_map_only(spark):
+    """The gate's 100-TB claim (round 15): the scoring itself adds NO
+    exchange — the only exchange in `mm_image_text_gate`'s plan is the
+    fixture's pair-BUILD broadcast; the cosine + verdict are projections
+    that fuse into the scan. No row-Python, no cartesian."""
+    plan = _plan(spark, "mm_image_text_gate")
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hard_negatives_partial_topk_before_shuffle(spark):
+    """`sim_hard_negatives` (round 15): anchors broadcast (never the
+    corpus), and the per-anchor top-k runs as WindowGroupLimit — the
+    partial pass caps each map task's output at k rows per anchor
+    BEFORE the single anchor-keyed exchange, so shuffled bytes are
+    O(anchors x k), not O(corpus)."""
+    plan = _plan(spark, "sim_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -2435,3 +2435,111 @@ def test_media_ingest_two_tier_semantic_verify(spark, tmp_path):
     )
     pmap = {r["media_id"]: r["cluster_id"] for r in perceptual.collect()}
     assert pmap[4] == pmap[1] and pmap[5] == pmap[2]
+
+
+def test_materialize_shards_matches_v9(spark, tmp_path):
+    """The streaming->loader loop closes (round 15): draining the v9
+    fixture's media through the TWO-TIER ingest and then cutting shards
+    with `materialize_media_shards` (keepers -> image-text gate -> byte
+    packing -> hive shard layout) must reproduce the registered batch
+    composition `pipe_end_to_end_v9` row-for-row — the labeling is
+    maintained incrementally, the training set is materialized from
+    state + metadata at cut time."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.streaming.media_ingest import (
+        materialize_media_shards,
+        media_neardup_ingest_writer,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr("substring(text, CAST(length(text) / 2 AS INT) + 2)"),
+        ).alias("text"),
+    )
+    from usgs_lidar_spark.multimodal import to_media_table
+
+    media = to_media_table(
+        d.unionByName(reup), "doc_id", "text"
+    ).localCheckpoint()
+    doc0 = F.col("media_id") - 100000
+    eid = F.when(
+        F.col("media_id") >= 100000,
+        F.when(doc0 % 21 == 0, doc0 + 3).otherwise(doc0),
+    ).otherwise(F.col("media_id"))
+    emap = media.select("media_id", eid.alias("__eid"))
+    verify_emb = emap.join(
+        emb.select(F.col("vec_id").alias("__eid"), "embedding"), "__eid"
+    ).select("media_id", "embedding").localCheckpoint()
+
+    store, labels = str(tmp_path / "store"), str(tmp_path / "labels")
+    writer = media_neardup_ingest_writer(
+        store, labels, max_hamming=3,
+        embeddings=verify_emb, verify_threshold=0.9,
+    )
+    for i, flt in enumerate(
+        ["media_id < 200", "media_id >= 200 AND media_id < 100000",
+         "media_id >= 100000"]
+    ):
+        writer(media.filter(flt).select("media_id", "content"), i)
+
+    img_eid = F.when(
+        F.col("__eid") % 5 == 0, F.col("__eid") + 3
+    ).otherwise(F.col("__eid"))
+    media_meta = (
+        media.select("media_id", "n_bytes")
+        .join(emap, "media_id")
+        .withColumn("__img_eid", img_eid)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("__eid"),
+                F.col("embedding").alias("caption_embedding"),
+            ),
+            "__eid",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("__img_eid"),
+                F.col("embedding").alias("image_embedding"),
+            ),
+            "__img_eid",
+        )
+        .select(
+            "media_id", "n_bytes", "caption_embedding", "image_embedding"
+        )
+    )
+    out = str(tmp_path / "shards")
+    packed = materialize_media_shards(
+        spark, labels, media_meta, out, budget=4096, n_streams=8,
+        gate_threshold=0.9,
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    v9 = QUERIES["pipe_end_to_end_v9"](spark, SF_SMALL).select(
+        *packed.columns
+    )
+    assert rows(packed) == rows(v9)
+    # the written layout is hive-partitioned by (pack_stream, shard_id)
+    # and row-identical to the returned assignment
+    back = spark.read.parquet(out).select(*packed.columns)
+    assert rows(back) == rows(packed)
+    from pathlib import Path
+
+    assert any(
+        p.name.startswith("pack_stream=") for p in Path(out).iterdir()
+    )
+    # empty labels dir raises loudly
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no committed labeling"):
+        materialize_media_shards(
+            spark, str(tmp_path / "nolabels"), media_meta,
+            str(tmp_path / "x"),
+        )

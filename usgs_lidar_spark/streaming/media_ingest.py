@@ -711,3 +711,84 @@ def run_media_neardup_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def materialize_media_shards(
+    spark,
+    labels_path: str,
+    media_meta: DataFrame,
+    out_path: str,
+    budget: int = 4096,
+    n_streams: int = 8,
+    gate_threshold: float | None = None,
+) -> DataFrame:
+    """Close the loop from STREAMING dedup state to LOADER shards: read
+    the ingest's latest committed labeling, keep the min-id keeper of
+    every cluster, optionally gate keepers through the image-text
+    CLIP-score filter, pack the survivors into byte-budget shards
+    (`pack_sequences` over payload bytes), and write one hive
+    partition per (pack_stream, shard_id) with rows stored in
+    byte_start order — a trainer streams `pack_stream=S/shard_id=K`
+    sequentially and reads exactly the curated byte layout. Returns
+    the pack-assignment frame (what was written).
+
+    ``media_meta``: one row per media_id with ``n_bytes`` (payload
+    size) and — when ``gate_threshold`` is set — ``caption_embedding``
+    / ``image_embedding`` columns for `multimodal.image_text_gate`.
+    Keepers missing a media_meta row drop (strict: no metadata, no
+    shard slot); with the gate on, unembedded or misaligned keepers
+    drop by the gate's own strict-verify rule.
+
+    This is the BATCH tail of the streaming pipeline — the exact
+    composition `pipe_end_to_end_v9` registers as one query (pinned
+    equal by tests/test_streaming.py::test_materialize_shards_matches_v9
+    on the shared fixture): the drain maintains the labeling
+    incrementally; materialization is run at training-set cut time,
+    reading labels + metadata only (payloads move only if the caller
+    packs payload bytes INTO the shards downstream — this writer ships
+    the assignment, ids, and offsets, the loader's manifest)."""
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    sealed = list_sealed_batches(spark, labels_path)
+    if not sealed:
+        raise FileNotFoundError(
+            f"no committed labeling under {labels_path} — drain the "
+            "ingest before materializing shards"
+        )
+    labels = spark.read.schema(LABELS_SCHEMA).parquet(
+        f"{labels_path}/batch_id={max(sealed)}"
+    )
+    keepers = labels.filter(F.col("id") == F.col("label")).select(
+        F.col("id").alias("media_id")
+    )
+    kept = keepers.join(media_meta, "media_id")
+    if gate_threshold is not None:
+        from usgs_lidar_spark.multimodal import image_text_gate
+
+        kept = (
+            image_text_gate(kept, threshold=float(gate_threshold))
+            .filter(F.col("kept"))
+        )
+    packed = pack_sequences(
+        kept.select("media_id", "n_bytes"),
+        "media_id",
+        F.col("n_bytes"),
+        budget=int(budget),
+        n_streams=int(n_streams),
+    ).select(
+        "media_id",
+        F.col("pack_stream").cast("long").alias("pack_stream"),
+        F.col("n_tokens").alias("n_bytes"),
+        F.col("token_start").alias("byte_start"),
+        F.col("pack_id").alias("shard_id"),
+        F.col("pack_offset").alias("shard_offset"),
+        "split_across",
+    )
+    (
+        packed.repartition(int(n_streams), "pack_stream")
+        .sortWithinPartitions("pack_stream", "shard_id", "byte_start")
+        .write.mode("overwrite")
+        .partitionBy("pack_stream", "shard_id")
+        .parquet(out_path)
+    )
+    return packed
