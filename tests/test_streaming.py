@@ -2543,3 +2543,11 @@ def test_materialize_shards_matches_v9(spark, tmp_path):
             spark, str(tmp_path / "nolabels"), media_meta,
             str(tmp_path / "x"),
         )
+    # a crashed-mid-write labels version (no _SUCCESS) is ignored: the
+    # cut falls back to the newest COMPLETE labeling and still matches
+    (Path(labels) / "batch_id=3").mkdir()  # partial dir, no marker
+    packed2 = materialize_media_shards(
+        spark, labels, media_meta, str(tmp_path / "shards2"),
+        budget=4096, n_streams=8, gate_threshold=0.9,
+    )
+    assert rows(packed2) == rows(packed)

@@ -749,7 +749,23 @@ def materialize_media_shards(
     the assignment, ids, and offsets, the loader's manifest)."""
     from usgs_lidar_spark.operators.pipeline import pack_sequences
 
-    sealed = list_sealed_batches(spark, labels_path)
+    # Unlike `read_labels_before` — whose caller (the writer) only runs
+    # after every older batch committed, so older labels are complete by
+    # the protocol's serialization — this function is called EXTERNALLY
+    # and may race a crashed stream whose newest labels directory was cut
+    # off mid-write. Reading a partial labeling silently would be the
+    # silent-rot class this module bans: accept only versions whose
+    # _SUCCESS marker proves the write finished.
+    jfs, _, jvm = _jfs(spark, labels_path)
+    sealed = [
+        b
+        for b in list_sealed_batches(spark, labels_path)
+        if jfs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{labels_path}/batch_id={b}/_SUCCESS"
+            )
+        )
+    ]
     if not sealed:
         raise FileNotFoundError(
             f"no committed labeling under {labels_path} — drain the "
