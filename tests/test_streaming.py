@@ -2551,3 +2551,90 @@ def test_materialize_shards_matches_v9(spark, tmp_path):
         budget=4096, n_streams=8, gate_threshold=0.9,
     )
     assert rows(packed2) == rows(packed)
+
+
+def test_media_ingest_inline_compaction(spark, tmp_path):
+    """`compact_every` (round 15): the ingest maintains its own state
+    lifecycle — every Nth batch folds the committed store behind the
+    manifest and vacuums unreachable label versions, inline, no
+    external scheduler — and the drained labeling still equals the
+    one-shot collapse. A replayed maintenance batch must be a no-op
+    (manifest already covers its target; identical labels rewrite)."""
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+    from usgs_lidar_spark.streaming.media_ingest import (
+        _read_store_manifest,
+        list_sealed_batches,
+        media_neardup_ingest_writer,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr("substring(text, CAST(length(text) / 2 AS INT) + 2)"),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.unionByName(reup), "doc_id", "text"
+    ).select("media_id", "content").localCheckpoint()
+    splits = [
+        "media_id < 100", "media_id >= 100 AND media_id < 200",
+        "media_id >= 200 AND media_id < 300",
+        "media_id >= 300 AND media_id < 400",
+        "media_id >= 400 AND media_id < 100000", "media_id >= 100000",
+    ]
+    store, labels = str(tmp_path / "store"), str(tmp_path / "labels")
+    writer = media_neardup_ingest_writer(
+        store, labels, max_hamming=3, compact_every=2
+    )
+    batches = [media.filter(flt) for flt in splits]
+    for i, b in enumerate(batches):
+        writer(b, i)
+
+    # batch 4 ran the last maintenance: manifest covers <= 3, labels
+    # vacuumed to the newest version a recovering stream can consult
+    m = _read_store_manifest(spark, store)
+    assert m is not None and m["max_batch_id"] == 3
+    assert list_sealed_batches(spark, store) == [4, 5]
+    assert list_sealed_batches(spark, labels) == [3, 4, 5]
+
+    drained = sorted(
+        (r["id"], r["label"])
+        for r in spark.read.parquet(f"{labels}/batch_id=5").collect()
+    )
+    oneshot = collapse_clusters(
+        media.select("media_id"),
+        near_dup_media_by_dhash(fake_dhash_image(media), max_hamming=3),
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    )
+    assert drained == sorted(
+        (r["media_id"], r["cluster_id"]) for r in oneshot.collect()
+    )
+
+    # replay the last maintenance batch (4): labels rewrite identically,
+    # compaction no-ops (same manifest version), nothing newer touched
+    writer(batches[4], 4)
+    m2 = _read_store_manifest(spark, store)
+    assert m2 == m
+    replayed = sorted(
+        (r["id"], r["label"])
+        for r in spark.read.parquet(f"{labels}/batch_id=4").collect()
+    )
+    assert {i for i, _ in replayed} == {
+        r["media_id"]
+        for r in media.filter("media_id < 100000").select(
+            "media_id"
+        ).collect()
+    }

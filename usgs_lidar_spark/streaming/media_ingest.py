@@ -528,6 +528,7 @@ def media_neardup_ingest_writer(
     verify_threshold: float = 0.9,
     embedding_id_col: str = "media_id",
     embedding_vec_col: str = "embedding",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback implementing the versioned near-dup
     protocol above. Batch input: media rows (media_id, content).
@@ -562,6 +563,18 @@ def media_neardup_ingest_writer(
     stream's lifetime (a snapshot path, not a live table) — verifying
     a replayed batch against different vectors would rewrite different
     bytes; the same fixed-benchmark rule as the semantic-decon ingest.
+
+    ``compact_every=N`` runs the state-lifecycle maintenance INLINE —
+    after every Nth batch's state writes, `compact_media_store` folds
+    batches <= batch_id-1 into the manifest dataset and
+    `vacuum_media_labels`/`vacuum_media_store` drop unreachable
+    versions — so a long-running stream bounds its own file count with
+    no external scheduler. Safe by the protocol's own arguments:
+    everything <= batch_id-1 is checkpoint-committed while batch_id is
+    in flight (availableNow/foreachBatch serialization), the current
+    batch's fresh directory is never touched, and a REPLAYED batch's
+    compaction finds the manifest already covering its target and
+    no-ops — maintenance is idempotent exactly like the state writes.
 
     WHEN INCREMENTAL PAYS (measured, SCALE.md round 14): per batch this
     writer re-reads NO payloads — the hash pass touches only the
@@ -671,6 +684,16 @@ def media_neardup_ingest_writer(
         ex.withColumn("batch_id", F.lit(int(batch_id))).write.partitionBy(
             "dp"
         ).mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+        if (
+            compact_every
+            and batch_id > 0
+            and batch_id % int(compact_every) == 0
+        ):
+            compact_media_store(spark, store_path, up_to_batch=batch_id - 1)
+            vacuum_media_labels(
+                spark, labels_path, committed_batch_id=batch_id - 1
+            )
+            vacuum_media_store(spark, store_path)
 
     return ingest
 
@@ -685,6 +708,7 @@ def run_media_neardup_ingest(
     dp_buckets: int | None = None,
     embeddings: DataFrame | None = None,
     verify_threshold: float = 0.9,
+    compact_every: int | None = None,
 ) -> None:
     """Drain all available media through the exactly-once near-dup
     ingest (availableNow trigger). Restart with the same checkpoint
@@ -693,7 +717,8 @@ def run_media_neardup_ingest(
     to `media_neardup_ingest_writer` (None = derive from the first
     batch and persist; an existing store's persisted value wins);
     ``embeddings``/``verify_threshold`` forward the two-tier semantic
-    verify (fixed-snapshot contract — see the writer docstring)."""
+    verify (fixed-snapshot contract — see the writer docstring);
+    ``compact_every`` forwards the inline state-lifecycle maintenance."""
     q = (
         stream_df.writeStream.foreachBatch(
             media_neardup_ingest_writer(
@@ -704,6 +729,7 @@ def run_media_neardup_ingest(
                 dp_buckets,
                 embeddings=embeddings,
                 verify_threshold=verify_threshold,
+                compact_every=compact_every,
             )
         )
         .option("checkpointLocation", checkpoint)
