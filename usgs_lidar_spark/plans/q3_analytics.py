@@ -2598,3 +2598,76 @@ def mm_image_text_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_text_gate(pairs, threshold=0.9).select(
         "pair_id", "clip_score", "kept"
     )
+
+
+@query(
+    "mm_hamming_sweep",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS media_id,
+               substr(text, 1, length(text) // 2)
+                 || '~' || substr(text, length(text) // 2 + 2) AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_DHASH_CTE},
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS hamming
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ),
+    radii AS (SELECT * FROM range(0, 4) t(radius))
+    SELECT r.radius, CAST(count(p.hamming) AS BIGINT) AS n_pairs
+    FROM radii r LEFT JOIN pairs p ON p.hamming <= r.radius
+    GROUP BY r.radius
+    """,
+)
+def mm_hamming_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-tuning AUDIT for the perceptual near-dup tier: candidate
+    pair counts at every Hamming radius 0..3 from ONE banded pair pass
+    (the 4x16 banding is pigeonhole-lossless through radius 3, so the
+    radius-3 pair set contains every smaller radius's pairs exactly —
+    one scan, four curve points). This is the knob-tuning pass a
+    curation operator runs BEFORE committing a dedup radius: how many
+    merges each radius buys. Map-only hash + the standard banded join;
+    the sweep itself is a 4-row conditional aggregate riding the pair
+    frame — no per-radius re-clustering, no payload movement."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        near_dup_media_by_dhash,
+        to_media_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr(
+                "substring(text, CAST(length(text) / 2 AS INT) + 2)"
+            ),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.select("doc_id", "text").unionByName(reup), "doc_id", "text"
+    )
+    pairs = near_dup_media_by_dhash(
+        fake_dhash_image(media), max_hamming=3
+    ).localCheckpoint(eager=False)  # four radius consumers, one pass
+    radii = spark.range(0, 4).select(F.col("id").cast("int").alias("radius"))
+    return (
+        radii.join(
+            pairs, pairs["hamming"] <= radii["radius"], "left"
+        )
+        .groupBy("radius")
+        .agg(F.count(pairs["hamming"]).cast("long").alias("n_pairs"))
+    )
