@@ -2057,6 +2057,119 @@ def test_media_ingest_dp_meta_lifecycle(spark, tmp_path):
     assert read_dp_buckets(spark, str(tmp_path / "store3")) == 2
 
 
+def test_media_ingest_legacy_store_adoption(spark, tmp_path):
+    """A PRE-METADATA store (sealed batches, no ``_dp_buckets`` file —
+    created before the layout metadata existed) must never get a NEW
+    bucket count silently derived from the current batch (ADVICE r15
+    medium: history is bucketed under the old modulus, so the probe's
+    dp prune would silently drop pairable history rows). Deriving
+    raises; an explicit dp_buckets ADOPTS the store — persisted, no
+    storm warning (it states a historical fact, not a sizing choice) —
+    and cross-batch pairing against the legacy history still works."""
+    import warnings
+    from pathlib import Path
+
+    from usgs_lidar_spark.streaming.media_ingest import (
+        DP_META,
+        media_neardup_ingest_writer,
+        read_dp_buckets,
+    )
+
+    t1 = "abcdefgh" * 30
+    t4 = t1[:120] + "~" + t1[121:]  # near-dup of t1
+    store, labels = str(tmp_path / "store"), str(tmp_path / "labels")
+    writer = media_neardup_ingest_writer(store, labels, dp_buckets=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # 3 buckets for 1 row: storm, ok
+        writer(_tiny_media(spark, {1: t1}), 0)
+    # simulate the pre-metadata layout: history exists, metadata doesn't
+    Path(store, DP_META).unlink()
+    assert read_dp_buckets(spark, store) is None
+
+    batch1 = _tiny_media(spark, {4: t4})
+    with pytest.raises(ValueError, match="pre-metadata layout"):
+        media_neardup_ingest_writer(store, labels)(batch1, 1)
+    # explicit value adopts: persisted, storm-warning-free, history
+    # pairable (record=True so unrelated Spark warnings can't fail this)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        media_neardup_ingest_writer(store, labels, dp_buckets=3)(batch1, 1)
+    assert not [w for w in caught if "small-file" in str(w.message)]
+    assert read_dp_buckets(spark, store) == 3
+    got = dict(
+        (r["id"], r["label"])
+        for r in spark.read.parquet(f"{labels}/batch_id=1").collect()
+    )
+    assert got[4] == got[1]  # the legacy history row still pairs
+
+
+def test_media_ingest_dp_meta_atomic_write(spark, tmp_path):
+    """``_dp_buckets`` publishes via hidden tmp + rename (ADVICE r15):
+    a crash mid-write must leave the final name ABSENT (the replayed
+    first batch re-derives and self-heals), never truncated — a corrupt
+    final file wedges the store because `_resolve_dp_buckets` only
+    rewrites when the file is missing."""
+    from pathlib import Path
+
+    from usgs_lidar_spark.streaming.media_ingest import (
+        DP_META,
+        media_neardup_ingest_writer,
+        read_dp_buckets,
+    )
+
+    store, labels = str(tmp_path / "store"), str(tmp_path / "labels")
+    # a crashed first attempt's partial tmp is overwritten by the replay
+    Path(store).mkdir()
+    Path(store, f".{DP_META}.tmp").write_text("garb")
+    media_neardup_ingest_writer(store, labels)(
+        _tiny_media(spark, {1: "abcdefgh" * 30}), 0
+    )
+    assert read_dp_buckets(spark, store) == 1
+    assert not Path(store, f".{DP_META}.tmp").exists()  # renamed away
+    # a truncated FINAL file still fails loudly on read (unchanged)
+    Path(store, DP_META).write_text("")
+    with pytest.raises(ValueError, match="corrupt dp_buckets"):
+        read_dp_buckets(spark, store)
+
+
+def test_media_compaction_auto_major(spark, tmp_path):
+    """The leveled compaction escalates to MAJOR when a minor would
+    push the live level count past ``max_levels`` — the LSM trigger
+    that bounds both the probe's file listing and the amortized write
+    volume. Three minors at max_levels=2: the third merges everything
+    into one level; the probe view is identical throughout."""
+    from usgs_lidar_spark.streaming.media_ingest import (
+        compact_media_store,
+        list_sealed_batches,
+        media_neardup_ingest_writer,
+        read_hash_store_before,
+    )
+
+    texts = {
+        i: "".join(chr(97 + (i * 11 + j * 3) % 26) for j in range(240))
+        for i in range(12)
+    }
+    store, labels = str(tmp_path / "store"), str(tmp_path / "labels")
+    writer = media_neardup_ingest_writer(store, labels)
+    for b in range(6):
+        writer(_tiny_media(spark, {i: texts[i] for i in range(2 * b, 2 * b + 2)}), b)
+    view = lambda: sorted(  # noqa: E731
+        map(tuple, read_hash_store_before(spark, store, 99).collect())
+    )
+    pre = view()
+    m1 = compact_media_store(spark, store, up_to_batch=1, max_levels=2)
+    assert [lv["dir"] for lv in m1["levels"]] == ["v1"]
+    m2 = compact_media_store(spark, store, up_to_batch=3, max_levels=2)
+    assert [lv["dir"] for lv in m2["levels"]] == ["v1", "v2"]
+    assert view() == pre
+    # third fold would make 3 levels > max_levels=2: auto-major
+    m3 = compact_media_store(spark, store, up_to_batch=5, max_levels=2)
+    assert [lv["dir"] for lv in m3["levels"]] == ["v3"]
+    assert m3["max_batch_id"] == 5
+    assert list_sealed_batches(spark, store) == []
+    assert view() == pre
+
+
 def test_media_ingest_duplicate_id_redelivery(spark, tmp_path):
     """At-least-once sources can RE-DELIVER a media_id in a later batch
     (checkpoint replay only covers same-batch retries; ADVICE r14).
@@ -2215,7 +2328,11 @@ def test_media_store_compaction_and_vacuum(spark, tmp_path):
     pre = probe_rows()
     n_files_pre = len(list(Path(store).rglob("*.parquet")))
     m = compact_media_store(spark, store, up_to_batch=3)
-    assert m == {"version": 1, "version_dir": "v1", "max_batch_id": 3}
+    assert m == {
+        "version": 1,
+        "levels": [{"dir": "v1", "max_batch_id": 3}],
+        "max_batch_id": 3,
+    }
     assert list_sealed_batches(spark, store) == []  # all merged
     assert probe_rows() == pre  # row-identical view through the manifest
     n_files_post = len(list(Path(store).rglob("*.parquet")))
@@ -2250,10 +2367,23 @@ def test_media_store_compaction_and_vacuum(spark, tmp_path):
         (r["media_id"], r["cluster_id"]) for r in oneshot.collect()
     )
     assert drained == want
-    # second compaction folds the tail into v2 and vacuum removes v1
+    # second compaction is a MINOR fold: batches 4-5 go into a NEW level
+    # v2, level v1 stays on disk UNTOUCHED (O(tail) write, the round-16
+    # leveling that removes the O(store) amplification)
+    v1_files_pre = sorted(
+        p.relative_to(store) for p in Path(store).rglob("v1/**/*.parquet")
+    )
     m2 = compact_media_store(spark, store, up_to_batch=5)
     assert m2["version"] == 2 and m2["max_batch_id"] == 5
-    # strictly-older filter still works against the all-compacted view:
+    assert [lv["dir"] for lv in m2["levels"]] == ["v1", "v2"]
+    assert Path(store, "_compacted", "v1").is_dir()  # minor keeps v1
+    assert v1_files_pre == sorted(
+        p.relative_to(store) for p in Path(store).rglob("v1/**/*.parquet")
+    )
+    # the new level holds ONLY the tail batches' rows
+    tail_rows = spark.read.parquet(f"{store}/_compacted/v2")
+    assert tail_rows.select("batch_id").distinct().count() == 2
+    # strictly-older filter still works against the leveled view:
     # probing AT batch 4 must see exactly the pre-4 history
     assert pre == sorted(
         map(tuple, read_hash_store_before(spark, store, 4).collect())
@@ -2263,15 +2393,34 @@ def test_media_store_compaction_and_vacuum(spark, tmp_path):
     )
     assert len(post2) > len(pre)
     removed = vacuum_media_store(spark, store)
-    assert removed["version_dirs"] == 0  # compact already deleted v1
-    assert Path(store, "_compacted", "v2").is_dir()
+    assert removed["version_dirs"] == 0  # both levels are live
+    # MAJOR compaction merges the level set into one dir and retires
+    # the merged levels; the probe view is unchanged
+    m3 = compact_media_store(spark, store, up_to_batch=5, major=True)
+    assert m3["version"] == 3 and m3["max_batch_id"] == 5
+    assert [lv["dir"] for lv in m3["levels"]] == ["v3"]
     assert not Path(store, "_compacted", "v1").exists()
+    assert not Path(store, "_compacted", "v2").exists()
+    assert post2 == sorted(
+        map(tuple, read_hash_store_before(spark, store, 99).collect())
+    )
+    assert pre == sorted(
+        map(tuple, read_hash_store_before(spark, store, 4).collect())
+    )
+    # a fully-merged store with no tail has nothing left to fold
+    assert compact_media_store(spark, store, up_to_batch=5, major=True) is None
     # vacuum after a simulated crash-after-publish: recreate a covered
-    # batch dir and an orphan version dir, then vacuum removes both.
+    # batch dir and an orphan RETIRED version dir — vacuum removes both —
+    # plus an in-flight NEWER build dir (a concurrent compaction's v4),
+    # which vacuum must SPARE (the ADVICE r15 race: deleting it would
+    # kill that compaction at publish).
     (Path(store) / "batch_id=2").mkdir()
     (Path(store) / "_compacted" / "v1").mkdir()
+    (Path(store) / "_compacted" / "v4").mkdir()
     removed = vacuum_media_store(spark, store)
     assert removed["batch_dirs"] == 1 and removed["version_dirs"] == 1
+    assert Path(store, "_compacted", "v4").is_dir()  # in-flight spared
+    (Path(store) / "_compacted" / "v4").rmdir()
 
 
 def test_streaming_image_text_gate_ingest(spark, tmp_path):

@@ -152,13 +152,23 @@ def read_dp_buckets(spark, store_path: str) -> int | None:
 
 
 def _write_dp_buckets(spark, store_path: str, dp_buckets: int) -> None:
+    """Persist the layout metadata ATOMICALLY (hidden tmp + rename,
+    mirroring `_write_store_manifest`): a crash mid-write must never
+    leave a truncated ``_dp_buckets`` — that file failing the corrupt
+    check on every later open would wedge the store needing manual
+    repair, since `_resolve_dp_buckets` only rewrites when the file is
+    ABSENT. With tmp+rename the final name either doesn't exist (the
+    replayed first batch re-derives and self-heals) or is complete."""
     jfs, _, jvm = _jfs(spark, store_path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{store_path}/{DP_META}")
-    out = jfs.create(p, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{store_path}/.{DP_META}.tmp")
+    out = jfs.create(tmp, True)
     try:
         out.write(bytearray(f"{int(dp_buckets)}\n".encode()))
     finally:
         out.close()
+    final = jvm.org.apache.hadoop.fs.Path(f"{store_path}/{DP_META}")
+    if not jfs.rename(tmp, final):
+        raise OSError(f"could not publish {store_path}/{DP_META}")
 
 
 # ---------------------------------------------------------------------------
@@ -166,18 +176,40 @@ def _write_dp_buckets(spark, store_path: str, dp_buckets: int) -> None:
 # to Hadoop FS driver IO so it holds on HDFS/S3 like the rest of this
 # module). The band index accumulates one batch_id=<n>/dp=<bucket> tree per
 # micro-batch — at 100 TB that is the classic small-file problem on the
-# probe's read path. Compaction merges sealed batches into one well-sized
-# dp-partitioned dataset under `_compacted/v<K>/` and publishes it via a
-# version-named manifest (`_compacted/MANIFEST-<K>.json`, written tmp +
-# atomic rename; readers take the highest K) — the probe's consistent view
-# is then manifest dataset + batch dirs NEWER than it. Soundness: probes
-# only ever read `batch_id < current`, current only grows, and the merge
-# re-emits every row with its original batch_id column, so the view is
+# probe's read path. Compaction merges sealed batches into well-sized
+# dp-partitioned datasets under `_compacted/v<K>/` and publishes the live
+# set via a version-named manifest (`_compacted/MANIFEST-<K>.json`, written
+# tmp + atomic rename; readers take the highest K).
+#
+# LEVELED, LSM-style (round 16 — the r15 single-level form rewrote the
+# ENTIRE compacted dataset every run, O(store) write amplification paid
+# inline every Nth micro-batch under `compact_every`, total write volume
+# quadratic over a stream's lifetime): the manifest lists MULTIPLE level
+# dirs. A MINOR compaction folds only the tail batches into one NEW small
+# level — O(tail) bytes written, independent of store size. A MAJOR
+# compaction (explicit `major=True`, or triggered when the level count
+# would exceed ``max_levels``) merges all levels + tail into one dir —
+# rare by construction, so amortized per-batch write volume is bounded by
+# O(store / (compact_every * max_levels)) instead of O(store /
+# compact_every). The probe's consistent view is the manifest's level set
+# + batch dirs NEWER than its max_batch_id. Soundness: probes only ever
+# read `batch_id < current`, current only grows, and every merge re-emits
+# every row with its original batch_id column, so the view is
 # row-identical at every protocol point; dp stays a partition column in
-# the compacted layout, so prefix pruning keeps working. Crash-safe in the
+# every level, so prefix pruning keeps working. Crash-safe in the
 # compact.py sense: crash before manifest publish leaves an orphan v<K>
-# readers ignore; crash after publish leaves superseded batch dirs readers
-# skip (ids <= the manifest's max) — `vacuum_media_store` removes both.
+# readers ignore and the NEXT compaction overwrites (it reuses version
+# K = active+1, mode overwrite); crash after publish leaves superseded
+# batch dirs readers skip (ids <= the manifest's max) and — after a major
+# — merged level dirs no longer in the live set; `vacuum_media_store`
+# removes both, and deliberately SPARES version dirs NEWER than the
+# active manifest (a concurrent compaction's in-progress build).
+#
+# MAINTENANCE IS SINGLE-MAINTAINER PER STORE: the inline `compact_every`
+# path satisfies this for free (foreachBatch serializes batches); an
+# external scheduler must not run compaction concurrently with a stream
+# that sets `compact_every`. Vacuum is safe to run at any time ONLY
+# because it skips in-flight (newer-versioned) build dirs.
 # ---------------------------------------------------------------------------
 
 _MANIFEST_RE = "MANIFEST-"
@@ -242,42 +274,88 @@ def _write_store_manifest(spark, store_path: str, manifest: dict) -> None:
         raise OSError(f"could not publish manifest {comp}/{name}")
 
 
+def _manifest_levels(manifest: dict | None) -> list[dict]:
+    """The manifest's live level list, oldest first — each entry
+    ``{"dir": "v<K>", "max_batch_id": n}``. Handles both the round-16
+    leveled format (``levels``) and the round-15 single-dir format
+    (``version_dir``), so a store compacted at the old revision reads
+    and keeps compacting without migration."""
+    if manifest is None:
+        return []
+    if "levels" in manifest:
+        return [dict(lv) for lv in manifest["levels"]]
+    return [
+        {
+            "dir": manifest["version_dir"],
+            "max_batch_id": manifest["max_batch_id"],
+        }
+    ]
+
+
 def compact_media_store(
-    spark, store_path: str, up_to_batch: int
+    spark,
+    store_path: str,
+    up_to_batch: int,
+    major: bool = False,
+    max_levels: int = 8,
 ) -> dict | None:
-    """Merge sealed band-index batch directories (ids in (previous
-    manifest max, ``up_to_batch``]) plus the previously compacted data
-    into one dp-partitioned dataset, publish the new manifest, then
-    delete the superseded batch dirs and the previous version dir.
-    Returns the new manifest, or None when there is nothing to do.
+    """LEVELED compaction of the band-index store (see the protocol
+    block above). MINOR (the default): fold ONLY the sealed batch
+    directories in (manifest max, ``up_to_batch``] into one NEW level
+    dir — O(tail) bytes written, existing levels untouched. MAJOR
+    (``major=True``, or automatic when the minor would push the live
+    level count past ``max_levels``): merge all live levels + the tail
+    into one dir and retire the merged level dirs. Publishes the new
+    manifest, then deletes the merged inputs. Returns the new manifest,
+    or None when there is nothing to do.
 
     ``up_to_batch`` must be <= the stream checkpoint's last COMMITTED
     batch id: a recovering stream only ever replays batches above that,
     and a replayed batch's probe (``batch_id < n``) sees the identical
-    row set through manifest + tail — so compaction is safe against
+    row set through levels + tail — so compaction is safe against
     crash replay (pinned by the test). NEVER pass the id of a batch
     that may still be replayed: its directory would be merged AND
-    rewritten by the replay, duplicating its rows in the view."""
+    rewritten by the replay, duplicating its rows in the view.
+
+    SINGLE MAINTAINER PER STORE: do not run two compactions (or a
+    compaction and an external vacuum) concurrently — the inline
+    `compact_every` path serializes maintenance for free."""
+    if int(max_levels) < 1:
+        raise ValueError(f"max_levels must be >= 1, got {max_levels}")
     manifest = _read_store_manifest(spark, store_path)
+    levels = _manifest_levels(manifest)
     covered = manifest["max_batch_id"] if manifest else -1
     todo = [
         b
         for b in list_sealed_batches(spark, store_path)
         if covered < b <= int(up_to_batch)
     ]
-    if not todo:
-        return None
+    major = bool(major) or (len(levels) + 1 > int(max_levels))
+    if not todo and not (major and len(levels) > 1):
+        return None  # nothing to fold (a 1-level major is already major)
+    merged_levels = levels if major else []
     dp = read_dp_buckets(spark, store_path)
-    scan = (
-        spark.read.option("basePath", store_path)
-        .schema(HASH_STORE_SCHEMA)
-        .parquet(*[f"{store_path}/batch_id={b}" for b in todo])
-    )
-    if manifest:
-        prev = spark.read.schema(HASH_STORE_SCHEMA).parquet(
-            f"{store_path}/_compacted/{manifest['version_dir']}"
+    cols = [c.split(" ")[0] for c in HASH_STORE_SCHEMA.split(", ")]
+    # Two input layouts: batch dirs carry batch_id as a hive partition
+    # column (recovered via basePath); level dirs store it as a data
+    # column (the merge below re-emits it) with only dp partitioned.
+    parts: list[DataFrame] = []
+    if todo:
+        parts.append(
+            spark.read.option("basePath", store_path)
+            .schema(HASH_STORE_SCHEMA)
+            .parquet(*[f"{store_path}/batch_id={b}" for b in todo])
+            .select(*cols)
         )
-        scan = scan.select(*prev.columns).unionByName(prev)
+    for lv in merged_levels:
+        parts.append(
+            spark.read.schema(HASH_STORE_SCHEMA)
+            .parquet(f"{store_path}/_compacted/{lv['dir']}")
+            .select(*cols)
+        )
+    scan = parts[0]
+    for p in parts[1:]:
+        scan = scan.unionByName(p)
     version = (manifest["version"] + 1) if manifest else 1
     vdir = f"{store_path}/_compacted/v{version}"
     # ~1 file per dp bucket: partition the shuffle by dp itself (capped —
@@ -285,10 +363,15 @@ def compact_media_store(
     scan.repartition(min(int(dp or 32), 256), F.col("dp")).write.partitionBy(
         "dp"
     ).mode("overwrite").parquet(vdir)
+    new_max = max(todo) if todo else covered
+    new_level = {
+        "dir": f"v{version}",
+        "max_batch_id": new_max if major else max(todo),
+    }
     new_manifest = {
         "version": version,
-        "version_dir": f"v{version}",
-        "max_batch_id": max(todo),
+        "levels": ([] if major else levels) + [new_level],
+        "max_batch_id": new_max,
     }
     _write_store_manifest(spark, store_path, new_manifest)
     # Post-publish cleanup (crash here leaves garbage vacuum removes).
@@ -297,10 +380,10 @@ def compact_media_store(
         jfs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id={b}"), True
         )
-    if manifest:
+    for lv in merged_levels:
         jfs.delete(
             jvm.org.apache.hadoop.fs.Path(
-                f"{store_path}/_compacted/{manifest['version_dir']}"
+                f"{store_path}/_compacted/{lv['dir']}"
             ),
             True,
         )
@@ -310,15 +393,25 @@ def compact_media_store(
 def vacuum_media_store(spark, store_path: str) -> dict:
     """Remove crash orphans the compaction protocol can leave behind:
     batch dirs already covered by the manifest (crash after publish,
-    before deletes), version dirs other than the active one (crash
-    before publish, or before the previous version's delete), manifests
-    older than the active one, and stale tmp files. Everything removed
-    is unreachable through the manifest view, so this is safe to run at
-    any time; no manifest means nothing is superseded yet — no-op."""
+    before deletes), retired ``v<J>`` level dirs that are neither in the
+    active manifest's level set nor NEWER than its version, manifests
+    older than the active one, and stale tmp files. Version dirs with
+    J > the active version are deliberately SPARED — they are a
+    concurrent compaction's in-progress build (deleting one mid-build
+    would kill that compaction at publish); a crashed build's orphan at
+    J = active+1 is overwritten by the next compaction rather than
+    vacuumed. Everything removed is unreachable through the manifest
+    view. No manifest means nothing is superseded yet — no-op.
+
+    Like compaction, vacuum assumes ONE maintainer per store issues it
+    (the inline `compact_every` path qualifies); the spared-newer rule
+    above is what makes an extra, racing vacuum merely wasteful instead
+    of destructive."""
     manifest = _read_store_manifest(spark, store_path)
     removed = {"batch_dirs": 0, "version_dirs": 0, "manifests": 0, "tmp": 0}
     if manifest is None:
         return removed
+    live = {lv["dir"] for lv in _manifest_levels(manifest)}
     jfs, _, jvm = _jfs(spark, store_path)
     hp = jvm.org.apache.hadoop.fs.Path
     for b in list_sealed_batches(spark, store_path):
@@ -328,9 +421,11 @@ def vacuum_media_store(spark, store_path: str) -> dict:
     comp = f"{store_path}/_compacted"
     for st in jfs.listStatus(hp(comp)):
         name = st.getPath().getName()
-        if st.isDirectory() and name != manifest["version_dir"]:
-            jfs.delete(st.getPath(), True)
-            removed["version_dirs"] += 1
+        if st.isDirectory() and name not in live:
+            tail = name[1:] if name.startswith("v") else ""
+            if tail.isdigit() and int(tail) <= manifest["version"]:
+                jfs.delete(st.getPath(), True)
+                removed["version_dirs"] += 1
         elif st.isFile() and name.startswith(f".{_MANIFEST_RE}"):
             jfs.delete(st.getPath(), False)
             removed["tmp"] += 1
@@ -412,11 +507,11 @@ def read_hash_store_before(
     read failure re-raises loudly (the silent-rot contract of
     `streaming/ingest.read_store_before`).
 
-    The view is manifest-aware: compacted dataset (when
+    The view is manifest-aware: the manifest's live LEVEL dirs (when
     `compact_media_store` has published one) plus batch directories
-    NEWER than it — row-identical to the plain batch-dir union at every
-    protocol point, with dp a partition column in BOTH layouts so
-    prefix pruning reaches the file listing either way."""
+    NEWER than its max_batch_id — row-identical to the plain batch-dir
+    union at every protocol point, with dp a partition column in every
+    layout so prefix pruning reaches the file listing either way."""
     if prefixes is not None and dp_buckets is not None:
         stored = read_dp_buckets(spark, store_path)
         if stored is not None and stored != int(dp_buckets):
@@ -438,10 +533,10 @@ def read_hash_store_before(
         b for b in list_sealed_batches(spark, store_path) if b > covered
     ]
     parts: list[DataFrame] = []
-    if manifest:
+    for lv in _manifest_levels(manifest):
         parts.append(
             spark.read.schema(HASH_STORE_SCHEMA)
-            .parquet(f"{store_path}/_compacted/{manifest['version_dir']}")
+            .parquet(f"{store_path}/_compacted/{lv['dir']}")
             .select(*cols)
         )
     if tail:
@@ -485,7 +580,18 @@ def _resolve_dp_buckets(
     request or derives ``max(1, first_batch_rows // ROWS_PER_BUCKET)``
     and persists it BEFORE any data write (a crash in between replays
     to the identical derived value — the derivation is a pure function
-    of the committed-identical first batch)."""
+    of the committed-identical first batch).
+
+    A PRE-METADATA store — sealed ``batch_id=`` dirs (or a published
+    manifest) but no ``_dp_buckets`` file, i.e. created before the
+    metadata existed — is NEVER derived for: its history is already
+    bucketed under some modulus this code can't know, and deriving a
+    new one from the current batch would make the probe's dp
+    partition-prune silently drop history rows sharing band keys with
+    the batch (missed pairs, wrong clusterings, no error — the exact
+    failure the metadata prevents). The caller must pass the
+    ``dp_buckets`` the store was created with explicitly to ADOPT it;
+    the adopted value is then persisted so later opens validate."""
     import warnings
 
     stored = read_dp_buckets(spark, store_path)
@@ -500,10 +606,23 @@ def _resolve_dp_buckets(
                 "lifetime"
             )
         return stored
+    legacy = bool(list_sealed_batches(spark, store_path)) or (
+        _read_store_manifest(spark, store_path) is not None
+    )
+    if requested is None and legacy:
+        raise ValueError(
+            f"store {store_path} has committed history but no {DP_META} "
+            "metadata (pre-metadata layout) — pass the dp_buckets it was "
+            "created with explicitly to adopt it (the value is then "
+            "persisted); deriving a new count here would silently prune "
+            "history under the wrong modulus"
+        )
     n = hashes.count()
     if requested is not None:
         dp = int(requested)
-        if dp > 1 and n // dp < ROWS_PER_BUCKET // 4:
+        # Adoption of a pre-metadata store states a historical fact, not
+        # a sizing choice — the storm warning only fires on fresh stores.
+        if not legacy and dp > 1 and n // dp < ROWS_PER_BUCKET // 4:
             warnings.warn(
                 f"dp_buckets={dp} gives ~{max(n // dp, 0)} rows/bucket "
                 f"for a {n}-row first batch — the measured small-file "
@@ -747,6 +866,8 @@ def materialize_media_shards(
     budget: int = 4096,
     n_streams: int = 8,
     gate_threshold: float | None = None,
+    payloads: DataFrame | None = None,
+    payload_out: str | None = None,
 ) -> DataFrame:
     """Close the loop from STREAMING dedup state to LOADER shards: read
     the ingest's latest committed labeling, keep the min-id keeper of
@@ -770,10 +891,28 @@ def materialize_media_shards(
     equal by tests/test_streaming.py::test_materialize_shards_matches_v9
     on the shared fixture): the drain maintains the labeling
     incrementally; materialization is run at training-set cut time,
-    reading labels + metadata only (payloads move only if the caller
-    packs payload bytes INTO the shards downstream — this writer ships
-    the assignment, ids, and offsets, the loader's manifest)."""
+    reading labels + metadata only. By default payloads never move —
+    this writer ships the assignment, ids, and offsets, the loader's
+    MANIFEST.
+
+    ``payloads`` + ``payload_out`` (round 16) additionally run the BYTE
+    MOVER: `multimodal.shard_payload_blobs` joins each surviving item's
+    ``(media_id, content)`` payload to its assignment, slices shard-
+    boundary pieces map-side, and writes one assembled ≤``budget``-byte
+    blob row per shard under hive ``payload_out/pack_stream=S/
+    shard_id=K/`` — the dirs the manifest addresses. Payload bytes are
+    read once and shuffled once (the op's contract); items the curation
+    dropped never reach the join. Passing one without the other
+    raises — silently skipping the byte move (or writing blobs nowhere)
+    is the silent-rot class this module bans."""
     from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    if (payloads is None) != (payload_out is None):
+        raise ValueError(
+            "payloads and payload_out must be passed together: the byte "
+            "mover needs both the (media_id, content) table and a "
+            "destination"
+        )
 
     # Unlike `read_labels_before` — whose caller (the writer) only runs
     # after every older batch committed, so older labels are complete by
