@@ -6210,3 +6210,72 @@ def test_kmeanspp_seeding_deterministic_and_probe_all_exact(spark):
         assert tl == flat
     with _pytest.raises(ValueError, match="seeding"):
         derive_coarse_quantizer(cdf, seeding="d2-sample")
+
+
+def test_shard_payload_blobs_golden(spark):
+    """The byte mover's layout, pinned byte-for-byte on a hand-computed
+    fixture (round 16): items concatenate in byte_start order, a
+    split_across item contributes its head to one shard and its tail
+    to the next, every byte lands in exactly one shard, and the lazy
+    over-budget guard raises on an assignment that lies."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.multimodal import shard_payload_blobs
+
+    # stream 7: AAAA (4) + BBBBBB (6) + CCCCCCC (7) packed at budget 5
+    # -> shards: AAAAB | BBBBB | CCCCC | CC
+    payloads = spark.createDataFrame(
+        [(1, bytearray(b"AAAA")), (2, bytearray(b"BBBBBB")),
+         (3, bytearray(b"CCCCCCC"))],
+        "media_id bigint, content binary",
+    )
+    assignment = spark.createDataFrame(
+        [(1, 7, 0, 4), (2, 7, 4, 6), (3, 7, 10, 7)],
+        "media_id bigint, pack_stream bigint, byte_start bigint, "
+        "n_bytes bigint",
+    )
+    got = {
+        (r["pack_stream"], r["shard_id"]): (
+            bytes(r["shard_bytes"]), r["n_items"], r["shard_n_bytes"]
+        )
+        for r in shard_payload_blobs(assignment, payloads, budget=5)
+        .collect()
+    }
+    assert got == {
+        (7, 0): (b"AAAAB", 2, 5),
+        (7, 1): (b"BBBBB", 1, 5),
+        (7, 2): (b"CCCCC", 1, 5),
+        (7, 3): (b"CC", 1, 2),
+    }
+    # zero-byte items contribute nothing (and crash no sequence())
+    with_empty = assignment.unionByName(
+        spark.createDataFrame(
+            [(4, 7, 10, 0)],
+            "media_id bigint, pack_stream bigint, byte_start bigint, "
+            "n_bytes bigint",
+        )
+    )
+    empty_pay = payloads.unionByName(
+        spark.createDataFrame(
+            [(4, bytearray(b""))], "media_id bigint, content binary"
+        )
+    )
+    got2 = {
+        (r["pack_stream"], r["shard_id"]): bytes(r["shard_bytes"])
+        for r in shard_payload_blobs(with_empty, empty_pay, budget=5)
+        .collect()
+    }
+    assert got2 == {k: v[0] for k, v in got.items()}
+    # an over-budget shard (overlapping byte_start claims) raises in
+    # the executor, not silently truncates
+    lying = spark.createDataFrame(
+        [(1, 7, 0, 4), (2, 7, 1, 6)],
+        "media_id bigint, pack_stream bigint, byte_start bigint, "
+        "n_bytes bigint",
+    )
+    with _pytest.raises(Exception, match="shard over budget"):
+        shard_payload_blobs(lying, payloads, budget=5).collect()
+    with _pytest.raises(ValueError, match="budget must be positive"):
+        shard_payload_blobs(assignment, payloads, budget=0)

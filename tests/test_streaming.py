@@ -2700,6 +2700,59 @@ def test_materialize_shards_matches_v9(spark, tmp_path):
         budget=4096, n_streams=8, gate_threshold=0.9,
     )
     assert rows(packed2) == rows(packed)
+    # round 16 — the BYTE MOVER: payloads + payload_out writes one
+    # assembled blob row per (pack_stream, shard_id), the dirs the
+    # manifest addresses, each holding exactly the stream's byte slice
+    blob_out = str(tmp_path / "shard_bytes")
+    packed3 = materialize_media_shards(
+        spark, labels, media_meta, str(tmp_path / "shards3"),
+        budget=4096, n_streams=8, gate_threshold=0.9,
+        payloads=media.select("media_id", "content"),
+        payload_out=blob_out,
+    )
+    assert rows(packed3) == rows(packed)
+    blobs = spark.read.parquet(blob_out)
+    blob_map = {
+        (r["pack_stream"], r["shard_id"]): bytes(r["shard_bytes"])
+        for r in blobs.collect()
+    }
+    # blob dirs == manifest (stream, shard) set — including shards an
+    # item's split tail lands in
+    asg = packed.collect()
+    want_shards = set()
+    for r in asg:
+        for k in range(
+            r["shard_id"],
+            (r["byte_start"] + r["n_bytes"] - 1) // 4096 + 1,
+        ):
+            want_shards.add((r["pack_stream"], k))
+    assert set(blob_map) == want_shards
+    # every shard holds <= budget bytes, and per stream the blobs
+    # concatenate (in shard order) to the byte_start-ordered payload
+    # concatenation of the stream's items
+    payload = {
+        r["media_id"]: bytes(r["content"])
+        for r in media.select("media_id", "content").collect()
+    }
+    for s in {st for st, _ in blob_map}:
+        items = sorted(
+            (r["byte_start"], r["media_id"])
+            for r in asg
+            if r["pack_stream"] == s
+        )
+        want = b"".join(payload[m] for _, m in items)
+        got = b"".join(
+            blob_map[(s, k)]
+            for k in sorted(k for st, k in blob_map if st == s)
+        )
+        assert got == want
+    assert all(len(v) <= 4096 for v in blob_map.values())
+    # passing one half of the byte-mover pair is a loud error
+    with _pytest.raises(ValueError, match="must be passed together"):
+        materialize_media_shards(
+            spark, labels, media_meta, str(tmp_path / "x2"),
+            payloads=media.select("media_id", "content"),
+        )
 
 
 def test_media_ingest_inline_compaction(spark, tmp_path):

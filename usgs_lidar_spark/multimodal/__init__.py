@@ -49,5 +49,6 @@ from usgs_lidar_spark.multimodal.binary_ops import (  # noqa: F401
     resize_image,
     sample_frames,
     semantic_verify_pairs,
+    shard_payload_blobs,
     to_media_table,
 )

@@ -1063,3 +1063,106 @@ def image_text_gate(
             F.col("clip_score") >= float(threshold), F.lit(False)
         ),
     )
+
+
+def shard_payload_blobs(
+    assignment: DataFrame,
+    payloads: DataFrame,
+    budget: int,
+    id_col: str = "media_id",
+    payload_col: str = "content",
+) -> DataFrame:
+    """The BYTE MOVER closing the shard-materialization loop (round 16
+    — `materialize_media_shards` ships the loader MANIFEST of ids and
+    offsets; this op ships the bytes): join each packed item's payload
+    to its `pack_sequences` assignment and assemble, per
+    ``(pack_stream, shard_id)``, the exact byte blob a trainer streams
+    — items concatenated in ``byte_start`` order, an item whose bytes
+    straddle a shard boundary (``split_across``) contributing its head
+    to one shard and its tail to the next, GPT-loader style. Returns
+    one row per shard: ``pack_stream, shard_id, shard_bytes,
+    n_items, shard_n_bytes``; ``n_items`` counts contributing PIECES
+    (a split item counts in every shard it touches).
+
+    ``assignment`` needs ``id_col, pack_stream, byte_start, n_bytes``
+    (the `materialize_media_shards` / `pipe_end_to_end_v9` output
+    shape); ``payloads`` needs ``id_col, payload_col`` (binary).
+
+    Scale shape — payload bytes are read ONCE and shuffled ONCE: the
+    join moves each payload to its assignment row, the per-shard SLICES
+    are cut map-side (``substr`` on the binary column, pure JVM), and
+    only the slices shuffle on the (stream, shard) key — total bytes
+    moved equals total payload bytes (every byte lands in exactly one
+    slice) plus O(rows) key overhead. The per-shard assembly is a
+    sorted-struct fold (`array_sort` + `aggregate` concat, whole-stage
+    JVM, no UDF) whose state is bounded by ``budget`` bytes — the
+    shard's own size, the natural working-set unit of a loader. Every
+    shard holds exactly ``budget`` bytes except each stream's last
+    (the packing contract), enforced here by a lazy `raise_error`
+    guard riding the aggregation rather than a driver-side collect."""
+    if int(budget) <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    b = F.lit(int(budget))
+    a = assignment.select(
+        id_col,
+        "pack_stream",
+        F.col("byte_start").cast("long").alias("byte_start"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    ).filter(F.col("n_bytes") > 0)
+    joined = payloads.select(id_col, payload_col).join(a, id_col)
+    first = F.floor(F.col("byte_start") / b).cast("long")
+    last = F.floor((F.col("byte_start") + F.col("n_bytes") - 1) / b).cast(
+        "long"
+    )
+    off = F.col("shard_id") * b - F.col("byte_start")
+    cut_start = F.greatest(F.lit(0).cast("long"), off)
+    cut_end = F.least(F.col("n_bytes"), off + b)
+    pieces = (
+        joined.select(
+            "pack_stream",
+            "byte_start",
+            "n_bytes",
+            payload_col,
+            F.explode(F.sequence(first, last)).alias("shard_id"),
+        )
+        # slice map-side: only (keys, piece) rows reach the shuffle
+        .select(
+            "pack_stream",
+            "shard_id",
+            "byte_start",
+            F.col(payload_col)
+            .substr(
+                (cut_start + 1).cast("int"),
+                (cut_end - cut_start).cast("int"),
+            )
+            .alias("piece"),
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("byte_start"), F.col("piece")))
+        ),
+        lambda s: s["piece"],
+    )
+    blob = F.aggregate(
+        ordered, F.lit(b"").cast("binary"), lambda acc, x: F.concat(acc, x)
+    )
+    return (
+        pieces.groupBy("pack_stream", "shard_id")
+        .agg(blob.alias("shard_bytes"), F.count("*").alias("n_items"))
+        .withColumn(
+            "shard_n_bytes",
+            F.when(
+                F.length("shard_bytes") > b,
+                F.raise_error(
+                    F.concat(
+                        F.lit("shard over budget: stream "),
+                        F.col("pack_stream").cast("string"),
+                        F.lit(" shard "),
+                        F.col("shard_id").cast("string"),
+                        F.lit(f" exceeds {int(budget)} bytes"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.length("shard_bytes").cast("long")),
+        )
+    )

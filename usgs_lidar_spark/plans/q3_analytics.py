@@ -24,6 +24,9 @@ from usgs_lidar_spark.plans.registry import (
 from usgs_lidar_spark.plans.q1_classic import (
     _SHINGLE_CTE,
 )
+from usgs_lidar_spark.plans.q2_ann_pipeline import (
+    _LEHMER_STREAM,
+)
 
 # =====================================================================
 # Round 5 (cont.): the remaining classic star-schema shapes — q7/q8/q9
@@ -2670,4 +2673,95 @@ def mm_hamming_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("radius")
         .agg(F.count(pairs["hamming"]).cast("long").alias("n_pairs"))
+    )
+
+
+@query(
+    "mm_shard_bytes",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             {_LEHMER_STREAM("doc_id", 4)} AS pack_stream
+      FROM documents
+    ),
+    packed AS (
+      SELECT media_id, text, pack_stream, n_bytes,
+             CAST(sum(n_bytes) OVER w - n_bytes AS BIGINT) AS byte_start
+      FROM m
+      WINDOW w AS (PARTITION BY pack_stream ORDER BY media_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    spans AS (
+      SELECT pack_stream, byte_start, n_bytes, text,
+             unnest(generate_series(
+                 CAST(floor(byte_start / 2048.0) AS BIGINT),
+                 CAST(floor((byte_start + n_bytes - 1) / 2048.0) AS BIGINT)))
+                 AS shard_id
+      FROM packed WHERE n_bytes > 0
+    ),
+    pieces AS (
+      SELECT pack_stream, shard_id, byte_start,
+             substr(text,
+                    CAST(greatest(0, shard_id * 2048 - byte_start)
+                         AS BIGINT) + 1,
+                    CAST(least(n_bytes, (shard_id + 1) * 2048 - byte_start)
+                         - greatest(0, shard_id * 2048 - byte_start)
+                         AS BIGINT)) AS piece
+      FROM spans
+    )
+    SELECT CAST(pack_stream AS BIGINT) AS pack_stream, shard_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(strlen(piece)) AS BIGINT) AS shard_n_bytes,
+           md5(string_agg(piece, '' ORDER BY byte_start)) AS shard_md5
+    FROM pieces GROUP BY pack_stream, shard_id
+    """,
+)
+def mm_shard_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard PAYLOAD materialization (round 16 — VERDICT r15 item 3,
+    the byte mover the manifest writer was missing): pack the media
+    corpus into 2048-byte shards over 4 Lehmer streams
+    (`pack_sequences`), then run `multimodal.shard_payload_blobs` —
+    the payload-to-assignment join, map-side boundary slicing, and
+    per-(stream, shard) ordered binary assembly — and emit each shard's
+    byte-layout digest (md5 of the assembled blob), item count, and
+    size. The oracle replays the exact byte layout with VARCHAR slices
+    (documents text is ASCII, so char offsets ARE byte offsets and
+    DuckDB's md5(string) equals Spark's md5(binary) on identical
+    bytes) — a shard boundary cut one byte off, an item out of order,
+    or a lost split tail all flip the digest. Scale shape per the op's
+    contract: payload bytes shuffle exactly once, slices cut map-side,
+    per-shard assembly state bounded by the budget; the lazy over-
+    budget raise_error guard rides the aggregation."""
+    from usgs_lidar_spark.multimodal import (
+        shard_payload_blobs,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.pipeline import pack_sequences
+
+    media = to_media_table(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+    ).localCheckpoint(eager=False)  # two consumers: assignment + payloads
+    packed = pack_sequences(
+        media.select("media_id", "n_bytes"),
+        "media_id",
+        F.col("n_bytes"),
+        budget=2048,
+        n_streams=4,
+    ).select(
+        "media_id",
+        F.col("pack_stream").cast("long").alias("pack_stream"),
+        F.col("token_start").alias("byte_start"),
+        "n_bytes",
+    )
+    return shard_payload_blobs(
+        packed, media.select("media_id", "content"), budget=2048
+    ).select(
+        "pack_stream",
+        "shard_id",
+        F.col("n_items").cast("long").alias("n_items"),
+        "shard_n_bytes",
+        F.md5("shard_bytes").alias("shard_md5"),
     )

@@ -965,6 +965,9 @@ def materialize_media_shards(
         F.col("pack_offset").alias("shard_offset"),
         "split_across",
     )
+    if payloads is not None:
+        # two consumers below (manifest write + byte mover): pin once
+        packed = packed.localCheckpoint(eager=False)
     (
         packed.repartition(int(n_streams), "pack_stream")
         .sortWithinPartitions("pack_stream", "shard_id", "byte_start")
@@ -972,4 +975,15 @@ def materialize_media_shards(
         .partitionBy("pack_stream", "shard_id")
         .parquet(out_path)
     )
+    if payloads is not None:
+        from usgs_lidar_spark.multimodal import shard_payload_blobs
+
+        blobs = shard_payload_blobs(packed, payloads, budget=int(budget))
+        (
+            blobs.repartition(int(n_streams), "pack_stream")
+            .sortWithinPartitions("pack_stream", "shard_id")
+            .write.mode("overwrite")
+            .partitionBy("pack_stream", "shard_id")
+            .parquet(payload_out)
+        )
     return packed
