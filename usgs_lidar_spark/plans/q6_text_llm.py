@@ -15,6 +15,7 @@ from usgs_lidar_spark.plans.registry import (
     F,
     ORACLE,
     SparkSession,
+    Window,
     _cached_index_path,
     _t,
     query,
@@ -3115,4 +3116,253 @@ def pipe_end_to_end_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pack_id").alias("shard_id"),
         F.col("pack_offset").alias("shard_offset"),
         "split_across",
+    )
+
+
+def _V10_ORACLE() -> str:
+    from usgs_lidar_spark.plans.q2_ann_pipeline import _cos4
+    from usgs_lidar_spark.plans.q3_analytics import _DHASH_CTE
+
+    cos_ab = _cos4("ea.embedding", "eb.embedding")
+    # SQL twin of functions/vectors.sign_lsh_bucket(n_bits=6): sign bits
+    # of the first six dims (axis-aligned hyperplanes, no randomness).
+    bucket = """CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                  + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                AS BIGINT)"""
+    return f"""
+    WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS media_id,
+               substr(text, 1, length(text) // 2)
+                 || '~' || substr(text, length(text) // 2 + 2) AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_DHASH_CTE},
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ),
+    emap AS (
+      SELECT media_id,
+             CASE WHEN media_id >= 100000 THEN
+                 CASE WHEN (media_id - 100000) % 21 = 0
+                      THEN media_id - 100000 + 3
+                      ELSE media_id - 100000 END
+             ELSE media_id END AS eid
+      FROM m
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM pairs c
+      JOIN emap xa ON xa.media_id = c.id_a
+      JOIN embeddings ea ON ea.vec_id = xa.eid
+      JOIN emap xb ON xb.media_id = c.id_b
+      JOIN embeddings eb ON eb.vec_id = xb.eid
+      WHERE {cos_ab} >= 0.9
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM verified
+              UNION SELECT id_b AS u, id_a AS v FROM verified),
+    walk(id, reach) AS (
+        SELECT media_id, media_id FROM m
+        UNION
+        SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    cc AS (SELECT id AS media_id, min(reach) AS cluster_id
+           FROM walk GROUP BY id),
+    keepers AS (SELECT media_id FROM cc WHERE media_id = cluster_id),
+    gatein AS (
+      SELECT k.media_id, x.eid,
+             CASE WHEN x.eid % 5 = 0 THEN x.eid + 3 ELSE x.eid END
+                 AS img_eid
+      FROM keepers k JOIN emap x USING (media_id)
+    ),
+    gated AS (
+      SELECT g.media_id, g.eid, {cos_ab} AS clip_score
+      FROM gatein g
+      JOIN embeddings ea ON ea.vec_id = g.eid
+      JOIN embeddings eb ON eb.vec_id = g.img_eid
+    ),
+    imgs AS (SELECT media_id, eid FROM gated WHERE clip_score >= 0.9),
+    cap AS (SELECT i.media_id, embedding AS cvec, {bucket} AS bucket
+            FROM imgs i JOIN embeddings e ON e.vec_id = i.eid),
+    t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM documents WHERE length(trim(text)) > 0),
+    ch AS (SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_id,
+                  (doc_id * 13 + CAST(s // 16 AS BIGINT) * 7) % 500
+                      AS pe_id
+           FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 16)) AS s
+                 FROM t)),
+    pas AS (SELECT ch.doc_id, ch.chunk_id, embedding AS pvec,
+                   {bucket} AS bucket
+            FROM ch JOIN embeddings e ON e.vec_id = ch.pe_id),
+    cand AS (SELECT c.media_id, p.doc_id, p.chunk_id,
+                    {_cos4("c.cvec", "p.pvec")} AS score
+             FROM cap c JOIN pas p USING (bucket)
+             WHERE {_cos4("c.cvec", "p.pvec")} >= 0.2),
+    best AS (SELECT *, row_number() OVER (PARTITION BY media_id
+                  ORDER BY score DESC, doc_id, chunk_id) AS rn FROM cand),
+    placed AS (SELECT media_id, doc_id, chunk_id, score
+               FROM best WHERE rn = 1),
+    capped AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, media_id) AS dn FROM placed)
+    SELECT doc_id, chunk_id AS position, media_id, score
+    FROM capped WHERE dn <= 2
+    """
+
+
+@query("pipe_end_to_end_v10", oracle=_V10_ORACLE())
+def pipe_end_to_end_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLEAVED multimodal document assembly, MMC4 shape (round 16 —
+    Zhu et al. 2023 built interleaved image-text pretraining docs by
+    assigning each image to its best-matching sentence by CLIP score,
+    capped per document): the v9 curation chain (two-tier perceptual +
+    semantic dedup -> image-text gate) supplies the IMAGE pool, then
+    each surviving image is placed INTO a text document at the passage
+    position whose embedding it matches best — top-1 passage per image
+    by rounded caption x passage cosine (>= 0.2), at most 2 images per
+    document (score-ranked) — emitting the interleave manifest
+    (doc_id, position, media_id, score) a sequence builder consumes.
+
+    Scale shape: the image x passage match is NEVER all-pairs — both
+    sides bucket by the deterministic `sign_lsh_bucket` (6 axis-aligned
+    sign bits, the ANN tier's single-probe LSH), so candidates form an
+    equi-join on the bucket key exactly like the dedup tiers' banded
+    joins; passages come from the map-only `chunk_documents` (16-token
+    non-overlapping windows), per-passage vectors join by id, and both
+    rankings are windows over the (already-thresholded) candidate
+    frame — only (ids, bucket, score) rows shuffle, never text or
+    payloads. Strict-verify drops hold at every tier: no embedding ->
+    no merge, no aligned pair, no placement. At sf0.01: 572 media ->
+    419 aligned keepers -> 419 placements -> 313 after the per-doc cap
+    (the cap measurably binds)."""
+    from usgs_lidar_spark.functions.vectors import dot, norm, sign_lsh_bucket
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        image_text_gate,
+        near_dup_media_by_dhash,
+        semantic_verify_pairs,
+        to_media_table,
+    )
+    from usgs_lidar_spark.operators.graph import collapse_clusters
+    from usgs_lidar_spark.operators.textquality import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    n = F.length("text")
+    reup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, F.floor(n / 2).cast("int")),
+            F.lit("~"),
+            F.expr(
+                "substring(text, CAST(length(text) / 2 AS INT) + 2)"
+            ),
+        ).alias("text"),
+    )
+    media = to_media_table(
+        d.select("doc_id", "text").unionByName(reup), "doc_id", "text"
+    ).localCheckpoint(eager=False)  # two consumers: hash + emap
+    doc0 = F.col("media_id") - 100000
+    eid = F.when(
+        F.col("media_id") >= 100000,
+        F.when(doc0 % 21 == 0, doc0 + 3).otherwise(doc0),
+    ).otherwise(F.col("media_id"))
+    emap = media.select("media_id", eid.alias("__eid"))
+    media_emb = emap.join(
+        emb.select(F.col("vec_id").alias("__eid"), "embedding"), "__eid"
+    ).select("media_id", "embedding")
+    verified = semantic_verify_pairs(
+        near_dup_media_by_dhash(fake_dhash_image(media), max_hamming=3),
+        media_emb, threshold=0.9, id_col="media_id",
+    )
+    keepers = collapse_clusters(
+        media.select("media_id"), verified,
+        id_col="media_id", pair_a="id_a", pair_b="id_b",
+    ).filter(F.col("is_kept")).select("media_id")
+    img_eid = F.when(
+        F.col("__eid") % 5 == 0, F.col("__eid") + 3
+    ).otherwise(F.col("__eid"))
+    gate_in = (
+        keepers.join(emap, "media_id")
+        .withColumn("__img_eid", img_eid)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("__eid"),
+                F.col("embedding").alias("caption_embedding"),
+            ),
+            "__eid",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("__img_eid"),
+                F.col("embedding").alias("image_embedding"),
+            ),
+            "__img_eid",
+        )
+    )
+    imgs = (
+        image_text_gate(gate_in, threshold=0.9)
+        .filter(F.col("kept"))
+        .select("media_id", "__eid")
+    )
+    cap = imgs.join(
+        emb.select(F.col("vec_id").alias("__eid"), "embedding"), "__eid"
+    ).select(
+        "media_id",
+        F.col("embedding").alias("cvec"),
+        sign_lsh_bucket("embedding", 6).alias("bucket"),
+    )
+    pe_id = (F.col("doc_id") * 13 + F.col("chunk_id") * 7) % 500
+    pas = (
+        chunk_documents(d, chunk_tokens=16, stride=16)
+        .select("doc_id", "chunk_id", pe_id.alias("pe_id"))
+        .join(
+            emb.select(F.col("vec_id").alias("pe_id"), "embedding"),
+            "pe_id",
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("embedding").alias("pvec"),
+            sign_lsh_bucket("embedding", 6).alias("bucket"),
+        )
+    )
+    score = F.round(
+        dot("cvec", "pvec") / (norm("cvec") * norm("pvec")), 4
+    )
+    cand = (
+        cap.join(pas, "bucket")
+        .withColumn("score", score)
+        .filter(F.col("score") >= 0.2)
+        .select("media_id", "doc_id", "chunk_id", "score")
+    )
+    w_img = Window.partitionBy("media_id").orderBy(
+        F.desc("score"), "doc_id", "chunk_id"
+    )
+    placed = (
+        cand.withColumn("rn", F.row_number().over(w_img))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), "media_id"
+    )
+    return (
+        placed.withColumn("dn", F.row_number().over(w_doc))
+        .filter(F.col("dn") <= 2)
+        .select(
+            "doc_id",
+            F.col("chunk_id").alias("position"),
+            "media_id",
+            "score",
+        )
     )
