@@ -6210,6 +6210,31 @@ def test_kmeanspp_seeding_deterministic_and_probe_all_exact(spark):
         assert tl == flat
     with _pytest.raises(ValueError, match="seeding"):
         derive_coarse_quantizer(cdf, seeding="d2-sample")
+    # (e) round 16 — batched tournament rounds (batch_m): byte-identical
+    # to the sequential algorithm at m=1 and on the clump fixture (the
+    # first pick per scan IS the global argmin), deterministic across
+    # partitionings at m>1, same structure, and probe-all exactness is
+    # seeding-independent so it holds for the batched coarse too.
+    assert kmeanspp_seed_centroids(clumps, 2, batch_m=4) == pp
+    pp_m3a = kmeanspp_seed_centroids(cdf, 5, batch_m=3)
+    pp_m3b = kmeanspp_seed_centroids(cdf.repartition(5), 5, batch_m=3)
+    assert pp_m3a == pp_m3b
+    cids_m3 = [cid for cid, _ in pp_m3a]
+    assert len(cids_m3) == len(set(cids_m3)) == 5 and cids_m3[0] == 0
+    assert pp_m3a[1] == pp1[1]  # scan 1's first accept = global argmin
+    batched = derive_coarse_quantizer(
+        cdf, seeding="kmeanspp", seed_batch_m=3
+    )
+    tl = sorted(
+        (r["vec_id"], r["__cid"], r["__csim"])
+        for r in ivf_assign_two_level(
+            emb, cdf, coarse=batched, n_probe_coarse=len(batched),
+            keep_sim=True,
+        ).collect()
+    )
+    assert tl == flat
+    with _pytest.raises(ValueError, match="batch_m"):
+        kmeanspp_seed_centroids(cdf, 5, batch_m=0)
 
 
 def test_shard_payload_blobs_golden(spark):

@@ -378,6 +378,7 @@ def kmeanspp_seed_centroids(
     cid_col: str = "cid",
     cvec_col: str = "cvec",
     qbits: int = 20,
+    batch_m: int = 1,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic k-means++-style seeding over a (cid, cvec) frame:
     greedy FARTHEST-POINT (Gonzalez 1985 k-center — the derandomized
@@ -397,11 +398,24 @@ def kmeanspp_seed_centroids(
     everything trained from it) is reproducible, not just "usually the
     same".
 
-    Cost: ``n_seeds`` rounds x one scan of the CENTROIDS frame (k rows
-    — the fine quantizer, never the corpus); the driver holds only the
-    growing seed list (<= n_seeds x dim). At the two-level tier's
-    n_seeds ~ sqrt(k) that is the same budget class as one
-    `kmeans_train_centroids` iteration."""
+    Cost (corrected round 16 — the r15 docstring understated it): with
+    ``batch_m=1``, ``g = n_seeds`` SEQUENTIAL Spark jobs, round ``i``
+    scanning k rows against an i-seed argmax — O(k·g²) total key work,
+    a factor ~g MORE than one `kmeans_train_centroids` iteration's
+    O(k·g); at the two-level tier's g ~ sqrt(k) and k = 10^6 that is
+    ~1000 driver-coordinated jobs. Still bounded by the QUANTIZER
+    (k rows, never the corpus) and paid once at index build, but for
+    large k pass ``batch_m=m`` to fetch a TOURNAMENT POOL of the m
+    worst-covered rows per scan and accept them greedily DRIVER-SIDE
+    (farthest-point within the pool, each acceptance re-scored against
+    the seeds accepted so far in the same exact-quantized arithmetic —
+    Python floats are IEEE doubles, so the driver replay is
+    bit-identical to what a Spark round would compute): job count drops
+    to ~ceil(g/m) at the cost of pool-local (not global) argmin picks —
+    the scalable-k-means++ oversampling trade (Bahmani et al. 2012).
+    ``batch_m=1`` is byte-for-byte the round-15 algorithm."""
+    if int(batch_m) < 1:
+        raise ValueError(f"batch_m must be >= 1, got {batch_m}")
     rows = centroids_df.select(
         F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cvec")
     )
@@ -427,18 +441,53 @@ def kmeanspp_seed_centroids(
             best["key"] / F.col("__rn")
         )
         picked = [cid for cid, _ in seeds]
-        pick = (
+        m = min(int(batch_m), g - len(seeds))
+        pool = (
             df.filter(~F.col("cid").isin(picked))
-            .select(
-                F.min(
-                    F.struct(
-                        simn.alias("s"), F.col("cid"), F.col("cvec")
-                    )
-                ).alias("p")
-            )
-            .collect()[0]["p"]
+            .select(simn.alias("s"), "cid", "cvec")
+            .orderBy("s", "cid")
+            .limit(m)
+            .collect()
         )
-        seeds.append((int(pick["cid"]), [float(x) for x in pick["cvec"]]))
+        if not pool:
+            break  # fewer distinct rows than requested seeds
+        # Pool-local greedy farthest-point, driver-side: each step
+        # re-scores every remaining pool row's max-sim against the
+        # CURRENT seed list (intra-batch accepts included) in the same
+        # exact-quantized arithmetic the Spark scan used — Python
+        # floats are IEEE doubles and the op order matches
+        # (dot / sqrt(|seed|²)) / sqrt(|row|²) — then accepts the
+        # worst-covered (min sim, then min cid). A clump in the pool
+        # therefore spaces itself out instead of landing wholesale.
+        import math
+
+        remaining = [
+            (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in pool
+        ]
+        while remaining and len(seeds) < g:
+            qseed_list = _quantize_centroids_exact(seeds, qbits)
+            scored = []
+            for cid, cvec in remaining:
+                qc, nr = _quantize_centroids_exact(
+                    [(cid, cvec)], qbits
+                )[0][1:]
+                rn = math.sqrt(float(nr))
+                # mirror the Spark expression exactly: per-seed key is
+                # dot/sqrt(|seed|²) (0.0 for a zero seed), max over
+                # keys FIRST, then one divide by the row norm
+                best_key = max(
+                    0.0
+                    if nq == 0
+                    else float(sum(a * b for a, b in zip(qc, qs)))
+                    / math.sqrt(float(nq))
+                    for _, qs, nq in qseed_list
+                )
+                worst = 0.0 if rn == 0 else best_key / rn
+                scored.append((worst, cid, cvec))
+            scored.sort(key=lambda t: (t[0], t[1]))
+            _, cid, cvec = scored[0]
+            seeds.append((cid, cvec))
+            remaining = [(c, v) for c, v in remaining if c != cid]
     return seeds
 
 
@@ -450,6 +499,7 @@ def derive_coarse_quantizer(
     method: str = "stride",
     n_iter: int = 2,
     seeding: str = "stride",
+    seed_batch_m: int = 1,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse level for `ivf_assign_two_level`: ~sqrt(k)
     evenly-cid-strided members of the fine quantizer itself (the same
@@ -499,7 +549,8 @@ def derive_coarse_quantizer(
     g = n_coarse or max(1, math.ceil(math.sqrt(k)))
     if seeding == "kmeanspp":
         seeds = kmeanspp_seed_centroids(
-            centroids_df, g, cid_col=cid_col, cvec_col=cvec_col
+            centroids_df, g, cid_col=cid_col, cvec_col=cvec_col,
+            batch_m=seed_batch_m,
         )
     elif seeding == "stride":
         stride = max(1, math.ceil(k / g))
