@@ -167,6 +167,14 @@ HEADLINE = [
     # dedup -> image-text gate -> byte-shard packing; the v-series
     # headliner convention (v7, v8) one modality up.
     "pipe_end_to_end_v9",
+    # round 16: the MMC4-style interleave (curated images placed into
+    # documents by bucketed caption x passage cosine — two ranking
+    # windows over the LSH-bucket equi-join) and the shard byte mover
+    # (payloads join their assignment once, slices shuffle once, blobs
+    # assemble per shard) — both move real bytes, both should be
+    # watched round over round.
+    "pipe_end_to_end_v10",
+    "mm_shard_bytes",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled
@@ -175,6 +183,10 @@ HEADLINE = [
 #: timed number covers the work the query claims to do. Existing
 #: headliners keep count() forcing for round-over-round comparability.
 HASH_FORCED = {
+    # round 16: count() would prune the whole blob assembly (the
+    # aggregate's only consumers are output columns), timing just a
+    # distinct over the group keys.
+    "mm_shard_bytes",
     "dedup_chunk_reassemble",
     "text_bigram_surprisal",
     "pipe_end_to_end_v6",

@@ -1,0 +1,227 @@
+"""Round-16 scale measurements (SCALE.md).
+
+Scenarios:
+
+  * compaction_leveled — the write-amplification A/B the leveling
+    exists to win (r15 verdict item 1): a 20-batch drain with inline
+    maintenance every 2 batches, run twice — LEVELED (minor folds only
+    the tail into a new level; major only at the max_levels trigger)
+    vs the round-15 SINGLE-LEVEL discipline (every maintenance run
+    rewrites the whole compacted dataset, simulated with major=True).
+    Measured per maintenance run: bytes written into the new version
+    dir, level count, and the lifetime total — leveled minors must stay
+    FLAT as the store grows while single-level grows linearly
+    (quadratic lifetime volume).
+
+  * materialize_payloads — the byte mover at 1x/10x: drain the media
+    ingest, then cut shards WITH payload materialization
+    (`materialize_media_shards(payloads=, payload_out=)`). Measured:
+    materialize wall, shuffle R/W from the event log (the payload
+    bytes must move ~once), and the exact conservation invariant
+    sum(shard_n_bytes) == sum(keeper payload bytes).
+
+Usage: python tools/scale_round16.py [compaction_leveled materialize_payloads]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from tools.scale_round8 import WORK  # noqa: E402
+
+
+def _dir_bytes(p: Path) -> int:
+    return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+
+def compaction_leveled(
+    n_batches: int = 20, batch_rows: int = 20_000, every: int = 2
+):
+    import shutil as _sh
+
+    from tools.scale_experiment import make_session
+    from tools.scale_round14 import _media
+    from usgs_lidar_spark.streaming.media_ingest import (
+        _read_store_manifest,
+        compact_media_store,
+        media_neardup_ingest_writer,
+        read_hash_store_before,
+        vacuum_media_labels,
+        vacuum_media_store,
+    )
+
+    work = WORK / "compact_leveled"
+    _sh.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+    spark = make_session("compact-leveled-scale", work / "log")
+
+    def drain(tag: str, major_every_time: bool) -> dict:
+        store = str(work / f"store_{tag}")
+        labels = str(work / f"labels_{tag}")
+        writer = media_neardup_ingest_writer(
+            store, labels, max_hamming=3, dp_buckets=16
+        )
+        runs = []
+        for b in range(n_batches):
+            df = _media(
+                spark, batch_rows, offset=b * batch_rows, chars=150
+            ).select("media_id", "content").localCheckpoint()
+            writer(df, b)
+            if b > 0 and b % every == 0:
+                pre = _read_store_manifest(spark, store)
+                t0 = time.perf_counter()
+                m = compact_media_store(
+                    spark, store, up_to_batch=b - 1,
+                    major=major_every_time,
+                )
+                dt = time.perf_counter() - t0
+                vacuum_media_labels(spark, labels, committed_batch_id=b - 1)
+                vacuum_media_store(spark, store)
+                if m is not None:
+                    vdir = Path(store) / "_compacted" / f"v{m['version']}"
+                    runs.append(
+                        {
+                            "batch": b,
+                            "version": m["version"],
+                            "n_levels": len(m["levels"]),
+                            "mb_written": round(
+                                _dir_bytes(vdir) / 1e6, 2
+                            ),
+                            "sec": round(dt, 2),
+                            "was_major": major_every_time
+                            or (
+                                pre is not None
+                                and len(m["levels"]) == 1
+                            ),
+                        }
+                    )
+        # final consistency probe: the full history view row count
+        n = read_hash_store_before(spark, store, n_batches).count()
+        return {
+            "runs": runs,
+            "total_mb_written": round(
+                sum(r["mb_written"] for r in runs), 2
+            ),
+            "probe_rows": n,
+        }
+
+    leveled = drain("leveled", major_every_time=False)
+    single = drain("single", major_every_time=True)
+    print(
+        json.dumps(
+            {
+                "scenario": "compaction_leveled",
+                "n_batches": n_batches,
+                "batch_rows": batch_rows,
+                "compact_every": every,
+                "leveled": leveled,
+                "single_level": single,
+                "probe_rows_identical": leveled["probe_rows"]
+                == single["probe_rows"],
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def materialize_payloads(rows: int = 20_000, chars: int = 4_000):
+    import shutil as _sh
+
+    from pyspark.sql import functions as FF
+
+    from tools.scale_experiment import make_session, shuffle_bytes
+    from tools.scale_round14 import _media
+    from usgs_lidar_spark.streaming.media_ingest import (
+        materialize_media_shards,
+        media_neardup_ingest_writer,
+    )
+
+    for factor, tag in ((1, "1x"), (10, "10x")):
+        n = rows * factor
+        work = WORK / f"mat_payloads_{tag}"
+        _sh.rmtree(work, ignore_errors=True)
+        work.mkdir(parents=True)
+        log = work / "log"
+        spark = make_session(f"mat-payloads-{tag}", log)
+        store, labels = str(work / "store"), str(work / "labels")
+        writer = media_neardup_ingest_writer(
+            store, labels, max_hamming=3, dp_buckets=16
+        )
+        media = (
+            _media(spark, n, chars=chars)
+            .select("media_id", "content")
+            .localCheckpoint()
+        )
+        third = n // 3
+        for b, flt in enumerate(
+            (
+                FF.col("media_id") < third,
+                (FF.col("media_id") >= third)
+                & (FF.col("media_id") < 2 * third),
+                FF.col("media_id") >= 2 * third,
+            )
+        ):
+            writer(media.filter(flt), b)
+        meta = media.select(
+            "media_id", FF.length("content").cast("long").alias("n_bytes")
+        )
+        t0 = time.perf_counter()
+        packed = materialize_media_shards(
+            spark,
+            labels,
+            meta,
+            str(work / "shards"),
+            budget=1 << 20,
+            n_streams=8,
+            payloads=media,
+            payload_out=str(work / "shard_bytes"),
+        )
+        wall = time.perf_counter() - t0
+        keeper_bytes = packed.agg(FF.sum("n_bytes")).collect()[0][0]
+        blob_bytes = (
+            spark.read.parquet(str(work / "shard_bytes"))
+            .agg(FF.sum("shard_n_bytes"), FF.count(FF.lit(1)))
+            .collect()[0]
+        )
+        spark.stop()
+        rd, wr = shuffle_bytes(log)
+        print(
+            json.dumps(
+                {
+                    "scenario": f"materialize_payloads_{tag}",
+                    "media_rows": n,
+                    "payload_mb": round(n * chars / 1e6, 1),
+                    "materialize_sec": round(wall, 2),
+                    "n_shards": blob_bytes[1],
+                    "keeper_payload_mb": round(keeper_bytes / 1e6, 1),
+                    "shard_blob_mb": round(blob_bytes[0] / 1e6, 1),
+                    "bytes_conserved": int(keeper_bytes)
+                    == int(blob_bytes[0]),
+                    "shuffle_read_mb": round(rd / 1e6, 1),
+                    "shuffle_write_mb": round(wr / 1e6, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+def main() -> None:
+    WORK.mkdir(parents=True, exist_ok=True)
+    which = sys.argv[1:] or ["compaction_leveled", "materialize_payloads"]
+    for name in which:
+        {
+            "compaction_leveled": compaction_leveled,
+            "materialize_payloads": materialize_payloads,
+        }[name]()
+
+
+if __name__ == "__main__":
+    main()

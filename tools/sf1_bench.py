@@ -84,6 +84,15 @@ QUERIES_UNDER_TEST = [
     # round 15 (cont.): the new two-tier verify and pair gate at sf1.
     "mm_near_dedup_semantic",
     "mm_image_text_gate",
+    # round 16 (r15 verdict item 5): sf1 points for the round-15/16
+    # queries with only sf0.1 evidence — the v9/v10 multimodal
+    # compositions, hard-negative mining, the kmeanspp-seeded two-level
+    # assignment, and the shard byte mover (payload bytes move once).
+    "pipe_end_to_end_v9",
+    "pipe_end_to_end_v10",
+    "sim_hard_negatives",
+    "sim_assign_two_level_kmeanspp",
+    "mm_shard_bytes",
 ]
 
 #: Queries whose CLAIM is steady-state serving from a persisted
@@ -159,7 +168,13 @@ def build_sf1() -> None:
 #: key, so count() join-eliminates the whole per-cell cosine fold and
 #: times only scan + assignment — exactly the work the row exists to
 #: measure. Same forcing expression as bench.py's _force.
-HASH_FORCED = {"pipe_semantic_decontamination"}
+HASH_FORCED = {
+    "pipe_semantic_decontamination",
+    # round 16: count() would prune mm_shard_bytes' entire blob
+    # assembly (its only consumers are output columns) — same forcing
+    # rationale as bench.py's entry.
+    "mm_shard_bytes",
+}
 
 
 def _force(df) -> int:

@@ -3236,14 +3236,21 @@ def pipe_end_to_end_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides bucket by the deterministic `sign_lsh_bucket` (6 axis-aligned
     sign bits, the ANN tier's single-probe LSH), so candidates form an
     equi-join on the bucket key exactly like the dedup tiers' banded
-    joins; passages come from the map-only `chunk_documents` (16-token
-    non-overlapping windows), per-passage vectors join by id, and both
-    rankings are windows over the (already-thresholded) candidate
-    frame — only (ids, bucket, score) rows shuffle, never text or
-    payloads. Strict-verify drops hold at every tier: no embedding ->
-    no merge, no aligned pair, no placement. At sf0.01: 572 media ->
-    419 aligned keepers -> 419 placements -> 313 after the per-doc cap
-    (the cap measurably binds)."""
+    joins — and the 64-dim cosine is paid once per DISTINCT
+    (caption vec, passage vec) bucket-mate pair (bounded by the vector
+    table's size a side), thresholded there, then expanded back to
+    (image, passage) candidates through two id equi-joins moving only
+    (id, score) rows: the within-bucket quadratic term costs id-row
+    width, never vector math (the first draft scored per candidate —
+    2M cosines at sf0.1, 100x that at sf1). Passages come from the
+    map-only `chunk_documents` (16-token non-overlapping windows) and
+    both rankings are windows over the thresholded candidate frame —
+    text and payloads never shuffle. At a real 100-TB corpus, bucket
+    bits grow ~log2(n / target bucket size) to hold the within-bucket
+    population constant. Strict-verify drops hold at every tier: no
+    embedding -> no merge, no aligned pair, no placement. At sf0.01:
+    572 media -> 419 aligned keepers -> 419 placements -> 313 after
+    the per-doc cap (the cap measurably binds)."""
     from usgs_lidar_spark.functions.vectors import dot, norm, sign_lsh_bucket
     from usgs_lidar_spark.multimodal import (
         fake_dhash_image,
@@ -3313,25 +3320,41 @@ def pipe_end_to_end_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_text_gate(gate_in, threshold=0.9)
         .filter(F.col("kept"))
         .select("media_id", "__eid")
-    )
-    cap = imgs.join(
-        emb.select(F.col("vec_id").alias("__eid"), "embedding"), "__eid"
-    ).select(
-        "media_id",
-        F.col("embedding").alias("cvec"),
-        sign_lsh_bucket("embedding", 6).alias("bucket"),
+        .localCheckpoint(eager=False)  # two consumers: cvecs + cand
     )
     pe_id = (F.col("doc_id") * 13 + F.col("chunk_id") * 7) % 500
     pas = (
         chunk_documents(d, chunk_tokens=16, stride=16)
         .select("doc_id", "chunk_id", pe_id.alias("pe_id"))
-        .join(
-            emb.select(F.col("vec_id").alias("pe_id"), "embedding"),
-            "pe_id",
-        )
+        .localCheckpoint(eager=False)  # two consumers: pvecs + cand
+    )
+    # Score DISTINCT vector pairs, not candidate pairs: the 64-dim
+    # cosine is the expensive expression, and many images/passages
+    # share a vector id — compute it once per (caption vec, passage
+    # vec) bucket-mate pair (bounded by the vector table, not the
+    # corpus: the bucket equi-join over <= |embeddings| distinct ids a
+    # side), threshold THERE, then expand back to (image, passage)
+    # candidates through two cheap id equi-joins that move only
+    # (id, score) rows. Same candidate set, same scores — the bucket
+    # join's quadratic-within-bucket term pays id-row width instead of
+    # vector width, and the cosine count stops scaling with corpus
+    # fan-out entirely.
+    cvecs = (
+        imgs.select(F.col("__eid").alias("ceid"))
+        .distinct()
+        .join(emb.select(F.col("vec_id").alias("ceid"), "embedding"), "ceid")
         .select(
-            "doc_id",
-            "chunk_id",
+            "ceid",
+            F.col("embedding").alias("cvec"),
+            sign_lsh_bucket("embedding", 6).alias("bucket"),
+        )
+    )
+    pvecs = (
+        pas.select("pe_id")
+        .distinct()
+        .join(emb.select(F.col("vec_id").alias("pe_id"), "embedding"), "pe_id")
+        .select(
+            "pe_id",
             F.col("embedding").alias("pvec"),
             sign_lsh_bucket("embedding", 6).alias("bucket"),
         )
@@ -3339,10 +3362,16 @@ def pipe_end_to_end_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(
         dot("cvec", "pvec") / (norm("cvec") * norm("pvec")), 4
     )
-    cand = (
-        cap.join(pas, "bucket")
+    scores = (
+        cvecs.join(pvecs, "bucket")
         .withColumn("score", score)
         .filter(F.col("score") >= 0.2)
+        .select("ceid", "pe_id", "score")
+    )
+    cand = (
+        imgs.select("media_id", F.col("__eid").alias("ceid"))
+        .join(scores, "ceid")
+        .join(pas, "pe_id")
         .select("media_id", "doc_id", "chunk_id", "score")
     )
     w_img = Window.partitionBy("media_id").orderBy(
