@@ -6304,3 +6304,19 @@ def test_shard_payload_blobs_golden(spark):
         shard_payload_blobs(lying, payloads, budget=5).collect()
     with _pytest.raises(ValueError, match="budget must be positive"):
         shard_payload_blobs(assignment, payloads, budget=0)
+    # an assigned item with a MISSING payload, or one whose bytes
+    # disagree with the claimed n_bytes, is a loud error — silently
+    # assembling a shard with a hole/shift in the middle is the
+    # corruption no downstream check would see
+    with _pytest.raises(Exception, match="payload mismatch"):
+        shard_payload_blobs(
+            assignment, payloads.filter("media_id != 2"), budget=5
+        ).collect()
+    short = payloads.withColumn(
+        "content",
+        F.when(F.col("media_id") == 2, F.lit(b"BB")).otherwise(
+            F.col("content")
+        ),
+    )
+    with _pytest.raises(Exception, match="payload mismatch"):
+        shard_payload_blobs(assignment, short, budget=5).collect()

@@ -171,5 +171,62 @@ def main() -> None:
     spark.stop()
 
 
+def seed_batch_ab() -> None:
+    """Round-16 (r15 verdict item 6): the kmeanspp seeding's
+    driver-coordinated JOB COUNT and wall at batch_m in {1, 4, 16},
+    plus the downstream probe-1 agreement of the raw-seed coarse —
+    the tournament's pool-local picks must stay in the exact-seeding
+    quality band while cutting the sequential scans ~m-fold."""
+    from tools.scale_experiment import make_session
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_assign_two_level,
+        kmeanspp_seed_centroids,
+    )
+
+    work = Path("/tmp/coarse_ab_logs_batch")
+    spark = make_session("kmeanspp-batch-ab", work)
+    corpus, fine, flat = build(spark)
+    sc = spark.sparkContext
+
+    def n_jobs() -> int:
+        return len(sc.statusTracker().getJobIdsForGroup(None))
+
+    g = 16  # ceil(sqrt(240)), the two-level tier's default
+    for m in (1, 4, 16):
+        kmeanspp_seed_centroids(fine, g, batch_m=m)  # warmup (plan JIT)
+        j0 = n_jobs()
+        t0 = time.perf_counter()
+        seeds = kmeanspp_seed_centroids(fine, g, batch_m=m)
+        dt = time.perf_counter() - t0
+        jobs = n_jobs() - j0
+        row = (
+            ivf_assign_two_level(corpus, fine, coarse=seeds, n_probe_coarse=1)
+            .select("vec_id", F.col("__cid").alias("two_cid"))
+            .join(flat, "vec_id")
+            .agg(
+                F.avg(
+                    (F.col("two_cid") == F.col("flat_cid")).cast("double")
+                ).alias("agree")
+            )
+            .collect()[0]
+        )
+        print(
+            json.dumps(
+                {
+                    "batch_m": m,
+                    "n_seeds": len(seeds),
+                    "spark_jobs": jobs,
+                    "seed_sec": round(dt, 2),
+                    "probe1_agree": round(float(row["agree"]), 4),
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--batch" in sys.argv:
+        seed_batch_ab()
+    else:
+        main()

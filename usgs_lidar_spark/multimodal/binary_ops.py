@@ -1088,18 +1088,27 @@ def shard_payload_blobs(
     (the `materialize_media_shards` / `pipe_end_to_end_v9` output
     shape); ``payloads`` needs ``id_col, payload_col`` (binary).
 
-    Scale shape — payload bytes are read ONCE and shuffled ONCE: the
-    join moves each payload to its assignment row, the per-shard SLICES
-    are cut map-side (``substr`` on the binary column, pure JVM), and
-    only the slices shuffle on the (stream, shard) key — total bytes
-    moved equals total payload bytes (every byte lands in exactly one
-    slice) plus O(rows) key overhead. The per-shard assembly is a
-    sorted-struct fold (`array_sort` + `aggregate` concat, whole-stage
-    JVM, no UDF) whose state is bounded by ``budget`` bytes — the
-    shard's own size, the natural working-set unit of a loader. Every
-    shard holds exactly ``budget`` bytes except each stream's last
-    (the packing contract), enforced here by a lazy `raise_error`
-    guard riding the aggregation rather than a driver-side collect."""
+    Scale shape — payload bytes move AT MOST once: the assignment sits
+    on the join's LEFT deliberately, so when it arrives partitioned by
+    ``pack_stream`` (it does — `pack_sequences`' window exchange) that
+    partitioning SATISFIES the (pack_stream, shard_id) grouping and the
+    sliced pieces aggregate with NO further exchange (measured: the
+    sf0.1 plan's only exchanges are the pack window's id-row shuffle
+    and the payload broadcast — piece bytes cross zero shuffles).
+    When the payload side outgrows broadcast, the join becomes the
+    single payload shuffle; either way the per-shard SLICES are cut
+    map-side (``substr`` on the binary column, pure JVM) and every
+    payload byte lands in exactly one slice. The per-shard assembly is
+    a sorted-struct fold (`array_sort` + `aggregate` concat,
+    whole-stage JVM, no UDF) whose state is bounded by ``budget``
+    bytes — the shard's own size, the natural working-set unit of a
+    loader. Every shard holds exactly ``budget`` bytes except each
+    stream's last (the packing contract), enforced by a lazy
+    `raise_error` guard riding the aggregation rather than a
+    driver-side collect; a missing payload, or one whose bytes
+    disagree with the assignment's ``n_bytes``, raises the same way
+    (a hole or shift in the middle of a shard is silent corruption no
+    downstream check would see)."""
     if int(budget) <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     b = F.lit(int(budget))
@@ -1109,7 +1118,35 @@ def shard_payload_blobs(
         F.col("byte_start").cast("long").alias("byte_start"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
     ).filter(F.col("n_bytes") > 0)
-    joined = payloads.select(id_col, payload_col).join(a, id_col)
+    # Strict payload guard (the silent-rot class this engine bans): an
+    # assigned item whose payload is MISSING or whose bytes disagree
+    # with the assignment's n_bytes would silently corrupt the layout —
+    # a hole or shift in the middle of a shard that no downstream check
+    # sees (the budget guard below only catches inflation). Left join +
+    # lazy raise_error rides the scan; no extra pass, no collect.
+    joined = (
+        a.join(payloads.select(id_col, payload_col), id_col, "left")
+        .withColumn(
+            payload_col,
+            F.when(
+                F.col(payload_col).isNull()
+                | (F.length(payload_col) != F.col("n_bytes")),
+                F.raise_error(
+                    F.concat(
+                        F.lit("payload mismatch for assigned item "),
+                        F.col(id_col).cast("string"),
+                        F.lit(": expected n_bytes="),
+                        F.col("n_bytes").cast("string"),
+                        F.lit(", payload has "),
+                        F.coalesce(
+                            F.length(payload_col).cast("string"),
+                            F.lit("NULL"),
+                        ),
+                    )
+                ).cast("binary"),
+            ).otherwise(F.col(payload_col)),
+        )
+    )
     first = F.floor(F.col("byte_start") / b).cast("long")
     last = F.floor((F.col("byte_start") + F.col("n_bytes") - 1) / b).cast(
         "long"
