@@ -6320,3 +6320,17 @@ def test_shard_payload_blobs_golden(spark):
     )
     with _pytest.raises(Exception, match="payload mismatch"):
         shard_payload_blobs(assignment, short, budget=5).collect()
+    # strict=False trusts referential completeness (the assignment
+    # broadcast / single-payload-shuffle path): identical output on
+    # complete inputs, and the SIZE guard still raises
+    got3 = {
+        (r["pack_stream"], r["shard_id"]): bytes(r["shard_bytes"])
+        for r in shard_payload_blobs(
+            assignment, payloads, budget=5, strict=False
+        ).collect()
+    }
+    assert got3 == {k: v[0] for k, v in got.items()}
+    with _pytest.raises(Exception, match="payload mismatch"):
+        shard_payload_blobs(
+            assignment, short, budget=5, strict=False
+        ).collect()

@@ -179,6 +179,7 @@ def seed_batch_ab() -> None:
     quality band while cutting the sequential scans ~m-fold."""
     from tools.scale_experiment import make_session
     from usgs_lidar_spark.operators.similarity import (
+        derive_coarse_quantizer,
         ivf_assign_two_level,
         kmeanspp_seed_centroids,
     )
@@ -191,16 +192,11 @@ def seed_batch_ab() -> None:
     def n_jobs() -> int:
         return len(sc.statusTracker().getJobIdsForGroup(None))
 
-    g = 16  # ceil(sqrt(240)), the two-level tier's default
-    for m in (1, 4, 16):
-        kmeanspp_seed_centroids(fine, g, batch_m=m)  # warmup (plan JIT)
-        j0 = n_jobs()
-        t0 = time.perf_counter()
-        seeds = kmeanspp_seed_centroids(fine, g, batch_m=m)
-        dt = time.perf_counter() - t0
-        jobs = n_jobs() - j0
+    def probe1(coarse) -> float:
         row = (
-            ivf_assign_two_level(corpus, fine, coarse=seeds, n_probe_coarse=1)
+            ivf_assign_two_level(
+                corpus, fine, coarse=coarse, n_probe_coarse=1
+            )
             .select("vec_id", F.col("__cid").alias("two_cid"))
             .join(flat, "vec_id")
             .agg(
@@ -210,6 +206,20 @@ def seed_batch_ab() -> None:
             )
             .collect()[0]
         )
+        return round(float(row["agree"]), 4)
+
+    g = 16  # ceil(sqrt(240)), the two-level tier's default
+    for m in (1, 4, 16):
+        kmeanspp_seed_centroids(fine, g, batch_m=m)  # warmup (plan JIT)
+        j0 = n_jobs()
+        t0 = time.perf_counter()
+        seeds = kmeanspp_seed_centroids(fine, g, batch_m=m)
+        dt = time.perf_counter() - t0
+        jobs = n_jobs() - j0
+        trained = derive_coarse_quantizer(
+            fine, method="trained", n_iter=1, seeding="kmeanspp",
+            seed_batch_m=m,
+        )
         print(
             json.dumps(
                 {
@@ -217,7 +227,8 @@ def seed_batch_ab() -> None:
                     "n_seeds": len(seeds),
                     "spark_jobs": jobs,
                     "seed_sec": round(dt, 2),
-                    "probe1_agree": round(float(row["agree"]), 4),
+                    "probe1_agree": probe1(seeds),
+                    "probe1_agree_plus1lloyd": probe1(trained),
                 }
             ),
             flush=True,

@@ -170,47 +170,59 @@ def materialize_payloads(rows: int = 20_000, chars: int = 4_000):
             )
         ):
             writer(media.filter(flt), b)
-        meta = media.select(
-            "media_id", FF.length("content").cast("long").alias("n_bytes")
-        )
-        t0 = time.perf_counter()
-        packed = materialize_media_shards(
-            spark,
-            labels,
-            meta,
-            str(work / "shards"),
-            budget=1 << 20,
-            n_streams=8,
-            payloads=media,
-            payload_out=str(work / "shard_bytes"),
-        )
-        wall = time.perf_counter() - t0
-        keeper_bytes = packed.agg(FF.sum("n_bytes")).collect()[0][0]
-        blob_bytes = (
-            spark.read.parquet(str(work / "shard_bytes"))
-            .agg(FF.sum("shard_n_bytes"), FF.count(FF.lit(1)))
-            .collect()[0]
-        )
         spark.stop()
-        rd, wr = shuffle_bytes(log)
-        print(
-            json.dumps(
-                {
-                    "scenario": f"materialize_payloads_{tag}",
-                    "media_rows": n,
-                    "payload_mb": round(n * chars / 1e6, 1),
-                    "materialize_sec": round(wall, 2),
-                    "n_shards": blob_bytes[1],
-                    "keeper_payload_mb": round(keeper_bytes / 1e6, 1),
-                    "shard_blob_mb": round(blob_bytes[0] / 1e6, 1),
-                    "bytes_conserved": int(keeper_bytes)
-                    == int(blob_bytes[0]),
-                    "shuffle_read_mb": round(rd / 1e6, 1),
-                    "shuffle_write_mb": round(wr / 1e6, 1),
-                }
-            ),
-            flush=True,
-        )
+        for strict in (True, False):
+            mode = "strict" if strict else "trusted"
+            mlog = work / f"log_{mode}"
+            mspark = make_session(f"mat-payloads-{tag}-{mode}", mlog)
+            mmedia = (
+                _media(mspark, n, chars=chars)
+                .select("media_id", "content")
+                .localCheckpoint()
+            )
+            mmeta = mmedia.select(
+                "media_id",
+                FF.length("content").cast("long").alias("n_bytes"),
+            )
+            t0 = time.perf_counter()
+            packed = materialize_media_shards(
+                mspark,
+                labels,
+                mmeta,
+                str(work / f"shards_{mode}"),
+                budget=1 << 20,
+                n_streams=8,
+                payloads=mmedia,
+                payload_out=str(work / f"shard_bytes_{mode}"),
+                strict_payloads=strict,
+            )
+            wall = time.perf_counter() - t0
+            keeper_bytes = packed.agg(FF.sum("n_bytes")).collect()[0][0]
+            blob_bytes = (
+                mspark.read.parquet(str(work / f"shard_bytes_{mode}"))
+                .agg(FF.sum("shard_n_bytes"), FF.count(FF.lit(1)))
+                .collect()[0]
+            )
+            mspark.stop()
+            rd, wr = shuffle_bytes(mlog)
+            print(
+                json.dumps(
+                    {
+                        "scenario": f"materialize_payloads_{tag}_{mode}",
+                        "media_rows": n,
+                        "payload_mb": round(n * chars / 1e6, 1),
+                        "materialize_sec": round(wall, 2),
+                        "n_shards": blob_bytes[1],
+                        "keeper_payload_mb": round(keeper_bytes / 1e6, 1),
+                        "shard_blob_mb": round(blob_bytes[0] / 1e6, 1),
+                        "bytes_conserved": int(keeper_bytes)
+                        == int(blob_bytes[0]),
+                        "shuffle_read_mb": round(rd / 1e6, 1),
+                        "shuffle_write_mb": round(wr / 1e6, 1),
+                    }
+                ),
+                flush=True,
+            )
 
 
 def main() -> None:

@@ -1071,6 +1071,7 @@ def shard_payload_blobs(
     budget: int,
     id_col: str = "media_id",
     payload_col: str = "content",
+    strict: bool = True,
 ) -> DataFrame:
     """The BYTE MOVER closing the shard-materialization loop (round 16
     — `materialize_media_shards` ships the loader MANIFEST of ids and
@@ -1118,19 +1119,32 @@ def shard_payload_blobs(
         F.col("byte_start").cast("long").alias("byte_start"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
     ).filter(F.col("n_bytes") > 0)
-    # Strict payload guard (the silent-rot class this engine bans): an
-    # assigned item whose payload is MISSING or whose bytes disagree
+    # Payload integrity guard (the silent-rot class this engine bans):
+    # an assigned item whose payload is MISSING or whose bytes disagree
     # with the assignment's n_bytes would silently corrupt the layout —
     # a hole or shift in the middle of a shard that no downstream check
-    # sees (the budget guard below only catches inflation). Left join +
-    # lazy raise_error rides the scan; no extra pass, no collect.
+    # sees (the budget guard below only catches inflation). strict=True
+    # (default) catches BOTH with a left join + lazy raise_error riding
+    # the scan — but preserving the assignment side means Catalyst
+    # cannot broadcast it (LeftOuter only builds right), so at scale
+    # the join is a sort-merge that shuffles the payload bytes ONCE
+    # MORE than the aggregation needs. strict=False keeps the
+    # length-mismatch guard (free on the inner join) but trusts
+    # referential COMPLETENESS — every assigned id present in payloads,
+    # e.g. both frames cut from the same committed labeling — letting
+    # Catalyst broadcast the assignment and the payload bytes move
+    # exactly once (the aggregation shuffle).
+    how = "left" if strict else "inner"
+    missing = (
+        (F.col(payload_col).isNull() if strict else F.lit(False))
+        | (F.length(payload_col) != F.col("n_bytes"))
+    )
     joined = (
-        a.join(payloads.select(id_col, payload_col), id_col, "left")
+        a.join(payloads.select(id_col, payload_col), id_col, how)
         .withColumn(
             payload_col,
             F.when(
-                F.col(payload_col).isNull()
-                | (F.length(payload_col) != F.col("n_bytes")),
+                missing,
                 F.raise_error(
                     F.concat(
                         F.lit("payload mismatch for assigned item "),

@@ -868,6 +868,7 @@ def materialize_media_shards(
     gate_threshold: float | None = None,
     payloads: DataFrame | None = None,
     payload_out: str | None = None,
+    strict_payloads: bool = True,
 ) -> DataFrame:
     """Close the loop from STREAMING dedup state to LOADER shards: read
     the ingest's latest committed labeling, keep the min-id keeper of
@@ -900,11 +901,18 @@ def materialize_media_shards(
     ``(media_id, content)`` payload to its assignment, slices shard-
     boundary pieces map-side, and writes one assembled ≤``budget``-byte
     blob row per shard under hive ``payload_out/pack_stream=S/
-    shard_id=K/`` — the dirs the manifest addresses. Payload bytes are
-    read once and shuffled once (the op's contract); items the curation
-    dropped never reach the join. Passing one without the other
-    raises — silently skipping the byte move (or writing blobs nowhere)
-    is the silent-rot class this module bans."""
+    shard_id=K/`` — the dirs the manifest addresses. Items the
+    curation dropped never reach the join. ``strict_payloads``
+    (default True) raises on an assigned item whose payload is missing
+    or mis-sized, at the cost of one extra payload shuffle at scale
+    (the outer-join side cannot broadcast); False keeps the size guard
+    but trusts that every assigned id has a payload row — correct by
+    construction when both frames are cut from the same committed
+    snapshot — letting the assignment broadcast so payload bytes move
+    exactly once (see `shard_payload_blobs`). Passing one of
+    payloads/payload_out without the other raises — silently skipping
+    the byte move (or writing blobs nowhere) is the silent-rot class
+    this module bans."""
     from usgs_lidar_spark.operators.pipeline import pack_sequences
 
     if (payloads is None) != (payload_out is None):
@@ -978,12 +986,16 @@ def materialize_media_shards(
     if payloads is not None:
         from usgs_lidar_spark.multimodal import shard_payload_blobs
 
-        blobs = shard_payload_blobs(packed, payloads, budget=int(budget))
-        (
-            blobs.repartition(int(n_streams), "pack_stream")
-            .sortWithinPartitions("pack_stream", "shard_id")
-            .write.mode("overwrite")
-            .partitionBy("pack_stream", "shard_id")
-            .parquet(payload_out)
+        blobs = shard_payload_blobs(
+            packed, payloads, budget=int(budget), strict=strict_payloads
         )
+        # NO repartition before the write: every (pack_stream, shard_id)
+        # group already lives whole in one task after the blob
+        # aggregation, so partitionBy gets exactly one file per shard
+        # dir as-is — re-shuffling here would move every blob byte a
+        # second time for nothing (measured: it was ~1/3 of the
+        # scenario's total shuffle before round 16 removed it).
+        blobs.write.mode("overwrite").partitionBy(
+            "pack_stream", "shard_id"
+        ).parquet(payload_out)
     return packed
