@@ -170,16 +170,15 @@ def materialize_payloads(rows: int = 20_000, chars: int = 4_000):
             )
         ):
             writer(media.filter(flt), b)
+        # the payload store a real cut reads: parquet on disk (also what
+        # gives Catalyst true size stats for the join strategy choice)
+        media.write.mode("overwrite").parquet(str(work / "payloads"))
         spark.stop()
         for strict in (True, False):
             mode = "strict" if strict else "trusted"
             mlog = work / f"log_{mode}"
             mspark = make_session(f"mat-payloads-{tag}-{mode}", mlog)
-            mmedia = (
-                _media(mspark, n, chars=chars)
-                .select("media_id", "content")
-                .localCheckpoint()
-            )
+            mmedia = mspark.read.parquet(str(work / "payloads"))
             mmeta = mmedia.select(
                 "media_id",
                 FF.length("content").cast("long").alias("n_bytes"),

@@ -1139,6 +1139,16 @@ def shard_payload_blobs(
         (F.col(payload_col).isNull() if strict else F.lit(False))
         | (F.length(payload_col) != F.col("n_bytes"))
     )
+    if not strict:
+        # The trusted contract is ALSO a size assertion: the assignment
+        # is id+offset rows, the definitionally small side, and hinting
+        # it broadcast is what actually buys the single-payload-shuffle
+        # plan — without CBO, Catalyst estimates the projected
+        # assignment at its source table's file size and sort-merges
+        # anyway (measured: the un-hinted trusted path still shuffled
+        # payload bytes twice at 10x). An assignment too large to
+        # broadcast belongs on the strict path's sort-merge join.
+        a = F.broadcast(a)
     joined = (
         a.join(payloads.select(id_col, payload_col), id_col, how)
         .withColumn(

@@ -973,9 +973,14 @@ def materialize_media_shards(
         F.col("pack_offset").alias("shard_offset"),
         "split_across",
     )
-    if payloads is not None:
-        # two consumers below (manifest write + byte mover): pin once
-        packed = packed.localCheckpoint(eager=False)
+    # NOT localCheckpoint-pinned despite two consumers when the byte
+    # mover runs: a checkpointed frame loses Catalyst's size stats
+    # (LogicalRDD defaults to "unknown, huge"), which silently kills the
+    # assignment-broadcast plan the trusted byte-mover path exists for
+    # (measured: the pinned form sort-merged at 10x, re-shuffling all
+    # payload bytes). Recomputing the pack window for the second
+    # consumer shuffles only (id, n_bytes) rows — the cheaper side of
+    # the trade at every scale.
     (
         packed.repartition(int(n_streams), "pack_stream")
         .sortWithinPartitions("pack_stream", "shard_id", "byte_start")
