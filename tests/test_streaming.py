@@ -433,7 +433,8 @@ def test_sink_compaction_end_to_end(spark, tmp_path):
     names = {p.name for p in (tmp_path / "comp_sink").iterdir()}
     assert names == {"batch_id=3", "_compacted"}
     # the compacted dataset is ONE file (the small-file fix)
-    vdir = tmp_path / "comp_sink" / "_compacted" / m["version_dir"]
+    assert [lv["dir"] for lv in m["levels"]] == ["v1"]
+    vdir = tmp_path / "comp_sink" / "_compacted" / "v1"
     assert len(list(vdir.glob("*.parquet"))) == 1
 
     # An orphan version dir (crash before manifest swap) is invisible.
@@ -453,9 +454,22 @@ def test_sink_compaction_end_to_end(spark, tmp_path):
     final = read_sink(spark, out)
     assert sorted(r["event_id"] for r in final.collect()) == list(range(50))
     assert final.select("batch_id").distinct().count() == 5
-    # previous version cleaned up
+    # round 16: the second compaction is a MINOR fold — batches 3-4 land
+    # in a NEW level and v1 stays on disk untouched (O(tail), the LSM
+    # leveling), with both levels live in the manifest
     comp = tmp_path / "comp_sink" / "_compacted"
-    assert not (comp / "v1").exists() and (comp / "v2").exists()
+    assert [lv["dir"] for lv in m2["levels"]] == ["v1", "v2"]
+    assert (comp / "v1").exists() and (comp / "v2").exists()
+    # MAJOR merges the level set into one dir; the view is unchanged
+    m3 = compact_sink(spark, out, target_partitions=1, major=True)
+    assert [lv["dir"] for lv in m3["levels"]] == ["v3"]
+    assert m3["version"] == 3 and m3["max_batch_id"] == 4
+    assert not (comp / "v1").exists() and not (comp / "v2").exists()
+    assert sorted(
+        r["event_id"] for r in read_sink(spark, out).collect()
+    ) == list(range(50))
+    # a fully-merged sink with no tail has nothing left to fold
+    assert compact_sink(spark, out, major=True) is None
 
 
 def test_stream_continues_across_compaction(spark, tmp_path):
@@ -683,10 +697,13 @@ def test_vacuum_sink_removes_only_unreachable_state(spark, tmp_path):
     assert m["max_batch_id"] == 1
 
     # crash leftovers: covered batch dir re-appears (crash between
-    # publish and delete), an orphan version, a stale tmp manifest
+    # publish and delete), a RETIRED orphan version (v0 <= active), an
+    # in-flight NEWER build dir (v99 — a concurrent compaction's
+    # in-progress write, the r15 ADVICE race), a stale tmp manifest
     spark.range(0, 10).withColumn("v", F.col("id") * 2).write.parquet(
         str(sink / "batch_id=0")
     )
+    (sink / "_compacted" / "v0").mkdir()
     (sink / "_compacted" / "v99").mkdir()
     (sink / "_compacted" / ".MANIFEST.json.tmp").write_text("{}")
 
@@ -695,11 +712,14 @@ def test_vacuum_sink_removes_only_unreachable_state(spark, tmp_path):
     assert removed == {"batch_dirs": 1, "version_dirs": 1, "tmp_files": 1}
     after = sorted(tuple(r) for r in read_sink(spark, str(sink)).collect())
     assert before == after and len(after) == 30
-    # live tail untouched, active version untouched
+    # live tail untouched, active level untouched, in-flight build SPARED
     assert (sink / "batch_id=2").is_dir()
     active = _json.loads((sink / "_compacted" / "MANIFEST.json").read_text())
-    assert (sink / "_compacted" / active["version_dir"]).is_dir()
+    for lv in active["levels"]:
+        assert (sink / "_compacted" / lv["dir"]).is_dir()
     assert not (sink / "batch_id=0").exists()
+    assert not (sink / "_compacted" / "v0").exists()  # retired: removed
+    assert (sink / "_compacted" / "v99").is_dir()  # in-flight: spared
 
 
 def test_streaming_rollup_matches_batch_and_survives_crash(spark, tmp_path):
@@ -904,6 +924,21 @@ def test_compaction_with_stats_skipping(spark, tmp_path):
 
     nothing = read_sink_with_skipping(spark, sink, {"x": (5000.0, 6000.0)})
     assert nothing.count() == 0
+
+    # round 16: a SECOND (minor) compaction seals the tail into a new
+    # LEVEL with its own stats sidecar — skipping prunes per level and
+    # the pruned view still equals the filtered full view exactly
+    m2 = compact_sink(
+        spark, sink, target_partitions=6,
+        cluster_by=["x"], stats_columns=["x"],
+    )
+    assert [lv["dir"] for lv in m2["levels"]] == ["v1", "v2"]
+    got2 = read_sink_with_skipping(spark, sink, ranges)
+    want2 = read_sink(spark, sink).filter("x >= 100.0 and x <= 120.0")
+    assert sorted(r["id"] for r in got2.collect()) == sorted(
+        r["id"] for r in want2.collect()
+    )
+    assert len(got2.inputFiles()) < len(read_sink(spark, sink).inputFiles())
 
 
 def test_stats_skipping_preserves_hive_partition_columns(spark, tmp_path):
@@ -1502,9 +1537,19 @@ def test_ingest_store_compaction_preserves_probe(spark, tmp_path):
     }
     assert replayed == first and any(v[1] > 0 for v in replayed.values())
 
+    # Round 16: a SECOND (minor) compaction folds batch 2 into a new
+    # LEVEL — the probe now unions the level set and stays identical,
+    # and the strictly-older filter still cuts ACROSS levels.
+    full_before = probe(3)
+    full_pruned = probe(3, some_prefixes)
+    res2 = compact_sink(spark, store, up_to_batch=2, partition_by=["dp"])
+    assert [lv["dir"] for lv in res2["levels"]] == ["v1", "v2"]
+    assert probe(3) == full_before
+    assert probe(3, some_prefixes) == full_pruned
+
     # A manifest covering a replayable batch is a loud error.
     with pytest.raises(ValueError, match="compacted through"):
-        read_store_before(spark, store, 1)
+        read_store_before(spark, store, 2)
 
 
 def test_streaming_chunk_dedup_ingest_pack_exactly_once(spark, tmp_path):

@@ -16,17 +16,33 @@ stream:
      partitioned by a user column — batch_id is preserved as a normal
      column so nothing is lost);
   3. atomically swap a JSON manifest (`_compacted/MANIFEST.json`, tmp
-     file + ``os.replace``) recording the active version and the highest
-     batch id it covers;
-  4. only then delete the superseded batch directories.
+     file + ``os.replace``) recording the active LEVEL SET and the
+     highest batch id it covers;
+  4. only then delete the superseded batch directories (and, after a
+     major compaction, the merged level dirs).
+
+LEVELED, LSM-style (round 16 — same fix as `media_ingest`'s store: the
+single-level form rewrote the ENTIRE compacted dataset every run,
+O(store) write amplification and quadratic lifetime write volume under
+periodic maintenance): the manifest lists MULTIPLE level dirs. A MINOR
+compaction (the default) folds only the sealed tail into one NEW small
+level — O(tail) bytes written, existing levels untouched. A MAJOR
+compaction (``major=True``, or automatic when the level count would
+pass ``max_levels``) merges all levels + tail into one dir. The
+pre-leveling single-dir manifest format still reads (one-level set).
 
 Crash-safety comes from the ordering: a crash before the manifest swap
 leaves an orphan ``v<K>`` directory that readers ignore (the manifest
-still points at the old state); a crash after the swap but before the
-deletes leaves garbage batch dirs that readers skip (their ids are <=
-the manifest's ``max_batch_id``) and the next compaction removes.
+still points at the old state) and the NEXT compaction overwrites (it
+reuses version K = active+1, mode overwrite); a crash after the swap
+but before the deletes leaves garbage batch dirs that readers skip
+(their ids are <= the manifest's ``max_batch_id``) and retired level
+dirs no longer in the live set — `vacuum_sink` removes both, and
+deliberately SPARES version dirs NEWER than the active manifest (a
+concurrent compaction's in-progress build). Maintenance is
+single-maintainer per sink, like the media store.
 
-``read_sink`` is the matching reader: compacted data plus any batch
+``read_sink`` is the matching reader: the live level set plus any batch
 directories newer than the manifest — a consistent view at every point
 of the protocol above.
 
@@ -68,6 +84,24 @@ def _read_manifest(sink_path: str) -> dict | None:
     return json.loads(f.read_text())
 
 
+def _levels(manifest: dict | None) -> list[dict]:
+    """The manifest's live level list, oldest first — each entry
+    ``{"dir": "v<K>", "max_batch_id": n}``. Handles both the round-16
+    leveled format (``levels``) and the earlier single-dir one
+    (``version_dir``), so an existing sink keeps compacting without
+    migration."""
+    if manifest is None:
+        return []
+    if "levels" in manifest:
+        return [dict(lv) for lv in manifest["levels"]]
+    return [
+        {
+            "dir": manifest["version_dir"],
+            "max_batch_id": manifest["max_batch_id"],
+        }
+    ]
+
+
 def compact_sink(
     spark: SparkSession,
     sink_path: str,
@@ -76,6 +110,8 @@ def compact_sink(
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
     stats_columns: list[str] | None = None,
+    major: bool = False,
+    max_levels: int = 8,
 ) -> dict | None:
     """Rewrite sealed ``batch_id`` directories into a compacted dataset
     and atomically publish it via the manifest. Returns the new manifest,
@@ -96,9 +132,15 @@ def compact_sink(
     ``stats_columns``: after the write, build the per-file min/max
     sidecar (sources/stats_manifest) for these columns inside the new
     version dir; `read_sink_with_skipping` then prunes compacted files
-    without opening their footers.
+    without opening their footers. Pass it at EVERY compaction of a
+    skipping-read sink — each level carries its own sidecar.
+    ``major`` / ``max_levels``: see the module docstring — minor folds
+    only the tail (O(tail) bytes); major merges the live level set.
     """
+    if int(max_levels) < 1:
+        raise ValueError(f"max_levels must be >= 1, got {max_levels}")
     manifest = _read_manifest(sink_path)
+    levels = _levels(manifest)
     already = manifest["max_batch_id"] if manifest else -1
     dirs = _batch_dirs(sink_path)
     todo = {
@@ -106,23 +148,28 @@ def compact_sink(
         for b, p in dirs.items()
         if b > already and (up_to_batch is None or b <= up_to_batch)
     }
-    if not todo:
-        return None
+    major = bool(major) or (len(levels) + 1 > int(max_levels))
+    if not todo and not (major and len(levels) > 1):
+        return None  # nothing to fold (a 1-level major is already major)
+    merged_levels = levels if major else []
 
     # basePath keeps batch_id as a (partition) column in the scan; it is
     # written back as a NORMAL column so compacted rows keep provenance.
-    scan = (
-        spark.read.option("basePath", sink_path)
-        .parquet(*[str(p) for p in sorted(todo.values())])
-    )
-    sources: list[DataFrame] = [scan]
-    if manifest:
+    sources: list[DataFrame] = []
+    if todo:
+        sources.append(
+            spark.read.option("basePath", sink_path)
+            .parquet(*[str(p) for p in sorted(todo.values())])
+        )
+    for lv in merged_levels:
         sources.append(
             spark.read.parquet(
-                str(Path(sink_path) / "_compacted" / manifest["version_dir"])
+                str(Path(sink_path) / "_compacted" / lv["dir"])
             )
         )
-    df = sources[0] if len(sources) == 1 else sources[0].unionByName(sources[1])
+    df = sources[0]
+    for s in sources[1:]:
+        df = df.unionByName(s)
     if cluster_by:
         n = target_partitions or df.rdd.getNumPartitions()
         df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
@@ -144,36 +191,41 @@ def compact_sink(
 
         write_stats_manifest(spark, str(comp_root / vdir), stats_columns)
 
+    new_max = max(todo) if todo else already
     new_manifest = {
         "version": version,
-        "version_dir": vdir,
-        "max_batch_id": max(todo),
-        "n_source_batches": len(todo) + (manifest["n_source_batches"] if manifest else 0),
+        "levels": ([] if major else levels)
+        + [{"dir": vdir, "max_batch_id": new_max if major else max(todo)}],
+        "max_batch_id": new_max,
+        "n_source_batches": len(todo)
+        + (manifest["n_source_batches"] if manifest else 0),
     }
     tmp = comp_root / f".{MANIFEST}.tmp"
     tmp.write_text(json.dumps(new_manifest, indent=1))
     os.replace(tmp, comp_root / MANIFEST)  # the atomic publish point
 
-    # Post-publish cleanup: superseded batch dirs and the previous version.
+    # Post-publish cleanup: superseded batch dirs and (after a major)
+    # the merged level dirs.
     for p in todo.values():
         shutil.rmtree(p, ignore_errors=True)
-    if manifest:
-        shutil.rmtree(comp_root / manifest["version_dir"], ignore_errors=True)
+    for lv in merged_levels:
+        shutil.rmtree(comp_root / lv["dir"], ignore_errors=True)
     return new_manifest
 
 
 def read_sink(spark: SparkSession, sink_path: str) -> DataFrame:
     """Consistent view of the sink at any protocol point: the manifest's
-    compacted dataset plus batch directories NEWER than it (uncompacted
-    tail); plain batch-dir union when no compaction has run."""
+    live LEVEL dirs plus batch directories NEWER than its max_batch_id
+    (uncompacted tail); plain batch-dir union when no compaction has
+    run."""
     manifest = _read_manifest(sink_path)
     covered = manifest["max_batch_id"] if manifest else -1
     tail = [p for b, p in sorted(_batch_dirs(sink_path).items()) if b > covered]
     parts: list[DataFrame] = []
-    if manifest:
+    for lv in _levels(manifest):
         parts.append(
             spark.read.parquet(
-                str(Path(sink_path) / "_compacted" / manifest["version_dir"])
+                str(Path(sink_path) / "_compacted" / lv["dir"])
             )
         )
     if tail:
@@ -193,11 +245,14 @@ def read_sink(spark: SparkSession, sink_path: str) -> DataFrame:
 def vacuum_sink(sink_path: str) -> dict:
     """Remove crash orphans the compaction protocol can legitimately
     leave behind: batch directories already covered by the manifest
-    (crash after publish, before deletes), compacted version dirs other
-    than the active one (crash before publish, or before the previous
-    version's delete), and stale manifest tmp files. Never touches
-    batch dirs newer than the manifest (the live tail) or anything when
-    no manifest exists (nothing is superseded yet).
+    (crash after publish, before deletes), RETIRED ``v<J>`` level dirs
+    neither in the active level set nor newer than the active version,
+    and stale manifest tmp files. Never touches batch dirs newer than
+    the manifest (the live tail), version dirs NEWER than the active
+    version (a concurrent compaction's in-progress build — deleting one
+    mid-build would kill that compaction at publish; a crashed build's
+    orphan at active+1 is overwritten by the next compaction instead),
+    or anything when no manifest exists (nothing is superseded yet).
 
     Safe to run at ANY time, concurrent with readers: everything removed
     is, by the manifest's word, unreachable through read_sink. Returns a
@@ -208,15 +263,18 @@ def vacuum_sink(sink_path: str) -> dict:
     comp_root = Path(sink_path) / "_compacted"
     if manifest is None:
         return removed
+    live = {lv["dir"] for lv in _levels(manifest)}
     for b, p in _batch_dirs(sink_path).items():
         if b <= manifest["max_batch_id"]:
             shutil.rmtree(p, ignore_errors=True)
             removed["batch_dirs"] += 1
     if comp_root.is_dir():
         for child in comp_root.iterdir():
-            if child.is_dir() and child.name != manifest["version_dir"]:
-                shutil.rmtree(child, ignore_errors=True)
-                removed["version_dirs"] += 1
+            if child.is_dir() and child.name not in live:
+                tail = child.name[1:] if child.name.startswith("v") else ""
+                if tail.isdigit() and int(tail) <= manifest["version"]:
+                    shutil.rmtree(child, ignore_errors=True)
+                    removed["version_dirs"] += 1
             elif child.is_file() and child.name.startswith(f".{MANIFEST}"):
                 child.unlink(missing_ok=True)
                 removed["tmp_files"] += 1
@@ -236,12 +294,20 @@ def read_sink_with_skipping(
     files get touched."""
     from usgs_lidar_spark.sources.stats_manifest import prune_files
 
+    from usgs_lidar_spark.sources.stats_manifest import MANIFEST_DIR
+
     manifest = _read_manifest(sink_path)
     covered = manifest["max_batch_id"] if manifest else -1
     tail = [p for b, p in sorted(_batch_dirs(sink_path).items()) if b > covered]
     parts: list[DataFrame] = []
-    if manifest:
-        vdir = str(Path(sink_path) / "_compacted" / manifest["version_dir"])
+    for lv in _levels(manifest):
+        vdir = str(Path(sink_path) / "_compacted" / lv["dir"])
+        if not (Path(vdir) / MANIFEST_DIR).exists():
+            # a level compacted without stats_columns has no sidecar:
+            # read it whole (conservative — the predicates below still
+            # apply, only file skipping is lost for this level)
+            parts.append(spark.read.parquet(vdir))
+            continue
         keep = prune_files(spark, vdir, ranges)
         if keep:
             # basePath: compact_sink allows partition_by + stats_columns

@@ -138,15 +138,21 @@ def read_store_before(
             )
         from pathlib import Path
 
-        vdir = str(
-            Path(store_path) / "_compacted" / manifest["version_dir"]
-        )
+        from usgs_lidar_spark.streaming.compact import _levels
+
         # Pinned schema everywhere: the tail list is built by DIRECTORY
         # name (strictly older than batch_id), so a crashed newer
-        # batch's partially-written files are never opened at all.
-        store = spark.read.option("basePath", vdir).schema(
-            STORE_SCHEMA
-        ).parquet(vdir)
+        # batch's partially-written files are never opened at all. The
+        # compacted portion is the manifest's LIVE LEVEL SET (round 16 —
+        # one dir per minor fold; the single-dir legacy format reads as
+        # a one-level set).
+        store = None
+        for lv in _levels(manifest):
+            vdir = str(Path(store_path) / "_compacted" / lv["dir"])
+            part = spark.read.option("basePath", vdir).schema(
+                STORE_SCHEMA
+            ).parquet(vdir)
+            store = part if store is None else store.unionByName(part)
         tail = [
             str(p)
             for b, p in sorted(_batch_dirs(store_path).items())
