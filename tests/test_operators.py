@@ -6334,3 +6334,79 @@ def test_shard_payload_blobs_golden(spark):
         shard_payload_blobs(
             assignment, short, budget=5, strict=False
         ).collect()
+
+
+def test_minhash_decon_pairs_flags_edited_copy(spark):
+    """Cross-set fuzzy decon (round 16): an exact copy of a benchmark
+    doc is flagged at J=1.0, a lightly-edited copy (3 chars changed ->
+    3 of 36 distinct char-8 shingles differ, J=33/39) above threshold, an
+    unrelated doc not at all — and corpus-corpus near-dup pairs never
+    appear (the join is strictly corpus x benchmark)."""
+    from usgs_lidar_spark.operators.dedup import minhash_decon_pairs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content with nothing in common"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = minhash_decon_pairs(
+        corpus, bench, "text", "doc_id", threshold=0.6
+    ).collect()
+    got = {(r["doc_id"], r["bench_id"]): r["jaccard"] for r in rows}
+    assert set(got) == {(1, 100), (2, 100)}
+    assert got[(1, 100)] == 1.0
+    assert abs(got[(2, 100)] - 33.0 / 39.0) < 1e-12
+
+
+def test_knn_label_vote_majority_gate_and_ties(spark):
+    """Map-only kNN vote semantics (round 16): majority label wins with
+    (votes DESC, label ASC) ties, NULL-label seeds never vote,
+    n_considered tracks the real neighbor count, and min_frac gates."""
+    from usgs_lidar_spark.operators.similarity import knn_label_vote
+
+    seeds = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0),
+            (11, [0.99, 0.01], 0),
+            (12, [0.0, 1.0], 1),
+            (13, [0.01, 0.99], 1),
+            (14, [1.0, 1.0], None),  # unlabeled: excluded
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [0.98, 0.02]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in knn_label_vote(corpus, seeds, k=3).collect()
+    }
+    # c1's 3 nearest labeled seeds: 10, 11 (label 0), then 13 (label 1).
+    assert got[1]["pred_label"] == 0
+    assert got[1]["n_votes"] == 2 and got[1]["n_considered"] == 3
+    assert abs(got[1]["vote_frac"] - 2.0 / 3.0) < 1e-12
+    assert got[1]["top_sim"] > 0.999
+    # k=4 over 4 labeled seeds: c2 splits 2-2 -> smaller label wins.
+    got4 = {
+        r["vec_id"]: r.asDict()
+        for r in knn_label_vote(corpus, seeds, k=4).collect()
+    }
+    assert got4[2]["pred_label"] == 0
+    assert got4[2]["n_votes"] == 2 and got4[2]["n_considered"] == 4
+    # min_frac gates out the 2/3-confidence row.
+    gated = {
+        r["vec_id"]
+        for r in knn_label_vote(corpus, seeds, k=3, min_frac=0.7).collect()
+    }
+    assert 1 not in gated
+    # All-NULL seed labels -> no predictions at all.
+    null_seeds = seeds.withColumn("label", F.lit(None).cast("int"))
+    assert knn_label_vote(corpus, null_seeds, k=3).count() == 0

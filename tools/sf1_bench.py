@@ -93,6 +93,13 @@ QUERIES_UNDER_TEST = [
     "sim_hard_negatives",
     "sim_assign_two_level_kmeanspp",
     "mm_shard_bytes",
+    # round 16 (cont.): the fuzzy cross-set decon (near-dup graph
+    # densifies under token rotation on BOTH sides of the corpus x
+    # benchmark split) and the map-only kNN label gate (seed set grows
+    # 10x with the corpus here — the worst case for the broadcast
+    # array; a real deployment holds it fixed).
+    "pipe_contamination_fuzzy",
+    "sim_knn_label_gate",
 ]
 
 #: Queries whose CLAIM is steady-state serving from a persisted

@@ -507,6 +507,121 @@ def minhash_lsh_pairs(
     )
 
 
+def _minhash_band_long(
+    sh: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, h) long-form band hashes from a (doc_id, shingle)
+    frame: num_perm seeded-xxhash64 minima grouped per doc, hashed down
+    to `bands` band keys of num_perm//bands signature rows each — the
+    same construction `minhash_lsh_pairs` inlines, shared so cross-set
+    consumers (decontamination) band IDENTICALLY to the self-join path.
+    Callers cache the result if they consume it more than once."""
+    rows_per_band = num_perm // bands
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    pairs_per_band = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
+            for b in range(bands)
+        ]
+    )
+    return (
+        banded.select("doc_id", F.explode(pairs_per_band).alias("bh"))
+        .select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    )
+
+
+def minhash_decon_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.6,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: (corpus_id, bench_id, jaccard)
+    for every corpus document NEAR-duplicating an eval/benchmark
+    document (exact shingle Jaccard >= threshold) — the middle rung of
+    the decon ladder between `pipeline.contaminated_docs` (verbatim
+    shared n-grams) and the embedding-cosine semantic gate: it catches
+    lightly-edited benchmark leakage (reformatted whitespace, a swapped
+    sentence, an added header) that exact 13-gram matching under-counts
+    and a semantic threshold over-flags.
+
+    Plan shape: MinHash-band both sides with the SAME construction as
+    `minhash_lsh_pairs` (shared `_minhash_band_long`), then equi-join
+    corpus bands x benchmark bands — never corpus x corpus and never
+    all-pairs; candidate pairs are verified with exact shingle Jaccard
+    restricted to the candidate set, so the output has no LSH false
+    positives, and with r=2/b=32 the probability of missing a J>=0.6
+    pair is (1-0.36)^32 ~ 6e-7 (the `dedup_minhash_lsh` bound), so a
+    DuckDB oracle can pin the output against the exact cross-set
+    Jaccard join.
+
+    Shingles are deliberately UNCAPPED on both sides (no max_df): a
+    signature must be a pure function of the document's own text —
+    capping by corpus-wide document frequency would make corpus and
+    benchmark signatures disagree about which shingles exist (the
+    `simhash64` rationale), and unlike the dedup SELF-join there is no
+    sum(df^2) blowup to guard: every join here is keyed by band hash or
+    restricted to candidates, linear in corpus size.
+
+    Scale: the benchmark side of a real run is a few thousand eval
+    documents — `broadcast_bench` (default) hints its band table
+    (n_bench x bands rows of (id, band, h)) broadcast so the candidate
+    join is map-side and the corpus never shuffles for it; past ~1e6
+    eval docs drop the hint and let AQE decide. The verify joins move
+    (candidate id, shingle) rows only."""
+    c_sh = char_shingles(corpus, text_col, id_col, k, max_df=None).cache()
+    b_sh = char_shingles(benchmark, text_col, id_col, k, max_df=None).cache()
+    c_long = _minhash_band_long(c_sh, num_perm, bands)
+    b_long = _minhash_band_long(b_sh, num_perm, bands).select(
+        F.col("doc_id").alias("bench_id"), "band", "h"
+    )
+    if broadcast_bench:
+        b_long = F.broadcast(b_long)
+    candidates = (
+        c_long.join(b_long, ["band", "h"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sizes_c = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_b = b_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_b")
+    ).withColumnRenamed("doc_id", "bench_id")
+    cand_sh = c_sh.join(candidates, "doc_id")
+    bench_sh = b_sh.select(F.col("doc_id").alias("bench_id"), "shingle")
+    inter = (
+        cand_sh.join(bench_sh, ["bench_id", "shingle"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes_c, "doc_id")
+        .join(sizes_b, "bench_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "bench_id", "jaccard")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
     """64-bit SimHash fingerprint per document over char k-shingles.
 

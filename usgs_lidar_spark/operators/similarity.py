@@ -3085,3 +3085,162 @@ def hard_negative_mining(
             "sim", "rank",
         )
     )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int = 4,
+    min_frac: float | None = None,
+) -> DataFrame:
+    """kNN majority-vote labeling of corpus vectors from a LABELED seed
+    set — the model-based quality/domain gate of a training-data
+    pipeline (label a few thousand documents "keep"/"drop" or by
+    domain, propagate to the corpus by embedding neighborhood) without
+    shipping a trained classifier into the engine: the seed set IS the
+    model.
+
+    For each corpus vector: top-k most-similar seeds by rounded cosine
+    (ties broken by seed id ASC — the `cosine_topk_bruteforce`
+    determinism contract), then one vote per seed label; the winner is
+    (most votes, smallest label) — both tie-breaks total orders, so the
+    output is bit-replayable in any engine. Output per corpus row:
+    (id, pred_label, n_votes, n_considered, vote_frac, top_sim) where
+    n_considered is the actual neighbor count (< k only when the seed
+    set itself is smaller than k), vote_frac = n_votes / n_considered
+    (an IEEE division of two ints — deterministic), and top_sim is the
+    MAX rounded similarity among the winning label's voters (max of
+    rounded doubles is order-independent, unlike a mean). Seeds with a
+    NULL label are excluded; corpus rows need no label.
+
+    `min_frac` gates the output to confident predictions
+    (vote_frac >= min_frac) — the filter a curation pipeline applies
+    before acting on the vote.
+
+    Plan shape — the inverse of `knn_classify`, whose bounded side is
+    the QUERY set (a 50-row eval probe ranked against a corpus-sized
+    neighbor pool, per-query window): here the bounded side is the
+    LABELED reference set, and every corpus row gets a prediction, so
+    a per-corpus-id window would shuffle n_corpus x k vote rows for
+    nothing. Instead the whole seed set collapses to ONE array row
+    (collect_list over the bounded frame), broadcasts, and the entire
+    top-k + vote + majority runs as array expressions INSIDE the
+    corpus scan — zero shuffle, zero window, JVM higher-order
+    functions only. Ordering rides struct comparison on exactly-negated
+    doubles (x * -1.0 flips only the sign bit), so ascending struct
+    sort realizes (sim DESC, id ASC) and (votes DESC, label ASC)
+    without a comparator lambda. For seed sets too large for one
+    broadcast array, vote per IVF-probed cell instead (`ivf_topk`
+    with the same aggregation on top)."""
+    from usgs_lidar_spark.functions.vectors import norm
+
+    s = seeds.filter(F.col(label_col).isNotNull())
+    seed_arr = s.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("sid"),
+                F.col(label_col).alias("slabel"),
+                F.col(vec_col).alias("svec"),
+                norm(vec_col).alias("snorm"),
+            )
+        ).alias("__seeds")
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
+    )
+
+    def scored_struct(sd):
+        prods = F.zip_with(
+            F.col("__cvec"), sd["svec"],
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+        sim = F.round(
+            F.when(
+                (F.col("__cnorm") == 0) | (sd["snorm"] == 0), F.lit(0.0)
+            ).otherwise(d / (F.col("__cnorm") * sd["snorm"])),
+            round_digits,
+        )
+        # nsim = -sim: exact sign-bit flip, so ascending struct order
+        # (nsim, sid) is (sim DESC, sid ASC) — the top-k tie-break.
+        return F.struct(
+            (sim * F.lit(-1.0)).alias("nsim"),
+            sd["sid"].alias("sid"),
+            sd["slabel"].alias("slabel"),
+        )
+
+    scored = F.transform(
+        F.filter(F.col("__seeds"), lambda sd: sd["sid"] != F.col(id_col)),
+        scored_struct,
+    )
+    out = (
+        c.crossJoin(F.broadcast(seed_arr))
+        # Generate barrier: explode of a one-element array. Predicates
+        # cannot push through a Generate whose output they reference, so
+        # the min_frac gate (or any caller filter on the vote columns)
+        # can never be pushed-down-and-inlined past this point — without
+        # the barrier, PushDownPredicates substituted the alias chain
+        # into the join condition and the O(n_seeds x dim) scoring tree
+        # evaluated TWICE per corpus row (seen in .explain; the vote
+        # arithmetic above the barrier is k-bounded integer work, cheap
+        # to duplicate).
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(F.slice(F.array_sort(scored), 1, k))
+            ).alias("__topk"),
+        )
+        .withColumn(
+            "__votes",
+            F.transform(
+                F.array_distinct(
+                    F.transform(F.col("__topk"), lambda t: t["slabel"])
+                ),
+                lambda lab: F.struct(
+                    (
+                        -F.size(
+                            F.filter(
+                                F.col("__topk"),
+                                lambda t: t["slabel"] == lab,
+                            )
+                        )
+                    ).alias("nv"),
+                    lab.alias("lab"),
+                    (
+                        -F.array_min(
+                            F.transform(
+                                F.filter(
+                                    F.col("__topk"),
+                                    lambda t: t["slabel"] == lab,
+                                ),
+                                lambda t: t["nsim"],
+                            )
+                        )
+                    ).alias("top_sim"),
+                ),
+            ),
+        )
+        # Ascending struct order on (nv=-votes, lab) = majority with the
+        # smaller label winning ties; F.get is NULL (not ANSI error) on
+        # the empty-seed-set edge, filtered as "no prediction".
+        .withColumn("__win", F.get(F.array_sort("__votes"), 0))
+        .filter(F.col("__win").isNotNull())
+        .select(
+            id_col,
+            F.col("__win.lab").alias("pred_label"),
+            (-F.col("__win.nv")).cast("long").alias("n_votes"),
+            F.size("__topk").cast("long").alias("n_considered"),
+            (
+                (-F.col("__win.nv")).cast("double") / F.size("__topk")
+            ).alias("vote_frac"),
+            F.col("__win.top_sim").alias("top_sim"),
+        )
+    )
+    if min_frac is not None:
+        out = out.filter(F.col("vote_frac") >= F.lit(min_frac))
+    return out

@@ -870,6 +870,69 @@ def pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_contamination_fuzzy",
+    oracle="""
+    WITH bench AS (
+        SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 11 = 0
+    ), corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+    ), c_sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                          i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
+            FROM corpus)
+    ), b_sh AS (
+        SELECT DISTINCT bench_id, shingle FROM (
+            SELECT bench_id,
+                   unnest(list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                          i -> substr(text, CAST(i AS INTEGER), 8))) AS shingle
+            FROM bench)
+    ), sizes_c AS (
+        SELECT doc_id, count(*) AS n_a FROM c_sh GROUP BY doc_id
+    ), sizes_b AS (
+        SELECT bench_id, count(*) AS n_b FROM b_sh GROUP BY bench_id
+    ), inter AS (
+        SELECT c.doc_id, b.bench_id, count(*) AS n_inter
+        FROM c_sh c JOIN b_sh b ON c.shingle = b.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_id,
+           CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+    FROM inter JOIN sizes_c USING (doc_id) JOIN sizes_b USING (bench_id)
+    WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
+    """,
+)
+def pipe_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (round 16 —
+    `operators/dedup.minhash_decon_pairs`): every 11th document plays
+    the eval suite; corpus documents NEAR-duplicating one (exact char-8
+    shingle Jaccard >= 0.6) are flagged with the benchmark doc they
+    leak. The middle rung of the decon ladder: `pipe_contamination`
+    catches verbatim shared n-grams, `pipe_semantic_decon_hotbench`
+    catches paraphrase by embedding cosine — this catches the
+    lightly-edited near-verbatim leak (reformatted whitespace, a
+    dropped sentence) that slips between them.
+
+    Plan: MinHash-band BOTH sides with `dedup_minhash_lsh`'s exact
+    construction (64 perms, 32 bands x 2 rows), equi-join corpus bands
+    x broadcast benchmark bands — linear in corpus, never a self-join
+    — then exact-Jaccard verify restricted to candidates. The oracle
+    is the exact cross-set Jaccard join: the band-miss probability for
+    J >= 0.6 is (1-0.36)^32 ~ 6e-7 and verification removes all false
+    positives, so LSH output == exact output on this data."""
+    from usgs_lidar_spark.operators.dedup import minhash_decon_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 11 == 0)
+    corpus = d.filter(F.col("doc_id") % 11 != 0)
+    return minhash_decon_pairs(
+        corpus, bench, "text", "doc_id",
+        k=8, num_perm=64, bands=32, threshold=0.6,
+    ).select("doc_id", "bench_id", "jaccard")
+
+
+@query(
     "pipe_pack_sequences",
     oracle=r"""
     WITH toks AS (
@@ -2708,4 +2771,73 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_id",
         F.col("neg_label").cast("int").alias("neg_label"),
         "sim", "rank",
+    )
+
+
+@query(
+    "sim_knn_label_gate",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id AS seed_id, embedding AS sv,
+               CAST(label AS INTEGER) AS seed_label
+        FROM embeddings WHERE vec_id % 7 = 0 AND label IS NOT NULL
+    ), c AS (
+        SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 7 <> 0
+    ), sims AS (
+        SELECT c.vec_id, s.seed_id, s.seed_label,
+               {_cos4("c.cv", "s.sv")} AS sim
+        FROM c, s WHERE c.vec_id <> s.seed_id
+    ), topk AS (
+        SELECT * FROM sims
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, seed_id) <= 5
+    ), votes AS (
+        SELECT vec_id, seed_label, count(*) AS n_votes, max(sim) AS top_sim
+        FROM topk GROUP BY vec_id, seed_label
+    ), tot AS (
+        SELECT *, sum(n_votes) OVER (PARTITION BY vec_id) AS n_considered,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY n_votes DESC, seed_label) AS mrk
+        FROM votes
+    )
+    SELECT vec_id, seed_label AS pred_label, n_votes,
+           CAST(n_considered AS BIGINT) AS n_considered,
+           CAST(n_votes AS DOUBLE) / n_considered AS vote_frac, top_sim
+    FROM tot
+    WHERE mrk = 1 AND CAST(n_votes AS DOUBLE) / n_considered >= 0.6
+    """,
+)
+def sim_knn_label_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label gate (round 16 —
+    `operators/similarity.knn_label_vote`): every 7th embedding plays a
+    hand-LABELED seed set (quality tier / domain label); each remaining
+    corpus vector takes its 5 nearest seeds by rounded cosine and is
+    kept only when >= 60% of them agree on a label — the model-based
+    curation gate of a training-data pipeline, with the labeled seed
+    set AS the model (no classifier shipped into the engine).
+
+    The seed set collapses to ONE broadcast array row and the whole
+    top-k + vote + majority runs as array expressions inside the
+    corpus scan — ZERO shuffle, zero window (the inverse of
+    `sim_knn_classify`, whose bounded side is the query probe). Both
+    tie-breaks ((sim DESC, seed_id ASC) and (votes DESC, label ASC))
+    are total orders realized by ascending struct sort on exactly
+    negated values, so the gate is bit-replayable and the DuckDB
+    oracle pins it exactly."""
+    from usgs_lidar_spark.operators.similarity import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    out = knn_label_vote(
+        corpus, seeds, id_col="vec_id", vec_col="embedding",
+        label_col="label", k=5, min_frac=0.6,
+    )
+    return out.select(
+        "vec_id",
+        F.col("pred_label").cast("int").alias("pred_label"),
+        "n_votes",
+        "n_considered",
+        "vote_frac",
+        "top_sim",
     )
