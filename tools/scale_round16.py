@@ -20,7 +20,14 @@ Scenarios:
     bytes must move ~once), and the exact conservation invariant
     sum(shard_n_bytes) == sum(keeper payload bytes).
 
-Usage: python tools/scale_round16.py [compaction_leveled materialize_payloads]
+  * gates_fixed_reference — deployment-shape scale points for the
+    round-16 gates (fuzzy decon / kNN label vote): corpus 10x, the
+    reference side (benchmark suite / labeled seeds) held at its fixed
+    1x size — the linear-in-corpus claim the naive both-sides-x10
+    sf1_bench rows cannot carry.
+
+Usage: python tools/scale_round16.py [compaction_leveled
+       materialize_payloads gates_fixed_reference]
 """
 
 from __future__ import annotations
@@ -224,6 +231,65 @@ def materialize_payloads(rows: int = 20_000, chars: int = 4_000):
             )
 
 
+def gates_fixed_reference():
+    """Deployment-shape scale points for the round-16 curation gates:
+    the CORPUS side grows 10x (the sf1_bench replicas) while the
+    REFERENCE side — the benchmark suite / the hand-labeled seed set —
+    stays the fixed 1x subset, which is how both gates actually run (an
+    eval suite and a label budget don't grow with the crawl). The
+    naive sf1_bench rows grow BOTH sides (seeds x corpus = 100x work;
+    replica-densified pair graph), so these rows carry the linearity
+    claim: wall and shuffle ~10x for 10x corpus."""
+    import shutil as _sh
+
+    from tools.scale_experiment import make_session, shuffle_bytes
+    from tools.sf1_bench import SF01, SF1, build_sf1
+    from usgs_lidar_spark.operators.dedup import minhash_decon_pairs
+    from usgs_lidar_spark.operators.similarity import knn_label_vote
+
+    build_sf1()
+    for which in ("decon", "knn"):
+        for tag, sf_dir in (("1x", SF01), ("10x", SF1)):
+            log = WORK / f"fixedref_{which}_{tag}_log"
+            _sh.rmtree(log, ignore_errors=True)
+            spark = make_session(f"fixedref-{which}-{tag}", log)
+            t0 = time.perf_counter()
+            if which == "decon":
+                corpus = spark.read.parquet(
+                    str(sf_dir / "documents.parquet")
+                ).filter("doc_id % 11 != 0")
+                bench = spark.read.parquet(
+                    str(SF01 / "documents.parquet")
+                ).filter("doc_id % 11 = 0")
+                out = minhash_decon_pairs(
+                    corpus, bench, "text", "doc_id", threshold=0.6
+                )
+            else:
+                corpus = spark.read.parquet(
+                    str(sf_dir / "embeddings.parquet")
+                ).filter("vec_id % 7 != 0")
+                seeds = spark.read.parquet(
+                    str(SF01 / "embeddings.parquet")
+                ).filter("vec_id % 7 = 0")
+                out = knn_label_vote(corpus, seeds, k=5, min_frac=0.6)
+            n = out.count()
+            wall = time.perf_counter() - t0
+            spark.stop()
+            rd, wr = shuffle_bytes(log)
+            print(
+                json.dumps(
+                    {
+                        "scenario": f"fixedref_{which}_{tag}",
+                        "n_rows": n,
+                        "sec": round(wall, 2),
+                        "shuffle_read_mb": round(rd / 1e6, 1),
+                        "shuffle_write_mb": round(wr / 1e6, 1),
+                    }
+                ),
+                flush=True,
+            )
+
+
 def main() -> None:
     WORK.mkdir(parents=True, exist_ok=True)
     which = sys.argv[1:] or ["compaction_leveled", "materialize_payloads"]
@@ -231,6 +297,7 @@ def main() -> None:
         {
             "compaction_leveled": compaction_leveled,
             "materialize_payloads": materialize_payloads,
+            "gates_fixed_reference": gates_fixed_reference,
         }[name]()
 
 
