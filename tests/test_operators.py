@@ -6410,3 +6410,67 @@ def test_knn_label_vote_majority_gate_and_ties(spark):
     # All-NULL seed labels -> no predictions at all.
     null_seeds = seeds.withColumn("label", F.lit(None).cast("int"))
     assert knn_label_vote(corpus, null_seeds, k=3).count() == 0
+
+
+def test_bloom_prefilter_join_transparent_and_no_false_negatives(spark):
+    """Bloom semi-join reduction (round 16): no false negatives (every
+    build key passes its own bitmap), the prefiltered join is row-for-
+    row identical to the plain join (NULL keys and false positives
+    dropped by the exact join), FP rate on a disjoint probe set stays
+    in the theoretical band, and an empty build side yields an empty
+    join."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.bloomjoin import (
+        bloom_bitmap,
+        bloom_prefilter_join,
+        might_contain,
+    )
+
+    build = spark.range(500).select(
+        F.col("id").alias("k"), F.lit("dim").alias("tag")
+    )
+    bm = bloom_bitmap(build, "k", n_bits=1 << 13, n_hashes=5)
+    assert len(bm.collect()[0]["bitmap"]) == (1 << 13) // 64
+    # no false negatives: all 500 build keys pass
+    kept_own = (
+        build.crossJoin(F.broadcast(bm))
+        .filter(might_contain("bitmap", "k", 1 << 13, 5))
+        .count()
+    )
+    assert kept_own == 500
+    # FP rate on 2000 DISJOINT keys: ~(1-e^(-5*500/8192))^5 ~ 0.15%;
+    # assert a generous deterministic ceiling (fixed hashes, fixed data)
+    probe = spark.range(10_000, 12_000).select(F.col("id").alias("k"))
+    fp = (
+        probe.crossJoin(F.broadcast(bm))
+        .filter(might_contain("bitmap", "k", 1 << 13, 5))
+        .count()
+    )
+    assert fp <= 20
+    # transparency, including NULL keys on both sides
+    big = spark.createDataFrame(
+        [(i, i * 2) for i in range(1000)] + [(None, -1)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(i, "d") for i in range(250, 750)] + [(None, "n")],
+        "k long, tag string",
+    )
+    got = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in bloom_prefilter_join(big, dim, "k", n_bits=1 << 13).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["tag"]) for r in big.join(dim, "k").collect()
+    )
+    assert got == want and len(got) == 500
+    # empty build side -> all-zero bitmap -> empty join
+    assert (
+        bloom_prefilter_join(
+            big, dim.filter(F.lit(False)), "k", n_bits=1 << 13
+        ).count()
+        == 0
+    )
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bitmap(build, "k", n_bits=100)

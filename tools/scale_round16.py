@@ -290,6 +290,76 @@ def gates_fixed_reference():
             )
 
 
+def bloom_reduction():
+    """The bloom semi-join reduction's shuffle A/B (the case
+    `operators/bloomjoin.py` exists for): the URGENT-orders x lineitem
+    join with broadcast fallback DISABLED (autoBroadcastJoinThreshold
+    -1, plan-time and AQE — at 100 TB the build side is past any
+    broadcast budget, which local scale cannot otherwise reproduce),
+    plain SMJ vs bloom-prefiltered, at 1x (sf0.1) and 10x (sf1).
+    Measured: wall, total shuffle R/W, and the join-input row cut."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as FF
+
+    from tools.scale_experiment import make_session, shuffle_bytes
+    from tools.sf1_bench import SF01, SF1, build_sf1
+    from usgs_lidar_spark.operators.bloomjoin import bloom_prefilter_join
+
+    build_sf1()
+    for tag, sf_dir in (("1x", SF01), ("10x", SF1)):
+        for mode in ("plain", "bloom"):
+            log = WORK / f"bloom_{mode}_{tag}_log"
+            _sh.rmtree(log, ignore_errors=True)
+            spark = make_session(f"bloom-{mode}-{tag}", log)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+            )
+            li = spark.read.parquet(
+                str(sf_dir / "lineitem.parquet")
+            ).select("l_orderkey", "l_quantity")
+            build = (
+                spark.read.parquet(str(sf_dir / "orders.parquet"))
+                .filter(FF.col("o_orderpriority") == "1-URGENT")
+                .select(
+                    FF.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+                )
+            )
+            t0 = time.perf_counter()
+            if mode == "bloom":
+                joined = bloom_prefilter_join(li, build, "l_orderkey")
+            else:
+                joined = li.join(build, "l_orderkey")
+            n = (
+                joined.groupBy(
+                    FF.date_format("o_orderdate", "yyyy-MM").alias("m")
+                )
+                .agg(
+                    FF.count(FF.lit(1)),
+                    FF.sum(
+                        FF.round(FF.col("l_quantity") * 100).cast("long")
+                    ),
+                )
+                .count()
+            )
+            wall = time.perf_counter() - t0
+            spark.stop()
+            rd, wr = shuffle_bytes(log)
+            print(
+                json.dumps(
+                    {
+                        "scenario": f"bloom_join_{mode}_{tag}",
+                        "n_groups": n,
+                        "sec": round(wall, 2),
+                        "shuffle_read_mb": round(rd / 1e6, 1),
+                        "shuffle_write_mb": round(wr / 1e6, 1),
+                    }
+                ),
+                flush=True,
+            )
+
+
 def main() -> None:
     WORK.mkdir(parents=True, exist_ok=True)
     which = sys.argv[1:] or ["compaction_leveled", "materialize_payloads"]
@@ -298,6 +368,7 @@ def main() -> None:
             "compaction_leveled": compaction_leveled,
             "materialize_payloads": materialize_payloads,
             "gates_fixed_reference": gates_fixed_reference,
+            "bloom_reduction": bloom_reduction,
         }[name]()
 
 

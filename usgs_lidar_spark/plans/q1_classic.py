@@ -228,6 +228,53 @@ def j3_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j4_bloom_prefilter_join",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n_lineitems,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_qty
+    FROM lineitem
+    JOIN (SELECT o_orderkey, o_orderdate FROM orders
+          WHERE o_orderpriority = '1-URGENT') o
+      ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def j4_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join (round 16 —
+    `operators/bloomjoin.bloom_prefilter_join`): monthly quantity for
+    lineitems of URGENT orders, with the fact side bloom-reduced
+    BEFORE the join. The build side (~1/5 of orders) is the mid-size
+    case the operator exists for: too big to broadcast as exact keys
+    at 100 TB, but its key SET fits a 128 KiB bitmap — the probe
+    side's exchange then carries |matching| + ~1% false positives
+    instead of every lineitem (tools/scale_round16.py bloom_reduction
+    measures the cut with the broadcast fallback disabled). The bloom
+    is semantically transparent (no false negatives; the exact join
+    drops the false positives), so the oracle is the PLAIN SQL join —
+    hash equality proves the reduction changes nothing."""
+    from usgs_lidar_spark.operators.bloomjoin import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    build = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    )
+    return (
+        bloom_prefilter_join(li, build, "l_orderkey")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dec_sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
     "j3_left_join_null_label",
     oracle="""
     SELECT c.c_custkey,
