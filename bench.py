@@ -175,6 +175,15 @@ HEADLINE = [
     # watched round over round.
     "pipe_end_to_end_v10",
     "mm_shard_bytes",
+    # round 16 (cont.): the two curation gates (fuzzy cross-set decon —
+    # the heaviest new plan, uncapped signature frames are the designed
+    # linear term — and the map-only kNN label vote) plus the bloom
+    # prefilter join (watching the bitmap build + probe overhead ride
+    # the plain join's wall). Every stage in all three changes
+    # cardinality; count() forces the chains.
+    "pipe_contamination_fuzzy",
+    "sim_knn_label_gate",
+    "j4_bloom_prefilter_join",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled

@@ -791,3 +791,89 @@ def temperature_mix_sqrt(
             .alias("kept_id_sum"),
         )
     )
+
+
+def loader_schedule(
+    manifest: DataFrame,
+    stream_col: str = "stream",
+    shard_col: str = "shard_id",
+    bytes_col: str = "n_bytes",
+    temperature: float = 2.0,
+    qbits: int = 20,
+) -> DataFrame:
+    """Deterministic interleaved shard read order for a training loader
+    — STRIDE SCHEDULING (Waldspurger & Weihl, OSDI '94) over the shard
+    manifest: each stream's k-th shard gets virtual time
+    (k + 1/2) / w_i, and the loader reads shards globally ordered by
+    virtual time, so every prefix of the schedule holds each stream's
+    share within one shard of its weight w_i — the property epoch-level
+    proportioning (read all of stream A, then B) and naive round-robin
+    (equal shares regardless of weight) both lack. Weights are
+    temperature-scaled byte shares, w_i ∝ bytes_i^(1/T) — T=1 is
+    natural proportions, T=2 the sqrt upweighting of tail streams that
+    `temperature_mix_sqrt` applies to rows, here applied to the READ
+    ORDER instead of the data.
+
+    Output: (step, stream, shard_id, shard_bytes, vtime) — step is the
+    1-based global read position; the frame IS the loader's plan, a few
+    thousand rows at 100 TB (shards, not documents — the only window
+    wider than a stream runs over the manifest, never the corpus).
+
+    Bit-exact across engines by construction, so a DuckDB oracle can
+    replay the whole schedule: the weight is the INTEGER
+    floor(sqrt(bytes) * 2^qbits) (sqrt is correctly rounded in every
+    IEEE engine, the floor-of-power-of-two-multiple is the
+    `quantize_exact` idiom), the stream-weight total is an exact BIGINT
+    sum (order-independent, unlike summing doubles), and
+    vtime = ((2k+1) * total_q) / (2 * w_q) is one correctly-rounded
+    division of two exact integers — identical ties are broken by
+    (stream, shard). Only T in {1.0, 2.0} is supported: pow(x, 1/T)
+    for other T is not correctly rounded and differs between libm
+    implementations, the exact cross-engine knife edge this package
+    avoids everywhere."""
+    if temperature not in (1.0, 2.0):
+        raise ValueError(
+            "temperature must be 1.0 (natural) or 2.0 (sqrt): other "
+            "exponents need pow(), which is not bit-reproducible "
+            f"across engines; got {temperature}"
+        )
+    scale = float(2**qbits)
+    per_stream = manifest.groupBy(stream_col).agg(
+        F.sum(bytes_col).alias("__sbytes")
+    )
+    raw = (
+        F.col("__sbytes").cast("double")
+        if temperature == 1.0
+        else F.sqrt(F.col("__sbytes").cast("double"))
+    )
+    wq = per_stream.select(
+        stream_col, F.floor(raw * F.lit(scale)).cast("long").alias("__wq")
+    ).filter(F.col("__wq") > 0)
+    total = wq.agg(F.sum("__wq").alias("__totq"))
+    k = (
+        F.row_number().over(
+            Window.partitionBy(stream_col).orderBy(shard_col)
+        )
+        - 1
+    )
+    w_step = Window.orderBy(
+        F.col("vtime").asc(), F.col(stream_col).asc(),
+        F.col(shard_col).asc(),
+    )
+    return (
+        manifest.join(wq, stream_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn("__k", k)
+        .withColumn(
+            "vtime",
+            (
+                (F.lit(2) * F.col("__k") + F.lit(1)) * F.col("__totq")
+            ).cast("double")
+            / (F.lit(2) * F.col("__wq")).cast("double"),
+        )
+        .withColumn("step", F.row_number().over(w_step).cast("long"))
+        .select(
+            "step", stream_col, shard_col,
+            F.col(bytes_col).alias("shard_bytes"), "vtime",
+        )
+    )

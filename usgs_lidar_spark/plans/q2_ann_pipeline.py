@@ -2841,3 +2841,65 @@ def sim_knn_label_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vote_frac",
         "top_sim",
     )
+
+
+@query(
+    "pipe_loader_schedule",
+    oracle=f"""
+    WITH manifest AS (
+        SELECT lang AS stream,
+               {_LEHMER_BUCKET("doc_id")} % 6 AS shard_id,
+               CAST(sum(n_chars) AS BIGINT) AS n_bytes
+        FROM documents
+        GROUP BY 1, 2
+    ), wq AS (
+        SELECT stream,
+               CAST(floor(sqrt(CAST(sum(n_bytes) AS DOUBLE)) * 1048576.0)
+                    AS BIGINT) AS wq
+        FROM manifest GROUP BY stream
+        HAVING CAST(floor(sqrt(CAST(sum(n_bytes) AS DOUBLE)) * 1048576.0)
+                    AS BIGINT) > 0
+    ), tot AS (
+        SELECT CAST(sum(wq) AS BIGINT) AS totq FROM wq
+    ), vt AS (
+        SELECT m.stream, m.shard_id, m.n_bytes,
+               CAST((2 * (row_number() OVER (PARTITION BY m.stream
+                                             ORDER BY m.shard_id) - 1) + 1)
+                    * t.totq AS DOUBLE)
+               / CAST(2 * w.wq AS DOUBLE) AS vtime
+        FROM manifest m JOIN wq w USING (stream) CROSS JOIN tot t
+    )
+    SELECT CAST(row_number() OVER (ORDER BY vtime, stream, shard_id)
+                AS BIGINT) AS step,
+           stream, shard_id, n_bytes AS shard_bytes, vtime
+    FROM vt
+    """,
+)
+def pipe_loader_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted shard read order (round 16 —
+    `operators/pipeline.loader_schedule`): stride scheduling of the
+    per-(lang, shard) manifest with sqrt-temperature weights — every
+    prefix of the schedule holds each language's share within one
+    shard of its T=2 byte-share weight, which is what a training
+    loader actually wants from a mixture (epoch-level proportioning
+    and round-robin both fail it). Shards here are the 6
+    portable-hash buckets per language over `documents`; vtime is
+    exact-integer arithmetic divided once, so the whole schedule
+    hash-matches the DuckDB replay bit for bit. Everything is
+    manifest-sized — the corpus contributes one aggregation."""
+    from usgs_lidar_spark.operators.pipeline import (
+        loader_schedule,
+        portable_hash_bucket,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    manifest = (
+        d.groupBy(
+            F.col("lang").alias("stream"),
+            (portable_hash_bucket("doc_id") % 6).alias("shard_id"),
+        )
+        .agg(F.sum("n_chars").alias("n_bytes"))
+    )
+    return loader_schedule(
+        manifest, "stream", "shard_id", "n_bytes", temperature=2.0
+    )
