@@ -2885,3 +2885,74 @@ def test_media_ingest_inline_compaction(spark, tmp_path):
             "media_id"
         ).collect()
     }
+
+
+def test_streaming_minhash_decon_ingest(spark, tmp_path):
+    """Incremental fuzzy (MinHash) decon (round 16): draining the
+    corpus through `minhash_decon_ingest_writer` in micro-batches —
+    including a crash replay in the write→commit window — must
+    reproduce the one-shot `minhash_decon_pairs` against the same
+    fixed benchmark bit-for-bit: cross-set pairs are pure per-corpus-
+    row functions of the frozen benchmark (df-UNCAPPED signatures, no
+    corpus-corpus pairing), so batches share no state and a replay
+    rewrites identical bytes."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from usgs_lidar_spark.operators.dedup import minhash_decon_pairs
+    from usgs_lidar_spark.streaming.ingest import minhash_decon_ingest_writer
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    stream_dir = tmp_path / "fz_stream"
+    stream_dir.mkdir()
+    splits = ("doc_id < 170", "doc_id >= 170 AND doc_id < 340",
+              "doc_id >= 340")
+    for i, flt in enumerate(splits):
+        corpus.filter(flt).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"fzb{i}")
+        )
+        src = next((tmp_path / f"fzb{i}").glob("*.parquet"))
+        _sh.copy(src, stream_dir / f"part-{i}.parquet")
+
+    out = str(tmp_path / "fz_out")
+    inner = minhash_decon_ingest_writer(bench, out, threshold=0.6)
+    crash_marker = tmp_path / "fz_crashed_once"
+
+    def crashing(batch, batch_id):
+        inner(batch, batch_id)  # the pair write SUCCEEDS...
+        if batch_id == 1 and not crash_marker.exists():
+            crash_marker.write_text("boom")
+            raise RuntimeError("injected crash after write, before commit")
+
+    def start():
+        return (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+            .writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", str(tmp_path / "fz_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.awaitTermination()
+        raise AssertionError("expected the injected crash")
+    except Exception:
+        pass
+    start().awaitTermination()  # restart replays batch 1, then drains
+
+    drained = spark.read.parquet(out)
+    oneshot = minhash_decon_pairs(corpus, bench, "text", "doc_id",
+                                  threshold=0.6)
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["bench_id"], r["jaccard"]) for r in df.collect()
+    )
+    got, want = key(drained), key(oneshot)
+    assert got == want and len(got) > 0

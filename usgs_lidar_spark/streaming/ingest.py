@@ -400,3 +400,85 @@ def run_image_text_gate_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def minhash_decon_ingest_writer(
+    bench: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.6,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback for INCREMENTAL fuzzy (MinHash) test-set
+    decontamination (round 16 — the surface-form rung of the streaming
+    decon ladder, between `chunk_dedup_ingest_writer`'s verbatim
+    chunks and `semantic_decon_ingest_writer`'s embedding gate): flag
+    each arriving corpus micro-batch against a FIXED benchmark with
+    `operators/dedup.minhash_decon_pairs` and publish the flagged
+    (doc_id, bench_id, jaccard) pairs to ``out/batch_id=<n>`` with
+    overwrite.
+
+    The same statelessness argument as the semantic twin, and it is
+    exactly why the CROSS-SET decon streams trivially while the
+    near-dup SELF-join (`media_ingest`) needs a versioned store: a
+    fuzzy-decon pair is a pure function of (corpus doc, benchmark) —
+    signatures are df-uncapped by design (a pure function of each
+    doc's own text, `minhash_decon_pairs` docstring), the benchmark is
+    frozen, and corpus docs never pair with EACH OTHER — so batches
+    share no state, a replayed batch recomputes byte-identical pairs,
+    and the batch_id-keyed overwrite is idempotent. Exactly-once from
+    purity + addressable output; no history to version.
+
+    Drain parity with the one-shot batch operator under any batch
+    split (crash replay included) is pinned by
+    tests/test_streaming.py::test_streaming_minhash_decon_ingest.
+
+    Scale: per batch the benchmark's shingle/signature work is
+    recomputed — the statelessness trade, bench-sized per batch;
+    persist the benchmark's banded long-form once if that ever
+    dominates (it is broadcast-bounded either way)."""
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        from usgs_lidar_spark.operators.dedup import minhash_decon_pairs
+
+        pairs = minhash_decon_pairs(
+            batch, bench, text_col, id_col,
+            k=k, num_perm=num_perm, bands=bands, threshold=threshold,
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return ingest
+
+
+def run_minhash_decon_ingest(
+    stream_df: DataFrame,
+    bench: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.6,
+) -> None:
+    """Drain all available corpus input through the incremental fuzzy
+    decon (availableNow trigger); restartable/replay-safe per the
+    writer docstring."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            minhash_decon_ingest_writer(
+                bench, out_path, text_col, id_col,
+                k, num_perm, bands, threshold,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
