@@ -184,6 +184,9 @@ HEADLINE = [
     "pipe_contamination_fuzzy",
     "sim_knn_label_gate",
     "j4_bloom_prefilter_join",
+    # round 16 (cont. 2): the v-series closes the loop — v9's curation
+    # chain through the loader's stride-scheduled read plan.
+    "pipe_end_to_end_v11",
 ]
 
 #: Queries whose expensive work lives in OUTPUT expressions (reassembled

@@ -100,6 +100,9 @@ QUERIES_UNDER_TEST = [
     # array; a real deployment holds it fixed).
     "pipe_contamination_fuzzy",
     "sim_knn_label_gate",
+    # round 16 (cont. 2): v11 = v9 + the shard-count-sized schedule
+    # tail — its scale behavior should be v9's within noise.
+    "pipe_end_to_end_v11",
 ]
 
 #: Queries whose CLAIM is steady-state serving from a persisted

@@ -3395,3 +3395,90 @@ def pipe_end_to_end_v10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+def _V11_ORACLE() -> str:
+    # The whole v9 oracle rides as ONE nested-WITH CTE (DuckDB scopes
+    # the inner WITH RECURSIVE to the subquery), then the slice-span
+    # expansion and the loader_schedule arithmetic replay on top.
+    return f"""
+    WITH v9 AS ({_V9_ORACLE()}),
+    spans AS (
+      SELECT pack_stream, byte_start, n_bytes,
+             unnest(generate_series(
+                 CAST(floor(byte_start / 4096.0) AS BIGINT),
+                 CAST(floor((byte_start + n_bytes - 1) / 4096.0)
+                      AS BIGINT))) AS shard_id
+      FROM v9 WHERE n_bytes > 0
+    ),
+    manifest AS (
+      SELECT pack_stream, shard_id,
+             CAST(sum(least(byte_start + n_bytes, (shard_id + 1) * 4096)
+                      - greatest(byte_start, shard_id * 4096))
+                  AS BIGINT) AS n_bytes
+      FROM spans GROUP BY 1, 2
+    ),
+    wq AS (
+        SELECT pack_stream,
+               CAST(floor(sqrt(CAST(sum(n_bytes) AS DOUBLE)) * 1048576.0)
+                    AS BIGINT) AS wq
+        FROM manifest GROUP BY pack_stream
+        HAVING CAST(floor(sqrt(CAST(sum(n_bytes) AS DOUBLE)) * 1048576.0)
+                    AS BIGINT) > 0
+    ),
+    tot AS (SELECT CAST(sum(wq) AS BIGINT) AS totq FROM wq),
+    vt AS (
+        SELECT m.pack_stream, m.shard_id, m.n_bytes,
+               CAST((2 * (row_number() OVER (PARTITION BY m.pack_stream
+                                             ORDER BY m.shard_id) - 1) + 1)
+                    * t.totq AS DOUBLE)
+               / CAST(2 * w.wq AS DOUBLE) AS vtime
+        FROM manifest m JOIN wq w USING (pack_stream) CROSS JOIN tot t
+    )
+    SELECT CAST(row_number() OVER (ORDER BY vtime, pack_stream, shard_id)
+                AS BIGINT) AS step,
+           pack_stream, shard_id, n_bytes AS shard_bytes, vtime
+    FROM vt
+    """
+
+
+@query("pipe_end_to_end_v11", oracle=_V11_ORACLE())
+def pipe_end_to_end_v11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal curation THROUGH the loader's read plan
+    (round 16 — v9 + `pipe_loader_schedule` composed): the v9 chain
+    (two-tier media dedup -> image-text gate -> byte-shard packing)
+    produces the shard layout; this query expands each packed item
+    into its per-shard byte slices (pure arithmetic on byte_start /
+    n_bytes — no payload touched), aggregates the (pack_stream,
+    shard_id) manifest, and stride-schedules it with sqrt-temperature
+    weights (`operators/pipeline.loader_schedule`) — the output IS the
+    order a training loader reads the curated corpus in, every prefix
+    holding each stream's byte-share within one shard. The corpus-
+    proportional work all happens in v9; the manifest, weights, and
+    schedule are shard-count-sized. Bit-replayable end to end: the
+    DuckDB oracle nests the entire v9 oracle as a CTE and replays the
+    slice spans and the exact-integer stride arithmetic on top."""
+    from usgs_lidar_spark.operators.pipeline import loader_schedule
+
+    packed = pipe_end_to_end_v9(spark, sf_dir)
+    b = F.lit(4096)
+    first = F.floor(F.col("byte_start") / b).cast("long")
+    last = F.floor(
+        (F.col("byte_start") + F.col("n_bytes") - 1) / b
+    ).cast("long")
+    spans = packed.filter(F.col("n_bytes") > 0).select(
+        "pack_stream", "byte_start", "n_bytes",
+        F.explode(F.sequence(first, last)).alias("shard_id"),
+    )
+    manifest = spans.groupBy("pack_stream", "shard_id").agg(
+        F.sum(
+            F.least(
+                F.col("byte_start") + F.col("n_bytes"),
+                (F.col("shard_id") + 1) * b,
+            )
+            - F.greatest(F.col("byte_start"), F.col("shard_id") * b)
+        ).cast("long").alias("n_bytes")
+    )
+    return loader_schedule(
+        manifest, "pack_stream", "shard_id", "n_bytes", temperature=2.0
+    )
