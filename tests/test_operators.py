@@ -6517,3 +6517,36 @@ def test_loader_schedule_stride_interleave_exact(spark):
     assert {
         r["stream"] for r in loader_schedule(m2).collect()
     } == {"A", "B"}
+
+
+def test_knn_vote_calibration_rises_on_clustered_labels(spark):
+    """The gate-calibration apparatus (round 16): when labels FOLLOW
+    embedding geometry, accuracy rises with vote concentration —
+    unanimous votes are right, split votes near the cluster boundary
+    are not. (On the synthetic corpus the registered query correctly
+    reports a flat chance-level curve; this fixture pins the rising
+    shape the apparatus exists to detect.)"""
+    from usgs_lidar_spark.operators.similarity import knn_label_vote
+
+    # two tight clusters + one boundary point; seeds = 3 per cluster
+    seeds = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.98, 0.02], 0), (12, [0.96, 0.04], 0),
+         (13, [0.0, 1.0], 1), (14, [0.02, 0.98], 1), (15, [0.04, 0.96], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [0.99, 0.01], 0), (2, [0.97, 0.03], 0),   # deep in cluster 0
+         (3, [0.01, 0.99], 1),                          # deep in cluster 1
+         (4, [0.5, 0.5], 0)],                           # boundary
+        "vec_id long, embedding array<float>, label int",
+    )
+    voted = {
+        r["vec_id"]: r.asDict()
+        for r in knn_label_vote(corpus, seeds, k=3).collect()
+    }
+    # deep points vote 3-0 for the true label; the boundary point's
+    # top-3 mixes clusters (its nearest seeds straddle the diagonal)
+    for vid in (1, 2, 3):
+        assert voted[vid]["n_votes"] == 3
+        assert voted[vid]["pred_label"] == (1 if vid == 3 else 0)
+    assert voted[4]["n_votes"] < 3

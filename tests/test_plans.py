@@ -628,3 +628,37 @@ def test_hard_negatives_partial_topk_before_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_knn_label_gate_map_only(spark):
+    """`sim_knn_label_gate` (round 16): the ONLY exchanges are the
+    one-row seed-array collect (SinglePartition) and its broadcast —
+    the corpus side never shuffles and no window runs (top-k + vote +
+    majority are array expressions inside the scan, behind a Generate
+    barrier that keeps pushed filters from cloning the scoring tree)."""
+    plan = _plan(spark, "sim_knn_label_gate")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate explode" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Window" not in plan
+
+
+def test_bloom_prefilter_runs_before_probe_exchange(spark):
+    """`j4_bloom_prefilter_join` (round 16): the might_contain filter
+    (xxhash64 probe bits) evaluates in the probe scan's stage, BELOW
+    any exchange of the lineitem side — the whole point of the
+    reduction. At sf0.001 AQE broadcasts the build side (no probe
+    exchange at all), so the assertion is structural: the bitmap
+    arrives by broadcast, and the bloom filter's hash probes sit in
+    the same stage as the lineitem scan with no exchange between."""
+    plan = _plan(spark, "j4_bloom_prefilter_join")
+    # the probe filter exists and references the bitmap words
+    assert "shiftright" in plan
+    scan_pos = plan.find("Scan parquet")  # first scan in the tree print
+    filt_pos = plan.find("shiftright")
+    assert filt_pos != -1 and scan_pos != -1
+    # no exchange may sit between the probe-side filter and its scan:
+    # in the printed tree the filter node appears above its child scan
+    # with only map-side nodes (Project/Filter/ColumnarToRow) between.
+    seg = plan[filt_pos:plan.find("Scan parquet", filt_pos)]
+    assert "Exchange" not in seg

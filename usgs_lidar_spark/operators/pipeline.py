@@ -825,8 +825,10 @@ def loader_schedule(
     IEEE engine, the floor-of-power-of-two-multiple is the
     `quantize_exact` idiom), the stream-weight total is an exact BIGINT
     sum (order-independent, unlike summing doubles), and
-    vtime = ((2k+1) * total_q) / (2 * w_q) is one correctly-rounded
-    division of two exact integers — identical ties are broken by
+    vtime = double(2k+1) * double(total_q) / double(2 * w_q) is two
+    correctly-rounded double operations over exact integers (the
+    multiply is IN double because the exact long product overflows at
+    realistic weights) — identical ties are broken by
     (stream, shard). Only T in {1.0, 2.0} is supported: pow(x, 1/T)
     for other T is not correctly rounded and differs between libm
     implementations, the exact cross-engine knife edge this package
@@ -865,10 +867,15 @@ def loader_schedule(
         .crossJoin(F.broadcast(total))
         .withColumn("__k", k)
         .withColumn(
+            # Multiply in DOUBLE: the exact-long product (2k+1) * totq
+            # overflows 63 bits at realistic 100 TB weights (totq ~
+            # streams * 2^20 * sqrt(stream bytes) ~ 2^47, times ~2^18
+            # strides) — an ANSI error, loud but down. Two correctly-
+            # rounded double ops stay bit-identical across engines and
+            # never overflow; the inputs are still exact integers.
             "vtime",
-            (
-                (F.lit(2) * F.col("__k") + F.lit(1)) * F.col("__totq")
-            ).cast("double")
+            (F.lit(2) * F.col("__k") + F.lit(1)).cast("double")
+            * F.col("__totq").cast("double")
             / (F.lit(2) * F.col("__wq")).cast("double"),
         )
         .withColumn("step", F.row_number().over(w_step).cast("long"))

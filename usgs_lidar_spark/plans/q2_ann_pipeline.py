@@ -2863,9 +2863,10 @@ def sim_knn_label_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(sum(wq) AS BIGINT) AS totq FROM wq
     ), vt AS (
         SELECT m.stream, m.shard_id, m.n_bytes,
-               CAST((2 * (row_number() OVER (PARTITION BY m.stream
-                                             ORDER BY m.shard_id) - 1) + 1)
-                    * t.totq AS DOUBLE)
+               CAST(2 * (row_number() OVER (PARTITION BY m.stream
+                                            ORDER BY m.shard_id) - 1) + 1
+                    AS DOUBLE)
+               * CAST(t.totq AS DOUBLE)
                / CAST(2 * w.wq AS DOUBLE) AS vtime
         FROM manifest m JOIN wq w USING (stream) CROSS JOIN tot t
     )
@@ -2902,4 +2903,82 @@ def pipe_loader_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return loader_schedule(
         manifest, "stream", "shard_id", "n_bytes", temperature=2.0
+    )
+
+
+@query(
+    "sim_knn_gate_calibration",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id AS seed_id, embedding AS sv,
+               CAST(label AS INTEGER) AS seed_label
+        FROM embeddings WHERE vec_id % 7 = 0 AND label IS NOT NULL
+    ), c AS (
+        SELECT vec_id, embedding AS cv, CAST(label AS INTEGER) AS true_label
+        FROM embeddings WHERE vec_id % 7 <> 0 AND label IS NOT NULL
+    ), sims AS (
+        SELECT c.vec_id, c.true_label, s.seed_id, s.seed_label,
+               {_cos4("c.cv", "s.sv")} AS sim
+        FROM c, s WHERE c.vec_id <> s.seed_id
+    ), topk AS (
+        SELECT * FROM sims
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, seed_id) <= 5
+    ), votes AS (
+        SELECT vec_id, true_label, seed_label, count(*) AS n_votes
+        FROM topk GROUP BY 1, 2, 3
+    ), maj AS (
+        SELECT vec_id, true_label, seed_label AS pred_label, n_votes
+        FROM votes
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY n_votes DESC, seed_label) = 1
+    )
+    SELECT n_votes, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM maj GROUP BY n_votes
+    """,
+)
+def sim_knn_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve for the kNN label gate (round 16 — the eval
+    loop over `sim_knn_label_gate`): corpus vectors that carry a
+    ground-truth label are voted on by the same fixed seed set, and
+    the vote outcomes bin into (n_votes, n_eval, n_correct) — the
+    apparatus a curation pipeline reads before trusting a min_frac
+    threshold (accuracy should RISE with vote concentration; a flat
+    curve means the representation carries no label signal at that k).
+    On this synthetic corpus the curve IS flat at the 10-class chance
+    floor — labels are assigned independently of embedding geometry —
+    which is exactly what the apparatus should report; the unit test
+    plants a clustered fixture and pins the rising curve. Same
+    map-only plan as the gate (one broadcast seed array, zero
+    shuffle until the final bin aggregate); all-integer output,
+    hash-stable."""
+    from usgs_lidar_spark.operators.similarity import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 7 == 0)
+    labeled = emb.filter(
+        (F.col("vec_id") % 7 != 0) & F.col("label").isNotNull()
+    )
+    voted = knn_label_vote(
+        labeled, seeds, id_col="vec_id", vec_col="embedding",
+        label_col="label", k=5,
+    )
+    truth = labeled.select(
+        "vec_id", F.col("label").cast("int").alias("true_label")
+    )
+    return (
+        voted.join(truth, "vec_id")
+        .groupBy("n_votes")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.col("pred_label").cast("int")
+                    == F.col("true_label"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_correct"),
+        )
     )

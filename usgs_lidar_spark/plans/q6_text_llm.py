@@ -3429,9 +3429,10 @@ def _V11_ORACLE() -> str:
     tot AS (SELECT CAST(sum(wq) AS BIGINT) AS totq FROM wq),
     vt AS (
         SELECT m.pack_stream, m.shard_id, m.n_bytes,
-               CAST((2 * (row_number() OVER (PARTITION BY m.pack_stream
-                                             ORDER BY m.shard_id) - 1) + 1)
-                    * t.totq AS DOUBLE)
+               CAST(2 * (row_number() OVER (PARTITION BY m.pack_stream
+                                            ORDER BY m.shard_id) - 1) + 1
+                    AS DOUBLE)
+               * CAST(t.totq AS DOUBLE)
                / CAST(2 * w.wq AS DOUBLE) AS vtime
         FROM manifest m JOIN wq w USING (pack_stream) CROSS JOIN tot t
     )
