@@ -6550,3 +6550,46 @@ def test_knn_vote_calibration_rises_on_clustered_labels(spark):
         assert voted[vid]["n_votes"] == 3
         assert voted[vid]["pred_label"] == (1 if vid == 3 else 0)
     assert voted[4]["n_votes"] < 3
+
+
+def test_knn_label_vote_ivf_probe_all_parity(spark):
+    """The IVF gate's exactness contract: probing ALL cells reproduces
+    the map-only `knn_label_vote` bit-for-bit; probe-1 confines each
+    corpus row's electorate to its own cluster's seeds (the IVF recall
+    approximation, visible as a unanimous same-label vote even at the
+    boundary)."""
+    from usgs_lidar_spark.operators.similarity import (
+        knn_label_vote,
+        knn_label_vote_ivf,
+    )
+
+    seeds = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.98, 0.02], 0), (12, [0.96, 0.04], 0),
+         (13, [0.0, 1.0], 1), (14, [0.02, 0.98], 1), (15, [0.04, 0.96], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [0.99, 0.01]), (2, [0.97, 0.03]), (3, [0.01, 0.99]),
+         (4, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["pred_label"], r["n_votes"], r["n_considered"],
+         r["vote_frac"], r["top_sim"])
+        for r in df.collect()
+    )
+    exact = key(knn_label_vote(corpus, seeds, k=3))
+    probe_all = key(
+        knn_label_vote_ivf(corpus, seeds, cents, k=3, n_probe=2)
+    )
+    assert probe_all == exact
+    # probe-1: the boundary point (4) sees only one cluster's seeds ->
+    # 3 unanimous votes from that cluster (cell tie broken to cid 0)
+    p1 = {
+        r["vec_id"]: r.asDict()
+        for r in knn_label_vote_ivf(
+            corpus, seeds, cents, k=3, n_probe=1
+        ).collect()
+    }
+    assert p1[4]["n_votes"] == 3 and p1[4]["pred_label"] == 0

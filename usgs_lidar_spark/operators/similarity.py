@@ -3244,3 +3244,102 @@ def knn_label_vote(
     if min_frac is not None:
         out = out.filter(F.col("vote_frac") >= F.lit(min_frac))
     return out
+
+
+def knn_label_vote_ivf(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 4,
+    min_frac: float | None = None,
+) -> DataFrame:
+    """`knn_label_vote`'s documented fallback, made concrete: the kNN
+    majority-vote label gate for seed sets past the one-broadcast-array
+    budget. Seeds live in their nearest-centroid cell (`ivf_assign` —
+    map-side, no seed shuffle beyond the one cell-keyed exchange);
+    each corpus row probes its ``n_probe`` nearest cells and votes over
+    the top-k most-similar seeds WITHIN them — the `ivf_topk` plan
+    with the sides' roles swapped (there the query side is bounded and
+    broadcast; here the corpus is the unbounded probe side, so the
+    cell join is a plain equi-join both sides shuffle by cell, the
+    corpus n_probe times). The per-corpus-row top-k runs as a window
+    with a WindowGroupLimit partial pass, so the id-keyed exchange
+    carries O(corpus x k) (id, label, sim) tuples — the honest cost of
+    the unbounded-seed regime; vectors cross the cell join only.
+
+    Same vote semantics, tie-breaks, output schema, and ``min_frac``
+    gate as `knn_label_vote`, with one approximation by design:
+    neighbors outside the probed cells are invisible (n_considered
+    counts probed seeds only), the standard IVF recall trade —
+    exactly-equal results whenever every true top-k seed lands in a
+    probed cell."""
+    from usgs_lidar_spark.functions.vectors import dot, norm
+
+    sb = ivf_assign(
+        seeds.filter(F.col(label_col).isNotNull()),
+        centroids, vec_col, round_digits,
+    ).select(
+        "__cid",
+        F.col(id_col).alias("__sid"),
+        F.col(label_col).alias("__slabel"),
+        F.col(vec_col).alias("__svec"),
+        norm(vec_col).alias("__snorm"),
+    )
+    cdf, sims, _tmp = _with_centroid_sims(
+        corpus, centroids, vec_col, round_digits, "auto"
+    )
+    probes = F.slice(F.sort_array(sims, asc=False), 1, n_probe)
+    cq = cdf.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
+        F.explode(probes).alias("__p"),
+    ).select(
+        id_col, "__cvec", "__cnorm", (-F.col("__p.negcid")).alias("__cid")
+    )
+    joined = cq.join(sb, "__cid").filter(F.col(id_col) != F.col("__sid"))
+    raw = F.when(
+        (F.col("__cnorm") == 0) | (F.col("__snorm") == 0), F.lit(0.0)
+    ).otherwise(
+        dot("__cvec", "__svec") / (F.col("__cnorm") * F.col("__snorm"))
+    )
+    w_top = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("__sid").asc()
+    )
+    topk = (
+        joined.withColumn("sim", F.round(raw, round_digits))
+        .withColumn("__rk", F.row_number().over(w_top))
+        .filter(F.col("__rk") <= k)
+        .select(id_col, "__slabel", "sim")
+    )
+    votes = topk.groupBy(id_col, "__slabel").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.max("sim").alias("top_sim"),
+    )
+    w_tot = Window.partitionBy(id_col)
+    w_maj = Window.partitionBy(id_col).orderBy(
+        F.col("n_votes").desc(), F.col("__slabel").asc()
+    )
+    out = (
+        votes.withColumn("n_considered", F.sum("n_votes").over(w_tot))
+        .withColumn("__mrk", F.row_number().over(w_maj))
+        .filter(F.col("__mrk") == 1)
+        .select(
+            id_col,
+            F.col("__slabel").alias("pred_label"),
+            "n_votes",
+            "n_considered",
+            (
+                F.col("n_votes").cast("double") / F.col("n_considered")
+            ).alias("vote_frac"),
+            "top_sim",
+        )
+    )
+    if min_frac is not None:
+        out = out.filter(F.col("vote_frac") >= F.lit(min_frac))
+    return out

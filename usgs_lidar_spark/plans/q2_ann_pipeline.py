@@ -2982,3 +2982,89 @@ def sim_knn_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_correct"),
         )
     )
+
+
+@query(
+    "sim_knn_label_gate_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id < 8
+    ), s AS (
+        SELECT vec_id AS seed_id, embedding AS sv,
+               CAST(label AS INTEGER) AS seed_label
+        FROM embeddings WHERE vec_id % 7 = 0 AND label IS NOT NULL
+    ), scell AS (
+        SELECT seed_id, sv, seed_label, cid FROM (
+            SELECT s.seed_id, s.sv, s.seed_label, c.cid,
+                   row_number() OVER (PARTITION BY s.seed_id
+                       ORDER BY {_cos4("s.sv", "c.cvec")} DESC, c.cid) AS rn
+            FROM s CROSS JOIN cent c) WHERE rn = 1
+    ), c AS (
+        SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 7 <> 0
+    ), probes AS (
+        SELECT vec_id, cv, cid FROM (
+            SELECT c.vec_id, c.cv, ct.cid,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos4("c.cv", "ct.cvec")} DESC, ct.cid)
+                       AS rn
+            FROM c CROSS JOIN cent ct) WHERE rn <= 2
+    ), sims AS (
+        SELECT p.vec_id, sc.seed_id, sc.seed_label,
+               {_cos4("p.cv", "sc.sv")} AS sim
+        FROM probes p JOIN scell sc
+          ON sc.cid = p.cid AND sc.seed_id <> p.vec_id
+    ), topk AS (
+        SELECT * FROM sims
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, seed_id) <= 5
+    ), votes AS (
+        SELECT vec_id, seed_label, count(*) AS n_votes, max(sim) AS top_sim
+        FROM topk GROUP BY vec_id, seed_label
+    ), tot AS (
+        SELECT *, sum(n_votes) OVER (PARTITION BY vec_id) AS n_considered,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY n_votes DESC, seed_label) AS mrk
+        FROM votes
+    )
+    SELECT vec_id, seed_label AS pred_label, n_votes,
+           CAST(n_considered AS BIGINT) AS n_considered,
+           CAST(n_votes AS DOUBLE) / n_considered AS vote_frac, top_sim
+    FROM tot
+    WHERE mrk = 1 AND CAST(n_votes AS DOUBLE) / n_considered >= 0.6
+    """,
+)
+def sim_knn_label_gate_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN label gate's UNBOUNDED-SEED scale path (round 16 —
+    `operators/similarity.knn_label_vote_ivf`): same seed split and
+    vote semantics as `sim_knn_label_gate`, but seeds live in 8
+    deterministic coarse cells and each corpus row votes over the
+    top-5 seeds within its 2 probed cells — the plan for a labeled
+    reference set past the broadcast-array budget (cell equi-join
+    instead of a broadcast, WindowGroupLimit-capped id-keyed exchange
+    of O(corpus x k) vote tuples). The oracle replays cell
+    assignment, probing, the probe-limited top-k, and the vote — the
+    IVF recall approximation is part of the pinned semantics."""
+    from usgs_lidar_spark.operators.similarity import knn_label_vote_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ] or [(0, [0.0])]
+    seeds = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    out = knn_label_vote_ivf(
+        corpus, seeds, cents, id_col="vec_id", vec_col="embedding",
+        label_col="label", k=5, n_probe=2, min_frac=0.6,
+    )
+    return out.select(
+        "vec_id",
+        F.col("pred_label").cast("int").alias("pred_label"),
+        "n_votes",
+        "n_considered",
+        "vote_frac",
+        "top_sim",
+    )
