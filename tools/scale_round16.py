@@ -247,8 +247,10 @@ def gates_fixed_reference():
     from usgs_lidar_spark.operators.dedup import minhash_decon_pairs
     from usgs_lidar_spark.operators.similarity import knn_label_vote
 
+    from pyspark.sql import functions as FF
+
     build_sf1()
-    for which in ("decon", "knn"):
+    for which in ("decon", "knn", "knn_ivf"):
         for tag, sf_dir in (("1x", SF01), ("10x", SF1)):
             log = WORK / f"fixedref_{which}_{tag}_log"
             _sh.rmtree(log, ignore_errors=True)
@@ -265,13 +267,30 @@ def gates_fixed_reference():
                     corpus, bench, "text", "doc_id", threshold=0.6
                 )
             else:
+                from usgs_lidar_spark.operators.similarity import (
+                    knn_label_vote_ivf,
+                )
+
                 corpus = spark.read.parquet(
                     str(sf_dir / "embeddings.parquet")
                 ).filter("vec_id % 7 != 0")
                 seeds = spark.read.parquet(
                     str(SF01 / "embeddings.parquet")
                 ).filter("vec_id % 7 = 0")
-                out = knn_label_vote(corpus, seeds, k=5, min_frac=0.6)
+                if which == "knn":
+                    out = knn_label_vote(corpus, seeds, k=5, min_frac=0.6)
+                else:
+                    cents = [
+                        (int(r["vec_id"]),
+                         [float(x) for x in r["embedding"]])
+                        for r in spark.read.parquet(
+                            str(SF01 / "embeddings.parquet")
+                        ).filter(FF.col("vec_id") < 8).collect()
+                    ]
+                    out = knn_label_vote_ivf(
+                        corpus, seeds, cents, k=5, n_probe=2,
+                        min_frac=0.6,
+                    )
             n = out.count()
             wall = time.perf_counter() - t0
             spark.stop()
