@@ -6593,3 +6593,39 @@ def test_knn_label_vote_ivf_probe_all_parity(spark):
         ).collect()
     }
     assert p1[4]["n_votes"] == 3 and p1[4]["pred_label"] == 0
+
+
+def test_suppress_rare_groups_modes_and_fraction(spark):
+    """k-anonymity semantics (round 16): groups under k get their
+    quasi-identifiers NULLed (mode='null') or dropped (mode='drop'),
+    group_n and the suppressed flag audit every row, the fractional k
+    resolves against the corpus size, and bad arguments raise."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.dq import suppress_rare_groups
+
+    rows = [(i, "en", "web") for i in range(8)] + [
+        (8, "en", "books"), (9, "fr", "web"), (10, "fr", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in suppress_rare_groups(
+            df, ["lang", "source"], k=3, mode="null"
+        ).collect()
+    }
+    # (en, web) n=8 survives; (fr, web) n=2 and (en, books) n=1 suppress
+    assert got[0]["lang"] == "en" and not got[0]["suppressed"]
+    assert got[8]["lang"] is None and got[8]["source"] is None
+    assert got[8]["suppressed"] and got[8]["group_n"] == 1
+    assert got[9]["lang"] is None and got[9]["group_n"] == 2
+    # drop mode keeps only the big group
+    kept = suppress_rare_groups(df, ["lang", "source"], k=3, mode="drop")
+    assert kept.count() == 8 and "suppressed" in kept.columns
+    # fractional k: ceil(0.5 * 11) = 6 -> only the 8-row group survives
+    frac = suppress_rare_groups(df, ["lang", "source"], k_frac=0.5)
+    assert frac.filter(~F.col("suppressed")).count() == 8
+    with _pytest.raises(ValueError, match="exactly one"):
+        suppress_rare_groups(df, ["lang"], k=3, k_frac=0.1)
+    with _pytest.raises(ValueError, match="mode"):
+        suppress_rare_groups(df, ["lang"], k=3, mode="redact")

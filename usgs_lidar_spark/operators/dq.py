@@ -21,7 +21,7 @@ ship with every report).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _report_row(df: DataFrame, constraint: str, violations: Column, checked: Column):
@@ -141,3 +141,62 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def suppress_rare_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int | None = None,
+    k_frac: float | None = None,
+    mode: str = "null",
+) -> DataFrame:
+    """k-ANONYMITY suppression over quasi-identifier columns — the
+    privacy rung above `redact.redact_pii` (which scrubs direct
+    identifiers INSIDE values; this guards the COMBINATION attack: a
+    rare (lang, source, ...) tuple re-identifies a row even with every
+    direct identifier scrubbed, Sweeney's classic linkage result). Rows
+    whose quasi-identifier group has fewer than k members either have
+    those columns NULLed (``mode='null'``, the suppress-to-generalize
+    release shape) or are dropped (``mode='drop'``); every surviving
+    row carries ``group_n`` and ``suppressed`` for audit.
+
+    ``k_frac`` is the SCALE-STABLE form — k = ceil(k_frac * corpus
+    rows) — for the same reason as the shingle df-cap's fraction: an
+    absolute k silently loosens as the corpus grows (every group's
+    population scales with the corpus while the threshold doesn't).
+    The denominator rides the one-row-broadcast crossJoin idiom (zero
+    extra corpus passes); exactly one of ``k``/``k_frac`` must be set.
+
+    Plan shape: ONE shuffle — the group count is a window over the
+    quasi columns (spillable per-group state, same argument as the
+    df-cap window), the threshold comparison and the NULLing are
+    map-side on top. No join back, no driver collect."""
+    if (k is None) == (k_frac is None):
+        raise ValueError("set exactly one of k / k_frac")
+    if mode not in ("null", "drop"):
+        raise ValueError(f"mode must be 'null' or 'drop', got {mode}")
+    if k_frac is not None and not 0.0 < k_frac <= 1.0:
+        raise ValueError(f"k_frac must be in (0, 1], got {k_frac}")
+    w = Window.partitionBy(*quasi_cols)
+    out = df.withColumn("group_n", F.count(F.lit(1)).over(w))
+    if k_frac is not None:
+        total = df.agg(
+            F.count(F.lit(1)).alias("__total")
+        )
+        out = out.crossJoin(F.broadcast(total)).withColumn(
+            "__k",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.lit(float(k_frac)) * F.col("__total")),
+            ),
+        ).drop("__total")
+    else:
+        out = out.withColumn("__k", F.lit(int(k)))
+    out = out.withColumn("suppressed", F.col("group_n") < F.col("__k"))
+    if mode == "drop":
+        return out.filter(~F.col("suppressed")).drop("__k")
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(~F.col("suppressed"), F.col(c))
+        )
+    return out.drop("__k")

@@ -2765,3 +2765,41 @@ def mm_shard_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_n_bytes",
         F.md5("shard_bytes").alias("shard_md5"),
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS total FROM documents),
+    g AS (
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(count(*) OVER (PARTITION BY d.lang, d.source)
+                    AS BIGINT) AS group_n,
+               CAST(greatest(1, ceil(0.02 * t.total)) AS BIGINT) AS k
+        FROM documents d CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CASE WHEN group_n >= k THEN lang END AS lang,
+           CASE WHEN group_n >= k THEN source END AS source,
+           group_n,
+           group_n < k AS suppressed
+    FROM g
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression of the (lang, source) quasi-identifier
+    pair (round 16 — `operators/dq.suppress_rare_groups`): rows whose
+    combination has fewer than k = ceil(2% of corpus) members get the
+    pair NULLed before release — the combination-attack guard above
+    `redact_pii`'s direct-identifier scrubbing. The fractional k is
+    the scale-stable form (an absolute k silently loosens as the
+    corpus grows); at sf0.01 it resolves to 10 against group sizes
+    1-16 (mixed suppression), at sf0.1 to 100 against 24-112 — the
+    threshold ENGAGES at every tested scale. One window shuffle, no
+    join back, no collect."""
+    from usgs_lidar_spark.operators.dq import suppress_rare_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return suppress_rare_groups(
+        d, ["lang", "source"], k_frac=0.02, mode="null"
+    ).select("doc_id", "lang", "source", "group_n", "suppressed")
