@@ -6629,3 +6629,43 @@ def test_suppress_rare_groups_modes_and_fraction(spark):
         suppress_rare_groups(df, ["lang"], k=3, k_frac=0.1)
     with _pytest.raises(ValueError, match="mode"):
         suppress_rare_groups(df, ["lang"], k=3, mode="redact")
+
+
+def test_link_prediction_jaccard_hand_graph(spark):
+    """Hand-checked link prediction: path graph 1-2, 1-3, 2-4, 3-4
+    (a 4-cycle) -> the two diagonals (1,4) and (2,3) each share BOTH
+    their neighbors (n_common=2, jaccard=2/(2+2-2)=1.0); connected
+    pairs never appear; the hub cap drops wedges through the hub but
+    keeps full degrees in the denominator."""
+    import pytest as _pytest
+
+    from usgs_lidar_spark.operators.graph import link_prediction_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_common"], r["jaccard"])
+        for r in link_prediction_jaccard(edges, min_common=2).collect()
+    }
+    assert got == {(1, 4): (2, 1.0), (2, 3): (2, 1.0)}
+    # star + one rim edge: hub 0 connects 1..4; rim edge (1, 2).
+    # (3,4) share only hub 0 -> with the hub capped out (degree 4 > 3)
+    # no wedge survives for them; (1,2) is connected and excluded.
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)], "src long, dst long"
+    )
+    uncapped = {
+        (r["src"], r["dst"])
+        for r in link_prediction_jaccard(star, min_common=1).collect()
+    }
+    assert (3, 4) in uncapped
+    capped = {
+        (r["src"], r["dst"])
+        for r in link_prediction_jaccard(
+            star, min_common=1, max_hub_degree=3
+        ).collect()
+    }
+    assert (3, 4) not in capped
+    with _pytest.raises(ValueError, match="max_hub_degree"):
+        link_prediction_jaccard(star, max_hub_degree=0)

@@ -765,3 +765,75 @@ def connected_components_incremental(
             F.coalesce(F.col("__sc"), F.col("label")).alias("label"),
         )
     )
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected (src < dst)
+    edge list: for every UNCONNECTED pair sharing >= ``min_common``
+    neighbors, the neighborhood Jaccard |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+    (Liben-Nowell & Kleinberg 2003's strongest simple baseline) — the
+    "customers who bought X also bought Y" candidate generator over
+    the co-purchase graph.
+
+    Plan: candidate pairs come from the WEDGE join (two adjacency rows
+    sharing their neighbor endpoint, a < b) — the `triangle_count`
+    cost class, quadratic per shared NEIGHBOR's degree, never
+    all-pairs; an integer count per pair, an anti-join against the
+    edge list (src < dst on both sides, one orientation suffices),
+    full degrees joined back, one division. All counts are exact
+    BIGINTs; the division is the only double (deterministic).
+
+    ``max_hub_degree`` is the scale guard: wedges THROUGH nodes of
+    higher degree are skipped — a hub's wedge fan-out is quadratic in
+    its degree while its predictive signal is famously poor
+    (Adamic-Adar exists to down-weight exactly these), so the cap
+    trades the worthless quadratic term away; full degrees still feed
+    the Jaccard denominator. Same knob philosophy as
+    `copurchase_edges.max_basket`: deterministic, oracle-replayable,
+    cap above the hub tail so only pathological nodes are touched."""
+    adj = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nb")
+    ).unionByName(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    wedge_in = adj
+    if max_hub_degree is not None:
+        if max_hub_degree < 1:
+            raise ValueError(
+                f"max_hub_degree must be >= 1, got {max_hub_degree}"
+            )
+        ok_hubs = deg.filter(F.col("degree") <= max_hub_degree).select(
+            F.col("node").alias("nb")
+        )
+        wedge_in = adj.join(ok_hubs, "nb")
+    a, b = wedge_in.alias("a"), wedge_in.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.nb") == F.col("b.nb"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(
+            F.col("a.node").alias("src"), F.col("b.node").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    unlinked = common.join(edges, ["src", "dst"], "left_anti")
+    da = deg.select(F.col("node").alias("src"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("degree").alias("__db"))
+    return (
+        unlinked.join(da, "src")
+        .join(db, "dst")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("__da") + F.col("__db") - F.col("n_common")),
+        )
+        .select("src", "dst", "n_common", "jaccard")
+    )

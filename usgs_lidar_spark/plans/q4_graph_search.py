@@ -1643,3 +1643,59 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_CAPPED_LI_CTE}, e AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), adj AS (
+        SELECT src AS node, dst AS nb FROM e
+        UNION ALL SELECT dst, src FROM e
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM adj GROUP BY node
+    ), common AS (
+        SELECT a.node AS src, b.node AS dst,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM adj a JOIN adj b
+          ON a.nb = b.nb AND a.node < b.node
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), unlinked AS (
+        SELECT c.* FROM common c
+        ANTI JOIN e ON e.src = c.src AND e.dst = c.dst
+    )
+    SELECT u.src, u.dst, u.n_common,
+           CAST(u.n_common AS DOUBLE)
+               / (da.degree + db.degree - u.n_common) AS jaccard
+    FROM unlinked u
+    JOIN deg da ON da.node = u.src
+    JOIN deg db ON db.node = u.dst
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph
+    (round 16 — `operators/graph.link_prediction_jaccard`): unconnected
+    part pairs sharing >= 2 co-purchase neighbors, scored by
+    neighborhood Jaccard — the "bought X, also bought Y" candidate
+    generator (Liben-Nowell & Kleinberg's baseline). Wedge join (the
+    `graph_triangles_parts` cost class), exact integer counts, one
+    anti-join, one division; the same max_basket=8 capped edge build
+    every graph query here shares, replayed by the oracle."""
+    from usgs_lidar_spark.operators.graph import (
+        copurchase_edges,
+        link_prediction_jaccard,
+    )
+
+    edges = copurchase_edges(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+        max_basket=8,
+    )
+    return link_prediction_jaccard(edges, min_common=2)
