@@ -6412,6 +6412,38 @@ def test_knn_label_vote_majority_gate_and_ties(spark):
     assert knn_label_vote(corpus, null_seeds, k=3).count() == 0
 
 
+def test_knn_label_vote_arrow_expr_parity(spark):
+    """Optimization round 16: the Arrow kernel (`impl="arrow"`, default)
+    and the pure-expression form (`impl="expr"`) must agree BIT FOR BIT
+    — same rounded sims (sequential-fold dot + shortest-decimal
+    HALF_UP rounding, `functions.arrow_exact`), same tie-breaks, same
+    gating — on the sf0.001 gate split, with and without min_frac."""
+    from usgs_lidar_spark.operators.similarity import knn_label_vote
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    seeds = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    for mf in (None, 0.6):
+        a = sorted(
+            map(
+                tuple,
+                knn_label_vote(
+                    corpus, seeds, k=5, min_frac=mf, impl="arrow"
+                ).collect(),
+            )
+        )
+        e = sorted(
+            map(
+                tuple,
+                knn_label_vote(
+                    corpus, seeds, k=5, min_frac=mf, impl="expr"
+                ).collect(),
+            )
+        )
+        assert a == e
+
+
 def test_bloom_prefilter_join_transparent_and_no_false_negatives(spark):
     """Bloom semi-join reduction (round 16): no false negatives (every
     build key passes its own bitmap), the prefiltered join is row-for-

@@ -631,16 +631,22 @@ def test_hard_negatives_partial_topk_before_shuffle(spark):
 
 
 def test_knn_label_gate_map_only(spark):
-    """`sim_knn_label_gate` (round 16): the ONLY exchanges are the
-    one-row seed-array collect (SinglePartition) and its broadcast —
-    the corpus side never shuffles and no window runs (top-k + vote +
-    majority are array expressions inside the scan, behind a Generate
-    barrier that keeps pushed filters from cloning the scoring tree)."""
+    """`sim_knn_label_gate` (optimization round 16): the whole top-k +
+    vote + majority runs as ONE Arrow kernel over the pruned (id, vec)
+    corpus scan — no key exchange, no window, no join (the seed set
+    rides the task closure; bit-parity with the expression form is
+    pinned by test_knn_label_vote_arrow_expr_parity). The only
+    allowed exchange is the scale-adaptive round-robin spread that
+    engages when the scan has fewer splits than the cluster has slots
+    (always true at this fixture size, never at real scale)."""
     plan = _plan(spark, "sim_knn_label_gate")
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "Generate explode" in plan
+    assert "MapInArrow" in plan
     assert plan.count("Exchange hashpartitioning") == 0
     assert "Window" not in plan
+    assert "Join" not in plan
+    # column pruning reaches the scan despite the opaque kernel
+    read = plan.split("ReadSchema")[1][:200]
+    assert "vec_id" in read and "label" not in read
 
 
 def test_bloom_prefilter_runs_before_probe_exchange(spark):
