@@ -6365,6 +6365,86 @@ def test_minhash_decon_pairs_flags_edited_copy(spark):
     assert abs(got[(2, 100)] - 33.0 / 39.0) < 1e-12
 
 
+def test_minhash_band_table_matches_expression_form(spark):
+    """Optimization round 16: the Arrow band kernel
+    (`minhash_kernel.minhash_band_table`) reproduces Spark's xxhash64
+    BIT FOR BIT, so its (doc_id, band, h) table must equal the
+    expression form `_minhash_band_long(char_shingles(max_df=None))`
+    row for row — on the sf0.001 corpus (ASCII fast path) AND on a
+    synthetic non-ASCII fixture (scalar xxh64 fallback), including
+    short-doc and NULL-text edge rows."""
+    from tests.conftest import SF_SMALL
+    from usgs_lidar_spark.operators.dedup import (
+        _minhash_band_long,
+        char_shingles,
+    )
+    from usgs_lidar_spark.operators.minhash_kernel import minhash_band_table
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    fixtures = [
+        docs,
+        spark.createDataFrame(
+            [
+                (1, "héllo wörld — ein ziemlich ünïcode Dokument hier"),
+                (2, "héllo wörld — ein ziemlich ünïcode Dokument hier!"),
+                (3, "plain ascii body that is long enough to shingle"),
+                (4, "short"),
+                (5, None),
+            ],
+            ["doc_id", "text"],
+        ),
+    ]
+    for df in fixtures:
+        e = sorted(
+            map(
+                tuple,
+                _minhash_band_long(
+                    char_shingles(df, "text", "doc_id", 8, max_df=None), 64, 32
+                ).collect(),
+            )
+        )
+        a = sorted(
+            map(tuple, minhash_band_table(df, "text", "doc_id", 8, 64, 32).collect())
+        )
+        assert e == a and len(a) > 0
+
+
+def test_minhash_decon_arrow_expr_parity(spark):
+    """Optimization round 16: `minhash_decon_pairs` impl="arrow" (the
+    fused single-scan kernel, default) and impl="expr" (the banded-join
+    form) must agree bit for bit — same pairs, same IEEE jaccard — on
+    the sf0.001 cross-set split plus planted exact/edited copies that
+    guarantee hits above and below threshold."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from usgs_lidar_spark.operators.dedup import minhash_decon_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    base = docs.filter(F.col("doc_id") % 11 != 0)
+    first = bench.orderBy("doc_id").first()
+    edited = "x" + first["text"][1:]
+    planted = spark.createDataFrame(
+        [(900001, first["text"]), (900002, edited), (900003, "zz" * 40)],
+        ["doc_id", "text"],
+    )
+    corpus = base.unionByName(planted)
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["bench_id"], r["jaccard"]) for r in df.collect()
+    )
+    a = key(
+        minhash_decon_pairs(corpus, bench, "text", "doc_id", impl="arrow")
+    )
+    e = key(
+        minhash_decon_pairs(corpus, bench, "text", "doc_id", impl="expr")
+    )
+    assert a == e
+    assert (900001, first["doc_id"], 1.0) in a
+
+
 def test_knn_label_vote_majority_gate_and_ties(spark):
     """Map-only kNN vote semantics (round 16): majority label wins with
     (votes DESC, label ASC) ties, NULL-label seeds never vote,

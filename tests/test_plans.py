@@ -649,6 +649,26 @@ def test_knn_label_gate_map_only(spark):
     assert "vec_id" in read and "label" not in read
 
 
+def test_fuzzy_decon_single_scan_map_only(spark):
+    """`pipe_contamination_fuzzy` (optimization round 16): the fused
+    decon kernel runs banding + candidate probing + exact verification
+    in ONE MapInArrow over the corpus scan — no shingle explode, no
+    band self/cross join, no aggregate, no key exchange (bit-parity
+    with the expression form is pinned by
+    test_minhash_decon_arrow_expr_parity). The benchmark side is
+    collected+broadcast at construction; the only allowed exchange is
+    the tiny-input round-robin spread."""
+    plan = _plan(spark, "pipe_contamination_fuzzy")
+    assert "MapInArrow" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate explode" not in plan
+    # column pruning reaches the scan despite the opaque kernel
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" in read and "lang" not in read
+
+
 def test_bloom_prefilter_runs_before_probe_exchange(spark):
     """`j4_bloom_prefilter_join` (round 16): the might_contain filter
     (xxhash64 probe bits) evaluates in the probe scan's stage, BELOW

@@ -552,6 +552,7 @@ def minhash_decon_pairs(
     bands: int = 32,
     threshold: float = 0.6,
     broadcast_bench: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """FUZZY benchmark decontamination: (corpus_id, bench_id, jaccard)
     for every corpus document NEAR-duplicating an eval/benchmark
@@ -585,7 +586,28 @@ def minhash_decon_pairs(
     (n_bench x bands rows of (id, band, h)) broadcast so the candidate
     join is map-side and the corpus never shuffles for it; past ~1e6
     eval docs drop the hint and let AQE decide. The verify joins move
-    (candidate id, shingle) rows only."""
+    (candidate id, shingle) rows only.
+
+    ``impl`` (optimization round 16, guide §4.2/§8): ``"arrow"``
+    (default) fuses the whole operator into ONE corpus scan —
+    `minhash_kernel.minhash_decon_inline` collects and bands the
+    bounded benchmark side in the driver (the same budget the
+    band-table broadcast already imposed), broadcasts it, and each
+    corpus task bands its own docs with a BIT-EXACT NumPy reproduction
+    of the xxhash64 construction, probes for candidates and
+    exact-verifies them in place. Candidates and verified output are
+    row-for-row identical to the expression form (parity pinned by
+    `test_minhash_decon_arrow_expr_parity`); measured 10.8 s → ~1 s on
+    the sf0.1 fuzzy-decon bench. ``"expr"`` keeps the pure-JVM
+    banded-join form (`broadcast_bench` applies to it only)."""
+    if impl == "arrow":
+        from usgs_lidar_spark.operators.minhash_kernel import minhash_decon_inline
+
+        return minhash_decon_inline(
+            corpus, benchmark, text_col, id_col, k, num_perm, bands, threshold
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     c_sh = char_shingles(corpus, text_col, id_col, k, max_df=None).cache()
     b_sh = char_shingles(benchmark, text_col, id_col, k, max_df=None).cache()
     c_long = _minhash_band_long(c_sh, num_perm, bands)
