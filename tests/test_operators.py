@@ -6409,6 +6409,29 @@ def test_minhash_band_table_matches_expression_form(spark):
         assert e == a and len(a) > 0
 
 
+def test_minhash_lsh_arrow_expr_parity(spark):
+    """Optimization round 16: `minhash_lsh_pairs` impl="arrow" (kernel
+    banding + hot-code df cap + kernel verify, default) and impl="expr"
+    (the exploded-shingle form) must agree bit for bit — same pairs,
+    same IEEE jaccard — with the cap on (the bench shape) and off, on
+    the sf0.001 corpus (27 verified pairs at max_df=20)."""
+    from tests.conftest import SF_SMALL
+    from usgs_lidar_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    key = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    )
+    for max_df in (20, None):
+        a = key(
+            minhash_lsh_pairs(docs, "text", "doc_id", max_df=max_df, impl="arrow")
+        )
+        e = key(
+            minhash_lsh_pairs(docs, "text", "doc_id", max_df=max_df, impl="expr")
+        )
+        assert a == e and len(a) > 0
+
+
 def test_minhash_decon_arrow_expr_parity(spark):
     """Optimization round 16: `minhash_decon_pairs` impl="arrow" (the
     fused single-scan kernel, default) and impl="expr" (the banded-join
