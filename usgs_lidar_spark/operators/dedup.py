@@ -425,7 +425,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.6,
     max_df: int | None = 20,
-    impl: str = "arrow",
+    impl: str = "expr",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard. rows-per-band = num_perm // bands; two docs collide if
@@ -433,21 +433,30 @@ def minhash_lsh_pairs(
     hash — never an all-pairs comparison). Candidates are then verified
     with exact shingle Jaccard so the output has no false positives.
 
-    ``impl`` (optimization round 16, guide §4.2/§8): ``"arrow"``
-    (default) computes signatures+bands map-side in one Arrow kernel
-    pass with a BIT-EXACT NumPy reproduction of the xxhash64
-    construction (`minhash_kernel`): the df cap becomes one 8-byte-code
-    aggregate + a broadcast hot-code set (the stop-shingle tail the cap
-    exists to drop — a vanishing fraction of distinct shingles),
-    banding rides the scan (no shingle explode, no distinct shuffle, no
-    64-column aggregate), the candidate equi-join is unchanged, and
+    ``impl`` (optimization round 16, guide §1/§4.2/§8): ``"arrow"``
+    computes signatures+bands map-side in one Arrow kernel pass with a
+    BIT-EXACT NumPy reproduction of the xxhash64 construction
+    (`minhash_kernel`): the df cap becomes one 8-byte-code aggregate +
+    a broadcast hot-code set, banding rides the scan (no shingle
+    explode, no distinct shuffle, no 64-column aggregate), and
     verification re-shingles only the candidate pairs' raw texts inside
     a second kernel instead of the k-times-inflated (id, shingle) join.
     Output is row-for-row identical to the expression form (parity
-    pinned by `test_minhash_lsh_arrow_expr_parity`); measured ~2.9 s →
-    ~1 s on the sf0.1 lsh bench, and every caller of the pair graph
-    (cluster collapse, keep-best, v7) inherits it. ``"expr"`` keeps the
-    pure-JVM form below."""
+    pinned by `test_minhash_lsh_arrow_expr_parity`).
+
+    The DEFAULT stays ``"expr"`` after measuring both (guide §1.1
+    "measure, don't guess"): the expression form is pure Catalyst, so
+    its cached shingle/band frames are plan-equal across repeated
+    constructions and every re-run (and every same-session consumer —
+    cluster collapse, keep-best, v7) reuses them, giving a 2.9 s
+    steady-state at sf0.1 vs 6.6 s for the kernel path, whose eager
+    hot-code job and Python-function plans can never hit the JVM plan
+    cache (measured: arrow cold 7.5 s / steady 6.6 s; expr cold 10.4 s /
+    steady 2.9 s; `pipe_end_to_end_v7` 9.6 s expr vs 15.7+ s arrow).
+    The kernel form remains the right shape where there is no reusable
+    self-join state — the cross-set decon (`minhash_decon_pairs`,
+    default arrow, 10.8 s -> 1.9 s) — and is kept selectable here for
+    single-pass callers."""
     if impl == "arrow":
         from usgs_lidar_spark.operators import minhash_kernel as mk
 
