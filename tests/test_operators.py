@@ -6547,6 +6547,83 @@ def test_knn_label_vote_arrow_expr_parity(spark):
         assert a == e
 
 
+def test_ivf_assign_arrow_parity(spark):
+    """Optimization round 16: `ivf_assign`'s Arrow kernel (the `auto`
+    strategy past the expression budget) must agree BIT FOR BIT with
+    both expression strategies — same `__cid` argmax (max rounded sim,
+    min cid on ties) and same `__csim` — including zero-norm rows, a
+    zero-norm centroid, exact-duplicate vectors (sim-1.0 ties) and
+    scaled copies."""
+    from usgs_lidar_spark.operators.similarity import (
+        _ivf_assign_arrow,
+        ivf_assign,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.first()["embedding"])
+    extra = spark.createDataFrame(
+        [(900001, [0.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    dups = emb.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 910000).alias("vec_id"), "embedding"
+    )
+    scaled = emb.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 920000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.5)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(extra).unionByName(dups).unionByName(scaled)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 90).collect()
+    ]
+    cents.append((990, [0.0] * dim))  # zero-norm centroid
+    for ks in (False, True):
+        cols = ["vec_id", "__cid"] + (["__csim"] if ks else [])
+        k = sorted(
+            map(
+                tuple,
+                _ivf_assign_arrow(corpus, cents, "embedding", 4, ks)
+                .select(*cols)
+                .collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                ivf_assign(
+                    corpus, cents, "embedding", 4,
+                    method="broadcast", keep_sim=ks,
+                )
+                .select(*cols)
+                .collect(),
+            )
+        )
+        assert k == b
+    # expression strategy on a small quantizer
+    k8 = sorted(
+        map(
+            tuple,
+            _ivf_assign_arrow(corpus, cents[:8], "embedding", 4, False)
+            .select("vec_id", "__cid")
+            .collect(),
+        )
+    )
+    e8 = sorted(
+        map(
+            tuple,
+            ivf_assign(corpus, cents[:8], "embedding", 4, method="expr")
+            .select("vec_id", "__cid")
+            .collect(),
+        )
+    )
+    assert k8 == e8
+
+
 def test_bloom_prefilter_join_transparent_and_no_false_negatives(spark):
     """Bloom semi-join reduction (round 16): no false negatives (every
     build key passes its own bitmap), the prefiltered join is row-for-

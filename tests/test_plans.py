@@ -395,14 +395,18 @@ HEADLINE_DIGESTS = {
         "SortMergeJoin": 3,
     },
     # semdedup: the assignment subtree sits behind the lazy
-    # localCheckpoint (a LogicalRDD leaf — its broadcast-quantizer
-    # crossJoin is not part of THIS plan), so the digest covers the
+    # localCheckpoint (a LogicalRDD leaf), so the digest covers the
     # pair search: cell self-join + per-id dup rollup + the audit left
-    # join, SMJ at this size (AQE broadcasts the dups side at runtime;
-    # both joins are key-equi, never cartesian).
+    # join. Re-audited in optimization round 16 after ivf_assign's
+    # Arrow-kernel assignment: the checkpointed frame's size estimate
+    # now lets the static planner take the audit join as a
+    # BroadcastHashJoin (it WAS an AQE runtime rescue), dropping two
+    # exchanges — 4 shuffles/2 SMJ -> 2 shuffles/1 SMJ/1 BHJ.
     "dedup_semantic_semdedup": {
-        "shuffle_exchange": 4,
-        "SortMergeJoin": 2,
+        "shuffle_exchange": 2,
+        "SortMergeJoin": 1,
+        "BroadcastExchange": 1,
+        "BroadcastHashJoin": 1,
     },
     # Round-13 headliners (r12 verdict item 6: every tier gets a bench
     # presence). cdc_apply_changelog's SortAggregates are the
@@ -437,15 +441,16 @@ HEADLINE_DIGESTS = {
     # lazy-localCheckpointed keepers frame — the dedup_cluster_collapse
     # precedent), so the digest covers the post-checkpoint stages:
     # decon corpus semi-join + packed-bench broadcast + the flagged
-    # anti-join + the n_tokens output join. The 2 BroadcastNestedLoop-
-    # Joins are ivf_assign's one-row broadcast-quantizer riders (corpus
-    # and bench assignment), the engine-wide broadcast-scalar class.
+    # anti-join + the n_tokens output join. Re-audited in optimization
+    # round 16: ivf_assign's Arrow kernel replaced both one-row
+    # broadcast-quantizer riders (the 2 BroadcastNestedLoopJoins are
+    # GONE), and the kernel frames' size estimates promote one former
+    # SMJ to a BroadcastHashJoin — 5 shuffles -> 4.
     "pipe_end_to_end_v7": {
-        "shuffle_exchange": 5,
-        "BroadcastExchange": 4,
-        "BroadcastHashJoin": 2,
-        "BroadcastNestedLoopJoin": 2,
-        "SortMergeJoin": 2,
+        "shuffle_exchange": 4,
+        "BroadcastExchange": 3,
+        "BroadcastHashJoin": 3,
+        "SortMergeJoin": 1,
     },
     # Hot-pack-guarded semantic decon: the 3 shuffles are the bench-side
     # pack-size stats, the Hamming<=1 explode+regroup, and the (cell,

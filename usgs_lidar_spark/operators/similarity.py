@@ -314,6 +314,102 @@ def _with_centroid_sims(
     return out, sims, tmp
 
 
+def _ivf_assign_arrow(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    round_digits: int,
+    keep_sim: bool,
+) -> DataFrame:
+    """`ivf_assign`'s Arrow kernel (optimization round 16, guide §4.2) —
+    bit-identical to the broadcast/expr strategies: the quantizer rides
+    the task closure as a (k, dim) float64 matrix and the per-row argmax
+    runs as one `mapInArrow` NumPy pass over the scan, replacing k
+    interpreted higher-order dot folds per row (zip_with/aggregate get
+    no codegen — measured 2.7 s for 2,286 rows x 48 centroids on one
+    core, vs 0.1 s in the kernel). Exactness carries through the same
+    `arrow_exact` contract every kernel here uses: sequential-fold
+    dot/norm order, Spark's shortest-decimal HALF_UP rounding, and the
+    struct-max tie-break reproduced by a first-occurrence argmax over
+    cid-ASCENDING centroids (max sim, then min cid — NaN sims, were a
+    vector ever non-finite, also win in both forms). Zero-norm rows and
+    centroids pin sim 0.0 exactly like the expression `when` guards.
+
+    Map-only, zero corpus shuffle at scale: the round-robin spread
+    engages ONLY when the scan has fewer splits than the cluster has
+    slots (the tiny-input regime; at real scale the guard is false and
+    assignment rides the scan stage exactly like the expression form).
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from usgs_lidar_spark.functions.arrow_exact import (
+        list_array_to_matrix,
+        seqfold_dot,
+        seqfold_sqnorm,
+        spark_round_double,
+    )
+
+    cents = sorted(
+        ((int(cid), [float(x) for x in cvec]) for cid, cvec in centroids),
+        key=lambda t: t[0],
+    )
+    dims = {len(v) for _, v in cents}
+    if len(dims) > 1:
+        raise ValueError(f"ragged centroid dims: {sorted(dims)[:5]}")
+    dim = dims.pop()
+    cid_list = [c for c, _ in cents]
+    cvec_list = [v for _, v in cents]
+    rd = int(round_digits)
+    ks = bool(keep_sim)
+    vec_idx = corpus.columns.index(vec_col)
+    out_fields = list(corpus.schema.fields) + [StructField("__cid", LongType())]
+    if ks:
+        out_fields.append(StructField("__csim", DoubleType()))
+    out_schema = StructType(out_fields)
+
+    def kernel(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_out = to_arrow_schema(out_schema)
+        m = len(cid_list)
+        S = np.asarray(cvec_list, dtype=np.float64).reshape(m, dim)
+        cids = np.asarray(cid_list, dtype=np.int64)
+        snorm = np.sqrt(seqfold_sqnorm(S))
+        szero = snorm == 0.0
+        # cap the (chunk x k) sim block at ~32 MB of doubles
+        chunk = max(1, (4 * 1024 * 1024) // max(m, 1))
+        for batch in batches:
+            for lo in range(0, batch.num_rows, chunk):
+                sub = batch.slice(lo, chunk)
+                C = list_array_to_matrix(sub.column(vec_idx), expect_dim=dim)
+                vnorm = np.sqrt(seqfold_sqnorm(C))
+                denom = vnorm[:, None] * snorm[None, :]
+                zero = (vnorm[:, None] == 0.0) | szero[None, :]
+                sims = spark_round_double(
+                    seqfold_dot(C, S) / np.where(zero, 1.0, denom), rd
+                )
+                np.copyto(sims, 0.0, where=zero)
+                best = np.argmax(sims, axis=1)  # first max == min cid on ties
+                cols = list(sub.columns)
+                cols.append(pa.array(cids[best], type=pa.int64()))
+                if ks:
+                    cols.append(
+                        pa.array(
+                            sims[np.arange(sims.shape[0]), best],
+                            type=pa.float64(),
+                        )
+                    )
+                yield pa.RecordBatch.from_arrays(cols, schema=arrow_out)
+
+    c = corpus
+    sc = corpus.sparkSession.sparkContext
+    if c.rdd.getNumPartitions() < sc.defaultParallelism:
+        c = c.repartition(sc.defaultParallelism)
+    return c.mapInArrow(kernel, out_schema)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]] | DataFrame,
@@ -325,13 +421,19 @@ def ivf_assign(
     """Attach `__cid`: the nearest (max rounded cosine, min id on ties)
     coarse centroid. Centroids are a driver-side list — the coarse
     quantizer is k vectors (k ~ sqrt(corpus) cells in practice, kilobytes
-    to megabytes). Assignment is embarrassingly parallel under BOTH
-    strategies (`_with_centroid_sims`): it runs inside the scan stage with
-    no shuffle of the corpus at any size; `method='broadcast'` keeps the
-    PLAN O(1) in k as well, which is what survives a real quantizer.
-    ``keep_sim`` additionally attaches `__csim`, the rounded cosine to the
-    assigned centroid (the quantization-quality signal drift metrics
-    read).
+    to megabytes). Assignment is embarrassingly parallel under EVERY
+    strategy: it runs inside the scan stage with no shuffle of the
+    corpus at any size. ``method``: ``expr`` unrolls k*dim literal
+    expression nodes (right for a tiny quantizer); ``broadcast``
+    attaches the quantizer as a one-row broadcast and folds it with
+    higher-order functions (plan O(1) in k); ``kernel`` (optimization
+    round 16 — what ``auto`` now picks past the expression budget)
+    ships the quantizer in the task closure and runs the argmax as one
+    `mapInArrow` NumPy pass, bit-identical to both expression forms
+    (`_ivf_assign_arrow`) and ~10x faster per row than the interpreted
+    zip_with/aggregate folds, which get no codegen. ``keep_sim``
+    additionally attaches `__csim`, the rounded cosine to the assigned
+    centroid (the quantization-quality signal drift metrics read).
 
     ``centroids`` may ALSO be a DataFrame of (cid, cvec) — the round-13
     large-k form: past the one-row-broadcast ceiling (k ~ sqrt(corpus)
@@ -362,6 +464,25 @@ def ivf_assign(
             round_digits=round_digits,
             keep_sim=keep_sim,
         )
+    if method == "auto":
+        dim = len(centroids[0][1]) if centroids else 0
+        method = (
+            "expr"
+            if len(centroids) <= _EXPR_PATH_MAX_K
+            and len(centroids) * dim <= _EXPR_PATH_MAX_NODES
+            else "kernel"
+        )
+    if method == "kernel":
+        # Kernel preconditions (all rare): a non-empty quantizer and no
+        # name collision with the attached columns — otherwise the
+        # broadcast strategy answers identically.
+        if centroids and "__cid" not in corpus.columns and (
+            not keep_sim or "__csim" not in corpus.columns
+        ):
+            return _ivf_assign_arrow(
+                corpus, centroids, vec_col, round_digits, keep_sim
+            )
+        method = "broadcast"
     df, sims, tmp = _with_centroid_sims(
         corpus, centroids, vec_col, round_digits, method
     )
