@@ -132,14 +132,17 @@ HEADLINE_DIGESTS = {
     "w1_running_sum": {"shuffle_exchange": 1},
     "r1_session_window": {"shuffle_exchange": 1},
     "asof_purchase_before_click": {"shuffle_exchange": 1},
-    # dedup_minhash_lsh's 17 shuffles are the banded LSH pipeline
-    # (shingle agg + 4 band self-join legs + verify); re-audited in
-    # optimization round 16: the Arrow kernel twin (impl="arrow",
-    # 1 shuffle) measured SLOWER steady-state because only this pure-
-    # Catalyst form is plan-equal across constructions and reuses its
-    # cached shingle/band frames (see minhash_lsh_pairs docstring).
+    # dedup_minhash_lsh is the banded LSH pipeline (shingle agg + 4
+    # band self-join legs + verify); re-audited in optimization round
+    # 16 twice: the Arrow kernel twin (impl="arrow", 1 shuffle)
+    # measured SLOWER steady-state because only this pure-Catalyst form
+    # is plan-equal across constructions and reuses its cached
+    # shingle/band frames (see minhash_lsh_pairs docstring); then
+    # array_distinct-before-explode deleted the exploded-pair
+    # `.distinct()` exchange from every shingle leg (17 -> 11
+    # shuffles; same legs, same joins).
     "dedup_minhash_lsh": {
-        "shuffle_exchange": 17,
+        "shuffle_exchange": 11,
         "BroadcastExchange": 5,
         "BroadcastHashJoin": 5,
     },
@@ -213,8 +216,13 @@ HEADLINE_DIGESTS = {
     # broadcast, two key shuffles is its floor. Cohort retention re-keys
     # through user -> (user,cohort,offset) -> (cohort,offset) with the
     # size table broadcast.
+    # Re-audited in optimization round 16: array_distinct BEFORE the
+    # shingle explode makes (doc_id, shingle) rows distinct by
+    # construction, deleting the exploded-pair `.distinct()` exchange
+    # from every shingle leg (19 -> 13 shuffles here; same legs, same
+    # joins otherwise).
     "dedup_minhash_incremental": {
-        "shuffle_exchange": 19,
+        "shuffle_exchange": 13,
         "BroadcastExchange": 8,
         "BroadcastHashJoin": 8,
         "SortMergeJoin": 1,
@@ -341,8 +349,10 @@ HEADLINE_DIGESTS = {
         "BroadcastHashJoin": 1,
         "BroadcastNestedLoopJoin": 1,
     },
+    # Re-audited in optimization round 16 (array_distinct-before-
+    # explode, see dedup_minhash_lsh): 18 -> 12 shuffles.
     "pipe_split_leakage": {
-        "shuffle_exchange": 18,
+        "shuffle_exchange": 12,
         "BroadcastExchange": 7,
         "BroadcastHashJoin": 7,
     },

@@ -160,15 +160,22 @@ def char_shingles(
     # Explicit empty-array guard: Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0] (not empty), which would fabricate shingles for
     # docs shorter than k — the oracle's range(1, 1) is empty.
+    # array_distinct BEFORE the explode (optimization round 16, guide
+    # §2.4): per-document dedup is a map-side array op, and since two
+    # documents can never collide on (doc_id, shingle), per-doc-distinct
+    # IS globally distinct — the downstream `.distinct()` shuffle of
+    # every exploded pair disappears outright.
     shingle_arr = F.expr(
         f"CASE WHEN length({text_col}) < {k} THEN CAST(array() AS ARRAY<STRING>) "
-        f"ELSE transform(sequence(1, length({text_col}) - {k - 1}), "
-        f"i -> substring({text_col}, i, {k})) END"
+        f"ELSE array_distinct(transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k}))) END"
     )
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle")
     )
-    return _df_capped_pairs(exploded, max_df, max_df_frac, fused_small_corpus)
+    return _df_capped_pairs(
+        exploded, max_df, max_df_frac, fused_small_corpus, predistinct=True
+    )
 
 
 def _df_capped_pairs(
@@ -176,14 +183,25 @@ def _df_capped_pairs(
     max_df: int | None,
     max_df_frac: float | None,
     fused_small_corpus: bool,
+    predistinct: bool = False,
 ) -> DataFrame:
     """The shared document-frequency cap over an exploded (doc_id,
     shingle) frame — char_shingles' three cap strategies (fractional /
     absolute-window / fused collect_set; see its docstring for the
     memory and scale contracts of each), factored out so token-gram
-    shingling reuses them verbatim."""
+    shingling reuses them verbatim.
+
+    ``predistinct=True`` declares the builder already deduplicated each
+    document's shingle array map-side (`array_distinct` before the
+    explode — optimization round 16): (doc_id, shingle) rows are then
+    globally distinct by construction and the `.distinct()` shuffle is
+    skipped in every strategy."""
+
+    def _distinct(df: DataFrame) -> DataFrame:
+        return df if predistinct else df.distinct()
+
     if max_df_frac is not None:
-        pairs = exploded.distinct().localCheckpoint(eager=False)
+        pairs = _distinct(exploded).localCheckpoint(eager=False)
         n_docs = pairs.agg(F.count_distinct("doc_id").alias("__n"))
         w = Window.partitionBy("shingle")
         return (
@@ -199,7 +217,7 @@ def _df_capped_pairs(
             .select("doc_id", "shingle")
         )
     if max_df is None:
-        return exploded.distinct()
+        return _distinct(exploded)
     if fused_small_corpus:
         return (
             exploded.groupBy("shingle")
@@ -207,7 +225,7 @@ def _df_capped_pairs(
             .filter(F.size("__ids") <= max_df)
             .select(F.explode("__ids").alias("doc_id"), "shingle")
         )
-    pairs = exploded.distinct()
+    pairs = _distinct(exploded)
     w = Window.partitionBy("shingle")
     return (
         pairs.withColumn("__df", F.count(F.lit(1)).over(w))
@@ -257,15 +275,19 @@ def token_shingles(
     grams = F.when(
         m < n, F.array().cast("array<string>")
     ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), m - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
         )
     )
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
     )
-    return _df_capped_pairs(exploded, max_df, max_df_frac, fused_small_corpus)
+    return _df_capped_pairs(
+        exploded, max_df, max_df_frac, fused_small_corpus, predistinct=True
+    )
 
 
 def source_overlap_matrix(
