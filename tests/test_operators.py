@@ -6624,6 +6624,72 @@ def test_ivf_assign_arrow_parity(spark):
     assert k8 == e8
 
 
+def test_semantic_contamination_arrow_parity(spark):
+    """Optimization round 16: `semantic_contamination`'s Arrow kernel
+    (the `auto` path) must agree BIT FOR BIT with the packed-expression
+    plan (`impl="expr"`) — same cids, hit counts and flags — with the
+    hot-pack guard on (both hot and cold cells live) and off, and on
+    an empty benchmark."""
+    from usgs_lidar_spark.operators.similarity import (
+        semantic_contamination,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bench = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+        ).alias("embedding")
+    )
+    for k, cfg in [
+        (8, dict(max_pack_size=16, sub_bits=8)),
+        (48, dict()),
+    ]:
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < k).collect()
+        ]
+        a = sorted(
+            map(
+                tuple,
+                semantic_contamination(
+                    emb, bench, cents, threshold=0.99, **cfg
+                ).collect(),
+            )
+        )
+        e = sorted(
+            map(
+                tuple,
+                semantic_contamination(
+                    emb, bench, cents, threshold=0.99, impl="expr", **cfg
+                ).collect(),
+            )
+        )
+        assert a == e
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    none = bench.filter(F.lit(False))
+    a = sorted(
+        map(
+            tuple,
+            semantic_contamination(emb, none, cents, threshold=0.99).collect(),
+        )
+    )
+    e = sorted(
+        map(
+            tuple,
+            semantic_contamination(
+                emb, none, cents, threshold=0.99, impl="expr"
+            ).collect(),
+        )
+    )
+    assert a == e and len(a) == emb.count()
+
+
 def test_bloom_prefilter_join_transparent_and_no_false_negatives(spark):
     """Bloom semi-join reduction (round 16): no false negatives (every
     build key passes its own bitmap), the prefiltered join is row-for-

@@ -450,29 +450,28 @@ HEADLINE_DIGESTS = {
     # at construction (CC rounds + the keeper aggregate behind the
     # lazy-localCheckpointed keepers frame — the dedup_cluster_collapse
     # precedent), so the digest covers the post-checkpoint stages:
-    # decon corpus semi-join + packed-bench broadcast + the flagged
-    # anti-join + the n_tokens output join. Re-audited in optimization
-    # round 16: ivf_assign's Arrow kernel replaced both one-row
+    # decon corpus semi-join + the flagged anti-join + the n_tokens
+    # output join. Re-audited twice in optimization round 16:
+    # ivf_assign's Arrow kernel replaced both one-row
     # broadcast-quantizer riders (the 2 BroadcastNestedLoopJoins are
-    # GONE), and the kernel frames' size estimates promote one former
-    # SMJ to a BroadcastHashJoin — 5 shuffles -> 4.
+    # GONE, 5 shuffles -> 4), then the fused semantic_contamination
+    # kernel removed the packed-bench build and its joins outright
+    # (4 -> 2 shuffles; the decon stage is now a map-only MapInArrow
+    # over the keeper semi-join).
     "pipe_end_to_end_v7": {
-        "shuffle_exchange": 4,
-        "BroadcastExchange": 3,
-        "BroadcastHashJoin": 3,
+        "shuffle_exchange": 2,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
         "SortMergeJoin": 1,
     },
-    # Hot-pack-guarded semantic decon: the 3 shuffles are the bench-side
-    # pack-size stats, the Hamming<=1 explode+regroup, and the (cell,
-    # key) pack aggregate; the 3 broadcasts are hot-stats onto bench,
-    # hot-stats onto corpus, and the packed bench build side. The
-    # corpus side contributes ZERO shuffle exchanges — the operator's
-    # contract (quantizer rides the ivf_assign expression path at k=8,
-    # so no BroadcastNestedLoopJoin rider here).
+    # Hot-pack-guarded semantic decon. Re-audited in optimization round
+    # 16: the fused semantic_contamination Arrow kernel packs the
+    # driver-collected bench in the task closure and runs assignment +
+    # hot-pack gating + hit counting in ONE MapInArrow over the corpus
+    # scan — the former bench-side pack shuffles and broadcasts are
+    # gone and the whole query is map-only (1.6 s -> 0.45 s isolated).
     "pipe_semantic_decon_hotbench": {
-        "shuffle_exchange": 3,
-        "BroadcastExchange": 3,
-        "BroadcastHashJoin": 3,
+        "shuffle_exchange": 0,
     },
 }
 

