@@ -6690,6 +6690,51 @@ def test_semantic_contamination_arrow_parity(spark):
     assert a == e and len(a) == emb.count()
 
 
+def test_quant_exact_kernels_match_expr(spark):
+    """Optimization round 16: the quantized-exact Arrow kernels
+    (`impl="kernel"`, the auto path past the expression budget) must
+    agree BIT FOR BIT with the literal-expression plans — int64 partial
+    aggregation is associative even under wraparound, so per-task
+    partials sum to the sequential fold exactly."""
+    from usgs_lidar_spark.operators.similarity import (
+        ivf_drift_metrics_exact,
+        kmeans_step_exact,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    old = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    new = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+        ).collect()
+    ]
+    k = sorted(
+        map(
+            tuple,
+            ivf_drift_metrics_exact(emb, old, new, impl="kernel").collect(),
+        )
+    )
+    e = sorted(
+        map(
+            tuple,
+            ivf_drift_metrics_exact(emb, old, new, impl="expr").collect(),
+        )
+    )
+    assert k == e and len(k) > 0
+    k = sorted(
+        map(tuple, kmeans_step_exact(emb, old, impl="kernel").collect())
+    )
+    e = sorted(map(tuple, kmeans_step_exact(emb, old, impl="expr").collect()))
+    assert k == e and len(k) > 0
+
+
 def test_bloom_prefilter_join_transparent_and_no_false_negatives(spark):
     """Bloom semi-join reduction (round 16): no false negatives (every
     build key passes its own bitmap), the prefiltered join is row-for-
