@@ -400,9 +400,14 @@ HEADLINE_DIGESTS = {
     # broadcasts under AQE at scale). semdedup's two shuffles are the
     # within-cell pair aggregate and the per-id dup rollup; assignment
     # is map-side (no corpus shuffle — the IVF contract).
+    # Re-audited in optimization round 16: per-shingle collect_set +
+    # map-side pair emission replaced the (source, shingle) distinct
+    # and the shingle self-join (7 shuffles/3 SMJ -> 5/2; the two
+    # remaining SMJ are the #sources-row size joins, AQE-broadcast at
+    # runtime).
     "dedup_source_overlap": {
-        "shuffle_exchange": 7,
-        "SortMergeJoin": 3,
+        "shuffle_exchange": 5,
+        "SortMergeJoin": 2,
     },
     # semdedup: the assignment subtree sits behind the lazy
     # localCheckpoint (a LogicalRDD leaf), so the digest covers the

@@ -304,15 +304,22 @@ def source_overlap_matrix(
     between sources: per unordered source pair, the shared distinct
     df-capped char-k shingles over the union.
 
-    Plan: the doc-level df cap runs FIRST (`char_shingles` — a
-    stop-shingle shared by every source is noise, not overlap
-    evidence), shingles then collapse to per-(source, shingle)
-    distinct rows, and the self-join is shingle-keyed with the same
-    bounded blowup as `ngram_jaccard_pairs` (sum over shingles of
-    sources-carrying-it squared, <= max_df²). Output is bounded by
-    #sources² rows; counts are exact integers, Jaccard is one double
-    division. At 100 TB this is the same linear shape as the doc-level
-    join — sources are a tiny domain riding an already-capped key.
+    Plan (re-shaped in optimization round 16, guide §2.3/§2.4): the
+    doc-level df cap runs FIRST (`char_shingles` — a stop-shingle
+    shared by every source is noise, not overlap evidence), then ONE
+    shuffle keyed by shingle collapses each shingle to its SOURCE SET
+    (`collect_set` — bounded by min(#sources, max_df), both tiny by
+    contract, and partially aggregated map-side), and the ordered
+    source pairs are emitted from each set with an array
+    transform/filter — pure map work. The former plan's (source,
+    shingle) `.distinct()` exchange and the two shingle-keyed
+    self-join legs are gone; the per-shingle blowup (sum over shingles
+    of sources² <= max_df²) now materializes as <= max_df²/2 struct
+    rows map-side instead of joined rows through an exchange. Output
+    is bounded by #sources² rows; counts are exact integers, Jaccard
+    is one double division. At 100 TB this is the same linear shape as
+    the doc-level join — sources are a tiny domain riding an
+    already-capped key.
 
     ``max_df_frac``: the scale-stable fractional df cap (see
     `char_shingles`) — REQUIRED reading for anyone comparing overlap
@@ -328,10 +335,15 @@ def source_overlap_matrix(
     pairs = char_shingles(
         docs, text_col, id_col, k=k, max_df=max_df, max_df_frac=max_df_frac
     )
-    # Pin: gsh is referenced three times below (sizes + both self-join
-    # legs); unpinned, the df-cap window upstream of it re-executes per
-    # reference (the NO_AQE multi-reference trap).
-    gsh = (
+    # ONE shuffle by shingle: each shingle's source SET (collect_set
+    # dedups (source, shingle) implicitly — the former standalone
+    # `.distinct()` exchange is gone; the set is bounded by
+    # min(#sources, max_df) so the aggregation buffer is tiny and
+    # map-side partial merge applies). Pin: the sets frame is
+    # referenced twice below (sizes + pair emission); unpinned, the
+    # df-cap window upstream re-executes per reference (the NO_AQE
+    # multi-reference trap).
+    sets = (
         pairs.join(
             docs.select(
                 F.col(id_col).alias("doc_id"),
@@ -339,18 +351,34 @@ def source_overlap_matrix(
             ),
             "doc_id",
         )
-        .select("__g", "shingle")
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.collect_set("__g").alias("__gs"))
         .localCheckpoint(eager=False)
     )
-    sizes = gsh.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
+    sizes = (
+        sets.select(F.explode("__gs").alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     )
-    a = gsh.withColumnRenamed("__g", "src_a")
-    b = gsh.withColumnRenamed("__g", "src_b")
+    # Ordered pairs from each set — pure map work over <= |set|²
+    # structs per shingle (bounded by max_df²), no self-join.
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "__gs",
+                lambda a: F.transform(
+                    F.col("__gs"),
+                    lambda b: F.struct(
+                        a.alias("src_a"), b.alias("src_b")
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["src_a"] < p["src_b"],
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("src_a") < F.col("src_b"))
+        sets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.src_a", "__p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
