@@ -565,6 +565,39 @@ def copurchase_edges(
             .filter(F.col("__rn") <= max_basket)
             .drop("__rn")
         )
+        # Capped path (optimization round 16, guide §2.3/§2.4): each
+        # basket is now <= max_basket rows, so collecting it to a LIST
+        # is knob-bounded (unlike the uncapped case, where only the
+        # spillable self-join is memory-safe) — and the basket groupBy
+        # REUSES the window's hash partitioning, so no new exchange.
+        # Ordered pairs are then emitted map-side from each list
+        # (<= C(max_basket, 2) structs per basket), deleting both
+        # basket-keyed self-join legs from the plan.
+        packs = li.groupBy("__basket").agg(
+            F.collect_list("__item").alias("__items")
+        )
+        pair_structs = F.filter(
+            F.flatten(
+                F.transform(
+                    "__items",
+                    lambda a: F.transform(
+                        F.col("__items"),
+                        lambda b: F.struct(
+                            a.alias("src"), b.alias("dst")
+                        ),
+                    ),
+                )
+            ),
+            lambda p: p["src"] < p["dst"],
+        )
+        return (
+            packs.select(F.explode(pair_structs).alias("__p"))
+            .select("__p.src", "__p.dst")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= min_support)
+            .select("src", "dst", *(["support"] if keep_support else []))
+        )
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(
