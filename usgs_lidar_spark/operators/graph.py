@@ -80,41 +80,59 @@ def _minlabel_rounds(
     ONE checkpoint materialization and ONE scalar convergence count
     (optimization round 16; 2 steps halves both the checkpoint writes
     and the sequential driver round-trips for a given diameter, the
-    §2.6-class cost an iterative loop pays per action — measured 3
-    rounds -> 2 on the bench pair graph with identical labels). Each
-    row's round-start label rides through the steps as a tagged column
-    (min ignoring the message rows' NULLs), so the convergence check is
-    a filter-count over the already-checkpointed result instead of a
-    second shuffle join of new-vs-old labels. Labels only ever
-    decrease, so "no counted change across a whole round" remains
-    exactly the single-step convergence condition, and ``max_iter``
-    keeps its meaning of checkpointed rounds (each now covering up to
+    §2.6-class cost an iterative loop pays per action — at scale each
+    checkpoint materializes the whole O(V) label frame).
+
+    Convergence is detected WITHIN the round, not by running an extra
+    all-no-op round: each row's label from just BEFORE the round's
+    final hop rides through that hop as a tagged column (min ignoring
+    the message rows' NULLs), and "final hop changed nothing" is
+    checked by a filter-count over the already-checkpointed result.
+    One propagation hop is a deterministic function of the (id, label)
+    state and labels only ever decrease, so a no-op hop means the
+    pre-hop state was already a FIXED POINT — every later hop is also
+    a no-op, which is exactly label convergence. (The seed label frame
+    covers every edge endpoint — connected_components iterates over
+    the touched-vertex semi-join — so no id can first appear
+    mid-iteration and silently dodge the count; a NULL ``__old`` row,
+    were one possible, would keep the pre-r6 "appearing is not
+    changing" convention.) A diameter-1 pair graph — the common dedup
+    shape: star clusters around their min id — therefore converges in
+    ONE round (2 hops, 1 checkpoint, 1 count) where the round-start
+    comparison needed two full rounds to see a zero. ``max_iter``
+    keeps its meaning of checkpointed rounds (each covering up to
     ``steps_per_round`` hops)."""
     label_type = labels.schema["label"].dataType
     converged = False
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        cur = labels.select("id", "label", F.col("label").alias("__old"))
-        for _step in range(steps_per_round):
+        cur = labels
+        for _step in range(steps_per_round - 1):
             msgs = bidir.join(cur, bidir["u"] == cur["id"]).select(
-                F.col("v").alias("id"),
-                "label",
-                F.lit(None).cast(label_type).alias("__old"),
+                F.col("v").alias("id"), "label"
             )
             cur = (
-                cur.select("id", "label", "__old")
+                cur.select("id", "label")
                 .union(msgs)
                 .groupBy("id")
-                .agg(
-                    F.min("label").alias("label"),
-                    F.min("__old").alias("__old"),
-                )
+                .agg(F.min("label").alias("label"))
             )
-        new_labels = ckpt(cur)
-        # __old NULL = an id first reached this round (edge endpoint not
-        # in the seed vertex set) — same as the pre-r6 inner-join check,
-        # appearing is not "changing".
+        tagged = cur.select("id", "label", F.col("label").alias("__old"))
+        msgs = bidir.join(tagged, bidir["u"] == tagged["id"]).select(
+            F.col("v").alias("id"),
+            "label",
+            F.lit(None).cast(label_type).alias("__old"),
+        )
+        new_labels = ckpt(
+            tagged.select("id", "label", "__old")
+            .union(msgs)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min("__old").alias("__old"),
+            )
+        )
         changed = new_labels.filter(
             F.col("__old").isNotNull() & (F.col("label") != F.col("__old"))
         ).count()
