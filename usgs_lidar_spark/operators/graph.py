@@ -60,10 +60,18 @@ def _make_ckpt(checkpoint_mode: str):
             f" got {checkpoint_mode!r}"
         )
 
-    def _ckpt(df: DataFrame) -> DataFrame:
+    def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+        # eager=False defers materialization to the frame's FIRST action
+        # (lineage is still severed there): a loop that follows every
+        # pin with its own action anyway — the convergence count — can
+        # ride both on ONE job instead of paying a separate
+        # materialization job per round (guide §2.6: sequential driver
+        # round-trips are the iterative tax). Only safe where an action
+        # per round is guaranteed; a deferred pin consumed only by the
+        # NEXT round's plan would let analysis-time lineage regrow.
         if checkpoint_mode == "reliable":
-            return df.checkpoint()
-        return df.localCheckpoint()
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
 
     return _ckpt
 
@@ -124,6 +132,9 @@ def _minlabel_rounds(
             "label",
             F.lit(None).cast(label_type).alias("__old"),
         )
+        # Lazy pin: the convergence count below is the round's
+        # guaranteed action, so it materializes the checkpoint and
+        # counts in ONE job (two jobs per round before).
         new_labels = ckpt(
             tagged.select("id", "label", "__old")
             .union(msgs)
@@ -131,7 +142,8 @@ def _minlabel_rounds(
             .agg(
                 F.min("label").alias("label"),
                 F.min("__old").alias("__old"),
-            )
+            ),
+            eager=False,
         )
         changed = new_labels.filter(
             F.col("__old").isNotNull() & (F.col("label") != F.col("__old"))
@@ -187,7 +199,7 @@ def _star_rounds(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        large = ckpt(large)
+        large = ckpt(large, eager=False)
         # ---- small-star: orient every edge to key = max endpoint; all
         #      kept neighbors are < u, and N ∪ {u} attaches to m = min(N).
         oriented = large.select(
@@ -196,13 +208,19 @@ def _star_rounds(
         wo = Window.partitionBy("u")
         m_small = F.min("v").over(wo)
         attach = oriented.withColumn("m", m_small)
+        # Lazy pin + ONE symmetric-difference count: the union of the
+        # two exceptAll legs counts both directions in a single job
+        # (sum of counts == count of the unioned multiset), and that
+        # job also materializes the checkpoint (three jobs per round
+        # before).
         small = ckpt(
             attach.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(attach.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            .distinct(),
+            eager=False,
         )
-        delta = small.exceptAll(edges).count() + edges.exceptAll(small).count()
+        delta = small.exceptAll(edges).unionAll(edges.exceptAll(small)).count()
         edges = small
         if delta == 0:
             converged = True
