@@ -6992,3 +6992,54 @@ def test_link_prediction_jaccard_hand_graph(spark):
     assert (3, 4) not in capped
     with _pytest.raises(ValueError, match="max_hub_degree"):
         link_prediction_jaccard(star, max_hub_degree=0)
+
+
+def test_fake_dhash_vectorized_matches_scalar(spark):
+    """The vectorized NumPy batch kernel (optimization round 16) must
+    reproduce the scalar byte-grid decode + band packing bit for bit,
+    on adversarial payloads: empty, None, 1-byte, shorter/longer than
+    the sample grid, high bytes (>127 — unsigned compare), and both
+    band widths (4 and 8)."""
+    from usgs_lidar_spark.multimodal import (
+        fake_dhash_image,
+        fake_dhash_image_wide,
+    )
+    from usgs_lidar_spark.multimodal.binary_ops import (
+        _pack_dhash_bands_n,
+    )
+
+    payloads = [
+        (1, b""),
+        (2, None),
+        (3, b"\x00"),
+        (4, b"\xff"),
+        (5, bytes(range(7))),
+        (6, bytes(range(255, 0, -3))),
+        (7, bytes([200, 10] * 100)),
+        (8, ("the quick brown fox " * 40).encode()),
+        (9, bytes([128, 127, 129, 126] * 50)),
+    ]
+    media = spark.createDataFrame(
+        payloads, "media_id long, content binary"
+    )
+
+    def scalar(b, n_bands):
+        b = bytes(b) if b is not None else b""
+        n = len(b)
+        if n == 0:
+            return tuple([0] * n_bands)
+        s = 8 * (2 * n_bands + 1)
+        return tuple(
+            _pack_dhash_bands_n([b[(k * n) // s] for k in range(s)], n_bands)
+        )
+
+    for n_bands, frame in (
+        (4, fake_dhash_image(media)),
+        (8, fake_dhash_image_wide(media, n_bands=8)),
+    ):
+        got = {
+            r["media_id"]: tuple(r[f"b{q}"] for q in range(n_bands))
+            for r in frame.collect()
+        }
+        want = {mid: scalar(b, n_bands) for mid, b in payloads}
+        assert got == want

@@ -553,6 +553,58 @@ def dhash_image(media: DataFrame) -> DataFrame:
     return media.mapInPandas(hash_batch, DHASH_SCHEMA)
 
 
+def _fake_dhash_batch_fn(n_bands: int):
+    """Vectorized batch kernel shared by `fake_dhash_image` (n_bands=4)
+    and `fake_dhash_image_wide`: NumPy reproduces the scalar byte-grid
+    decode + band packing bit for bit (optimization round 16, guide
+    §4.2 — the per-row Python loop ran ~150 interpreted ops per
+    payload; now one gather + one boolean matmul per batch). Exactness
+    argument: sample index (k*n)//S is the same int64 floor-division,
+    the gathered uint8 bytes compare exactly like Python ints, and the
+    comparison->band packing is a 0/1 matrix product against the
+    precomputed per-comparison bit weights — integer end to end
+    (`test_fake_dhash_vectorized_matches_scalar` pins it against the
+    scalar reference on adversarial payloads)."""
+    import numpy as np
+
+    n_samples = 8 * (2 * n_bands + 1)
+    per_row, cols = 2 * n_bands, 2 * n_bands + 1
+    j = np.arange(16 * n_bands, dtype=np.int64)
+    left = (j // per_row) * cols + (j % per_row)
+    # weights[j, q] = 1 << (j % 16) iff comparison j lands in band q
+    weights = np.zeros((16 * n_bands, n_bands), dtype=np.int64)
+    weights[j, j // 16] = np.int64(1) << (j % 16)
+    k = np.arange(n_samples, dtype=np.int64)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = [
+                bytes(x) if x is not None else b"" for x in pdf["content"]
+            ]
+            n = np.fromiter(
+                (len(x) for x in contents), dtype=np.int64,
+                count=len(contents),
+            )
+            out = np.zeros((len(contents), n_bands), dtype=np.int64)
+            nz = n > 0
+            if nz.any():
+                buf = np.frombuffer(b"".join(contents), dtype=np.uint8)
+                off = np.zeros(len(contents), dtype=np.int64)
+                np.cumsum(n[:-1], out=off[1:])
+                idx = off[nz, None] + (k[None, :] * n[nz, None]) // n_samples
+                smp = buf[idx]
+                gt = smp[:, left] > smp[:, left + 1]
+                out[nz] = gt.astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{f"b{q}": out[:, q] for q in range(n_bands)},
+                }
+            )
+
+    return hash_batch
+
+
 def fake_dhash_image(media: DataFrame) -> DataFrame:
     """Deterministic dHash stand-in: the 'decode' treats the payload
     bytes as the image — a nearest-neighbor downsample of the byte
@@ -562,32 +614,9 @@ def fake_dhash_image(media: DataFrame) -> DataFrame:
     byte-for-byte (the mm_near_dedup oracle does, via ord/substr on
     ASCII payloads), and the schema/batch path is the real tier's.
     Empty payloads hash to all-zero bands (mirroring the real tier's
-    undecodable convention)."""
-
-    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(b) -> tuple[int, int, int, int]:
-            b = bytes(b) if b is not None else b""
-            n = len(b)
-            if n == 0:
-                return 0, 0, 0, 0
-            samples = [b[(k * n) // 72] for k in range(72)]
-            return _pack_dhash_bands(samples)
-
-        for pdf in batches:
-            bands = pdf["content"].map(one)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    **{
-                        f"b{q}": bands.map(lambda t, q=q: t[q]).astype(
-                            "int64"
-                        )
-                        for q in range(4)
-                    },
-                }
-            )
-
-    return media.mapInPandas(hash_batch, DHASH_SCHEMA)
+    undecodable convention). Batches hash through the vectorized NumPy
+    kernel (`_fake_dhash_batch_fn`), not a per-row Python loop."""
+    return media.mapInPandas(_fake_dhash_batch_fn(4), DHASH_SCHEMA)
 
 
 def near_dup_media_by_dhash(
@@ -700,33 +729,9 @@ def fake_dhash_image_wide(media: DataFrame, n_bands: int = 8) -> DataFrame:
     single-band join is exactly the `fake_dhash_image` path."""
     if not 2 <= int(n_bands) <= 16:
         raise ValueError(f"n_bands must be in [2, 16], got {n_bands}")
-    n_samples = 8 * (2 * n_bands + 1)
-    schema = _dhash_schema(n_bands)
-
-    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(b) -> tuple[int, ...]:
-            b = bytes(b) if b is not None else b""
-            n = len(b)
-            if n == 0:
-                return tuple([0] * n_bands)
-            samples = [b[(k * n) // n_samples] for k in range(n_samples)]
-            return _pack_dhash_bands_n(samples, n_bands)
-
-        for pdf in batches:
-            bands = pdf["content"].map(one)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    **{
-                        f"b{q}": bands.map(lambda t, q=q: t[q]).astype(
-                            "int64"
-                        )
-                        for q in range(n_bands)
-                    },
-                }
-            )
-
-    return media.mapInPandas(hash_batch, schema)
+    return media.mapInPandas(
+        _fake_dhash_batch_fn(int(n_bands)), _dhash_schema(n_bands)
+    )
 
 
 def near_dup_media_by_dhash_combo(
