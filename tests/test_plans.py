@@ -248,19 +248,34 @@ HEADLINE_DIGESTS = {
     },
     # Iteration-INVARIANT frames (edges/nodes/degrees) are checkpointed
     # once; the 3 rank iterations then chain linearly over those scans
-    # (13 shuffles / 9 joins) instead of re-expanding the edge-build
-    # lineage per iteration (105 shuffle exchanges measured without the
-    # checkpoints). Rank-vs-edge joins stay SMJ by design: at scale
+    # instead of re-expanding the edge-build lineage per iteration (105
+    # shuffle exchanges measured without the checkpoints). Optimization
+    # round 16: the capped co-purchase build emits pairs map-side from
+    # per-basket lists (both basket-keyed self-join legs gone), 13
+    # shuffles / 9 SMJ -> 8 / 5 with the contribution joins turning
+    # broadcastable. Rank-vs-edge joins stay SMJ by design: at scale
     # neither side is broadcastable.
-    "graph_pagerank_parts": {"shuffle_exchange": 13, "SortMergeJoin": 9},
+    "graph_pagerank_parts": {
+        "shuffle_exchange": 8,
+        "BroadcastExchange": 4,
+        "BroadcastHashJoin": 4,
+        "SortMergeJoin": 5,
+    },
     # Round-6 headliners. Triangles: the ORIENTED edge frame (degree
     # attach + re-orientation) is localCheckpointed at construction; the
     # returned plan is wedge self-join on the low endpoint + (b,c)
-    # closure semi-join (both data x data -> SMJ by design) + the
-    # corner-explode aggregate. pipe_pack_streams: the Lehmer stream
-    # derivation is map-only; the ONE shuffle is the per-stream
-    # running-sum window.
-    "graph_triangles_parts": {"shuffle_exchange": 5, "SortMergeJoin": 2},
+    # closure semi-join + the corner-explode aggregate. Optimization
+    # round 16: with the map-side capped pair build the edge frame
+    # estimate shrinks, so both legs plan as broadcast joins over the
+    # checkpointed oriented frame (5 shuffles / 2 SMJ -> 1 / 2 BHJ);
+    # the one remaining exchange is the corner aggregate.
+    # pipe_pack_streams: the Lehmer stream derivation is map-only; the
+    # ONE shuffle is the per-stream running-sum window.
+    "graph_triangles_parts": {
+        "shuffle_exchange": 1,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
+    },
     "pipe_pack_streams": {"shuffle_exchange": 1},
     # Round-6 (cont.) headliners. BM25: postings agg + df window + doc
     # agg over query-filtered postings only, plus the single-partition
