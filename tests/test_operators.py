@@ -7043,3 +7043,47 @@ def test_fake_dhash_vectorized_matches_scalar(spark):
         }
         want = {mid: scalar(b, n_bands) for mid, b in payloads}
         assert got == want
+
+
+def test_audio_fingerprint_vectorized_matches_scalar(spark):
+    """The vectorized prefix-sum fingerprint (optimization round 16)
+    must reproduce the scalar block-energy reference bit for bit:
+    under-65-byte payloads -> NULL bands, exact int64 sums of squares,
+    length-normalized block boundaries."""
+    from usgs_lidar_spark.multimodal import audio_energy_fingerprint
+
+    payloads = [
+        (1, b""),
+        (2, None),
+        (3, bytes(range(64))),          # one short of the minimum
+        (4, bytes(range(65))),          # exactly the minimum
+        (5, bytes([128] * 200)),        # all-silence: every energy 0
+        (6, bytes([0, 255] * 300)),     # max-amplitude alternation
+        (7, ("pcm" * 500).encode()),
+        (8, bytes((i * 37) % 256 for i in range(997))),
+    ]
+    media = spark.createDataFrame(
+        payloads, "media_id long, content binary"
+    )
+
+    def scalar(b):
+        b = bytes(b) if b is not None else b""
+        n = len(b)
+        if n < 65:
+            return (None,) * 4
+        energy = [
+            sum((x - 128) * (x - 128)
+                for x in b[(k * n) // 65:((k + 1) * n) // 65])
+            for k in range(65)
+        ]
+        bands = [0, 0, 0, 0]
+        for j in range(64):
+            if energy[j] > energy[j + 1]:
+                bands[j // 16] |= 1 << (j % 16)
+        return tuple(bands)
+
+    got = {
+        r["media_id"]: tuple(r[f"b{q}"] for q in range(4))
+        for r in audio_energy_fingerprint(media).collect()
+    }
+    assert got == {mid: scalar(b) for mid, b in payloads}

@@ -846,33 +846,51 @@ def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
     (id, 4 bands) rows leave the scan stage."""
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(b):
-            b = bytes(b) if b is not None else b""
-            n = len(b)
-            if n < 65:
-                return None, None, None, None
-            energy = [
-                sum(
-                    (x - 128) * (x - 128)
-                    for x in b[(k * n) // 65:((k + 1) * n) // 65]
-                )
-                for k in range(65)
-            ]
-            bands = [0, 0, 0, 0]
-            for j in range(64):
-                if energy[j] > energy[j + 1]:
-                    bands[j // 16] |= 1 << (j % 16)
-            return bands[0], bands[1], bands[2], bands[3]
+        # Vectorized (optimization round 16, guide §4.2): the scalar
+        # form squared every payload byte in interpreted Python — O(n)
+        # Python ops per row, the heaviest per-byte loop in the tier.
+        # Now one int64 prefix sum over the batch's concatenated
+        # samples makes every block energy a two-element gather
+        # (cs[hi] - cs[lo] == the block's exact sum of squares), and
+        # the 64 comparisons pack via a boolean matmul — integer end
+        # to end, bit-identical to the scalar reference
+        # (test_audio_fingerprint_vectorized_matches_scalar).
+        import numpy as np
+
+        j = np.arange(64, dtype=np.int64)
+        weights = np.zeros((64, 4), dtype=np.int64)
+        weights[j, j // 16] = np.int64(1) << (j % 16)
+        k = np.arange(66, dtype=np.int64)
 
         for pdf in batches:
-            bands = pdf["content"].map(one)
+            contents = [
+                bytes(x) if x is not None else b"" for x in pdf["content"]
+            ]
+            n = np.fromiter(
+                (len(x) for x in contents), dtype=np.int64,
+                count=len(contents),
+            )
+            ok = n >= 65
+            out = np.zeros((len(contents), 4), dtype=np.int64)
+            if ok.any():
+                buf = np.frombuffer(b"".join(contents), dtype=np.uint8)
+                v = buf.astype(np.int64) - 128
+                np.multiply(v, v, out=v)
+                cs = np.zeros(len(v) + 1, dtype=np.int64)
+                np.cumsum(v, out=cs[1:])
+                off = np.zeros(len(contents), dtype=np.int64)
+                np.cumsum(n[:-1], out=off[1:])
+                bounds = off[ok, None] + (k[None, :] * n[ok, None]) // 65
+                e = cs[bounds[:, 1:]] - cs[bounds[:, :-1]]
+                gt = e[:, :64] > e[:, 1:]
+                out[ok] = gt.astype(np.int64) @ weights
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": pdf["media_id"].to_numpy(),
                     **{
-                        f"b{q}": bands.map(lambda t, q=q: t[q]).astype(
-                            "Int64"
-                        )
+                        f"b{q}": pd.Series(
+                            out[:, q], dtype="Int64"
+                        ).mask(~ok)
                         for q in range(4)
                     },
                 }
