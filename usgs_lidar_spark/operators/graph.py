@@ -880,10 +880,20 @@ def link_prediction_jaccard(
     the Jaccard denominator. Same knob philosophy as
     `copurchase_edges.max_basket`: deterministic, oracle-replayable,
     cap above the hub tail so only pathological nodes are touched."""
-    adj = edges.select(
-        F.col("src").alias("node"), F.col("dst").alias("nb")
-    ).unionByName(
-        edges.select(F.col("dst").alias("node"), F.col("src").alias("nb"))
+    # Pin the edge list ONCE (optimization round 16): it feeds the two
+    # adjacency orientations AND the unconnectedness anti-join, and the
+    # adjacency union feeds the degree aggregate plus BOTH wedge legs —
+    # without the pins the (possibly expensive — a capped co-purchase
+    # window build) edge derivation re-executes per consumer (measured:
+    # 30 shuffle exchanges -> 3 on graph_link_prediction). Same
+    # consumed-twice convention as triangle_count's oriented frame.
+    edges = edges.localCheckpoint(eager=False)
+    adj = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
+        .unionByName(
+            edges.select(F.col("dst").alias("node"), F.col("src").alias("nb"))
+        )
+        .localCheckpoint(eager=False)
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     wedge_in = adj
