@@ -818,7 +818,14 @@ def connected_components_incremental(
     fresh = new_vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
-    label0 = base.unionByName(fresh)
+    # Pin the combined labeling ONCE (optimization round 16): it feeds
+    # both endpoint-remap join legs AND the final composition join, and
+    # its lineage contains the caller's ENTIRE base labeling (typically
+    # a full CC run over a pair build) — unpinned, that subtree
+    # re-expands per consumer (measured: 134 shuffle exchanges -> 10 on
+    # dedup_cluster_collapse_incremental). Same for the contracted edge
+    # list, consumed by the touched-vertex derivation and the sub-CC.
+    label0 = base.unionByName(fresh).localCheckpoint(eager=False)
 
     lab = label0.select(
         F.col("id").alias("__n"), F.col("label").alias("__l")
@@ -831,6 +838,7 @@ def connected_components_incremental(
         .select("u", F.col("__l").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     touched = (
         e.select(F.col("u").alias("id"))

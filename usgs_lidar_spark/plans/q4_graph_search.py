@@ -1166,16 +1166,26 @@ def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= 2)
         .select("src", "dst")
+        # Pin the edge build and each frontier tier ONCE (optimization
+        # round 16): e feeds three semi-join probes, seeds/hop1 feed
+        # both the next tier and their tier-count aggregate — unpinned,
+        # the lineitem self-join re-expanded per consumer (47 shuffle
+        # exchanges -> 7).
+        .localCheckpoint(eager=False)
     )
-    seeds = e.filter(F.col("src") % 100 == 0).select(
-        F.col("src").alias("node")
-    ).distinct()
+    seeds = (
+        e.filter(F.col("src") % 100 == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hop1 = (
         e.join(seeds, e["src"] == seeds["node"], "left_semi")
         .select(F.col("dst").alias("node"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    frontier = hop1.union(seeds).distinct()
+    frontier = hop1.union(seeds).distinct().localCheckpoint(eager=False)
     hop2 = (
         e.join(frontier, e["src"] == frontier["node"], "left_semi")
         .select(F.col("dst").alias("node"))
