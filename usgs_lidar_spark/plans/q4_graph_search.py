@@ -1565,8 +1565,14 @@ def pipe_end_to_end_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", "n_chars")
     )
-    kept = filter_above_group_median(survivors, "lang", "n_chars").drop(
-        "group_median"
+    # Pin ONCE (optimization round 16): kept feeds both the mixture
+    # schedule and the language lookup join — unpinned, the whole
+    # span-dedup + median-filter chain re-expanded per consumer
+    # (19 shuffle exchanges -> 3).
+    kept = (
+        filter_above_group_median(survivors, "lang", "n_chars")
+        .drop("group_median")
+        .localCheckpoint(eager=False)
     )
     sched = mixture_schedule(
         kept, "doc_id", "source", {"src0": 3.0, "src1": 2.0, "src2": 1.0}
