@@ -840,6 +840,14 @@ def loader_schedule(
             f"across engines; got {temperature}"
         )
     scale = float(2**qbits)
+    # Pin the manifest ONCE (optimization round 16): it feeds the
+    # per-stream weight aggregate AND the final schedule join — when a
+    # caller hands in a derived manifest (pipe_end_to_end_v11 passes
+    # the whole v9 curation chain's shard aggregate), the unpinned
+    # lineage re-expanded per consumer (v11: 23 shuffle exchanges ->
+    # 4). Same for the stream-weight frame, consumed by the total
+    # aggregate and the join.
+    manifest = manifest.localCheckpoint(eager=False)
     per_stream = manifest.groupBy(stream_col).agg(
         F.sum(bytes_col).alias("__sbytes")
     )
@@ -848,9 +856,14 @@ def loader_schedule(
         if temperature == 1.0
         else F.sqrt(F.col("__sbytes").cast("double"))
     )
-    wq = per_stream.select(
-        stream_col, F.floor(raw * F.lit(scale)).cast("long").alias("__wq")
-    ).filter(F.col("__wq") > 0)
+    wq = (
+        per_stream.select(
+            stream_col,
+            F.floor(raw * F.lit(scale)).cast("long").alias("__wq"),
+        )
+        .filter(F.col("__wq") > 0)
+        .localCheckpoint(eager=False)
+    )
     total = wq.agg(F.sum("__wq").alias("__totq"))
     k = (
         F.row_number().over(
