@@ -446,6 +446,41 @@ def ngram_jaccard_pairs(
     return jac.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
+def _mh_sig_exprs(num_perm: int) -> list:
+    """The num_perm seeded-minima aggregate columns of a MinHash
+    signature, each parsed JVM-side in ONE py4j call (optimization
+    round 16, guide §7.3: the Column-API form cost ~48 round trips PER
+    PERMUTATION — 3,074 calls for num_perm=64, the single largest term
+    of every minhash consumer's plan-construction wall). Analyzed plan
+    semantically equal to the composed form (sameResult pinned by
+    `test_sqlbuild_parity.py`): seeds parse as the same IntegerType
+    literals, so every xxhash64 bit matches and warm-session signature
+    caches keep hitting."""
+    return [
+        F.expr(f"min(xxhash64(shingle, {i})) AS mh_{i}")
+        for i in range(num_perm)
+    ]
+
+
+def _mh_band_struct_sql(bands: int, rows_per_band: int, hash_inline: bool) -> str:
+    """SQL text of the per-doc band array:
+    ``array(named_struct('band', b, 'h', <band hash b>), ...)``.
+    ``hash_inline=True`` renders the xxhash64 over the signature columns
+    inside each struct (the incremental form); ``False`` references
+    pre-computed ``band_b`` columns (the self-join form)."""
+    entries = []
+    for b in range(bands):
+        if hash_inline:
+            cols = ", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            h = f"xxhash64({cols})"
+        else:
+            h = f"band_{b}"
+        entries.append(f"named_struct('band', {b}, 'h', {h})")
+    return "array(" + ", ".join(entries) + ")"
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -459,11 +494,7 @@ def minhash_signatures(
     num_perm 'permutations' are xxhash64(shingle, seed=i) minima, the
     standard one-pass construction."""
     sh = char_shingles(df, text_col, id_col, k, max_df)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_perm)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return sh.groupBy("doc_id").agg(*_mh_sig_exprs(num_perm))
 
 
 def minhash_lsh_pairs(
@@ -556,27 +587,19 @@ def minhash_lsh_pairs(
     # set — without this the explode+distinct+df-cap chain ran three times
     # (~3x6 s of the original 69 s at sf0.1).
     sh = char_shingles(df, text_col, id_col, k, max_df).cache()
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_perm)
-        ]
-    )
+    sig = sh.groupBy("doc_id").agg(*_mh_sig_exprs(num_perm))
 
     band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
+        F.expr(
+            "xxhash64("
+            + ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f") AS band_{b}"
+        )
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
     # (doc_id, band_idx, band_hash) long-form for the bucket equi-join.
-    pairs_per_band = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
-            for b in range(bands)
-        ]
-    )
+    pairs_per_band = F.expr(_mh_band_struct_sql(bands, rows_per_band, False))
     # Cached: the candidate self-join references this subtree twice, and
     # Spark materializes each branch independently — without the cache the
     # whole 64-aggregate signature pipeline runs twice.
@@ -635,25 +658,17 @@ def _minhash_band_long(
     consumers (decontamination) band IDENTICALLY to the self-join path.
     Callers cache the result if they consume it more than once."""
     rows_per_band = num_perm // bands
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_perm)
-        ]
-    )
+    sig = sh.groupBy("doc_id").agg(*_mh_sig_exprs(num_perm))
     band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
+        F.expr(
+            "xxhash64("
+            + ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f") AS band_{b}"
+        )
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
-    pairs_per_band = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
-            for b in range(bands)
-        ]
-    )
+    pairs_per_band = F.expr(_mh_band_struct_sql(bands, rows_per_band, False))
     return (
         banded.select("doc_id", F.explode(pairs_per_band).alias("bh"))
         .select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
@@ -992,26 +1007,8 @@ def minhash_lsh_pairs_incremental(
     flags = docs.select(
         F.col(id_col).alias("doc_id"), F.col(batch_col).alias("is_batch")
     )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_perm)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.col(f"mh_{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("h"),
-            )
-            for b in range(bands)
-        ]
-    )
+    sig = sh.groupBy("doc_id").agg(*_mh_sig_exprs(num_perm))
+    band_structs = F.expr(_mh_band_struct_sql(bands, rows_per_band, True))
     longf = (
         sig.select("doc_id", F.explode(band_structs).alias("bh"))
         .select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))

@@ -219,27 +219,44 @@ def _centroid_sims(
     comparability, matching every other sim operator here); -cid makes a
     struct MAX pick the LOWEST centroid id on ties. Centroid norms are
     precomputed driver-side (`_py_norm`) and inlined as scalar literals —
-    only `dot(vec, lit)` and the row vector's own norm run per row."""
-    from usgs_lidar_spark.functions.vectors import dot, norm
+    only `dot(vec, lit)` and the row vector's own norm run per row.
 
-    vnorm = norm(vec_col)
+    Built as ONE SQL string parsed JVM-side (optimization round 16,
+    guide §7.3): the Column-API form cost ~k*(dim+15) py4j round trips
+    per construction (3,735 at k=8 x dim=32 — measured the dominant
+    cost of every small-quantizer caller's plan build); the analyzed
+    plan is SEMANTICALLY EQUAL to that form (sameResult pinned by
+    `test_sqlbuild_parity.py`), so results and cache reuse are
+    untouched."""
+    from usgs_lidar_spark.functions.sqlbuild import dlit, qident
+
+    v = qident(vec_col)
+    vnorm = (
+        f"sqrt(aggregate(zip_with({v}, {v}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
+    )
+    rd = int(round_digits)
     entries = []
     for cid, cvec in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
         cnorm = _py_norm(cvec)
         if cnorm == 0.0:
-            raw = F.lit(0.0)
+            raw = "0.0D"
         else:
-            raw = F.when(vnorm == 0, F.lit(0.0)).otherwise(
-                dot(vec_col, lit) / (vnorm * F.lit(cnorm))
+            arr = "array(" + ", ".join(dlit(x) for x in cvec) + ")"
+            dot = (
+                f"aggregate(zip_with({v}, {arr}, (x, y) -> "
+                f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+                f"(acc, v) -> acc + v)"
+            )
+            raw = (
+                f"CASE WHEN {vnorm} = 0 THEN 0.0D "
+                f"ELSE {dot} / ({vnorm} * {dlit(cnorm)}) END"
             )
         entries.append(
-            F.struct(
-                F.round(raw, round_digits).alias("sim"),
-                F.lit(-cid).cast("long").alias("negcid"),
-            )
+            f"named_struct('sim', round({raw}, {rd}), "
+            f"'negcid', CAST({-int(cid)} AS BIGINT))"
         )
-    return F.array(*entries)
+    return F.expr("array(" + ", ".join(entries) + ")")
 
 
 def _with_centroid_sims(
@@ -557,7 +574,7 @@ def kmeanspp_seed_centroids(
     seeds = [(int(first["cid"]), [float(x) for x in first["cvec"]])]
     while len(seeds) < g:
         qseeds = _quantize_centroids_exact(seeds, qbits)
-        best = F.array_max(_exact_argmax_structs(F.col("__qv"), qseeds))
+        best = F.array_max(_exact_argmax_structs("__qv", qseeds))
         simn = F.when(F.col("__rn") == 0, F.lit(0.0)).otherwise(
             best["key"] / F.col("__rn")
         )
@@ -1726,27 +1743,35 @@ def _exact_argmax_structs(qvec_col, qcents: list[tuple[int, list[int], int]]):
     ops (sqrt, divide), so the double is identical in any engine; the
     knife-edge decimal ROUND the float path needs is gone entirely.
     array_max picks (max key, then max negcid = min cid): the same
-    (sim DESC, cid ASC) tie contract as the float path."""
+    (sim DESC, cid ASC) tie contract as the float path.
+
+    ``qvec_col`` is the quantized vector COLUMN NAME. Built as ONE SQL
+    string parsed JVM-side (optimization round 16, guide §7.3 — the
+    Column-API form cost ~k*(dim+12) py4j round trips per construction);
+    analyzed plan semantically equal to that form (sameResult pinned by
+    `test_sqlbuild_parity.py`), so results and cache reuse are
+    untouched."""
     import math
 
-    from usgs_lidar_spark.functions.vectors import dot_q
+    from usgs_lidar_spark.functions.sqlbuild import dlit, qident
 
+    v = qident(qvec_col)
     entries = []
     for cid, qc, nq in qcents:
-        lit = F.array(*[F.lit(int(v)).cast("long") for v in qc])
-        d = dot_q(qvec_col, lit)
-        if nq == 0:
-            key = F.lit(0.0)
-        else:
-            key = d.cast("double") / F.lit(math.sqrt(float(nq)))
-        entries.append(
-            F.struct(
-                key.alias("key"),
-                F.lit(-cid).cast("long").alias("negcid"),
-                d.alias("qdot"),
-            )
+        arr = "array(" + ", ".join(f"CAST({int(x)} AS BIGINT)" for x in qc) + ")"
+        d = (
+            f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
-    return F.array(*entries)
+        if nq == 0:
+            key = "0.0D"
+        else:
+            key = f"CAST({d} AS DOUBLE) / {dlit(math.sqrt(float(nq)))}"
+        entries.append(
+            f"named_struct('key', {key}, "
+            f"'negcid', CAST({-int(cid)} AS BIGINT), 'qdot', {d})"
+        )
+    return F.expr("array(" + ", ".join(entries) + ")")
 
 
 def _quant_assign_kernel_parts(centroids, qbits):
@@ -1938,8 +1963,8 @@ def ivf_drift_metrics_exact(
     qold = _quantize_centroids_exact(centroids_old, qbits)
     qnew = _quantize_centroids_exact(centroids_new, qbits)
     df = corpus.withColumn("__qv", quantize_exact(vec_col, qbits))
-    bo = F.array_max(_exact_argmax_structs(F.col("__qv"), qold))
-    bn = F.array_max(_exact_argmax_structs(F.col("__qv"), qnew))
+    bo = F.array_max(_exact_argmax_structs("__qv", qold))
+    bn = F.array_max(_exact_argmax_structs("__qv", qnew))
     assigned = df.select(
         F.explode(F.array(F.struct(bo.alias("o"), bn.alias("n")))).alias(
             "__best"
@@ -3484,7 +3509,7 @@ def kmeans_step_exact(
 
     qc = _quantize_centroids_exact(centroids, qbits)
     df = corpus.withColumn("__qv", quantize_exact(vec_col, qbits))
-    best = F.array_max(_exact_argmax_structs(F.col("__qv"), qc))
+    best = F.array_max(_exact_argmax_structs("__qv", qc))
     assigned = df.select(
         (-best["negcid"]).cast("long").alias("cid"), "__qv"
     )
