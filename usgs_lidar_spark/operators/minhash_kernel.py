@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from usgs_lidar_spark.functions.spread import spread_for_kernel
+
 #: XXH64 prime constants (public xxHash specification — the same values
 #: in Spark's `XXH64.java`).
 _P1 = 0x9E3779B185EBCA87
@@ -240,9 +242,7 @@ def shingle_codes_table(
             )
 
     c = df.select(F.col(text_col))
-    sc = df.sparkSession.sparkContext
-    if c.rdd.getNumPartitions() < sc.defaultParallelism:
-        c = c.repartition(sc.defaultParallelism)
+    c = spread_for_kernel(c)
     return c.mapInArrow(kernel, out_schema)
 
 
@@ -341,9 +341,7 @@ def minhash_band_table(
             )
 
     c = df.select(F.col(id_col), F.col(text_col))
-    sc = df.sparkSession.sparkContext
-    if c.rdd.getNumPartitions() < sc.defaultParallelism:
-        c = c.repartition(sc.defaultParallelism)
+    c = spread_for_kernel(c)
     return c.mapInArrow(kernel, out_schema)
 
 
@@ -474,8 +472,7 @@ def minhash_decon_inline(
                 )
 
     c = corpus.select(F.col(id_col), F.col(text_col))
-    if c.rdd.getNumPartitions() < sc.defaultParallelism:
-        c = c.repartition(sc.defaultParallelism)
+    c = spread_for_kernel(c)
     return c.mapInArrow(kernel, out_schema)
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from usgs_lidar_spark.functions.spread import spread_for_kernel
 from usgs_lidar_spark.functions.vectors import sign_lsh_bucket
 
 
@@ -421,9 +422,7 @@ def _ivf_assign_arrow(
                 yield pa.RecordBatch.from_arrays(cols, schema=arrow_out)
 
     c = corpus
-    sc = corpus.sparkSession.sparkContext
-    if c.rdd.getNumPartitions() < sc.defaultParallelism:
-        c = c.repartition(sc.defaultParallelism)
+    c = spread_for_kernel(c)
     return c.mapInArrow(kernel, out_schema)
 
 
@@ -1391,9 +1390,7 @@ def _semantic_contamination_arrow(
                 )
 
     c = corpus.select(F.col(id_col), F.col(vec_col))
-    sc = corpus.sparkSession.sparkContext
-    if c.rdd.getNumPartitions() < sc.defaultParallelism:
-        c = c.repartition(sc.defaultParallelism)
+    c = spread_for_kernel(c)
     return c.mapInArrow(kernel, out_schema)
 
 
@@ -1947,9 +1944,7 @@ def ivf_drift_metrics_exact(
                 )
 
         c = corpus.select(F.col(vec_col))
-        sc = corpus.sparkSession.sparkContext
-        if c.rdd.getNumPartitions() < sc.defaultParallelism:
-            c = c.repartition(sc.defaultParallelism)
+        c = spread_for_kernel(c)
         return (
             c.mapInArrow(kernel, out_schema)
             .groupBy("cid")
@@ -3495,9 +3490,7 @@ def kmeans_step_exact(
                 )
 
         c = corpus.select(F.col(vec_col))
-        sc = corpus.sparkSession.sparkContext
-        if c.rdd.getNumPartitions() < sc.defaultParallelism:
-            c = c.repartition(sc.defaultParallelism)
+        c = spread_for_kernel(c)
         return (
             c.mapInArrow(kernel, out_schema)
             .groupBy("cid", "dim")
@@ -3818,9 +3811,7 @@ def _knn_label_vote_arrow(
                     )
 
     c = corpus.select(F.col(id_col), F.col(vec_col))
-    sc = corpus.sparkSession.sparkContext
-    if c.rdd.getNumPartitions() < sc.defaultParallelism:
-        c = c.repartition(sc.defaultParallelism)
+    c = spread_for_kernel(c)
     return c.mapInArrow(kernel, out_schema)
 
 
