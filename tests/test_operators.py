@@ -6409,6 +6409,53 @@ def test_minhash_band_table_matches_expression_form(spark):
         assert e == a and len(a) > 0
 
 
+def test_shingle_pairs_table_matches_expression_form(spark):
+    """Optimization round 17: `char_shingles(impl="kernel")` (the Arrow
+    shingle-pair kernel, `minhash_kernel.shingle_pairs_table`) emits the
+    exact same distinct (doc_id, shingle) STRING rows as the expression
+    explode — on the sf0.001 corpus (ASCII fast path) and a fixture
+    covering non-ASCII (codepoint-slicing fallback), short/empty/NULL
+    text, exactly-k text and repeat-heavy text — under every df-cap
+    strategy (uncapped, absolute, fractional)."""
+    from tests.conftest import SF_SMALL
+    from usgs_lidar_spark.operators.dedup import char_shingles
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    fixture = spark.createDataFrame(
+        [
+            (1, "héllo wörld — ein ziemlich ünïcode Dokument hier"),
+            (2, "plain ascii body that is long enough to shingle"),
+            (3, "abababababababab"),
+            (4, "short"),
+            (5, ""),
+            (6, None),
+            (7, "exactly8"),
+        ],
+        ["doc_id", "text"],
+    )
+    for df in (docs, fixture):
+        for cap, frac in ((None, None), (3, None), (None, 0.04)):
+            e = sorted(
+                map(
+                    tuple,
+                    char_shingles(
+                        df, "text", "doc_id", 8, max_df=cap, max_df_frac=frac
+                    ).collect(),
+                )
+            )
+            a = sorted(
+                map(
+                    tuple,
+                    char_shingles(
+                        df, "text", "doc_id", 8, max_df=cap,
+                        max_df_frac=frac, impl="kernel",
+                    ).collect(),
+                )
+            )
+            assert e == a, (cap, frac)
+        assert len(a) > 0
+
+
 def test_minhash_lsh_arrow_expr_parity(spark):
     """Optimization round 16: `minhash_lsh_pairs` impl="arrow" (kernel
     banding + hot-code df cap + kernel verify, default) and impl="expr"

@@ -98,6 +98,7 @@ def char_shingles(
     max_df: int | None = 20,
     fused_small_corpus: bool = False,
     max_df_frac: float | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """Distinct character k-shingles per document: (id, shingle).
 
@@ -157,6 +158,28 @@ def char_shingles(
         raise ValueError(
             f"max_df_frac must be in (0, 1], got {max_df_frac}"
         )
+    if impl == "kernel":
+        # Arrow-vectorized exact twin of the explode below (optimization
+        # round 17, guide §4.2): same distinct (doc_id, shingle) STRING
+        # rows, built by re-slicing the Arrow text buffer instead of the
+        # interpreted transform+substring chain, whose per-substring
+        # codepoint walk is O(len²) bytes per document (measured 1.87 s
+        # of pipe_contamination's 3.9 s wall at sf0.1). For SINGLE-
+        # consumer shingle frames only (decon, overlap matrix): the
+        # cached self-join paths keep the expression form, whose
+        # plan-equal frames hit the session cache across constructions —
+        # a fresh Python lambda never can (round-16 change 3).
+        from usgs_lidar_spark.operators.minhash_kernel import (
+            shingle_pairs_table,
+        )
+
+        exploded = shingle_pairs_table(df, text_col, id_col, k)
+        return _df_capped_pairs(
+            exploded, max_df, max_df_frac, fused_small_corpus,
+            predistinct=True,
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'kernel', got {impl!r}")
     # Explicit empty-array guard: Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0] (not empty), which would fabricate shingles for
     # docs shorter than k — the oracle's range(1, 1) is empty.
@@ -333,7 +356,8 @@ def source_overlap_matrix(
     only pairs sharing at least one shingle.
     """
     pairs = char_shingles(
-        docs, text_col, id_col, k=k, max_df=max_df, max_df_frac=max_df_frac
+        docs, text_col, id_col, k=k, max_df=max_df, max_df_frac=max_df_frac,
+        impl="kernel",
     )
     # ONE shuffle by shingle: each shingle's source SET (collect_set
     # dedups (source, shingle) implicitly — the former standalone

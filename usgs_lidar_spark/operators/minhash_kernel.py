@@ -246,6 +246,130 @@ def shingle_codes_table(
     return c.mapInArrow(kernel, out_schema)
 
 
+def shingle_pairs_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Distinct (doc_id, shingle) STRING pairs — the exact row-for-row
+    twin of `char_shingles`' array_distinct+explode expression, computed
+    as one vectorized Arrow pass (optimization round 17, guide §4.2).
+
+    Why: the expression form's ``transform(sequence(1, n-k+1), i ->
+    substring(text, i, k))`` is an interpreted higher-order function (no
+    codegen) AND each ``substring`` re-walks the string's UTF-8 bytes to
+    locate codepoint ``i`` — O(len²) byte work per document. Measured at
+    sf0.1: the map-only explode alone is 1.87 s of pipe_contamination's
+    3.9 s wall. Here the ASCII fast path builds every shingle by
+    RE-SLICING the batch's text buffer (a sliding uint8 window viewed as
+    uint64 codes, `np.unique` for the per-doc distinct, and the output
+    string column assembled from one bytes buffer + an offsets array —
+    the §4.2 "new offsets over the same bytes" property), so per-doc
+    cost is O(len·log len) with vectorized constants.
+
+    Exactness: shingles are the REAL substring strings, not hashes —
+    output rows are set-identical to the expression form for any input
+    (ASCII windows == codepoint windows when the UTF-8 length equals the
+    character length; non-ASCII documents take a per-doc Python
+    ``text[i:i+k]`` fallback, the same codepoint slicing Spark's
+    ``substring`` performs). Pinned by
+    `test_shingle_pairs_table_matches_expression_form`. Use where the
+    shingle frame is consumed ONCE per construction (decontamination,
+    overlap matrix); the cached multi-consumer self-join paths keep the
+    expression form, whose plan-equal frames hit the session cache
+    (round-16 change 3's measurement)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("doc_id", id_field.dataType),
+            StructField("shingle", StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_out = to_arrow_schema(out_schema)
+        # Flush segments well under Arrow's 2 GiB string-buffer cap so
+        # one huge input batch can never overflow the int32 offsets.
+        flush_bytes = 256 * 1024 * 1024
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            texts = batch.column(1)
+            row_idx: list[int] = []
+            counts: list[int] = []
+            data_parts: list[bytes] = []
+            len_parts: list = []
+            pending = 0
+
+            def flush():
+                lens = np.concatenate(len_parts)
+                offsets = np.zeros(lens.size + 1, dtype=np.int32)
+                np.cumsum(lens, out=offsets[1:])
+                shingles = pa.StringArray.from_buffers(
+                    lens.size,
+                    pa.py_buffer(offsets.tobytes()),
+                    pa.py_buffer(b"".join(data_parts)),
+                )
+                id_out = ids.take(
+                    pa.array(
+                        np.repeat(
+                            np.asarray(row_idx, dtype=np.int64),
+                            np.asarray(counts, dtype=np.int64),
+                        )
+                    )
+                )
+                return pa.RecordBatch.from_arrays(
+                    [id_out, shingles], schema=arrow_out
+                )
+
+            for row, t in enumerate(texts.to_pylist()):
+                if t is None or len(t) < k:
+                    continue
+                raw = t.encode("utf-8")
+                if len(raw) == len(t) and k == 8:
+                    # ASCII, k == 8: byte windows == char windows and a
+                    # window IS a uint64 — unique codes, bytes restored
+                    # by tobytes() (same byte order the view read).
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    win = np.lib.stride_tricks.sliding_window_view(arr, k)
+                    codes = np.unique(
+                        np.ascontiguousarray(win).view(np.uint64).ravel()
+                    )
+                    n = codes.size
+                    data_parts.append(codes.tobytes())
+                    len_parts.append(np.full(n, k, dtype=np.int64))
+                    pending += n * k
+                else:
+                    # generic fallback: exact codepoint slicing
+                    uniq = sorted({t[i : i + k] for i in range(len(t) - k + 1)})
+                    enc = [s.encode("utf-8") for s in uniq]
+                    n = len(enc)
+                    blob = b"".join(enc)
+                    data_parts.append(blob)
+                    len_parts.append(
+                        np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+                    )
+                    pending += len(blob)
+                row_idx.append(row)
+                counts.append(n)
+                if pending >= flush_bytes:
+                    yield flush()
+                    row_idx, counts, data_parts, len_parts = [], [], [], []
+                    pending = 0
+            if counts:
+                yield flush()
+
+    c = df.select(F.col(id_col), F.col(text_col))
+    c = spread_for_kernel(c)
+    return c.mapInArrow(kernel, out_schema)
+
+
 def collect_hot_codes(df: DataFrame, text_col: str, id_col: str, k: int, max_df: int):
     """The df-cap's hot-shingle set as a broadcast sorted uint64 array:
     codes whose document frequency exceeds ``max_df``. One eager job

@@ -164,12 +164,13 @@ def contaminated_docs(
     from usgs_lidar_spark.operators.dedup import char_shingles, token_shingles
 
     if unit == "char":
-        def sh(d, cap_df, cap_frac):
+        def sh(d, cap_df, cap_frac, impl="expr"):
             return char_shingles(
-                d, text_col, id_col, k=k, max_df=cap_df, max_df_frac=cap_frac
+                d, text_col, id_col, k=k, max_df=cap_df,
+                max_df_frac=cap_frac, impl=impl,
             )
     elif unit == "token":
-        def sh(d, cap_df, cap_frac):
+        def sh(d, cap_df, cap_frac, impl="expr"):
             return token_shingles(
                 d, text_col, id_col, n=k, max_df=cap_df, max_df_frac=cap_frac
             )
@@ -180,7 +181,13 @@ def contaminated_docs(
     # The fractional cap (and its zero-extra-pass resolution) lives in
     # the shingle builders themselves since round 11 — shared by every
     # shingle consumer (Jaccard pairs, the overlap matrix, this check).
-    c_sh = sh(corpus, max_df, max_df_frac)
+    # The CORPUS side — the expensive one, consumed once — takes the
+    # Arrow shingle kernel on the char path (optimization round 17,
+    # guide §4.2; row-identical, see char_shingles impl="kernel"); the
+    # benchmark side is a few thousand docs by contract and keeps the
+    # expression form (a second kernel would cost more in Python worker
+    # round-trips than it saves).
+    c_sh = sh(corpus, max_df, max_df_frac, impl="kernel" if unit == "char" else "expr")
     b_sh = (
         sh(benchmark, None, None)
         .select("shingle")
