@@ -177,7 +177,9 @@ def _star_rounds(
     """
     from pyspark.sql import Window
 
-    # Self-loops carry no information; drop up front.
+    # Self-loops carry no information; drop up front. Eager: round 1's
+    # delta count references this pin from four branches (both sym
+    # orientations, both exceptAll legs) — see the bidir pin note.
     edges = ckpt(bidir.filter(F.col("u") != F.col("v")).distinct())
     converged = False
     rounds = 0
@@ -283,6 +285,13 @@ def connected_components(
     )
     fwd = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     rev = edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    # Kept EAGER (round 17 audit): the round-1 count job references
+    # this pin from several branches at once (touched, seed's semi
+    # join, both hops' message joins); a lazy pin would let those
+    # branches race to compute the whole pair-build lineage
+    # concurrently before the cache fills — N-times the heaviest
+    # subtree for one saved persist job is the wrong trade at every
+    # scale.
     bidir = ckpt(fwd.union(rev).distinct())
 
     if algorithm == "minlabel":
@@ -506,18 +515,41 @@ def pagerank_fixed(
     # per-round checkpointing).
     e = edges.select(F.col(src).alias("__esrc"), F.col(dst).alias("__edst"))
     if not edges_materialized:
+        # Eager: e is referenced by the degree aggregate AND every
+        # iteration's contribution join — lazy, those branches race to
+        # recompute the (possibly expensive) edge build concurrently in
+        # the caller's first job before the cache fills.
         e = _ckpt(e)
-    nodes = (
-        e.select(F.col("__esrc").alias("node"))
-        .union(e.select(F.col("__edst").alias("node")))
-        .distinct()
+    # Node set and out-degree in ONE aggregation over ONE pin
+    # (optimization round 17, guide §2.3/§2.6): the former plan shuffled
+    # the endpoint union twice (a distinct for the node set, a groupBy
+    # for degrees) and paid two checkpoint materializations. Tagging
+    # each endpoint row (src=1, dst=0) makes one sum-aggregate produce
+    # both: every node appears (node set == distinct union), and
+    # sum(tag) == the node's out-edge count (0 for sink-only nodes,
+    # which the degree join never touches — it probes by __esrc, whose
+    # degree is >= 1 by construction). This pin IS safely lazy: its
+    # first materialization happens serially inside `nodes`' own
+    # construction (the n_row count below runs at nodes' toRdd), so no
+    # concurrent consumer can race its lineage.
+    dn = _ckpt(
+        e.select(F.col("__esrc").alias("node"), F.lit(1).alias("__t"))
+        .unionAll(e.select(F.col("__edst").alias("node"), F.lit(0).alias("__t")))
+        .groupBy("node")
+        .agg(F.sum("__t").alias("__d")),
+        eager=False,
     )
-    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    nodes = _ckpt(nodes.crossJoin(F.broadcast(n_row)))
-    deg = _ckpt(
-        e.groupBy(F.col("__esrc").alias("node"))
-        .agg(F.count(F.lit(1)).alias("__d"))
+    n_row = dn.agg(F.count(F.lit(1)).alias("__n"))
+    # nodes stays pinned: un-pinned, the one-row crossJoin re-appears as
+    # a BroadcastNestedLoopJoin rider in EVERY iteration's visible plan
+    # (the exact rider shape round 16's ivf_assign kernel removed).
+    # Lazy is safe here: a racing recompute re-scans dn's cached blocks
+    # (map-only) — the n_row shuffle stage already materialized at this
+    # pin's own toRdd.
+    nodes = _ckpt(
+        dn.select("node").crossJoin(F.broadcast(n_row)), eager=False
     )
+    deg = dn.filter(F.col("__d") > 0).select("node", "__d")
     ranks = nodes.select(
         "node",
         "__n",
