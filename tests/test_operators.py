@@ -6594,6 +6594,67 @@ def test_knn_label_vote_arrow_expr_parity(spark):
         assert a == e
 
 
+def test_kernel_collect_budget_falls_back_to_expr(spark, monkeypatch):
+    """Optimization round 17 (VERDICT-r16 item 7): the kernels' driver-
+    side collects are row-budgeted. At a cap smaller than the seed/bench
+    frame, `knn_label_vote(impl="arrow")` and
+    `semantic_contamination(impl="auto")` must WARN and fall back to the
+    expression plan — identical rows (parity is already pinned
+    elsewhere; this pins the fallback actually engaging), no MapInArrow
+    node, and the collect itself is LIMIT-bounded so the over-budget
+    frame never materializes on the driver."""
+    import warnings
+
+    from usgs_lidar_spark.operators.similarity import (
+        knn_label_vote,
+        semantic_contamination,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    seeds = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    bench = emb.filter(F.col("vec_id") % 11 == 0).select("vec_id", "embedding")
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+
+    expected_knn = sorted(
+        map(tuple, knn_label_vote(corpus, seeds, k=5, impl="expr").collect())
+    )
+    expected_sc = sorted(
+        map(
+            tuple,
+            semantic_contamination(
+                corpus.select("vec_id", "embedding"), bench, cents,
+                threshold=0.9, impl="expr",
+            ).collect(),
+        )
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_COLLECT_ROWS", "3")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        knn_df = knn_label_vote(corpus, seeds, k=5, impl="arrow")
+        sc_df = semantic_contamination(
+            corpus.select("vec_id", "embedding"), bench, cents,
+            threshold=0.9, impl="auto",
+        )
+        assert sum("budget" in str(x.message) for x in w) == 2
+    for df, expected in ((knn_df, expected_knn), (sc_df, expected_sc)):
+        assert "MapInArrow" not in df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert sorted(map(tuple, df.collect())) == expected
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_COLLECT_ROWS", "1000000")
+    assert "MapInArrow" in (
+        lambda d: d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "simple"
+        )
+    )(knn_label_vote(corpus, seeds, k=5, impl="arrow"))
+
+
 def test_ivf_assign_arrow_parity(spark):
     """Optimization round 16: `ivf_assign`'s Arrow kernel (the `auto`
     strategy past the expression budget) must agree BIT FOR BIT with

@@ -212,6 +212,42 @@ _EXPR_PATH_MAX_K = 64
 _EXPR_PATH_MAX_NODES = 1024
 
 
+class _KernelBudgetExceeded(Exception):
+    """A kernel's driver-side collect (seed frame / benchmark vectors)
+    exceeded the configured row budget — the dispatcher catches this and
+    falls back to the distributed expression plan."""
+
+
+def _kernel_collect_max_rows() -> int:
+    """Row budget for kernel driver-side collects (optimization round
+    17, VERDICT-r16 item 7). The r16 kernels' `auto`/default guards were
+    size-BLIND: they checked the bench/seed side's TYPE (broadcastable
+    by contract), so any future caller with an unbounded frame silently
+    inherited a driver-side collect. Env-overridable
+    (``SPARK_GRAFT_KERNEL_COLLECT_ROWS``); read per call so tests can
+    exercise the fallback at a tiny cap. Bytes follow as
+    rows x dim x 8 — the dim is bounded by the embedding schema, so a
+    row cap is the practical budget."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_KERNEL_COLLECT_ROWS", "1000000"))
+
+
+def _collect_capped(df: DataFrame, what: str) -> list:
+    """``df.collect()`` that refuses to exceed the kernel row budget:
+    the LIMIT bounds the transfer itself, so an over-budget frame costs
+    one truncated scan, never an unbounded driver materialization."""
+    cap = _kernel_collect_max_rows()
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise _KernelBudgetExceeded(
+            f"{what} exceeds the kernel driver-collect budget "
+            f"({cap} rows, SPARK_GRAFT_KERNEL_COLLECT_ROWS) — "
+            "falling back to the distributed expression plan"
+        )
+    return rows
+
+
 def _centroid_sims(
     vec_col: str, centroids: list[tuple[int, list[float]]], round_digits: int
 ):
@@ -1285,7 +1321,10 @@ def _semantic_contamination_arrow(
     sb = int(sub_bits)
     cap = None if max_pack_size is None else int(max_pack_size)
 
-    bvecs = [list(r[0]) for r in bench.select(F.col(vec_col)).collect()]
+    bvecs = [
+        list(r[0])
+        for r in _collect_capped(bench.select(F.col(vec_col)), "bench frame")
+    ]
     bad = [len(v) for v in bvecs if len(v) != dim]
     if bad:
         raise ValueError(f"bench embedding dims {sorted(set(bad))[:5]} != {dim}")
@@ -1513,10 +1552,19 @@ def semantic_contamination(
         and not isinstance(centroids, DataFrame)
         and centroids
     ):
-        return _semantic_contamination_arrow(
-            corpus, bench, centroids, threshold, vec_col, id_col,
-            round_digits, max_pack_size, sub_bits,
-        )
+        try:
+            return _semantic_contamination_arrow(
+                corpus, bench, centroids, threshold, vec_col, id_col,
+                round_digits, max_pack_size, sub_bits,
+            )
+        except _KernelBudgetExceeded as e:
+            # Row budget on the kernel's driver-side bench collect
+            # (round 17, VERDICT-r16 item 7): over the cap, the packed-
+            # expression plan below computes the identical result with
+            # the bench as a distributed/broadcast frame.
+            import warnings
+
+            warnings.warn(str(e), stacklevel=2)
 
     ca_cols = [
         F.col(id_col).alias("__id"),
@@ -3704,7 +3752,9 @@ def _knn_label_vote_arrow(
         spark_round_double,
     )
 
-    seed_rows = s.select(F.col(id_col), F.col(label_col), F.col(vec_col)).collect()
+    seed_rows = _collect_capped(
+        s.select(F.col(id_col), F.col(label_col), F.col(vec_col)), "seed frame"
+    )
     label_type = s.schema[label_col].dataType
     id_field = corpus.schema[id_col]
     out_schema = StructType(
@@ -3883,10 +3933,21 @@ def knn_label_vote(
 
     s = seeds.filter(F.col(label_col).isNotNull())
     if impl == "arrow":
-        return _knn_label_vote_arrow(
-            corpus, s, id_col, vec_col, label_col, k, round_digits, min_frac
-        )
-    if impl != "expr":
+        try:
+            return _knn_label_vote_arrow(
+                corpus, s, id_col, vec_col, label_col, k, round_digits,
+                min_frac,
+            )
+        except _KernelBudgetExceeded as e:
+            # Row budget on the kernel's driver-side seed collect
+            # (round 17, VERDICT-r16 item 7): over the cap, the
+            # expression plan below computes the identical result via a
+            # one-row collect_list broadcast (distributed aggregation —
+            # no driver materialization of the seed frame).
+            import warnings
+
+            warnings.warn(str(e), stacklevel=2)
+    elif impl != "expr":
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     seed_arr = s.agg(
         F.collect_list(
