@@ -218,6 +218,78 @@ def test_exact_argmax_plan_equal(spark):
     assert new.collect() == old.collect()
 
 
+def test_vector_builders_plan_equal(spark):
+    """Optimization round 17: the string-name fast paths of
+    functions/vectors.py (dot/norm/cosine/sign_lsh_bucket/quantize_exact
+    /dot_q render ONE SQL string instead of ~25-30 py4j calls each) are
+    plan-equal to the frozen Column-API compositions."""
+    from usgs_lidar_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, -0.5, 0.25, 1.0], [3, -2, 7, 0]),
+            (2, [0.0, 0.0, 0.0, 0.0], [0, 0, 0, 0]),
+        ],
+        "vec_id long, embedding array<float>, qv array<bigint>",
+    )
+
+    def composed_dot(a, b):
+        prods = F.zip_with(
+            V._c(a), V._c(b), lambda x, y: x.cast("double") * y.cast("double")
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    def composed_norm(a):
+        return F.sqrt(composed_dot(a, a))
+
+    def composed_cos(a, b):
+        d = composed_dot(a, b)
+        na, nb = composed_norm(a), composed_norm(b)
+        return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+            d / (na * nb)
+        )
+
+    def composed_bucket(a, n):
+        arr = V._c(a)
+        b = F.lit(0).cast("long")
+        for j in range(n):
+            b = b + F.when(arr.getItem(j) > 0, F.lit(1 << j)).otherwise(
+                0
+            ).cast("long")
+        return b
+
+    def composed_quant(a, q):
+        return F.transform(
+            V._c(a),
+            lambda x: F.floor(x.cast("double") * F.lit(float(2**q))).cast(
+                "long"
+            ),
+        )
+
+    def composed_dotq(a, b):
+        prods = F.zip_with(V._c(a), V._c(b), lambda x, y: x * y)
+        return F.aggregate(
+            prods, F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+
+    cases = [
+        (V.dot("embedding", "embedding"), composed_dot("embedding", "embedding")),
+        (V.norm("embedding"), composed_norm("embedding")),
+        (V.cosine("embedding", "embedding"), composed_cos("embedding", "embedding")),
+        (V.sign_lsh_bucket("embedding", 4), composed_bucket("embedding", 4)),
+        (V.quantize_exact("embedding", 20), composed_quant("embedding", 20)),
+        (V.dot_q("qv", "qv"), composed_dotq("qv", "qv")),
+    ]
+    for new, old in cases:
+        dn, do = df.select(new.alias("a")), df.select(old.alias("a"))
+        assert _same_result(dn, do)
+        assert dn.collect() == do.collect()
+    # Column args and dotted names must keep the composed path (a
+    # backquoted `a.b` would silently change struct-field access).
+    assert V._sql_name(F.col("embedding")) is None
+    assert V._sql_name("a.b") is None
+
+
 def test_dlit_round_trips_exactly():
     from usgs_lidar_spark.functions.sqlbuild import dlit
 
