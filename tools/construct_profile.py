@@ -23,7 +23,7 @@ REPO = Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-from bench import HASH_FORCED, HEADLINE, SF_DIR, _force  # noqa: E402
+from bench import HEADLINE, SF_DIR, _force  # noqa: E402
 from usgs_lidar_spark.plans.queries import QUERIES  # noqa: E402
 from usgs_lidar_spark.session import get_spark  # noqa: E402
 

@@ -103,6 +103,11 @@ QUERIES_UNDER_TEST = [
     # round 16 (cont. 2): v11 = v9 + the shard-count-sized schedule
     # tail — its scale behavior should be v9's within noise.
     "pipe_end_to_end_v11",
+    # round 17: the overlap matrix at sf1 — its shingle frame now comes
+    # from the Arrow shingle kernel (char_shingles impl="kernel"), and
+    # the token-rotated replicas keep most shingles, so the per-shingle
+    # source sets densify — the worst case for the collect_set bound.
+    "dedup_source_overlap",
 ]
 
 #: Queries whose CLAIM is steady-state serving from a persisted

@@ -491,7 +491,10 @@ def _mh_band_struct_sql(bands: int, rows_per_band: int, hash_inline: bool) -> st
     ``array(named_struct('band', b, 'h', <band hash b>), ...)``.
     ``hash_inline=True`` renders the xxhash64 over the signature columns
     inside each struct (the incremental form); ``False`` references
-    pre-computed ``band_b`` columns (the self-join form)."""
+    pre-computed ``band_b`` columns (the self-join form) — note
+    (ADVICE r16) that ``rows_per_band`` is UNUSED in the False form,
+    which implicitly couples to the caller having built its ``band_b``
+    columns with the same rows-per-band grouping."""
     entries = []
     for b in range(bands):
         if hash_inline:

@@ -267,6 +267,15 @@ def _centroid_sims(
     untouched."""
     from usgs_lidar_spark.functions.sqlbuild import dlit, qident
 
+    # ADVICE r16: qident backquotes the WHOLE name as one identifier, so
+    # a dotted name (struct-field access under F.col) or a Column would
+    # silently change semantics / fail at parse — reject loudly. All
+    # callers pass flat string names.
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            f"_centroid_sims: vec_col must be a flat column name string "
+            f"(got {type(vec_col).__name__})"
+        )
     v = qident(vec_col)
     vnorm = (
         f"sqrt(aggregate(zip_with({v}, {v}, (x, y) -> "
